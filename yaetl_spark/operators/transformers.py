@@ -1,0 +1,235 @@
+"""Row transformers — Column-expression builders, never row loops.
+
+Parity map (SURVEY.md §2.4):
+
+- ``KeyRenameTransformer``   → :class:`Rename`
+- ``KeyUnsetTransformer``    → :class:`Drop`
+- ``ArrayReplaceTransformer``→ :class:`Replace` (defaults + overrides)
+- ``ArrayReplaceRecursiveTransformer`` → :class:`ReplaceRecursive`
+- ``ArrayMapTransformer`` / ``ArrayWalkTransformer`` → :class:`MapFields`
+- ``CallableTransformer``    → :class:`Callable-escape hatches <PandasMap>`
+- ``NoOpTransformer``        → :class:`NoOp`
+
+Reference semantics nailed down by its tests
+(``/root/reference/tests/Arrays/ArrayReplaceTransformerTest.php:15-52``):
+defaults fill *missing* keys only — a present-but-null value stays null —
+and overrides force values unconditionally. In a schema-full engine
+"missing key" means "column absent from the schema", so defaults add
+absent columns as literals and leave existing columns untouched.
+``fill_nulls=True`` opts into the looser null-coalescing behavior.
+
+Every transformer compiles to a single ``select`` / ``withColumns`` so
+Catalyst folds chains of them into one projection (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Mapping
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class Transformer:
+    def apply(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+class NoOp(Transformer):
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df
+
+
+class Rename(Transformer):
+    """``{'old': 'new'}`` column renames (KeyRenameTransformer parity;
+    unlike the reference, column order IS preserved)."""
+
+    def __init__(self, mapping: Mapping[str, str]):
+        self.mapping = dict(mapping)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed(self.mapping)
+
+
+class Drop(Transformer):
+    def __init__(self, *columns: str):
+        self.columns = columns
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.drop(*self.columns)
+
+
+class Keep(Transformer):
+    """Projection to an explicit column list (the positive form of Drop)."""
+
+    def __init__(self, *columns: str):
+        self.columns = columns
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.columns)
+
+
+class Replace(Transformer):
+    """Defaults for absent columns + forced overrides.
+
+    ``array_replace($defaults, $record, $overrides)`` parity
+    (``ArrayReplaceTransformer.php:50-53``).
+    """
+
+    def __init__(
+        self,
+        defaults: Mapping[str, Any] | None = None,
+        overrides: Mapping[str, Any] | None = None,
+        fill_nulls: bool = False,
+    ):
+        self.defaults = dict(defaults or {})
+        self.overrides = dict(overrides or {})
+        self.fill_nulls = fill_nulls
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cols: dict[str, Column] = {}
+        for name, value in self.defaults.items():
+            lit = value if isinstance(value, Column) else F.lit(value)
+            if name not in df.columns:
+                cols[name] = lit
+            elif self.fill_nulls:
+                cols[name] = F.coalesce(F.col(name), lit)
+        for name, value in self.overrides.items():
+            cols[name] = value if isinstance(value, Column) else F.lit(value)
+        return df.withColumns(cols) if cols else df
+
+
+class ReplaceRecursive(Transformer):
+    """Recursive defaults/overrides reaching into struct columns.
+
+    Nested dict values descend into ``StructType`` columns via
+    ``withField`` (``ArrayReplaceRecursiveTransformer.php:50-53`` parity).
+    """
+
+    def __init__(
+        self,
+        defaults: Mapping[str, Any] | None = None,
+        overrides: Mapping[str, Any] | None = None,
+    ):
+        self.defaults = dict(defaults or {})
+        self.overrides = dict(overrides or {})
+
+    @staticmethod
+    def _apply_nested(
+        col: Column, schema_fields: dict, spec: Mapping[str, Any], force: bool
+    ) -> Column:
+        out = col
+        for key, value in spec.items():
+            if isinstance(value, Mapping) and key in schema_fields and isinstance(
+                schema_fields[key].dataType, StructType
+            ):
+                sub_fields = {f.name: f for f in schema_fields[key].dataType.fields}
+                out = out.withField(
+                    key,
+                    ReplaceRecursive._apply_nested(
+                        out.getField(key), sub_fields, value, force
+                    ),
+                )
+            elif key not in schema_fields:
+                out = out.withField(key, F.lit(value))
+            elif force:
+                out = out.withField(key, F.lit(value))
+        return out
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        top = {f.name: f for f in df.schema.fields}
+        cols: dict[str, Column] = {}
+        for spec, force in ((self.defaults, False), (self.overrides, True)):
+            for name, value in spec.items():
+                if (
+                    isinstance(value, Mapping)
+                    and name in top
+                    and isinstance(top[name].dataType, StructType)
+                ):
+                    sub = {f.name: f for f in top[name].dataType.fields}
+                    base = cols.get(name, F.col(name))
+                    cols[name] = self._apply_nested(base, sub, value, force)
+                elif name not in top:
+                    cols[name] = F.lit(value)
+                elif force:
+                    cols[name] = F.lit(value)
+        return df.withColumns(cols) if cols else df
+
+
+class MapFields(Transformer):
+    """Apply a Column function to every field (ArrayMapTransformer parity).
+
+    ``fn`` is ``Column -> Column`` (e.g. ``F.trim``) or with ``with_key=True``
+    ``(Column, name) -> Column`` (ArrayWalkTransformer's key-aware form).
+    ``columns`` restricts the target set.
+    """
+
+    def __init__(
+        self,
+        fn: Callable[..., Column],
+        columns: list[str] | None = None,
+        with_key: bool = False,
+    ):
+        self.fn = fn
+        self.columns = columns
+        self.with_key = with_key
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        targets = self.columns or df.columns
+        exprs = []
+        for c in df.columns:
+            if c in targets:
+                col = self.fn(F.col(c), c) if self.with_key else self.fn(F.col(c))
+                exprs.append(col.alias(c))
+            else:
+                exprs.append(F.col(c))
+        return df.select(*exprs)
+
+
+class WithColumns(Transformer):
+    """Arbitrary named Column expressions — the main projection workhorse."""
+
+    def __init__(self, **exprs: Column):
+        self.exprs = exprs
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumns(self.exprs)
+
+
+class Apply(Transformer):
+    """DataFrame -> DataFrame callable (full declarative escape hatch)."""
+
+    def __init__(self, fn: Callable[[DataFrame], DataFrame]):
+        self.fn = fn
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self.fn(df)
+
+
+class PandasMap(Transformer):
+    """CallableTransformer escape hatch: arbitrary record→record logic as an
+    Arrow-batched ``mapInPandas`` (never row-at-a-time Python UDFs).
+
+    ``fn`` is ``pd.DataFrame -> pd.DataFrame``; ``schema`` is the output
+    schema (DDL string or StructType). This is the slow path by design —
+    prefer Column expressions (SURVEY.md §2.10).
+    """
+
+    def __init__(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: Any):
+        self.fn = fn
+        self.schema = schema
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fn = self.fn
+
+        def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                yield fn(batch)
+
+        return df.mapInPandas(mapper, schema=self.schema)

@@ -1,0 +1,304 @@
+"""Pipeline — the YaEtl grammar compiled to DataFrame lineage.
+
+Reference grammar (``/root/reference/src/YaEtl.php:89-229``)::
+
+    (new YaEtl)->from($e)->join($j,$e,$on)->qualify($q)
+               ->transform($t)->to($l)->branch($flow)->exec();
+
+Spark-first equivalent::
+
+    (Pipeline(spark)
+        .from_(ParquetSource(path))
+        .join(ParquetSource(dim), OnClause("key"), how="left")
+        .qualify(F.col("x") > 0)
+        .transform(Rename({"a": "b"}))
+        .to(ParquetSink(out))
+        .branch(child)          # fan-out over the shared upstream
+        .run())
+
+Execution model: every grammar call composes *lazy* DataFrame
+transformations; ``run()`` triggers exactly one write action per sink.
+With multiple sinks/branches the shared upstream is persisted so the slow
+extract runs once (the reference's whole reason for branches,
+``README.md:219-246``). ``run()`` returns a stats report with the
+reference's counter vocabulary (``num_extract``/``num_transform``/…,
+``YaEtl.php:38-53``) sourced from ``df.observe`` metrics — observed on the
+executors, no second pass over the data.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+from pyspark.storagelevel import StorageLevel
+
+from .operators.joins import OnClause, join as _join
+from .operators.qualifiers import Predicate, Qualifier
+from .operators.transformers import Apply, Transformer
+from .sinks.base import Sink
+from .sources.base import DataFrameSource, Source
+
+
+class PipelineError(Exception):
+    pass
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession | None = None):
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self._df: DataFrame | None = None
+        self._sinks: list[Sink] = []
+        self._branches: list["Pipeline"] = []
+        self._observations: list[tuple[str, Observation]] = []
+        self._counters = {
+            "num_from": 0,
+            "num_join": 0,
+            "num_qualify": 0,
+            "num_transform": 0,
+            "num_to": 0,
+            "num_branch": 0,
+        }
+        self._parent_df: DataFrame | None = None  # set on branches at run time
+
+    # -- grammar --------------------------------------------------------------
+    def _require_df(self) -> DataFrame:
+        if self._df is None:
+            raise PipelineError("call from_() before adding downstream nodes")
+        return self._df
+
+    def _coerce_source(self, source: Source | DataFrame) -> DataFrame:
+        if isinstance(source, DataFrame):
+            return source
+        if isinstance(source, Source):
+            return source.read(self.spark)
+        raise TypeError(f"expected Source or DataFrame, got {type(source)!r}")
+
+    def from_(
+        self,
+        source: Source | DataFrame,
+        aggregate_with: bool = False,
+    ) -> "Pipeline":
+        """Add a record source. ``aggregate_with=True`` unions with the
+        current source (AggregateExtractor parity, ``YaEtl.php:305-340``);
+        a second plain ``from_`` is a cross join (sequential re-extraction
+        per upstream record, ``README.md:140-168`` — SURVEY.md §2.7)."""
+        df = self._coerce_source(source)
+        self._counters["num_from"] += 1
+        if self._df is None:
+            self._df = df
+        elif aggregate_with:
+            self._df = self._df.unionByName(df, allowMissingColumns=True)
+        else:
+            self._df = self._df.crossJoin(df)
+        return self
+
+    def observe(self, name: str, *exprs: Column) -> "Pipeline":
+        """Attach named metrics computed during the write pass."""
+        obs = Observation(name)
+        self._df = self._require_df().observe(obs, *exprs)
+        self._observations.append((name, obs))
+        return self
+
+    def qualify(self, condition: Qualifier | Column | str | Callable) -> "Pipeline":
+        df = self._require_df()
+        self._counters["num_qualify"] += 1
+        if isinstance(condition, Qualifier):
+            self._df = condition.apply(df)
+        elif callable(condition) and not isinstance(condition, Column):
+            self._df = df.filter(condition(df))
+        else:
+            self._df = Predicate(condition).apply(df)
+        return self
+
+    def transform(
+        self, transformer: Transformer | Callable[[DataFrame], DataFrame]
+    ) -> "Pipeline":
+        df = self._require_df()
+        self._counters["num_transform"] += 1
+        t = transformer if isinstance(transformer, Transformer) else Apply(transformer)
+        self._df = t.apply(df)
+        return self
+
+    def join(
+        self,
+        source: Source | DataFrame,
+        on: OnClause | str | Sequence[str] | Mapping[str, str],
+        how: str = "inner",
+        broadcast: bool = False,
+    ) -> "Pipeline":
+        df = self._require_df()
+        self._counters["num_join"] += 1
+        right = self._coerce_source(source)
+        self._df = _join(df, right, on, how=how, broadcast=broadcast)
+        return self
+
+    def left_join(self, source, on, default_record=None, **kw) -> "Pipeline":
+        clause = (
+            on
+            if isinstance(on, OnClause)
+            else OnClause(on, default_record=default_record)
+        )
+        return self.join(source, clause, how="left", **kw)
+
+    def limit(self, n: int) -> "Pipeline":
+        self._df = self._require_df().limit(n)
+        return self
+
+    def offset(self, n: int) -> "Pipeline":
+        self._df = self._require_df().offset(n)
+        return self
+
+    def to(self, sink: Sink) -> "Pipeline":
+        self._require_df()
+        self._counters["num_to"] += 1
+        self._sinks.append(sink)
+        return self
+
+    def branch(self, child: "Pipeline") -> "Pipeline":
+        """Embed a child pipeline over this pipeline's current DataFrame.
+
+        The child must NOT have its own root source; at run time its
+        lineage is grafted onto the shared (persisted) upstream — fan-out
+        parity (``YaEtl.php:223-229``)."""
+        self._require_df()
+        self._counters["num_branch"] += 1
+        self._branches.append(child)
+        return self
+
+    # -- execution ------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """The composed DataFrame (for interactive use / explain)."""
+        return self._require_df()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._require_df().explain(mode=mode)
+
+    def run(self, count_records: bool = True) -> dict[str, Any]:
+        """Execute: one write action per sink (+ branch sinks). Returns the
+        stats report. With no sink, runs a noop write so the flow is
+        actually exercised (parity: a YaEtl flow always executes)."""
+        df = self._require_df()
+        t0 = time.monotonic()
+        status = "clean"
+        # record-count observation on the final frame, free during the write
+        obs: Observation | None = None
+        if count_records:
+            obs = Observation("_pipeline")
+            df = df.observe(obs, F.count(F.lit(1)).alias("num_records"))
+
+        branch_jobs: list[tuple[Sink, DataFrame]] = []
+        for child in self._branches:
+            if child._df is not None:
+                raise PipelineError("branch pipelines must not call from_()")
+            branch_jobs.extend((s, child._apply_to(df)) for s in child._sinks)
+
+        n_actions = len(self._sinks) + len(branch_jobs) + (0 if self._sinks or branch_jobs else 1)
+        persisted = False
+        if n_actions > 1:
+            # shared upstream: extract once, fan out (README.md:219-246)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = True
+        all_sinks: list[Sink] = []
+        try:
+            if not self._sinks and not branch_jobs:
+                from .sinks.base import NoOpSink
+
+                NoOpSink().write(df)
+            for sink in self._sinks:
+                sink.write(df)
+                all_sinks.append(sink)
+            for sink, bdf in branch_jobs:
+                sink.write(bdf)
+                all_sinks.append(sink)
+        except Exception:
+            status = "exception"
+            raise
+        finally:
+            for sink in all_sinks:
+                sink.flush(status)
+            if persisted:
+                df.unpersist()
+        report: dict[str, Any] = {
+            "status": status,
+            "duration_sec": round(time.monotonic() - t0, 3),
+            **self._counters,
+        }
+        if obs is not None:
+            report["num_records"] = obs.get.get("num_records")
+        for name, o in self._observations:
+            report[f"observe_{name}"] = o.get
+        return report
+
+    def _apply_to(self, parent_df: DataFrame) -> DataFrame:
+        """Branch lineage: replay deferred ops onto the shared upstream."""
+        if self._ops is None:
+            raise PipelineError("branches must be BranchPipeline instances")
+        df = parent_df
+        for op in self._ops:
+            df = op(df)
+        return df
+
+    # Deferred-op list; only BranchPipeline populates it.
+    _ops: list[Callable[[DataFrame], DataFrame]] | None = None
+
+    def collect(self) -> list:
+        return self._require_df().collect()
+
+
+class BranchPipeline(Pipeline):
+    """Sourceless pipeline whose grammar records deferred ops; used with
+    ``parent.branch(child)`` for fan-out over a shared cached upstream."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        super().__init__(spark)
+        self._ops = []
+
+    def _require_df(self) -> DataFrame:  # grammar guard not applicable
+        raise PipelineError("BranchPipeline composes lazily; no df until run")
+
+    def from_(self, *a, **kw):
+        raise PipelineError("branch pipelines must not call from_()")
+
+    def qualify(self, condition) -> "BranchPipeline":
+        self._counters["num_qualify"] += 1
+        if isinstance(condition, Qualifier):
+            self._ops.append(condition.apply)
+        elif callable(condition) and not isinstance(condition, Column):
+            self._ops.append(lambda df: df.filter(condition(df)))
+        else:
+            self._ops.append(Predicate(condition).apply)
+        return self
+
+    def transform(self, transformer) -> "BranchPipeline":
+        self._counters["num_transform"] += 1
+        t = transformer if isinstance(transformer, Transformer) else Apply(transformer)
+        self._ops.append(t.apply)
+        return self
+
+    def join(self, source, on, how: str = "inner", broadcast: bool = False):
+        self._counters["num_join"] += 1
+
+        def op(df: DataFrame) -> DataFrame:
+            right = self._coerce_source(source)
+            return _join(df, right, on, how=how, broadcast=broadcast)
+
+        self._ops.append(op)
+        return self
+
+    def limit(self, n: int) -> "BranchPipeline":
+        self._ops.append(lambda df: df.limit(n))
+        return self
+
+    def to(self, sink: Sink) -> "BranchPipeline":
+        self._counters["num_to"] += 1
+        self._sinks.append(sink)
+        return self

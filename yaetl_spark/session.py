@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults favor a 1000-executor cluster reading 100 TB: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast joins
+for small dimensions, UTC session timezone so results are reproducible
+across engines (the duckdb oracle runs in UTC), and Arrow for any
+pandas-UDF exchange.
+
+Locally we run ``local[N]`` — the same conf works because everything is
+expressed per-partition, never per-core.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # Adaptive execution: runtime shuffle-partition coalescing + skew-join
+    # handling are the single biggest wins at 100 TB scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic comparisons against the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas_udf / mapInPandas / toPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dims (region/nation/...) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet vectorized reader + pushdown are on by default; keep explicit
+    # so a cluster-side conf override is visible here.
+    "spark.sql.parquet.filterPushdown": "true",
+    # ANSI off: engine semantics follow permissive SQL (reference has no
+    # type system at all; see SURVEY.md §1.2).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "yaetl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    active session exists; on a real cluster pass ``None`` with a
+    pre-configured environment and the builder leaves master alone.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        # local default: match core count so one wave of shuffle tasks.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

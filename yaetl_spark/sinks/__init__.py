@@ -1,0 +1,14 @@
+from .base import CollectSink, NoOpSink, Sink
+from .files import CsvSink, JsonSink, ParquetSink
+from .jdbc import JdbcSink, build_upsert_sql
+
+__all__ = [
+    "Sink",
+    "NoOpSink",
+    "CollectSink",
+    "CsvSink",
+    "JsonSink",
+    "ParquetSink",
+    "JdbcSink",
+    "build_upsert_sql",
+]

@@ -1,0 +1,50 @@
+"""Sink abstraction — the loader analogue.
+
+Reference contract: per-record ``exec`` + one final ``flush($flowStatus)``
+(``/root/reference/src/Loaders/LoaderInterface.php:18-33``,
+``LoaderAbstract.php:52-87``). On Spark a sink is one *write action* over a
+DataFrame; the write job's atomic commit IS the flush, and the job result
+(success/failure) is the flow status handed to :meth:`on_flush` hooks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class Sink:
+    """Base sink: subclasses implement :meth:`write`."""
+
+    def __init__(self, on_flush: Callable[[str], None] | None = None):
+        self._on_flush = on_flush
+
+    def write(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def flush(self, status: str) -> None:
+        """Called once after the write action with 'clean'/'exception'."""
+        if self._on_flush:
+            self._on_flush(status)
+
+
+class NoOpSink(Sink):
+    """Swallow records (``NoOpLoader.php:24-27``) — still runs the full plan
+    via the noop format, making it the benchmark sink of choice."""
+
+    def write(self, df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+
+class CollectSink(Sink):
+    """Collect rows to the driver — the test-harness sink (the reference's
+    mocked InsertLoader analogue, ``tests/TestCase.php:112-133``).
+    Driver-side by definition; for tests and tiny results only."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.rows: list | None = None
+
+    def write(self, df: DataFrame) -> None:
+        self.rows = df.collect()

@@ -1,0 +1,103 @@
+"""File sinks: CSV, parquet, JSON.
+
+CSV parity targets ``/root/reference/src/Loaders/File/CsvLoader.php:52-113``:
+header emission, custom sep/quote/escape, optional UTF-8 BOM and Excel
+``sep=`` preamble. Spark writes a *directory* of part files (one per
+partition — that's the scale path); ``single_file=True`` coalesces to one
+partition and renames the part file, which is correct for exports but a
+deliberate anti-scale choice the caller opts into.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from .base import Sink
+
+
+class ParquetSink(Sink):
+    def __init__(self, path: str, mode: str = "overwrite",
+                 partition_by: list[str] | None = None, **kw):
+        super().__init__(**kw)
+        self.path = path
+        self.mode = mode
+        self.partition_by = partition_by
+
+    def write(self, df: DataFrame) -> None:
+        writer = df.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+
+class CsvSink(Sink):
+    def __init__(
+        self,
+        path: str,
+        header: bool = True,
+        sep: str = ",",
+        quote: str = '"',
+        escape: str = '"',
+        encoding: str = "UTF-8",
+        mode: str = "overwrite",
+        single_file: bool = False,
+        bom: bool = False,
+        sep_line: bool = False,
+        quote_all: bool = False,
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.path = path
+        self.header = header
+        self.sep = sep
+        self.quote = quote
+        self.escape = escape
+        self.encoding = encoding
+        self.mode = mode
+        self.single_file = single_file
+        self.bom = bom
+        self.sep_line = sep_line
+        self.quote_all = quote_all
+
+    def write(self, df: DataFrame) -> None:
+        target = self.path
+        tmp = None
+        if self.single_file:
+            tmp = self.path + "._spark_tmp"
+            target = tmp
+            df = df.coalesce(1)
+        (
+            df.write.mode(self.mode)
+            .option("header", self.header)
+            .option("sep", self.sep)
+            .option("quote", self.quote)
+            .option("escape", self.escape)
+            .option("encoding", self.encoding)
+            .option("quoteAll", self.quote_all)
+            .option("emptyValue", "")
+            .csv(target)
+        )
+        if self.single_file:
+            part = sorted(glob.glob(os.path.join(tmp, "part-*")))[0]
+            payload = open(part, "rb").read()
+            with open(self.path, "wb") as out:
+                if self.bom:
+                    out.write("﻿".encode(self.encoding))
+                if self.sep_line:
+                    out.write(f"sep={self.sep}\n".encode(self.encoding))
+                out.write(payload)
+            shutil.rmtree(tmp)
+
+
+class JsonSink(Sink):
+    def __init__(self, path: str, mode: str = "overwrite", **kw):
+        super().__init__(**kw)
+        self.path = path
+        self.mode = mode
+
+    def write(self, df: DataFrame) -> None:
+        df.write.mode(self.mode).json(self.path)
