@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(reference surface) or §7.8 (beyond-reference capability layer), built on
+the ``yaetl_spark`` engine. ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for the hash-compare gate.
+
+Oracle-exactness conventions used throughout (see tests/test_oracle.py):
+- money/quantity aggregates go through DECIMAL casts so sums are exact and
+  the final DOUBLE cast is bit-identical across engines;
+- timestamps are emitted as epoch seconds (bigint), never raw timestamps;
+- every ordered query carries a unique-key tiebreak;
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,717 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from yaetl_spark import (
+    OnClause,
+    ParquetSource,
+    Pipeline,
+    Rename,
+)
+from yaetl_spark.operators import (
+    Aggregate,
+    TopK,
+    WindowCalc,
+    brute_force_topk,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    minhash_lsh,
+    ngram_jaccard_pairs,
+    punct_ratio,
+    quality_score,
+    simhash_dedup,
+    stopword_ratio,
+    token_count,
+)
+from yaetl_spark.operators.text import LANG_MARKERS
+from yaetl_spark.streaming import session_window_agg, tumbling_window_agg
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return ParquetSource(f"{sf_dir}/{name}.parquet").read(spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    reads as long; convert to a proper timestamp (ns → µs is lossless for
+    this data). DuckDB reads nanos natively — semantics align."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# Decimal widths chosen so every product stays inside DECIMAL(38): prices
+# fit (12,2), rates (discount/tax ≤ 0.1) fit (8,4); (12,2)×(8,4)×(8,4)
+# → scale 10, precision 30 — exact in both Spark and DuckDB, so the final
+# DOUBLE casts are bit-identical (oracle-exactness invariant).
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _dec4(c: str) -> F.Column:
+    return F.col(c).cast("decimal(8,4)")
+
+
+# --------------------------------------------------------------------------
+# reference-surface queries (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + qualify + projection/rename (§2.2, §2.4, §2.5)."""
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .qualify((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
+        .transform(Rename({"l_orderkey": "orderkey", "l_linenumber": "linenumber"}))
+        .transform(lambda df: df.select(
+            "orderkey", "linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_returnflag").alias("returnflag"),
+        ))
+        .df
+    )
+
+
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join, skip on miss (§2.3): orders ⋈ high-balance customers."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .join(cust, OnClause({"o_custkey": "c_custkey"}), how="inner")
+        .transform(lambda df: df.select(
+            "o_orderkey",
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("acctbal"),
+        ))
+        .df
+    )
+
+
+def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with default record on miss (§2.3, OnClause.php:69-84)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .left_join(
+            cust.select("c_custkey", "c_mktsegment"),
+            OnClause({"o_custkey": "c_custkey"},
+                     default_record={"c_mktsegment": "UNKNOWN"}),
+        )
+        .transform(lambda df: df.select(
+            "o_orderkey", F.col("c_mktsegment").alias("segment")
+        ))
+        .df
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — customers with at least one order (beyond-ref how=)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/customer.parquet"))
+        .join(orders, OnClause({"c_custkey": "o_custkey"}), how="left_semi")
+        .transform(lambda df: df.select("c_custkey", "c_name"))
+        .df
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — customers with no orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/customer.parquet"))
+        .join(orders, OnClause({"c_custkey": "o_custkey"}), how="left_anti")
+        .transform(lambda df: df.select("c_custkey", "c_name"))
+        .df
+    )
+
+
+def q_chained_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained joins (joiner joins a joiner, §2.3) + revenue rollup by
+    region: lineitem ⋈ supplier ⋈ nation ⋈ region. Dim joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        Pipeline(spark)
+        .from_(li)
+        .join(sup, OnClause({"l_suppkey": "s_suppkey"}))
+        .join(nat, OnClause({"s_nationkey": "n_nationkey"}), broadcast=True)
+        .join(reg, OnClause({"n_regionkey": "r_regionkey"}), broadcast=True)
+        .transform(Aggregate(
+            ["r_name"],
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        ))
+        .df
+    )
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateExtractor parity (§2.7): union of two sources, then agg."""
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    done_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        Pipeline(spark)
+        .from_(open_orders)
+        .from_(done_orders, aggregate_with=True)
+        .transform(Aggregate(
+            ["o_orderstatus"],
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("total"),
+        ))
+        .df
+    )
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit/offset pagination (§2.9, ExtractorBatchLimitAbstract)."""
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .transform(lambda df: df.orderBy("o_orderkey")
+                   .select("o_orderkey", "o_totalprice"))
+        .offset(100)
+        .limit(50)
+        .df
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential multi-from == cross product (§2.7, README.md:140-168)."""
+    statuses = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/region.parquet"))
+        .from_(statuses)
+        .transform(lambda df: df.select("r_name", "o_orderstatus"))
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# capability extensions (SURVEY.md §7.8): agg / window / sort / set ops
+# --------------------------------------------------------------------------
+
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (flagship)."""
+    disc_price = (_dec2("l_extendedprice") *
+                  (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    charge = (disc_price *
+              (F.lit(1).cast("decimal(8,4)") + _dec4("l_tax")))
+    df = (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .transform(Aggregate(
+            ["l_returnflag", "l_linestatus"],
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        ))
+        .df
+    )
+    return df.withColumns({
+        "avg_qty": F.col("sum_qty") / F.col("count_order"),
+        "avg_price": F.col("sum_base_price") / F.col("count_order"),
+    })
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .transform(Aggregate(
+            ["o_orderstatus", "o_orderpriority"],
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("total"),
+            kind="rollup",
+        ))
+        .df
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .transform(Aggregate(
+            ["l_returnflag", "l_linestatus"],
+            F.count(F.lit(1)).alias("n_items"),
+            kind="cube",
+        ))
+        .df
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (window functions §7.8)."""
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .transform(WindowCalc(
+            ["o_custkey"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            rn=F.row_number(),
+        ))
+        .qualify(F.col("rn") <= 3)
+        .transform(lambda df: df.select("o_custkey", "o_orderkey", "rn"))
+        .df
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend ordered by order key."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum(_dec2("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+        )
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy + limit → TakeOrderedAndProject (no global sort)."""
+    return (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .transform(TopK([F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10))
+        .transform(lambda df: df.select("o_orderkey", "o_totalprice"))
+        .df
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"),
+                F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations that have both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations present in the nation table but lacking any supplier."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# streaming-compatible event windows (§2.11 extension; batch-verified)
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over events (runs identically as a stream)."""
+    ev = _events(spark, sf_dir)
+    return tumbling_window_agg(
+        ev, "ts", "1 hour",
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        extra_keys=["event_type"],
+    ).drop("window_end")
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — count of sessions per user.
+
+    Session-level start/end epochs are verified via the DuckDB gaps-and-
+    islands oracle."""
+    ev = _events(spark, sf_dir)
+    sess = session_window_agg(
+        ev, "ts", "30 minutes",
+        F.count(F.lit(1)).alias("n_events"),
+        extra_keys=["user_id"],
+    )
+    return sess.select("user_id", "window_start", "n_events")
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star): dedup / text / similarity
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min doc_id per normalized-text md5 fingerprint."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / punct ratio / stopword ratio / quality / fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("bigint").alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars_actual"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID heuristic."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard similarity pairs (doc_id < 100, sim ≥ 0.2)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, shingle_size=5, threshold=0.2)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=1 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (no SQL oracle — approximate
+    signature algebra; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh(docs, num_hashes=32, bands=8, jaccard_threshold=0.25)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash exact-signature dedup (no SQL oracle — xxhash64 not in
+    DuckDB; rows-only check)."""
+    return simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: TPC-H Q1-style pricing summary."""
+    return q_groupby_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference surface (SURVEY.md §2)
+        "scan_filter_project": q_scan_filter_project,
+        "inner_join": q_inner_join,
+        "left_join_default": q_left_join_default,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "chained_join_agg": q_chained_join_agg,
+        "union_sources": q_union_sources,
+        "limit_offset": q_limit_offset,
+        "cross_join": q_cross_join,
+        # capability extensions (§7.8)
+        "groupby_agg": q_groupby_agg,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "window_rank": q_window_rank,
+        "window_running_sum": q_window_running_sum,
+        "topk": q_topk,
+        "distinct": q_distinct,
+        "intersect": q_intersect,
+        "except": q_except,
+        # streaming-compatible windows
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        # LLM-data-pipeline
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_dedup": q_simhash_dedup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _lang_id_sql() -> str:
+    """Generate the DuckDB argmax-over-marker-hits CASE chain from the same
+    LANG_MARKERS constant the Spark expression uses."""
+    def hits(words: list[str]) -> str:
+        terms = [
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+            for m in words
+        ]
+        return " + ".join(terms)
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"({hits(LANG_MARKERS[lang])}) AS s_{lang}" for lang in langs
+    )
+    # replicate the fold: iterate langs in sorted order, strictly-greater wins
+    expr = "'und'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest(s_{lang}, {best})"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, {score_cols}
+            FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+        )
+        SELECT doc_id, {expr} AS lang_pred FROM scored
     """
-    return {}
+
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKN = (
+    f"CASE WHEN length({_NORM}) = 0 THEN 0 "
+    f"ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1 END"
+)
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _stopword_hits_sql(padded: str) -> str:
+    terms = [
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+        for m in LANG_MARKERS["en"]
+    ]
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    disc_price = (
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+    )
+    charge = (
+        f"({disc_price}) * "
+        "(CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))"
+    )
+    punct = (
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        f"CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE) END"
+    )
+    stop_hits = _stopword_hits_sql("(' ' || lower(text) || ' ')")
+    stop_ratio = (
+        f"CASE WHEN ({_TOKN}) = 0 THEN 0.0 "
+        f"ELSE CAST({stop_hits} AS DOUBLE) / CAST({_TOKN} AS DOUBLE) END"
+    )
+    quality = (
+        f"round(least(CAST({_TOKN} AS DOUBLE) / 100.0, 1.0) * 0.4"
+        f" + (1.0 - least(({punct}) * 2.0, 1.0)) * 0.3"
+        f" + least(({stop_ratio}) * 5.0, 1.0) * 0.3, 6)"
+    )
+    fp = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    grams = """
+        SELECT doc_id,
+               unnest([substr(n, i, 5)
+                       for i in range(1, greatest(length(n) - 4, 0) + 1)]) AS gram
+        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
+              FROM documents WHERE doc_id < 100) d
     """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+                   l_quantity AS quantity, l_returnflag AS returnflag
+            FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "inner_join": """
+            SELECT o_orderkey, c_name AS cust_name, c_acctbal AS acctbal
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 5000
+        """,
+        "left_join_default": """
+            SELECT o_orderkey,
+                   coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+            FROM orders o LEFT JOIN
+                 (SELECT c_custkey, c_mktsegment FROM customer
+                  WHERE c_acctbal > 5000) c
+            ON o.o_custkey = c.c_custkey
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "chained_join_agg": f"""
+            SELECT r_name,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "union_sources": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+            FROM (
+                SELECT * FROM orders WHERE o_orderstatus = 'O'
+                UNION ALL
+                SELECT * FROM orders WHERE o_orderstatus = 'F'
+            ) GROUP BY o_orderstatus
+        """,
+        "limit_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "cross_join": """
+            SELECT r_name, o_orderstatus
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        """,
+        "groupby_agg": f"""
+            WITH base AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+                       CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS sum_disc_price,
+                       CAST(ROUND(SUM({charge}), 2) AS DOUBLE) AS sum_charge,
+                       COUNT(*) AS count_order
+                FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT *, sum_qty / count_order AS avg_qty,
+                   sum_base_price / count_order AS avg_price
+            FROM base
+        """,
+        "rollup_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS DOUBLE) AS running_spend
+            FROM orders
+        """,
+        "topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "distinct": """
+            SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS segment
+            FROM customer
+        """,
+        "intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "except": """
+            SELECT n_nationkey AS nationkey FROM nation
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "events_tumbling": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ), sessions AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS window_start,
+                   COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, sess_id
+        """,
+        "dedup_exact": f"""
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {fp}
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CAST({_TOKN} AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual,
+                   round({punct}, 6) AS punct_ratio,
+                   round({stop_ratio}, 6) AS stopword_ratio,
+                   {quality} AS quality,
+                   {fp} AS fingerprint
+            FROM documents
+        """,
+        "lang_id": _lang_id_sql(),
+        "ngram_jaccard": f"""
+            WITH grams AS (SELECT DISTINCT doc_id, gram FROM ({grams})),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) /
+                         CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 1)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS score
+            FROM embeddings, q
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # minhash_neardup / simhash_dedup: intentionally no oracle —
+        # signature algebra depends on xxhash64 (absent in DuckDB);
+        # the driver records the weaker rows-only check.
+    }

@@ -1,0 +1,91 @@
+"""Aggregation + window + set-op + sort helpers (beyond-reference layer).
+
+The reference has NO group-by/window/sort/distinct (SURVEY.md §2.9) —
+these are the capability extensions every analytics engine needs, exposed
+as Pipeline-compatible transformers. All thin wrappers over native
+DataFrame ops so Catalyst keeps partial aggregation (map-side combine),
+TakeOrderedAndProject top-k, and pushdown.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .transformers import Transformer
+
+
+class Aggregate(Transformer):
+    """groupBy().agg() with named outputs; ``kind`` selects plain grouping,
+    'rollup' or 'cube'. Aggregates must be pre-aliased Columns."""
+
+    def __init__(self, keys: Sequence[str], *aggs: Column, kind: str = "group"):
+        self.keys = list(keys)
+        self.aggs = aggs
+        self.kind = kind
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.kind == "group":
+            grouped = df.groupBy(*self.keys)
+        elif self.kind == "rollup":
+            grouped = df.rollup(*self.keys)
+        elif self.kind == "cube":
+            grouped = df.cube(*self.keys)
+        else:
+            raise ValueError("kind must be group/rollup/cube")
+        return grouped.agg(*self.aggs)
+
+
+class WindowCalc(Transformer):
+    """Add window-function columns: ``partition_by`` + ``order_by`` define
+    the frame; ``exprs`` maps output name → window function (applied
+    ``.over(w)`` here so callers pass plain functions)."""
+
+    def __init__(
+        self,
+        partition_by: Sequence[str],
+        order_by: Sequence[Column | str],
+        **exprs: Column,
+    ):
+        self.partition_by = list(partition_by)
+        self.order_by = list(order_by)
+        self.exprs = exprs
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.partition_by).orderBy(*self.order_by)
+        return df.withColumns({name: c.over(w) for name, c in self.exprs.items()})
+
+
+class TopK(Transformer):
+    """orderBy().limit(k) — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort."""
+
+    def __init__(self, order_by: Sequence[Column | str], k: int):
+        self.order_by = list(order_by)
+        self.k = k
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.orderBy(*self.order_by).limit(self.k)
+
+
+class Distinct(Transformer):
+    def __init__(self, columns: Sequence[str] | None = None):
+        self.columns = list(columns) if columns else None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.columns).distinct() if self.columns else df.distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)

@@ -1,0 +1,355 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+All variants are designed for the 100 TB path:
+
+- :func:`exact_dedup` — hash-groupBy; one shuffle on the fingerprint, AQE
+  handles skew (duplicate-heavy fingerprints).
+- :func:`minhash_lsh` — shingle → minhash signature → banding → bucket
+  join. The candidate join is an equi join on (band, band_hash) so Catalyst
+  shuffles both sides on the bucket key — never an all-pairs product.
+- :func:`simhash` — 64-bit SimHash per doc via array fold (collect token
+  hashes per doc, zip_with-accumulate bit counts); near-dup = identical
+  signature (or banded Hamming buckets).
+- :func:`ngram_jaccard_pairs` — exact Jaccard over character shingles for
+  a candidate pair set (used to verify LSH candidates).
+- :func:`embedding_dedup_pairs` — cosine near-dup over embedding vectors,
+  bucketed by random-hyperplane signs (LSH) to avoid the quadratic join.
+
+Everything is built-in Column expressions (xxhash64, transform, aggregate,
+zip_with) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, fingerprint
+
+# Mersenne prime 2^61-1: modulus for the universal-hash family used by the
+# minhash signatures (standard construction, e.g. Broder '97).
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    One shuffle on the md5 fingerprint; group sizes are duplicate-cluster
+    sizes, naturally small — safe at any scale.
+    """
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def _hash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    Derived from a fixed LCG so signatures are reproducible across runs
+    and engines without RNG dependencies.
+    """
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_size: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Shingle hashes use ``xxhash64``; each signature slot is
+    ``min((a*h + b) mod p)`` over the shingles. Pure expression fold —
+    no UDF, no explode (signature computed in one pass per row).
+    """
+    shingles = F.array_distinct(char_ngrams(text, shingle_size))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    sig_slots = []
+    for a, b in _hash_coeffs(num_hashes, seed):
+        slot = F.array_min(
+            F.transform(
+                hashes,
+                # (a*h + b) mod p on signed 64-bit: pmod keeps it positive.
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+            )
+        )
+        sig_slots.append(slot)
+    return F.array(*sig_slots)
+
+
+def minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    jaccard_threshold: float | None = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Returns ``(id_a, id_b, jaccard_sim)`` with ``id_a < id_b``. Pipeline:
+
+    1. signature per doc (one narrow pass);
+    2. explode into ``bands`` buckets keyed by a hash of each band slice —
+       the only shuffle, on (band_idx, band_hash);
+    3. self-join per bucket → candidates (distinct);
+    4. verify candidates with estimated Jaccard = fraction of matching
+       signature slots; filter by threshold when given.
+
+    At 100 TB the bucket join dominates; AQE skew-split handles hot
+    buckets (e.g. boilerplate-heavy shingles).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size, seed).alias(
+            "_sig"
+        ),
+    ).filter(F.size("_sig") > 0)
+
+    banded = sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("_bucket"),
+    ).select("_id", "_sig", "_bucket.band", "_bucket.bhash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sim = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    out = candidates.select(
+        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+    )
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard_sim") >= jaccard_threshold)
+    return out
+
+
+def simhash_signature(text: Column, shingle_size: int = 3) -> Column:
+    """64-bit SimHash (bigint) over character shingles.
+
+    Per doc: fold shingle hashes into 64 bit-counters (±1 per bit), then
+    assemble the sign bits. One ``aggregate`` fold over the shingle array —
+    no explode/groupBy, so it composes with any plan shape for free.
+    """
+    hashes = F.transform(char_ngrams(text, shingle_size), lambda s: F.xxhash64(s))
+
+    def bit_signs(h: Column) -> Column:
+        # ±1 per bit; bit 63 read via the sign (1<<63 overflows signed 64).
+        signs = [
+            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
+            for b in range(63)
+        ]
+        signs.append(F.when(h < 0, F.lit(1)).otherwise(F.lit(-1)))
+        return F.array(*signs)
+
+    counts = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(acc, bit_signs(h), lambda x, y: x + y),
+    )
+    masks = F.array(
+        *[F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint") for b in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Keep min-id representative per identical SimHash signature."""
+    return (
+        df.select(
+            F.col(id_col), simhash_signature(F.col(text_col), shingle_size).alias("_sh")
+        )
+        .groupBy("_sh")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Without ``candidates`` falls back to an all-pairs join — correct but
+    quadratic; at scale always feed LSH candidates (``minhash_lsh``).
+    Returns ``(id_a, id_b, jaccard)``.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_size)).alias("_g"),
+    )
+    if candidates is None:
+        a, b = grams.alias("a"), grams.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    else:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .join(grams.withColumnRenamed("_id", "id_a"), "id_a")
+            .withColumnRenamed("_g", "_ga")
+            .join(
+                grams.withColumnRenamed("_id", "id_b").withColumnRenamed("_g", "_gb"),
+                "id_b",
+            )
+        )
+        inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+        union = F.size(F.array_union("_ga", "_gb")).cast("double")
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect(F.col("a._g"), F.col("b._g"))).cast("double")
+    union = F.size(F.array_union(F.col("a._g"), F.col("b._g"))).cast("double")
+    return pairs.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 6).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    Scale path: random-hyperplane LSH — each vector gets a ``num_planes``-bit
+    sign bucket; only same-bucket pairs are compared (equi join on the
+    bucket key). Hyperplanes are deterministic pseudo-random unit-free
+    vectors derived from xxhash64 of (plane, dim) — no RNG state.
+
+    ``brute_force=True`` switches to the exact quadratic join (for tests /
+    small dims).
+    """
+    from .similarity import cosine_similarity
+
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if brute_force:
+        a, b = vecs.alias("a"), vecs.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    else:
+        dim_idx = F.sequence(F.lit(0), F.size("_v") - 1)
+        plane_bits = []
+        for p in range(num_planes):
+            # pseudo-random ±1 per dimension from a deterministic hash
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.transform(
+                        dim_idx,
+                        lambda i, p=p: F.when(
+                            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda v, s: v.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            plane_bits.append(
+                F.when(dot >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+            )
+        bucket = plane_bits[0]
+        for pb in plane_bits[1:]:
+            bucket = bucket.bitwiseOR(pb)
+        bucketed = vecs.withColumn("_bkt", bucket)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
+        )
+    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    return pairs.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(sim, 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)

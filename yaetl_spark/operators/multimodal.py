@@ -1,0 +1,140 @@
+"""Multimodal (image/audio/video) column plumbing (beyond-reference).
+
+Design: media travels as an opaque ``binary`` column plus a typed metadata
+struct; all per-item compute is Arrow-batched ``mapInPandas`` so bytes
+never round-trip through Python row objects. The Spark-side plumbing —
+schemas, batch iteration, partition sizing — is real and tested; the
+actual codecs (PIL/ffmpeg/librosa) are NOT installed in this container,
+so the decode kernels are deterministic stubs behind
+``use_stub_decoder=True`` and raise ``NotImplementedError`` otherwise.
+
+At scale: media rows are huge — repartition by byte budget
+(:func:`repartition_by_bytes`) before any decode pass so a task's Arrow
+batches fit executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_type string, width int, height int, n_frames int, "
+    "sample_rate int, duration_sec double, codec string"
+)
+
+
+def with_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
+    """Attach a null-initialized metadata struct + content hash/size —
+    hash/size are computed JVM-side (no Python)."""
+    return df.withColumns(
+        {
+            "media_size": F.length(F.col(binary_col)).cast("bigint"),
+            "media_sha1": F.sha1(F.col(binary_col)),
+        }
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, size_col: str = "media_size", target_bytes: int = 256 << 20
+) -> DataFrame:
+    """Repartition so each partition holds ~target_bytes of media payload.
+
+    Uses the total size / target ratio for the partition count and a
+    random-ish (hash of size+monotonic id) key to spread large items —
+    prevents one task from receiving several 4 GB videos.
+    """
+    total = df.agg(F.sum(size_col)).first()[0] or 0
+    n = max(1, int(total / target_bytes) + 1)
+    return df.repartition(n, F.spark_partition_id(), F.col(size_col))
+
+
+def _stub_decode_image(data: bytes) -> np.ndarray:
+    """Deterministic fake decoder: derives a 4x4 RGB array from the bytes'
+    hash so tests get stable, content-dependent output."""
+    h = np.frombuffer(
+        np.int64(hash(data) & 0x7FFFFFFFFFFFFFFF).tobytes(), dtype=np.uint8
+    )
+    return np.tile(h[:3], (4, 4, 1))
+
+
+def decode_images(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    use_stub_decoder: bool = False,
+) -> DataFrame:
+    """binary → (id, width, height, mean_r/g/b feature) via mapInPandas.
+
+    Real implementation requires PIL (absent here); the stub path keeps
+    the Spark plumbing (schema, Arrow batches, partition shape) genuine.
+    """
+    if not use_stub_decoder:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "pass use_stub_decoder=True for the deterministic fake"
+        )
+    out_schema = f"{id_col} bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                arr = _stub_decode_image(bytes(row[binary_col]))
+                rows.append(
+                    {
+                        id_col: row[id_col],
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "mean_r": float(arr[..., 0].mean()),
+                        "mean_g": float(arr[..., 1].mean()),
+                        "mean_b": float(arr[..., 2].mean()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    every_nth: int = 10,
+    use_stub_decoder: bool = False,
+) -> DataFrame:
+    """video binary → exploded (id, frame_idx, frame_bytes) rows.
+
+    Stub emits ``ceil(len(bytes)/1000)`` fake frames so the explode/
+    fan-out plumbing (row multiplication, schema) is exercised.
+    """
+    if not use_stub_decoder:
+        raise NotImplementedError(
+            "video codecs are not installed; pass use_stub_decoder=True"
+        )
+    out_schema = f"{id_col} bigint, frame_idx int, frame bytes".replace(
+        "bytes", "binary"
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                data = bytes(row[binary_col])
+                n_frames = max(1, len(data) // 1000)
+                for i in range(0, n_frames, every_nth):
+                    rows.append(
+                        {
+                            id_col: row[id_col],
+                            "frame_idx": i,
+                            "frame": data[i : i + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema=out_schema)

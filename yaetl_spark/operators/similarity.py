@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+- :func:`cosine_similarity` / :func:`dot_product` — pure expression folds
+  (``zip_with`` + ``aggregate``), JVM-side, sequential left-to-right
+  summation (bit-compatible with DuckDB's list functions — oracle-safe).
+- :func:`brute_force_topk` — exact top-k vs a query vector: one narrow
+  map + ``orderBy().limit(k)``; Spark executes it as per-partition top-k
+  + driver merge (TakeOrderedAndProject), no full sort, no full shuffle.
+- :func:`ivf_topk` — the scale path: k-means-lite inverted-file index.
+  Centroids are sampled deterministically; vectors are assigned to the
+  nearest centroid (one narrow pass); queries probe only ``nprobe``
+  nearest cells. At 100 TB, turns a full scan into a cells-fraction scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k nearest rows to ``query_vec``.
+
+    Returns ``(id, score)`` ordered by (score desc, id) — the id tiebreak
+    makes results deterministic across engines and partitionings.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    if metric == "cosine":
+        score = cosine_similarity(F.col(vec_col), q)
+    elif metric == "dot":
+        score = dot_product(F.col(vec_col), q)
+    else:
+        raise ValueError("metric must be cosine/dot")
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_cells: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest sampled centroid.
+
+    Centroids: a deterministic sample of ``num_cells`` vectors (one pass,
+    ``xxhash64(id)`` order — reproducible, no RNG). Assignment: broadcast
+    the centroid array and argmin over it per row (narrow map — the index
+    build never shuffles the big table; write it partitioned by cell for
+    pruned probes).
+    Returns (assigned_df with ``_cell`` column, centroids list).
+    """
+    cents = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = [(i, list(r.cvec)) for i, r in enumerate(cents)]
+
+    # argmin over centroids as one expression tree (JVM-side).
+    best_cell: Column = F.lit(-1)
+    best_d: Column = F.lit(float("inf"))
+    v = F.col(vec_col)
+    for i, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        better = d < best_d
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_d = F.when(better, d).otherwise(best_d)
+    return df.withColumn("_cell", best_cell), centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: scan only the ``nprobe`` cells nearest the query.
+
+    With the index table written ``partitionBy('_cell')``, the cell filter
+    is partition pruning — the 100 TB scan becomes nprobe/num_cells of it.
+    """
+    import math
+
+    def dist(c: list[float]) -> float:
+        return math.fsum((a - b) ** 2 for a, b in zip(c, query_vec))
+
+    probe = sorted(centroids, key=lambda ic: dist(ic[1]))[:nprobe]
+    cells = [i for i, _ in probe]
+    return brute_force_topk(
+        assigned.filter(F.col("_cell").isin(cells)),
+        query_vec,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability layer (the reference has no function library —
+SURVEY.md §2.10); these are the text ops a 100 TB document pipeline needs:
+token counting, quality scoring, language ID, fingerprinting.
+
+Everything here is pure Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in the hot path. Formulas deliberately use only
+primitives with identical semantics in DuckDB (length/replace/lower/md5/
+regexp) so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets per language for the n-gram/stopword
+# language-ID heuristic. Chosen to be unambiguous across the set.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " los ", " que ", " y "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count via exact string arithmetic.
+
+    ``n_spaces(trim(text)) + 1`` on single-space-normalized text — identical
+    in any SQL engine, unlike regex-split edge cases.
+    """
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)).cast("double")
+        / F.length(text).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, markers: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common-English stopwords (padded-match)."""
+    markers = markers or LANG_MARKERS["en"]
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits: Column = F.lit(0)
+    for m in markers:
+        occurrences = (
+            F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))
+        ) / F.lit(len(m))
+        hits = hits + occurrences
+    return F.when(token_count(text) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / token_count(text).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: favors mid-length docs with
+    low punctuation density and a natural stopword rate. All-exact integer
+    counts + deterministic double arithmetic (oracle-safe)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * F.lit(2.0), F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_score = F.least(stop * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        len_score * F.lit(0.4)
+        + (F.lit(1.0) - punct_pen) * F.lit(0.3)
+        + stop_score * F.lit(0.3),
+        6,
+    )
+
+
+def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: the language with the most marker-stopword
+    hits; 'und' (undetermined) when no marker fires."""
+    markers = markers or LANG_MARKERS
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = []
+    for lang, words in markers.items():
+        hits: Column = F.lit(0)
+        for m in words:
+            occ = (
+                F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))
+            ) / F.lit(len(m))
+            hits = hits + occ
+        scores.append((lang, hits))
+    # argmax with deterministic tie-break on language code order
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang, score in sorted(scores, key=lambda kv: kv[0]):
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace- and
+    case-normalized text (identical in DuckDB: ``md5(...)``)."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def tokenize(text: Column, pattern: str = r"[^a-z0-9]+") -> Column:
+    """Lowercase + split on non-alphanumeric runs → array<string> (empty
+    tokens removed). The BPE-ish regex tokenizer for shingling."""
+    cleaned = F.lower(text)
+    toks = F.split(cleaned, pattern)
+    return F.filter(toks, lambda t: t != "")
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams (array<string>) of the normalized text. Empty
+    array when the text is shorter than ``n``."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    return F.when(count == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), count), lambda i: norm.substr(i, F.lit(n)))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats frame: token count, char count, punct ratio,
+    stopword ratio, quality score, fingerprint."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t).cast("bigint"),
+            "n_chars_actual": F.length(t).cast("bigint"),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
