@@ -420,7 +420,8 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (no SQL oracle — approximate
     signature algebra; rows-only check)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return minhash_lsh(docs, num_hashes=32, bands=8, jaccard_threshold=0.25)
+    return minhash_lsh(docs, num_hashes=32, bands=8, shingle_size=2,
+                       jaccard_threshold=0.25)
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall seconds.
+
+Each query is materialized with a noop write (full plan execution, no
+driver collect). A passthrough scan→noop throughput figure is included
+for comparison against BASELINE.md's ~500K records/s/core anchor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from yaetl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# sf encoded in the dir name, e.g. .../sf0.1
+try:
+    SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[1])
+except (IndexError, ValueError):
+    SF = -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="yaetl-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths so per-query timings measure the engine,
+    # not session startup.
+    warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    materialize(warm)
+
+    timings: dict[str, float] = {}
+    queries = entry_mod.queries()
+    for name, fn in sorted(queries.items()):
+        t0 = time.monotonic()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # passthrough anchor: full lineitem scan + noop (BASELINE.md anchor)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_rows = li.count()
+    t0 = time.monotonic()
+    materialize(li)
+    passthrough_sec = time.monotonic() - t0
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "passthrough_rows_per_sec": int(n_rows / passthrough_sec)
+        if passthrough_sec > 0 else None,
+        "lineitem_rows": n_rows,
+        "cpus": int(CPUS),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,28 +65,64 @@ def _hash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
+def shingles(
+    text: Column, mode: str = "word", size: int = 3
+) -> Column:
+    """Distinct shingle array: ``word`` n-grams (default — ~10× fewer
+    shingles per doc than char n-grams, the scale-friendly choice) or
+    ``char`` n-grams (finer granularity for short texts)."""
+    if mode == "char":
+        return F.array_distinct(char_ngrams(text, size))
+    from .text import tokenize
+
+    toks = tokenize(text)
+    n = F.size(toks)
+    grams = F.when(n < size, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(size - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
 def minhash_signature(
-    text: Column, num_hashes: int = 64, shingle_size: int = 5, seed: int = 42
+    text: Column,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+    seed: int = 42,
+    shingle_mode: str = "word",
 ) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``).
 
     Shingle hashes use ``xxhash64``; each signature slot is
-    ``min((a*h + b) mod p)`` over the shingles. Pure expression fold —
-    no UDF, no explode (signature computed in one pass per row).
+    ``min((a*h + b) mod p)`` over the shingles (products wrap on signed
+    64-bit — deterministic, and mixing quality is what matters).
+    Computed as ONE fold over the shingle-hash array with an array-of-
+    minima accumulator, so the shingle construction runs exactly once per
+    row regardless of ``num_hashes``.
     """
-    shingles = F.array_distinct(char_ngrams(text, shingle_size))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    sig_slots = []
-    for a, b in _hash_coeffs(num_hashes, seed):
-        slot = F.array_min(
-            F.transform(
-                hashes,
-                # (a*h + b) mod p on signed 64-bit: pmod keeps it positive.
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
-            )
-        )
-        sig_slots.append(slot)
-    return F.array(*sig_slots)
+    hashes = F.transform(
+        shingles(text, shingle_mode, shingle_size), lambda s: F.xxhash64(s)
+    )
+    coeff_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _hash_coeffs(num_hashes, seed)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE).cast("bigint"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            coeff_arr,
+            lambda m, c: F.least(
+                m, F.pmod(c.getField("a") * h + c.getField("b"), F.lit(_MERSENNE))
+            ),
+        ),
+    )
 
 
 def minhash_lsh(
@@ -95,9 +131,10 @@ def minhash_lsh(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_size: int = 5,
+    shingle_size: int = 3,
     jaccard_threshold: float | None = 0.8,
     seed: int = 42,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -119,9 +156,9 @@ def minhash_lsh(
 
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size, seed).alias(
-            "_sig"
-        ),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode
+        ).alias("_sig"),
     ).filter(F.size("_sig") > 0)
 
     banded = sigs.select(
@@ -185,14 +222,18 @@ def minhash_lsh(
     return out
 
 
-def simhash_signature(text: Column, shingle_size: int = 3) -> Column:
+def simhash_signature(
+    text: Column, shingle_size: int = 3, shingle_mode: str = "word"
+) -> Column:
     """64-bit SimHash (bigint) over character shingles.
 
     Per doc: fold shingle hashes into 64 bit-counters (±1 per bit), then
     assemble the sign bits. One ``aggregate`` fold over the shingle array —
     no explode/groupBy, so it composes with any plan shape for free.
     """
-    hashes = F.transform(char_ngrams(text, shingle_size), lambda s: F.xxhash64(s))
+    hashes = F.transform(
+        shingles(text, shingle_mode, shingle_size), lambda s: F.xxhash64(s)
+    )
 
     def bit_signs(h: Column) -> Column:
         # ±1 per bit; bit 63 read via the sign (1<<63 overflows signed 64).
@@ -227,11 +268,13 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Keep min-id representative per identical SimHash signature."""
     return (
         df.select(
-            F.col(id_col), simhash_signature(F.col(text_col), shingle_size).alias("_sh")
+            F.col(id_col),
+            simhash_signature(F.col(text_col), shingle_size, shingle_mode).alias("_sh"),
         )
         .groupBy("_sh")
         .agg(F.min(id_col).alias(id_col))
