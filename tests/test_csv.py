@@ -1,0 +1,92 @@
+"""CSV fixture tests — the reference's file-format golden tests
+(FIXTURES.md §2: unicode, embedded newlines/quotes/delimiters, BOM,
+Excel sep=, headerless, trailing-newline variants; tests/FileTest.php)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from yaetl_spark import CsvSink, CsvSource, TextLinesSource
+
+HEADER = ["id", "name", "given_name", "country", "city", "garbage"]
+ROWS = [
+    ("1", "Doe", "John", "US", "New York", 'quote " and ,comma'),
+    ("2", "Kowalski", "Zażółć", "PL", "Łódź", "multi\nline value"),
+    ("3", "山田", "太郎", "JP", "東京", "semi;colon `tick`"),
+    ("4", "Dupont", "René", "FR", "Orléans", 'doubled "" quotes'),
+    ("5", "السيد", "أحمد", "EG", "القاهرة", "plain"),
+]
+
+
+def _write_variant(tmp_path, name, header=True, sep=",", bom=False, sep_line=False,
+                   trailing_nl=True):
+    path = os.path.join(tmp_path, name)
+    with open(path, "wb") as fh:
+        if bom:
+            fh.write(b"\xef\xbb\xbf")
+        if sep_line:
+            fh.write(f"sep={sep}\n".encode())
+        lines = []
+        if header:
+            lines.append(sep.join(HEADER))
+        for row in ROWS:
+            cells = []
+            for cell in row:
+                if any(ch in cell for ch in (sep, '"', "\n")):
+                    cells.append('"' + cell.replace('"', '""') + '"')
+                else:
+                    cells.append(cell)
+            lines.append(sep.join(cells))
+        payload = "\n".join(lines)
+        if trailing_nl:
+            payload += "\n"
+        fh.write(payload.encode("utf-8"))
+    return path
+
+
+VARIANTS = [
+    dict(name="header_nl.csv"),
+    dict(name="header_no_nl.csv", trailing_nl=False),
+    dict(name="no_header.csv", header=False),
+    dict(name="bom.csv", bom=True),
+    dict(name="sep_semicolon.csv", sep=";", sep_line=True),
+]
+
+
+@pytest.mark.parametrize("variant", VARIANTS, ids=lambda v: v["name"])
+def test_csv_variants_parse_identically(spark, tmp_path, variant):
+    """Every variant parses to the same 5 records (FileTest.php:136-190)."""
+    v = dict(variant)
+    name = v.pop("name")
+    path = _write_variant(str(tmp_path), name, **v)
+    src = CsvSource(
+        path,
+        header=v.get("header", True),
+        sep="auto" if v.get("sep_line") else v.get("sep", ","),
+        field_names=None if v.get("header", True) else HEADER,
+    )
+    df = src.read(spark)
+    assert df.columns == HEADER
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(ROWS)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """Write with the sink, re-read with the source, byte-equal records
+    (FileTest.php:110-131)."""
+    df = spark.createDataFrame(ROWS, ", ".join(f"{c} string" for c in HEADER))
+    out = os.path.join(str(tmp_path), "rt.csv")
+    CsvSink(out, single_file=True, bom=True, sep_line=True, sep=";").write(df)
+    back = CsvSource(out, sep="auto").read(spark)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_text_lines_skip_blank_and_trim(spark, tmp_path):
+    """LineExtractor parity: trimmed, non-empty lines (FIXTURES.md §3)."""
+    path = os.path.join(str(tmp_path), "lines.txt")
+    with open(path, "wb") as fh:
+        fh.write("﻿1\n 2 \n\n3\n\n".encode("utf-8"))
+    df = TextLinesSource(path).read(spark)
+    assert sorted(r["value"] for r in df.collect()) == ["1", "2", "3"]

@@ -1,0 +1,167 @@
+"""Operator unit tests: dedup, similarity, text, as-of join, multimodal
+plumbing, JDBC upsert SQL."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from yaetl_spark.operators import (
+    as_of_join,
+    brute_force_topk,
+    build_ivf_index,
+    embedding_dedup_pairs,
+    exact_dedup,
+    ivf_topk,
+    minhash_lsh,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from yaetl_spark.operators.multimodal import (
+    decode_images,
+    repartition_by_bytes,
+    sample_frames,
+    with_media_meta,
+)
+from yaetl_spark.sinks import build_upsert_sql
+
+
+# -- dedup -----------------------------------------------------------------
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different text about spark engines"),
+        (5, "  The   quick brown fox jumps over the lazy dog "),  # ws/case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    out = sorted(r["doc_id"] for r in exact_dedup(_docs(spark)).collect())
+    # 1,2,5 collapse to 1; 3 and 4 survive
+    assert out == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh(
+        _docs(spark), num_hashes=64, bands=32, shingle_size=2,
+        jaccard_threshold=0.3,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 5) in got  # exact dups always match
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert not any(4 in p for p in got)  # unrelated doc not paired
+
+
+def test_simhash_dedup_collapses_exact_dups(spark):
+    out = sorted(r["doc_id"] for r in simhash_dedup(_docs(spark)).collect())
+    assert 1 in out and 4 in out and 2 not in out and 5 not in out
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), shingle_size=5, threshold=0.5
+    ).collect()
+    sims = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert sims[(1, 2)] == 1.0  # identical text
+    assert 0.5 <= sims[(1, 3)] < 1.0  # one word differs
+
+
+def test_embedding_dedup_bruteforce_vs_lsh(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    bf = embedding_dedup_pairs(df, threshold=0.99, brute_force=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in bf} == {(1, 2)}
+    lsh = embedding_dedup_pairs(df, threshold=0.99, num_planes=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {(1, 2)}
+
+
+# -- similarity ------------------------------------------------------------
+
+def test_brute_force_topk_orders_deterministically(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    top = brute_force_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_topk_approximates_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    assigned, cents = build_ivf_index(emb, num_cells=8)
+    approx = ivf_topk(assigned, cents, q, k=5, nprobe=4)
+    exact = brute_force_topk(emb, q, k=5)
+    # the query's own vector must be found (it lives in the probed cell)
+    assert approx.first()["vec_id"] == exact.first()["vec_id"] == 7
+    # recall@5 of at least 3/5 with half the cells probed
+    a = {r["vec_id"] for r in approx.collect()}
+    e = {r["vec_id"] for r in exact.collect()}
+    assert len(a & e) >= 3
+
+
+# -- as-of join ------------------------------------------------------------
+
+def test_as_of_join_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")],
+        "key int, t int, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 18, 110.0), (2, 99, 999.0)],
+        "key int, t int, px double",
+    )
+    out = as_of_join(trades, quotes, on="key", left_time="t", right_time="t")
+    got = {(r["key"], r["t"], r["px"]) for r in out.collect()}
+    assert got == {(1, 10, 100.0), (1, 20, 110.0), (2, 15, None)}
+
+
+# -- multimodal plumbing ---------------------------------------------------
+
+def test_media_meta_and_stub_decode(spark):
+    rows = [(1, b"\x89PNG fake bytes"), (2, b"GIF89a other")]
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+    meta = with_media_meta(df)
+    assert {"media_size", "media_sha1"} <= set(meta.columns)
+    feats = decode_images(df, use_stub_decoder=True).collect()
+    assert len(feats) == 2 and feats[0]["width"] == 4
+
+    with pytest.raises(NotImplementedError):
+        decode_images(df).collect()
+
+
+def test_sample_frames_stub(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 5000)], "id bigint, data binary"
+    )
+    frames = sample_frames(df, every_nth=2, use_stub_decoder=True).collect()
+    assert len(frames) == 3  # 5 fake frames, every 2nd
+    assert all(len(r["frame"]) > 0 for r in frames)
+
+
+def test_repartition_by_bytes(spark):
+    df = spark.createDataFrame(
+        [(i, b"x" * 1000) for i in range(50)], "id bigint, data binary"
+    )
+    out = repartition_by_bytes(with_media_meta(df), target_bytes=10_000)
+    assert out.rdd.getNumPartitions() >= 5
+    assert out.count() == 50
+
+
+# -- jdbc upsert SQL -------------------------------------------------------
+
+def test_upsert_sql_dialects():
+    pg = build_upsert_sql("t", ["id", "v"], ["id"], "postgres")
+    assert "ON CONFLICT (id) DO UPDATE SET v = excluded.v" in pg
+    my = build_upsert_sql("t", ["id", "v"], ["id"], "mysql")
+    assert "ON DUPLICATE KEY UPDATE v = VALUES(v)" in my
+    with pytest.raises(ValueError):
+        build_upsert_sql("t", ["id"], ["id"], "oracle9i")

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: the grammar runs as a real stream (memory
+sink) and windowed results match the batch equivalents."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from yaetl_spark.streaming import (
+    StreamPipeline,
+    dedup_within_watermark,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _wait_done(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+
+
+def _stage_dir(tmp_path, src_file: str) -> str:
+    """Streaming file sources need a *directory*; stage the parquet file
+    into one via symlink."""
+    import os
+
+    d = tmp_path / "stream_src"
+    d.mkdir(exist_ok=True)
+    link = d / os.path.basename(src_file)
+    if not link.exists():
+        os.symlink(src_file, link)
+    return str(d)
+
+
+def test_stream_file_source_counts(spark, sf_dir, tmp_path):  # noqa: C901
+    """Stream the events parquet through a filter + memory sink; row count
+    matches the batch read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch.schema
+    expected = batch.filter(F.col("event_type") == "click").count()
+
+    q = (
+        StreamPipeline(spark)
+        .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                    fmt="parquet", schema=schema)
+        .qualify(F.col("event_type") == "click")
+        .to_memory("clicks_test")
+    )
+    _wait_done(q)
+    got = spark.sql("SELECT count(*) c FROM clicks_test").first()["c"]
+    assert got == expected
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """The same tumbling_window_agg code runs in batch and stream modes and
+    produces identical window aggregates (batch-verifiability invariant)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    to_ts = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    batch = tumbling_window_agg(
+        to_ts(raw), "ts", "1 hour", F.count(F.lit(1)).alias("n")
+    )
+    expected = sorted(
+        (r["window_start"], r["n"]) for r in batch.collect()
+    )
+
+    stream = (
+        StreamPipeline(spark)
+        .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                    fmt="parquet", schema=raw.schema)
+        .transform(to_ts)
+        .transform(
+            lambda df: tumbling_window_agg(
+                df, "ts", "1 hour", F.count(F.lit(1)).alias("n"),
+                watermark="2 hours",
+            )
+        )
+        .to_memory("tumble_test", output_mode="complete")
+    )
+    _wait_done(stream)
+    got = sorted(
+        (r["window_start"], r["n"])
+        for r in spark.sql("SELECT * FROM tumble_test").collect()
+    )
+    assert got == expected
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch = per-epoch flush (the streaming loader analogue)."""
+    epochs = []
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+    )
+    q = (
+        StreamPipeline(spark)
+        .from_stream(src)
+        .qualify(F.col("value") % 2 == 0)
+        .to_foreach_batch(
+            lambda df, epoch: epochs.append((epoch, df.count())),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and not epochs:
+        time.sleep(0.5)
+    q.stop()
+    assert epochs, "no epochs committed within 30s"
+
+
+def test_dedup_within_watermark_batch_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01")],
+        "k int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dedup_within_watermark(df, ["k"], "ts", "1 minute")
+    assert out.count() == 1
