@@ -430,6 +430,60 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + conditional agg: revenue by part type
+    (lineitem ⋈ part; part is small → broadcast, no shuffle of lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        Pipeline(spark)
+        .from_(li)
+        .join(part.select("p_partkey", "p_type"),
+              OnClause({"l_partkey": "p_partkey"}), broadcast=True)
+        .transform(Aggregate(
+            ["p_type"],
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        ))
+        .df
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 30 min slide) with a distinct-count —
+    each event lands in exactly two windows."""
+    from yaetl_spark.streaming import sliding_window_agg
+
+    ev = _events(spark, sf_dir)
+    return sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes",
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        extra_keys=["event_type"],
+    ).drop("window_end")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs (vec_id < 300, sim ≥ 0.40) —
+    the exact-verification tier of embedding dedup."""
+    from yaetl_spark.operators import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_dedup_pairs(emb, threshold=0.40, brute_force=True)
+
+
+def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: quality scoring + deterministic top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -464,6 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-compatible windows
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
+        "part_promo": q_part_promo,
+        "events_sliding": q_events_sliding,
+        "embedding_neardup": q_embedding_neardup,
+        "quality_topk": q_quality_topk,
         # LLM-data-pipeline
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -728,6 +786,40 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY score DESC, vec_id ASC
             LIMIT 10
+        """,
+        "part_promo": f"""
+            SELECT p_type,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
+        """,
+        "events_sliding": """
+            WITH assigned AS (
+                SELECT event_type, user_id,
+                       CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - offs
+                           AS window_start
+                FROM events, (VALUES (0), (1800)) t(offs)
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM assigned GROUP BY window_start, event_type
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         6) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])),
+                        6) >= 0.40
+        """,
+        "quality_topk": f"""
+            SELECT doc_id, {quality} AS quality FROM documents
+            ORDER BY quality DESC, doc_id ASC LIMIT 20
         """,
         # minhash_neardup / simhash_dedup: intentionally no oracle —
         # signature algebra depends on xxhash64 (absent in DuckDB);

@@ -1,0 +1,89 @@
+"""Physical-plan quality gates — the 100 TB scale contract.
+
+Each assertion pins a plan property that matters at 1000-executor scale:
+filters reaching the parquet scan, column pruning, broadcast joins for
+dims, map-side partial aggregation, TakeOrderedAndProject for top-k.
+A regression here means a query silently became a full-scan / shuffle
+monster even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    # ReadSchema must not include unused wide columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "chained_join_agg")
+    # nation + region (and supplier under AQE thresholds) broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    plan2 = plan_of(spark, "part_promo")
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(spark, "groupby_agg")
+    # partial (map-side) + final aggregate = two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_limit_offset_no_full_sort_shuffle(spark):
+    plan = plan_of(spark, "limit_offset")
+    # ordered pagination over a unique key: rangepartition sort is fine,
+    # but the limit must appear (no unbounded materialization)
+    assert "GlobalLimit" in plan or "CollectLimit" in plan or "TakeOrdered" in plan
+
+
+def test_semi_anti_join_planned_as_joins(spark):
+    assert "LeftSemi" in optimized_of(spark, "semi_join")
+    assert "LeftAnti" in optimized_of(spark, "anti_join")
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE finalizes the plan only at execution; run the query, then read
+    # the executed plan for codegen spans.
+    df = entry_mod.queries()["groupby_agg"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the "*(n)" stage prefix
+    assert "*(1)" in plan or "*(2)" in plan or "WholeStageCodegen" in plan
+
+
+def test_minhash_plan_has_single_shuffle_per_side(spark):
+    """LSH banding: the only exchanges should be for the bucket join and
+    the dedup — no cartesian product anywhere."""
+    plan = plan_of(spark, "minhash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
