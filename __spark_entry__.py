@@ -51,8 +51,21 @@ TABLES = [
 ]
 
 
+# Tiny dimension tables stay as-is (they broadcast); everything else goes
+# through ensure_parallelism so single-row-group test parquet doesn't pin
+# expression-heavy work to one core (no-op on multi-row-group inputs).
+_DIM_TABLES = {"region", "nation", "supplier"}
+
+
+def _ps(sf_dir: str, name: str) -> ParquetSource:
+    return ParquetSource(
+        f"{sf_dir}/{name}.parquet",
+        min_parallelism=None if name in _DIM_TABLES else "auto",
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return ParquetSource(f"{sf_dir}/{name}.parquet").read(spark)
+    return _ps(sf_dir, name).read(spark)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +99,7 @@ def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan + qualify + projection/rename (§2.2, §2.4, §2.5)."""
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .from_(_ps(sf_dir, "lineitem"))
         .qualify((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
         .transform(Rename({"l_orderkey": "orderkey", "l_linenumber": "linenumber"}))
         .transform(lambda df: df.select(
@@ -103,7 +116,7 @@ def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .join(cust, OnClause({"o_custkey": "c_custkey"}), how="inner")
         .transform(lambda df: df.select(
             "o_orderkey",
@@ -119,7 +132,7 @@ def q_left_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .left_join(
             cust.select("c_custkey", "c_mktsegment"),
             OnClause({"o_custkey": "c_custkey"},
@@ -137,7 +150,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/customer.parquet"))
+        .from_(_ps(sf_dir, "customer"))
         .join(orders, OnClause({"c_custkey": "o_custkey"}), how="left_semi")
         .transform(lambda df: df.select("c_custkey", "c_name"))
         .df
@@ -149,7 +162,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/customer.parquet"))
+        .from_(_ps(sf_dir, "customer"))
         .join(orders, OnClause({"c_custkey": "o_custkey"}), how="left_anti")
         .transform(lambda df: df.select("c_custkey", "c_name"))
         .df
@@ -201,7 +214,7 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Limit/offset pagination (§2.9, ExtractorBatchLimitAbstract)."""
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .transform(lambda df: df.orderBy("o_orderkey")
                    .select("o_orderkey", "o_totalprice"))
         .offset(100)
@@ -215,7 +228,7 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     statuses = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/region.parquet"))
+        .from_(_ps(sf_dir, "region"))
         .from_(statuses)
         .transform(lambda df: df.select("r_name", "o_orderstatus"))
         .df
@@ -234,7 +247,7 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.lit(1).cast("decimal(8,4)") + _dec4("l_tax")))
     df = (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .from_(_ps(sf_dir, "lineitem"))
         .transform(Aggregate(
             ["l_returnflag", "l_linestatus"],
             F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
@@ -254,7 +267,7 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .transform(Aggregate(
             ["o_orderstatus", "o_orderpriority"],
             F.count(F.lit(1)).alias("n_orders"),
@@ -268,7 +281,7 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/lineitem.parquet"))
+        .from_(_ps(sf_dir, "lineitem"))
         .transform(Aggregate(
             ["l_returnflag", "l_linestatus"],
             F.count(F.lit(1)).alias("n_items"),
@@ -282,7 +295,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via row_number (window functions §7.8)."""
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .transform(WindowCalc(
             ["o_custkey"],
             [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
@@ -313,7 +326,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k = orderBy + limit → TakeOrderedAndProject (no global sort)."""
     return (
         Pipeline(spark)
-        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .from_(_ps(sf_dir, "orders"))
         .transform(TopK([F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10))
         .transform(lambda df: df.select("o_orderkey", "o_totalprice"))
         .df

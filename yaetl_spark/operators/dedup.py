@@ -263,6 +263,47 @@ def simhash_signature(
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """``(id_col, _sh)`` — 64-bit SimHash per doc, explode + bit-count sums.
+
+    The fold form (:func:`simhash_signature`) builds a 64-CASE expression per
+    shingle which falls out of whole-stage codegen; this DataFrame form
+    explodes shingle hashes and computes 64 ``sum((h >> b) & 1)`` aggregates.
+    Partial (map-side) aggregation means the shuffle carries one 64-int row
+    per doc — scale-safe, and every operator stays in codegen. Bit ``b`` of
+    the signature is set iff more than half the shingle hashes set it —
+    identical output to the fold form.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                shingles(F.col(text_col), shingle_mode, shingle_size),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_h"),
+    )
+    # Expressions as SQL strings: one py4j call each instead of several per
+    # Column op — plan construction stays O(ms) despite 64 aggregates.
+    sums = [
+        F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"_b{b}") for b in range(64)
+    ]
+    counts = exploded.groupBy(id_col).agg(F.count("*").alias("_n"), *sums)
+    terms = [
+        f"(CASE WHEN _b{b} * 2 > _n THEN {1 << b if b < 63 else -(1 << 63)}L "
+        f"ELSE 0L END)"
+        for b in range(64)
+    ]
+    sig = F.expr(" | ".join(terms))
+    return counts.select(F.col(id_col), sig.alias("_sh"))
+
+
 def simhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -272,10 +313,7 @@ def simhash_dedup(
 ) -> DataFrame:
     """Keep min-id representative per identical SimHash signature."""
     return (
-        df.select(
-            F.col(id_col),
-            simhash_signature(F.col(text_col), shingle_size, shingle_mode).alias("_sh"),
-        )
+        simhash_signatures(df, text_col, id_col, shingle_size, shingle_mode)
         .groupBy("_sh")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CONF = {
     # Adaptive execution: runtime shuffle-partition coalescing + skew-join
@@ -35,6 +35,24 @@ DEFAULT_CONF = {
     # type system at all; see SURVEY.md §1.2).
     "spark.sql.ansi.enabled": "false",
 }
+
+
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition ``df`` only when the scan produced fewer partitions than
+    the cluster's parallelism.
+
+    Small/medium parquet inputs often arrive as a single row group, which
+    Spark cannot split — every downstream expression then runs on one core.
+    At 100 TB inputs carry thousands of row groups, the partition count
+    already exceeds ``defaultParallelism``, and this is a no-op; locally it
+    unlocks the full core count for expression-heavy per-row work at the
+    cost of one cheap round-robin shuffle of a small input.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def get_spark(

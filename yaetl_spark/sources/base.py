@@ -30,10 +30,12 @@ class Source:
         limit: int | None = None,
         offset: int | None = None,
         key: str | Sequence[str] | Mapping[str, str] | None = None,
+        min_parallelism: int | str | None = None,
     ):
         self._limit = limit
         self._offset = offset
         self._key = key
+        self._min_parallelism = min_parallelism
 
     # -- reference API parity -------------------------------------------------
     def set_limit(self, n: int) -> "Source":
@@ -60,8 +62,20 @@ class Source:
         raise NotImplementedError
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Load + apply aliasing and limit/offset."""
+        """Load + apply aliasing, limit/offset, and parallelism floor.
+
+        ``min_parallelism='auto'`` repartitions up to ``defaultParallelism``
+        only when the scan yields fewer partitions (single-row-group files);
+        a no-op on inputs that already split — see
+        :func:`yaetl_spark.session.ensure_parallelism`.
+        """
         df = self.load(spark)
+        if self._min_parallelism:
+            from ..session import ensure_parallelism
+
+            target = (None if self._min_parallelism == "auto"
+                      else int(self._min_parallelism))
+            df = ensure_parallelism(df, target)
         if isinstance(self._key, Mapping):
             for old, new in self._key.items():
                 # 'table.col' aliases refer to the bare column client-side.
