@@ -487,6 +487,71 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(emb, threshold=0.40, brute_force=True)
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint + BPE-ish-regex token count —
+    both pure expression folds, both exactly replicable in SQL."""
+    from yaetl_spark.operators import bpe_token_count, rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(t).alias("rhash"),
+        bpe_token_count(t).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + JVM-side metadata
+    (byte size, sha256). Binary payload synthesized from text (the
+    container has no media codecs; the column handling is the real part)."""
+    from yaetl_spark.operators.multimodal import with_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return with_media_meta(bin_docs).select(
+        "doc_id", F.col("media_size").alias("media_bytes"), "media_sha256"
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing over binary media rows
+    (stub decoder — deterministic md5-derived pixels; no SQL oracle:
+    rows-only check)."""
+    from yaetl_spark.operators.multimodal import decode_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return decode_images(
+        bin_docs, binary_col="data", id_col="doc_id", use_stub_decoder=True
+    )
+
+
+# Oracle-replicable IVF setup: centroids are the 16 lowest vec_ids, the
+# probe set is the 4 cells nearest the query vector of vec_id=1.
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — the 100 TB scale path for
+    similarity search: argmin-to-centroid assignment (narrow map, no
+    shuffle), then top-k over only the ``nprobe`` nearest cells (partition
+    pruning when the index table is written partitionBy(_cell))."""
+    from yaetl_spark.operators import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    assigned, cents = build_ivf_index(
+        emb, centroid_ids=list(range(_IVF_CELLS))
+    )
+    return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality scoring + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -543,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dedup": q_simhash_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_meta": q_media_meta,
+        "image_features": q_image_features,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -834,7 +903,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
         """,
-        # minhash_neardup / simhash_dedup: intentionally no oracle —
-        # signature algebra depends on xxhash64 (absent in DuckDB);
-        # the driver records the weaker rows-only check.
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(range(1, length(norm) + 1),
+                                    i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+                            (h, c) -> (h * 31 + c) % 2147483647)
+                   END AS rhash,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens_bpe
+            FROM (SELECT doc_id, text, {_NORM.replace("text", "lower(text)")} AS norm
+                  FROM documents)
+        """,
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+                   sha256(text) AS media_sha256
+            FROM documents
+        """,
+        "ann_ivf": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+                FROM emb WHERE vec_id < {_IVF_CELLS}
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 1),
+            dists AS (
+                SELECT e.vec_id, c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                           (a, b) -> a + b) AS d
+                FROM emb e CROSS JOIN cents c
+            ),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cell) AS rk
+                    FROM dists
+                ) WHERE rk = 1
+            ),
+            probe AS (
+                SELECT c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(c.c) + 1),
+                                   i -> (c.c[i] - q.qv[i]) * (c.c[i] - q.qv[i]))),
+                           (a, b) -> a + b) AS d
+                FROM cents c CROSS JOIN q
+                ORDER BY d, c.cell LIMIT {_IVF_PROBE}
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, q.qv), 6) AS score
+            FROM emb e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probe p ON p.cell = a.cell
+            CROSS JOIN q
+            ORDER BY score DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        # minhash_neardup / simhash_dedup / image_features: intentionally no
+        # oracle — they depend on xxhash64 / md5-derived stub pixels with no
+        # DuckDB equivalent; the driver records the weaker rows-only check.
     }

@@ -1,0 +1,110 @@
+"""Scale-oriented property tests.
+
+- Partition invariance (the Spark analogue of the reference's
+  batch-invariance tests, ``/root/reference/tests/YaEtlTest.php:112-124``:
+  deliberately unbalanced batch sizes must never change results): the same
+  operator over repartition(1) vs repartition(7) must be row-identical.
+- IVF top-k: equals brute force restricted to the probe cells (exact
+  algebraic property), and always finds the query vector itself.
+- Multimodal stub decode: deterministic across runs/processes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yaetl_spark.operators import (
+    bpe_token_count,
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+    rolling_fingerprint,
+    simhash_dedup,
+)
+from yaetl_spark.operators.multimodal import decode_images, with_media_meta
+
+from .conftest import table_path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_simhash_dedup_partition_invariant(spark):
+    docs = spark.read.parquet(table_path("documents"))
+    a = simhash_dedup(docs.repartition(1))
+    b = simhash_dedup(docs.repartition(7))
+    assert _rows(a) == _rows(b)
+
+
+def test_rolling_fingerprint_partition_invariant(spark):
+    docs = spark.read.parquet(table_path("documents"))
+    sel = lambda d: d.select(  # noqa: E731
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("rhash"),
+        bpe_token_count(F.col("text")).alias("n"),
+    )
+    assert _rows(sel(docs.repartition(1))) == _rows(sel(docs.repartition(7)))
+
+
+def test_rolling_fingerprint_known_value(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("  AB  c ",)], "text string")
+    got = {r.text: r.h for r in df.select(
+        "text", rolling_fingerprint(F.col("text")).alias("h")).collect()}
+    # h("abc") = ((97*31 + 98)*31 + 99) % (2^31-1)
+    assert got["abc"] == ((97 * 31 + 98) * 31 + 99) % 2147483647
+    assert got[""] == 0
+    # normalization: lower + whitespace-collapse + trim → "ab c"
+    ab_c = 0
+    for ch in "ab c":
+        ab_c = (ab_c * 31 + ord(ch)) % 2147483647
+    assert got["  AB  c "] == ab_c
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
+    emb = spark.read.parquet(table_path("embeddings"))
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    assigned, cents = build_ivf_index(emb, centroid_ids=list(range(8)))
+    got = ivf_topk(assigned, cents, qvec, k=5, nprobe=3)
+    rows = got.collect()
+    # the query vector's own cell is always probed → vec_id=1 at score 1.0
+    assert rows[0].vec_id == 1 and abs(rows[0].score - 1.0) < 1e-9
+    # exact property: ivf == brute force over the probed subset
+    probe_cells = sorted(
+        cents, key=lambda ic: sum((a - b) ** 2 for a, b in zip(ic[1], qvec))
+    )[:3]
+    subset = assigned.filter(
+        F.col("_cell").isin([i for i, _ in probe_cells]))
+    expect = brute_force_topk(subset, qvec, k=5)
+    assert _rows(got) == _rows(expect)
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """The index build must not shuffle the vector table (argmin is a map)."""
+    emb = spark.read.parquet(table_path("embeddings"))
+    assigned, _ = build_ivf_index(emb, centroid_ids=list(range(8)))
+    plan = assigned._sc._jvm.PythonSQLUtils.explainString(
+        assigned._jdf.queryExecution(), "simple")
+    assert "Exchange" not in plan
+
+
+def test_stub_decode_deterministic(spark):
+    docs = spark.read.parquet(table_path("documents")).limit(50)
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    a = decode_images(bin_docs, binary_col="data", id_col="doc_id",
+                      use_stub_decoder=True)
+    b = decode_images(bin_docs.repartition(5), binary_col="data",
+                      id_col="doc_id", use_stub_decoder=True)
+    assert _rows(a) == _rows(b)
+
+
+def test_media_meta_columns(spark):
+    docs = spark.read.parquet(table_path("documents")).limit(20)
+    bin_docs = docs.select(
+        "doc_id", F.col("text"), F.encode(F.col("text"), "UTF-8").alias("data"))
+    meta = with_media_meta(bin_docs)
+    row = meta.filter(F.length("text") > 0).first()
+    assert row.media_size == len(row.text.encode("utf-8"))
+    assert len(row.media_sha256) == 64 and len(row.media_sha1) == 40

@@ -36,6 +36,7 @@ def with_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         {
             "media_size": F.length(F.col(binary_col)).cast("bigint"),
             "media_sha1": F.sha1(F.col(binary_col)),
+            "media_sha256": F.sha2(F.col(binary_col), 256),
         }
     )
 
@@ -55,11 +56,13 @@ def repartition_by_bytes(
 
 
 def _stub_decode_image(data: bytes) -> np.ndarray:
-    """Deterministic fake decoder: derives a 4x4 RGB array from the bytes'
-    hash so tests get stable, content-dependent output."""
-    h = np.frombuffer(
-        np.int64(hash(data) & 0x7FFFFFFFFFFFFFFF).tobytes(), dtype=np.uint8
-    )
+    """Deterministic fake decoder: derives a 4x4 RGB array from an md5 of
+    the bytes so tests get stable, content-dependent output. (Python's
+    builtin ``hash()`` is salted per process — it would differ across
+    executor workers; a real digest is executor-stable.)"""
+    import hashlib
+
+    h = np.frombuffer(hashlib.md5(data).digest(), dtype=np.uint8)
     return np.tile(h[:3], (4, 4, 1))
 
 

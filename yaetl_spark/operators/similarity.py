@@ -74,39 +74,65 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroid_ids: list[int] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest sampled centroid.
 
     Centroids: a deterministic sample of ``num_cells`` vectors (one pass,
-    ``xxhash64(id)`` order — reproducible, no RNG). Assignment: broadcast
-    the centroid array and argmin over it per row (narrow map — the index
-    build never shuffles the big table; write it partitioned by cell for
-    pruned probes).
+    ``xxhash64(id)`` order — reproducible, no RNG), or the explicitly
+    listed ``centroid_ids`` (id order) — the latter gives a rule plain SQL
+    can replicate, which the oracle-checked ``ann_ivf`` query uses.
+    Assignment: broadcast the centroid array and argmin over it per row
+    (narrow map — the index build never shuffles the big table; write it
+    partitioned by cell for pruned probes).
     Returns (assigned_df with ``_cell`` column, centroids list).
     """
-    cents = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
-        .limit(num_cells)
-        .collect()
-    )
+    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if centroid_ids is not None:
+        cents = (
+            base.filter(F.col("cid").isin(list(centroid_ids)))
+            .orderBy("cid")
+            .collect()
+        )
+    else:
+        cents = (
+            base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
+            .limit(num_cells)
+            .collect()
+        )
     centroids = [(i, list(r.cvec)) for i, r in enumerate(cents)]
 
-    # argmin over centroids as one expression tree (JVM-side).
-    best_cell: Column = F.lit(-1)
-    best_d: Column = F.lit(float("inf"))
+    # argmin over centroids via array_min on (distance, cell) structs —
+    # struct ordering is (d asc, cell asc), so ties break to the lowest
+    # cell. One linear-size expression; a chained when(d < best_d) argmin
+    # would embed the running best twice per step (exponential tree).
     v = F.col(vec_col)
-    for i, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        better = d < best_d
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_d = F.when(better, d).otherwise(best_d)
-    return df.withColumn("_cell", best_cell), centroids
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
+            )
+            for i, cvec in centroids
+        ]
+    )
+    dist_structs = F.transform(
+        cents_arr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    s.getField("cvec"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            s.getField("cell").alias("cell"),
+        ),
+    )
+    best = F.array_min(dist_structs)
+    return df.withColumn("_cell", best.getField("cell")), centroids
 
 
 def ivf_topk(
@@ -123,10 +149,13 @@ def ivf_topk(
     With the index table written ``partitionBy('_cell')``, the cell filter
     is partition pruning — the 100 TB scan becomes nprobe/num_cells of it.
     """
-    import math
-
     def dist(c: list[float]) -> float:
-        return math.fsum((a - b) ** 2 for a, b in zip(c, query_vec))
+        # sequential left-to-right IEEE-double sum — bit-identical to the
+        # engines' fold-based distance (oracle determinism)
+        d = 0.0
+        for a, b in zip(c, query_vec):
+            d += (a - b) * (a - b)
+        return d
 
     probe = sorted(centroids, key=lambda ic: dist(ic[1]))[:nprobe]
     cells = [i for i, _ in probe]

@@ -109,6 +109,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def rolling_fingerprint(
+    text: Column, base: int = 31, mod: int = 2147483647
+) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text.
+
+    ``h = (h * base + codepoint) % mod`` folded left-to-right over the
+    characters — the classic Rabin-Karp document fingerprint. ``mod``
+    defaults to the Mersenne prime 2^31-1 so ``h * base + c`` stays far
+    inside signed-64-bit (no overflow, exact in any engine). Pure
+    expression fold (JVM-side); identical SQL exists in DuckDB via
+    ``list_reduce`` (oracle-checkable, unlike xxhash64/md5-based schemes).
+    """
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda h, c: F.pmod(h * F.lit(base) + c, F.lit(mod)),
+        )
+    )
+
+
+def bpe_token_count(text: Column, pattern: str = r"[^a-z0-9]+") -> Column:
+    """Token count under the BPE-ish regex tokenizer (:func:`tokenize`) —
+    the subword-friendly companion to whitespace :func:`token_count`."""
+    return F.size(tokenize(text, pattern))
+
+
 def tokenize(text: Column, pattern: str = r"[^a-z0-9]+") -> Column:
     """Lowercase + split on non-alphanumeric runs → array<string> (empty
     tokens removed). The BPE-ish regex tokenizer for shingling."""
