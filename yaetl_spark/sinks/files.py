@@ -93,6 +93,50 @@ class CsvSink(Sink):
             shutil.rmtree(tmp)
 
 
+class BucketedTableSink(Sink):
+    """Managed-table sink with hash bucketing on the join/agg key.
+
+    The 100 TB co-location primitive: two tables bucketed by the same key
+    into the same bucket count join WITHOUT a shuffle (Catalyst reuses the
+    bucketing as the required distribution), and ``sort_by`` additionally
+    removes the sort from sort-merge joins. Use for fact tables that are
+    joined/aggregated on the same key repeatedly — pay one shuffle at write
+    time, skip it on every read.
+    """
+
+    def __init__(
+        self,
+        table: str,
+        bucket_by: list[str],
+        num_buckets: int = 32,
+        sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+        fmt: str = "parquet",
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.table = table
+        self.bucket_by = bucket_by
+        self.num_buckets = num_buckets
+        self.sort_by = sort_by
+        self.partition_by = partition_by
+        self.mode = mode
+        self.fmt = fmt
+
+    def write(self, df: DataFrame) -> None:
+        writer = (
+            df.write.mode(self.mode)
+            .format(self.fmt)
+            .bucketBy(self.num_buckets, *self.bucket_by)
+        )
+        if self.sort_by:
+            writer = writer.sortBy(*self.sort_by)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.saveAsTable(self.table)
+
+
 class JsonSink(Sink):
     def __init__(self, path: str, mode: str = "overwrite", **kw):
         super().__init__(**kw)

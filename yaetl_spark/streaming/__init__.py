@@ -1,6 +1,7 @@
 from .stream import (
     StreamPipeline,
     dedup_within_watermark,
+    running_totals,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "running_totals",
 ]

@@ -101,6 +101,50 @@ def dedup_within_watermark(
     return df.dropDuplicates(keys)
 
 
+def running_totals(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained
+    across epochs via ``applyInPandasWithState`` — the engine's template
+    for operators Spark's built-ins can't express (SURVEY.md §7: custom
+    stateful streaming).
+
+    State is one (bigint, double) pair per key — O(distinct keys), not
+    O(events); Arrow-batched, partitioned by key hash (each executor owns
+    a key range; no cross-partition coordination).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if watermark and time_col and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in key_fields]
+        + ["n_events bigint", "total_value double"]
+    )
+    state_schema = "cnt bigint, total double"
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf[value_col].astype("float64").sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            [dict(zip(keys, key), n_events=cnt, total_value=total)]
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 class StreamPipeline:
     """Streaming mirror of the batch Pipeline grammar.
 
