@@ -421,12 +421,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_size=5, threshold=0.2)
 
 
+def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 1) -> list[float]:
+    """Driver-side query-vector lookup from a plain (unrepartitioned) scan —
+    the id filter pushes down to parquet; no shuffle before a 1-row fetch."""
+    plain = ParquetSource(f"{sf_dir}/embeddings.parquet").read(spark)
+    return [float(x) for x in
+            plain.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]]
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=1 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
-    return brute_force_topk(emb, qvec, k=10)
+    return brute_force_topk(emb, _qvec(spark, sf_dir), k=10)
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,11 +550,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaetl_spark.operators import build_ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
-    assigned, cents = build_ivf_index(
-        emb, centroid_ids=list(range(_IVF_CELLS))
-    )
+    plain = ParquetSource(f"{sf_dir}/embeddings.parquet").read(spark)
+    # one driver job fetches centroids AND the query vector (vec_id 1 is a
+    # centroid id); the pushdown filter reads a handful of rows
+    rows = (plain.filter(F.col("vec_id") < _IVF_CELLS)
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    cents = [(i, [float(x) for x in r.embedding])
+             for i, r in enumerate(rows)]
+    qvec = [float(x)
+            for x in next(r.embedding for r in rows if r.vec_id == 1)]
+    assigned, cents = build_ivf_index(emb, centroids=cents)
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
 
 

@@ -54,7 +54,7 @@ def brute_force_topk(
     Returns ``(id, score)`` ordered by (score desc, id) — the id tiebreak
     makes results deterministic across engines and partitionings.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _vec_lit(query_vec)
     if metric == "cosine":
         score = cosine_similarity(F.col(vec_col), q)
     elif metric == "dot":
@@ -68,6 +68,16 @@ def brute_force_topk(
     )
 
 
+def _vec_lit(values: list[float]) -> Column:
+    """Array literal in ONE py4j call (F.lit accepts lists in Spark 4);
+    falls back to per-element lits on older APIs. For a 64-dim centroid
+    set this is ~1000 fewer driver round-trips."""
+    try:
+        return F.lit([float(x) for x in values])
+    except Exception:
+        return F.array(*[F.lit(float(x)) for x in values])
+
+
 def build_ivf_index(
     df: DataFrame,
     num_cells: int = 64,
@@ -75,6 +85,8 @@ def build_ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     centroid_ids: list[int] | None = None,
+    centroid_source: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest sampled centroid.
 
@@ -87,20 +99,24 @@ def build_ivf_index(
     partitioned by cell for pruned probes).
     Returns (assigned_df with ``_cell`` column, centroids list).
     """
-    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    if centroid_ids is not None:
-        cents = (
-            base.filter(F.col("cid").isin(list(centroid_ids)))
-            .orderBy("cid")
-            .collect()
+    if centroids is None:
+        src = centroid_source if centroid_source is not None else df
+        base = src.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
-    else:
-        cents = (
-            base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
-            .limit(num_cells)
-            .collect()
-        )
-    centroids = [(i, list(r.cvec)) for i, r in enumerate(cents)]
+        if centroid_ids is not None:
+            cents = (
+                base.filter(F.col("cid").isin(list(centroid_ids)))
+                .orderBy("cid")
+                .collect()
+            )
+        else:
+            cents = (
+                base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
+                .limit(num_cells)
+                .collect()
+            )
+        centroids = [(i, list(r.cvec)) for i, r in enumerate(cents)]
 
     # argmin over centroids via array_min on (distance, cell) structs —
     # struct ordering is (d asc, cell asc), so ties break to the lowest
@@ -109,10 +125,7 @@ def build_ivf_index(
     v = F.col(vec_col)
     cents_arr = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cvec]).alias("cvec"),
-            )
+            F.struct(F.lit(i).alias("cell"), _vec_lit(cvec).alias("cvec"))
             for i, cvec in centroids
         ]
     )
