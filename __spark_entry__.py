@@ -563,6 +563,31 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click attribution): for each purchase event, the latest
+    click by the same user at-or-before the purchase. Union + running
+    window — one shuffle on (user_id, ts), no range explosion (§2.3
+    beyond-reference extension; DuckDB oracle uses native ASOF JOIN)."""
+    from yaetl_spark.operators import as_of_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts"
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        F.unix_timestamp("click_ts").alias("last_click_ts"),
+        "purchase_value",
+    )
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality scoring + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -619,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dedup": q_simhash_dedup,
+        "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
         "image_features": q_image_features,
@@ -913,6 +939,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "asof_join": """
+            WITH p AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+                   CAST(floor(epoch(c.ts)) AS BIGINT) AS last_click_ts,
+                   p.value AS purchase_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "doc_fingerprint": f"""
             SELECT doc_id,
