@@ -563,6 +563,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
 
 
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: monthly order count + revenue rollup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.unix_timestamp(
+            F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("total"),
+        )
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for 1996Q1 orders having at least
+    one lineitem shipped after the order date (semi join with a non-equi
+    residual condition — stays a shuffle/broadcast hash semi join)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (click attribution): for each purchase event, the latest
     click by the same user at-or-before the purchase. Union + running
@@ -644,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_neardup": q_minhash_neardup,
         "simhash_dedup": q_simhash_dedup,
+        "orders_by_month": q_orders_by_month,
+        "order_priority": q_order_priority,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
@@ -939,6 +974,24 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "orders_by_month": """
+            SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+                       AS month_start,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS total
+            FROM orders GROUP BY 1
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
         """,
         "asof_join": """
             WITH p AS (SELECT user_id, ts, value FROM events

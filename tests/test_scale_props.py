@@ -108,3 +108,54 @@ def test_media_meta_columns(spark):
     row = meta.filter(F.length("text") > 0).first()
     assert row.media_size == len(row.text.encode("utf-8"))
     assert len(row.media_sha256) == 64 and len(row.media_sha1) == 40
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change results — only the shuffle distribution."""
+    from yaetl_spark.operators import salted_join
+
+    orders = spark.read.parquet(table_path("orders")).select(
+        "o_orderkey", "o_custkey")
+    cust = spark.read.parquet(table_path("customer")).select(
+        "c_custkey", "c_name")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    salted = salted_join(orders, cust, {"o_custkey": "c_custkey"}, salt=8)
+    assert sorted(map(tuple, plain.select(
+        "o_orderkey", "c_name").collect())) == sorted(map(tuple, salted.select(
+        "o_orderkey", "c_name").collect()))
+    # left join with defaults also preserved
+    from yaetl_spark.operators import OnClause
+    l_plain = spark.read.parquet(table_path("orders")).select("o_orderkey", "o_custkey")
+    high = cust.filter("c_custkey % 3 = 0")
+    from yaetl_spark.operators import join as eng_join
+    a = eng_join(l_plain, high, OnClause({"o_custkey": "c_custkey"},
+                                         default_record={"c_name": "NONE"}),
+                 how="left")
+    b = salted_join(l_plain, high, OnClause({"o_custkey": "c_custkey"},
+                                            default_record={"c_name": "NONE"}),
+                    salt=8, how="left")
+    assert sorted(map(tuple, a.select("o_orderkey", "c_name").collect())) == \
+           sorted(map(tuple, b.select("o_orderkey", "c_name").collect()))
+
+
+def test_salted_join_key_includes_salt(spark):
+    from yaetl_spark.operators import salted_join
+
+    orders = spark.read.parquet(table_path("orders")).select(
+        "o_orderkey", "o_custkey")
+    cust = spark.read.parquet(table_path("customer")).select(
+        "c_custkey", "c_name")
+    salted = salted_join(orders, cust, {"o_custkey": "c_custkey"}, salt=8)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(table_path("events"))
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")).first().a
+    assert abs(approx - exact) <= max(3.0, 0.15 * exact)

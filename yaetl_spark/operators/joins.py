@@ -138,6 +138,54 @@ def join(
     return joined.select(*out_cols)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: OnClause | str | Sequence[str] | Mapping[str, str],
+    salt: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi join: spread pathological hot keys over ``salt``
+    reducers.
+
+    The probe side gets a uniform salt in ``[0, salt)``; the build side is
+    replicated once per salt value (explode of a ``salt``-element array) and
+    the join key becomes ``(key..., salt)`` — so a single hot key's rows land
+    on ``salt`` different reducers instead of one. Semantics are identical
+    to :func:`join` for ``inner``/``left`` (the build side is present under
+    every salt, so miss detection is unchanged).
+
+    Use when a handful of keys dominate AND the build side is too big to
+    broadcast; AQE's skew-join split handles moderate skew automatically —
+    this is the deterministic heavy hammer for pathological distributions
+    (e.g. a null/default key holding 10% of 100 TB). Cost: build side
+    ``salt×`` larger in the shuffle.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'/'left'")
+    clause = on if isinstance(on, OnClause) else OnClause(on)
+    # Seeded rand is deterministic per task attempt and uniform — the salt
+    # only needs to spread rows, not be stable across different plans.
+    l_salted = left.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    r_salted = right.withColumn(
+        "__salt_arr",
+        F.array(*[F.lit(i) for i in range(salt)]),
+    ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
+    key_map = dict(clause.key_map)
+    key_map["__salt"] = "__salt"
+    out = join(
+        l_salted,
+        r_salted,
+        OnClause(key_map, default_record=clause.default_record,
+                 merge=clause.merge, suffix=clause.suffix),
+        how=how,
+    )
+    return out.drop("__salt")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
