@@ -239,3 +239,22 @@ def test_limit_offset(spark):
         .run()
     )
     assert sorted(r["id"] for r in sink.rows) == [2, 3, 4]
+
+
+def test_run_event_callbacks(spark, sf_dir):
+    from yaetl_spark import ParquetSource, Pipeline
+    from yaetl_spark.sinks import NoOpSink
+
+    events = []
+    (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/region.parquet"))
+        .to(NoOpSink())
+        .run(on_event=lambda e, p: events.append((e, p)))
+    )
+    names = [e for e, _ in events]
+    assert names[0] == "flow.start"
+    assert "flow.flush" in names
+    assert names[-1] == "flow.success"
+    success = dict(events)[ "flow.success"]
+    assert success["report"]["status"] == "clean"

@@ -87,3 +87,25 @@ def test_minhash_plan_has_single_shuffle_per_side(spark):
     plan = plan_of(spark, "minhash_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of = union + running window: exactly one hash Exchange (on the
+    key), never a range-join explosion."""
+    plan = plan_of(spark, "asof_join")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_priority_semi_join_hash(spark):
+    """Non-equi residual must ride a hash semi join, not a nested loop."""
+    plan = plan_of(spark, "order_priority")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_date_filter_pushdown(spark):
+    plan = plan_of(spark, "order_priority")
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters")[1].splitlines()[0]

@@ -86,3 +86,44 @@ def test_pandas_map_escape_hatch(spark):
     out = PandasMap(fn, "x int, y int").apply(df)
     rows = sorted((r["x"], r["y"]) for r in out.collect())
     assert rows[:3] == [(0, 0), (1, 2), (2, 4)] and len(rows) == 100
+
+
+# -- property-based checks (hypothesis) -------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import rolling_fingerprint
+
+    def _py_rolling(text: str, base: int = 31, mod: int = 2147483647) -> int:
+        import re
+
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        h = 0
+        for ch in norm:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=40),
+        min_size=1, max_size=8))
+    def test_rolling_fingerprint_matches_python_model(texts):
+        spark = pytest.importorskip("pyspark.sql").SparkSession.getActiveSession()
+        if spark is None:
+            from yaetl_spark.session import get_spark
+
+            spark = get_spark(app_name="hyp", shuffle_partitions=4)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [r.h for r in df.select(
+            rolling_fingerprint(F.col("text")).alias("h")).collect()]
+        assert got == [_py_rolling(t) for t in texts]

@@ -182,13 +182,31 @@ class Pipeline:
     def explain(self, mode: str = "formatted") -> None:
         self._require_df().explain(mode=mode)
 
-    def run(self, count_records: bool = True) -> dict[str, Any]:
+    def run(
+        self,
+        count_records: bool = True,
+        on_event: Callable[[str, dict], None] | None = None,
+    ) -> dict[str, Any]:
         """Execute: one write action per sink (+ branch sinks). Returns the
         stats report. With no sink, runs a noop write so the flow is
-        actually exercised (parity: a YaEtl flow always executes)."""
+        actually exercised (parity: a YaEtl flow always executes).
+
+        ``on_event`` receives (event, payload) callbacks mirroring the
+        reference's event vocabulary (``src/Events/YaEtlEvent.php:17-37``):
+        ``flow.start``, ``flow.flush`` (per sink), ``flow.success`` /
+        ``flow.fail``. Per-record progress events are a deliberate
+        divergence: record-level callbacks don't exist in a vectorized
+        engine — use ``observe()`` metrics or a SparkListener instead.
+        """
         df = self._require_df()
         t0 = time.monotonic()
         status = "clean"
+
+        def emit(event: str, **payload) -> None:
+            if on_event is not None:
+                on_event(event, payload)
+
+        emit("flow.start", counters=dict(self._counters))
         # record-count observation on the final frame, free during the write
         obs: Observation | None = None
         if count_records:
@@ -219,12 +237,14 @@ class Pipeline:
             for sink, bdf in branch_jobs:
                 sink.write(bdf)
                 all_sinks.append(sink)
-        except Exception:
+        except Exception as exc:
             status = "exception"
+            emit("flow.fail", error=repr(exc))
             raise
         finally:
             for sink in all_sinks:
                 sink.flush(status)
+                emit("flow.flush", sink=type(sink).__name__, status=status)
             if persisted:
                 df.unpersist()
         report: dict[str, Any] = {
@@ -236,6 +256,7 @@ class Pipeline:
             report["num_records"] = obs.get.get("num_records")
         for name, o in self._observations:
             report[f"observe_{name}"] = o.get
+        emit("flow.success", report=dict(report))
         return report
 
     def _apply_to(self, parent_df: DataFrame) -> DataFrame:
