@@ -436,11 +436,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (no SQL oracle — approximate
-    signature algebra; rows-only check)."""
+    """MinHash-LSH near-dup candidate pairs. Uses the oracle-checkable
+    ``hash_fn='rolling'`` family (31-bit polynomial shingle hashes +
+    16-bit universal-hash coefficients — exact in int64 in any engine);
+    production default stays xxhash64."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return minhash_lsh(docs, num_hashes=32, bands=8, shingle_size=2,
-                       jaccard_threshold=0.25)
+                       jaccard_threshold=0.25, hash_fn="rolling")
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +724,75 @@ _TOKN = (
     f"ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1 END"
 )
 _PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, seed: int = 42,
+                 threshold: float = 0.25) -> str:
+    """DuckDB replica of minhash_lsh(hash_fn='rolling') — generated from
+    the SAME coefficient family the Spark expression uses."""
+    from yaetl_spark.operators.dedup import _hash_coeffs31
+
+    rows = num_hashes // bands
+    coeffs = _hash_coeffs31(num_hashes, seed)
+    slot_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647))"
+        for a, b in coeffs
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'bhash': array_to_string(list_slice(sig, %d, %d), ',')}"
+        % (b, b * rows + 1, b * rows + rows)
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        grams AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t)),
+                          i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                END) AS g
+            FROM toks
+        ),
+        hashes AS (
+            SELECT doc_id, list_transform(g, s ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(s) + 1),
+                        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+                    (h, c) -> (h * 31 + c) % 2147483647)) AS hs
+            FROM grams
+        ),
+        sigs AS (
+            SELECT doc_id,
+               [{slot_exprs}] AS sig
+            FROM hashes
+        ),
+        banded AS (
+            SELECT doc_id, sig,
+                   unnest([{band_structs}], recursive := true)
+            FROM sigs
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bhash = b.bhash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(list_sum(list_transform(range(1, {num_hashes} + 1),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                     / {float(num_hashes)}, 6) AS jaccard_sim
+        FROM cands
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE list_sum(list_transform(range(1, {num_hashes} + 1),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                  / {float(num_hashes)} >= {threshold}
+    """
 
 
 def _stopword_hits_sql(padded: str) -> str:
@@ -1071,7 +1142,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, e.vec_id ASC
             LIMIT 10
         """,
-        # minhash_neardup / simhash_dedup / image_features: intentionally no
-        # oracle — they depend on xxhash64 / md5-derived stub pixels with no
-        # DuckDB equivalent; the driver records the weaker rows-only check.
+        "minhash_neardup": _minhash_sql(),
+        # simhash_dedup / image_features: intentionally no oracle — they
+        # depend on xxhash64 / md5-derived stub pixels with no DuckDB
+        # equivalent; the driver records the weaker rows-only check.
     }

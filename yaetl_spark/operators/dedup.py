@@ -65,6 +65,41 @@ def _hash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return coeffs
 
 
+# 31-bit family for the oracle-checkable hash_fn='rolling' mode: a < 2^16
+# keeps a*h + b under 2^47 — exact in int64 in ANY engine (DuckDB BIGINT
+# errors on overflow rather than wrapping, so the 61-bit family can't be
+# replicated there).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_coeffs31(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % ((1 << 16) - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE31
+        coeffs.append((a, b))
+    return coeffs
+
+
+def rolling_hash_raw(s: Column, base: int = 31, mod: int = _MERSENNE31) -> Column:
+    """Polynomial hash of a string column, NO normalization (for already-
+    normalized shingles). Exactly replicable in SQL via list_reduce."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(s.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.when(F.length(s) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda h, c: F.pmod(h * F.lit(base) + c, F.lit(mod)),
+        )
+    )
+
+
 def shingles(
     text: Column, mode: str = "word", size: int = 3
 ) -> Column:
@@ -92,26 +127,34 @@ def minhash_signature(
     shingle_size: int = 3,
     seed: int = 42,
     shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
 ) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``).
 
-    Shingle hashes use ``xxhash64``; each signature slot is
-    ``min((a*h + b) mod p)`` over the shingles (products wrap on signed
+    ``hash_fn='xxhash'`` (production): shingle hashes use ``xxhash64``;
+    slots are ``min((a*h + b) mod 2^61-1)`` (products wrap on signed
     64-bit — deterministic, and mixing quality is what matters).
+    ``hash_fn='rolling'`` (oracle mode): 31-bit polynomial shingle hashes
+    + a 16-bit-coefficient family — every operation exact in int64, so
+    plain SQL (DuckDB) reproduces the signatures bit-for-bit.
     Computed as ONE fold over the shingle-hash array with an array-of-
     minima accumulator, so the shingle construction runs exactly once per
     row regardless of ``num_hashes``.
     """
-    hashes = F.transform(
-        shingles(text, shingle_mode, shingle_size), lambda s: F.xxhash64(s)
-    )
+    sh = shingles(text, shingle_mode, shingle_size)
+    if hash_fn == "rolling":
+        hashes = F.transform(sh, lambda s: rolling_hash_raw(s))
+        coeffs, prime = _hash_coeffs31(num_hashes, seed), _MERSENNE31
+    else:
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
+        coeffs, prime = _hash_coeffs(num_hashes, seed), _MERSENNE
     coeff_arr = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _hash_coeffs(num_hashes, seed)
+            for a, b in coeffs
         ]
     )
-    init = F.array_repeat(F.lit(_MERSENNE).cast("bigint"), num_hashes)
+    init = F.array_repeat(F.lit(prime).cast("bigint"), num_hashes)
     return F.aggregate(
         hashes,
         init,
@@ -119,7 +162,7 @@ def minhash_signature(
             acc,
             coeff_arr,
             lambda m, c: F.least(
-                m, F.pmod(c.getField("a") * h + c.getField("b"), F.lit(_MERSENNE))
+                m, F.pmod(c.getField("a") * h + c.getField("b"), F.lit(prime))
             ),
         ),
     )
@@ -135,6 +178,7 @@ def minhash_lsh(
     jaccard_threshold: float | None = 0.8,
     seed: int = 42,
     shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -157,9 +201,24 @@ def minhash_lsh(
     sigs = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode
+            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
+            hash_fn,
         ).alias("_sig"),
     ).filter(F.size("_sig") > 0)
+
+    def band_key(b: Column) -> Column:
+        slot_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # rolling/oracle mode keeps the raw slot string (SQL-replicable);
+        # production mode hashes it down to 8 bytes for a cheaper shuffle
+        if hash_fn == "rolling":
+            return slot_str.alias("bhash")
+        return F.xxhash64(slot_str).alias("bhash")
 
     banded = sigs.select(
         "_id",
@@ -167,22 +226,7 @@ def minhash_lsh(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("_sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b)),
             )
         ).alias("_bucket"),
     ).select("_id", "_sig", "_bucket.band", "_bucket.bhash")
