@@ -165,3 +165,23 @@ def test_upsert_sql_dialects():
     assert "ON DUPLICATE KEY UPDATE v = VALUES(v)" in my
     with pytest.raises(ValueError):
         build_upsert_sql("t", ["id"], ["id"], "oracle9i")
+
+
+def test_pandas_udaf_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (UDAF surface): exact median per group must
+    equal the native median."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import pandas_udaf
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    med = pandas_udaf(lambda s: float(s.median()))
+    got = (orders.groupBy("o_orderstatus")
+           .agg(med("o_totalprice").alias("m")).collect())
+    expect = (orders.groupBy("o_orderstatus")
+              .agg(F.median("o_totalprice").alias("m")).collect())
+    g = {r.o_orderstatus: r.m for r in got}
+    e = {r.o_orderstatus: r.m for r in expect}
+    assert set(g) == set(e)
+    for k in e:
+        assert abs(g[k] - e[k]) < 1e-9

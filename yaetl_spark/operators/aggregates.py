@@ -79,6 +79,37 @@ class Distinct(Transformer):
         return df.select(*self.columns).distinct() if self.columns else df.distinct()
 
 
+def pandas_udaf(fn, return_type: str = "double"):
+    """Wrap a ``pandas.Series -> scalar`` callable as a GROUPED_AGG pandas
+    UDF — the UDAF surface (SURVEY.md §2.10, absent in the reference).
+
+    Usage::
+
+        median = pandas_udaf(lambda s: float(s.median()))
+        df.groupBy("k").agg(median("x").alias("med"))
+
+    Arrow-batched per group; Spark still plans partial aggregation for the
+    native aggs around it, but the UDAF itself needs the whole group on one
+    executor — prefer native ``F.*``/``percentile_approx`` in hot paths and
+    keep this for genuinely custom statistics.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    py_type = {
+        "double": float, "float": float, "bigint": int, "long": int,
+        "int": int, "integer": int, "string": str, "boolean": bool,
+    }.get(return_type.lower(), float)
+
+    def wrapped(s):
+        return fn(s)
+
+    # Series -> scalar type hints make pandas_udf infer GROUPED_AGG.
+    wrapped.__annotations__ = {"s": pd.Series, "return": py_type}
+    return pandas_udf(wrapped, return_type)
+
+
 def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
