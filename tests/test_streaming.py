@@ -120,3 +120,49 @@ def test_dedup_within_watermark_batch_fallback(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = dedup_within_watermark(df, ["k"], "ts", "1 minute")
     assert out.count() == 1
+
+
+def test_dedup_within_watermark_streaming(spark, sf_dir, tmp_path):
+    """Streaming dedup: a second file containing exact duplicates of every
+    event must produce zero additional output rows (state keyed on
+    (user_id, ts), bounded by the watermark)."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.streaming import dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = ev.limit(500).coalesce(1)
+    src = str(tmp_path / "dedup_src")
+    ev.write.parquet(src)  # file 1: originals
+    first = sorted(__import__("glob").glob(f"{src}/part-*"))[0]
+    shutil.copy(first, f"{src}/part-dup.parquet")  # file 2: exact duplicates
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "ts"], "ts", "3650 days")
+
+    out: list = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    expect = ev.select("user_id", "ts").distinct().count()
+    assert len(out) == expect
