@@ -446,9 +446,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash exact-signature dedup (no SQL oracle — xxhash64 not in
-    DuckDB; rows-only check)."""
-    return simhash_dedup(_t(spark, sf_dir, "documents"))
+    """SimHash exact-signature dedup. Oracle-checkable ``hash_fn='rolling'``
+    mode (31-bit polynomial shingle hashes, exact in SQL); production
+    default stays 64-bit xxhash64."""
+    return simhash_dedup(_t(spark, sf_dir, "documents"), hash_fn="rolling")
 
 
 def q_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +793,50 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, seed: int = 42,
         WHERE list_sum(list_transform(range(1, {num_hashes} + 1),
                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
                   / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _simhash_sql(shingle_size: int = 3) -> str:
+    """DuckDB replica of simhash_dedup(hash_fn='rolling'): rolling shingle
+    hashes → 31 bit-count sums → majority-bit signature → min-id per sig."""
+    n = shingle_size
+    sums = ",\n                   ".join(
+        f"SUM((h >> {b}) & 1) AS b{b}" for b in range(31)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(31)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, list_distinct(
+                CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - {n - 2}),
+                          i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))
+                END) AS g
+            FROM toks
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   unnest(list_transform(g, s ->
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(s) + 1),
+                               i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+                           (h, c) -> (h * 31 + c) % 2147483647))) AS h
+            FROM grams
+        ),
+        counts AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   {sums}
+            FROM hashes GROUP BY doc_id
+        ),
+        sigs AS (SELECT doc_id, {sig} AS sh FROM counts)
+        SELECT MIN(doc_id) AS doc_id FROM sigs GROUP BY sh
     """
 
 
@@ -1143,7 +1188,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "minhash_neardup": _minhash_sql(),
-        # simhash_dedup / image_features: intentionally no oracle — they
-        # depend on xxhash64 / md5-derived stub pixels with no DuckDB
-        # equivalent; the driver records the weaker rows-only check.
+        "simhash_dedup": _simhash_sql(),
+        # image_features: intentionally no oracle — the stub decoder derives
+        # pixels from an md5 digest with no DuckDB equivalent; the driver
+        # records the weaker rows-only check.
     }

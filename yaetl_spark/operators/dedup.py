@@ -313,36 +313,47 @@ def simhash_signatures(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
-    """``(id_col, _sh)`` — 64-bit SimHash per doc, explode + bit-count sums.
+    """``(id_col, _sh)`` — SimHash per doc, explode + bit-count sums.
 
     The fold form (:func:`simhash_signature`) builds a 64-CASE expression per
     shingle which falls out of whole-stage codegen; this DataFrame form
-    explodes shingle hashes and computes 64 ``sum((h >> b) & 1)`` aggregates.
-    Partial (map-side) aggregation means the shuffle carries one 64-int row
-    per doc — scale-safe, and every operator stays in codegen. Bit ``b`` of
-    the signature is set iff more than half the shingle hashes set it —
+    explodes shingle hashes and computes per-bit ``sum((h >> b) & 1)``
+    aggregates. Partial (map-side) aggregation means the shuffle carries one
+    row per doc — scale-safe, and every operator stays in codegen. Bit ``b``
+    of the signature is set iff more than half the shingle hashes set it —
     identical output to the fold form.
+
+    ``hash_fn='xxhash'`` (production): 64-bit signature. ``'rolling'``:
+    31-bit polynomial shingle hashes → 31-bit signature, every operation
+    exact in plain SQL (the DuckDB-oracle mode).
     """
+    if hash_fn == "rolling":
+        n_bits, hasher = 31, rolling_hash_raw
+    else:
+        n_bits, hasher = 64, F.xxhash64
     exploded = df.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 shingles(F.col(text_col), shingle_mode, shingle_size),
-                lambda s: F.xxhash64(s),
+                lambda s: hasher(s),
             )
         ).alias("_h"),
     )
     # Expressions as SQL strings: one py4j call each instead of several per
     # Column op — plan construction stays O(ms) despite 64 aggregates.
     sums = [
-        F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"_b{b}") for b in range(64)
+        F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"_b{b}")
+        for b in range(n_bits)
     ]
     counts = exploded.groupBy(id_col).agg(F.count("*").alias("_n"), *sums)
     terms = [
-        f"(CASE WHEN _b{b} * 2 > _n THEN {1 << b if b < 63 else -(1 << 63)}L "
+        f"(CASE WHEN _b{b} * 2 > _n THEN "
+        f"{1 << b if b < n_bits - 1 or n_bits < 64 else -(1 << 63)}L "
         f"ELSE 0L END)"
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sig = F.expr(" | ".join(terms))
     return counts.select(F.col(id_col), sig.alias("_sh"))
@@ -354,10 +365,13 @@ def simhash_dedup(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
 ) -> DataFrame:
     """Keep min-id representative per identical SimHash signature."""
     return (
-        simhash_signatures(df, text_col, id_col, shingle_size, shingle_mode)
+        simhash_signatures(
+            df, text_col, id_col, shingle_size, shingle_mode, hash_fn
+        )
         .groupBy("_sh")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
