@@ -566,6 +566,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
 
 
+def q_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (beyond-reference how=): every order and every
+    high-balance customer, matched where possible."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    return (
+        Pipeline(spark)
+        .from_(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"))
+        .join(cust, OnClause({"o_custkey": "c_custkey"}), how="full")
+        .df
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-status, per-priority, and grand totals
+    in one pass (one shuffle, Expand feeds partial aggregation)."""
+    return (
+        Pipeline(spark)
+        .from_(_ps(sf_dir, "orders"))
+        .transform(Aggregate(
+            ["o_orderstatus", "o_orderpriority"],
+            F.count(F.lit(1)).alias("n_orders"),
+            kind="grouping_sets",
+            grouping_sets=[["o_orderstatus"], ["o_orderpriority"], []],
+        ))
+        .df
+    )
+
+
+def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: seconds since the user's previous event."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("delta_sec"),
+    )
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: monthly order count + revenue rollup."""
     return (
@@ -682,6 +726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "orders_by_month": q_orders_by_month,
         "order_priority": q_order_priority,
+        "full_join": q_full_join,
+        "grouping_sets": q_grouping_sets,
+        "events_lag": q_events_lag,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
@@ -1090,6 +1137,27 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "full_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_acctbal
+            FROM (SELECT o_orderkey, o_custkey FROM orders) o
+            FULL JOIN (SELECT c_custkey, c_acctbal FROM customer
+                       WHERE c_acctbal > 9000) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "events_lag": """
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)))
+                        AS BIGINT) AS delta_sec,
+            FROM events
         """,
         "orders_by_month": """
             SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)

@@ -22,10 +22,19 @@ class Aggregate(Transformer):
     """groupBy().agg() with named outputs; ``kind`` selects plain grouping,
     'rollup' or 'cube'. Aggregates must be pre-aliased Columns."""
 
-    def __init__(self, keys: Sequence[str], *aggs: Column, kind: str = "group"):
+    def __init__(
+        self,
+        keys: Sequence[str],
+        *aggs: Column,
+        kind: str = "group",
+        grouping_sets: Sequence[Sequence[str]] | None = None,
+    ):
         self.keys = list(keys)
         self.aggs = aggs
         self.kind = kind
+        self.grouping_sets = (
+            [list(s) for s in grouping_sets] if grouping_sets else None
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.kind == "group":
@@ -34,8 +43,13 @@ class Aggregate(Transformer):
             grouped = df.rollup(*self.keys)
         elif self.kind == "cube":
             grouped = df.cube(*self.keys)
+        elif self.kind == "grouping_sets":
+            grouped = df.groupingSets(
+                [[F.col(c) for c in s] for s in self.grouping_sets or []],
+                *self.keys,
+            )
         else:
-            raise ValueError("kind must be group/rollup/cube")
+            raise ValueError("kind must be group/rollup/cube/grouping_sets")
         return grouped.agg(*self.aggs)
 
 
