@@ -159,3 +159,48 @@ def test_approx_count_distinct_within_tolerance(spark):
     approx = ev.agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("a")).first().a
     assert abs(approx - exact) <= max(3.0, 0.15 * exact)
+
+
+def test_ivf_partitioned_index_prunes_scan(spark, tmp_path):
+    """The IVF scale path: index written partitionBy(_cell) + a probe-cell
+    filter must prune partitions at the scan (PartitionFilters), reading
+    only nprobe/num_cells of the data."""
+    emb = spark.read.parquet(table_path("embeddings"))
+    assigned, cents = build_ivf_index(emb, centroid_ids=list(range(8)))
+    idx = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("_cell").parquet(idx)
+
+    index = spark.read.parquet(idx)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    got = ivf_topk(index, cents, qvec, k=5, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cell" in plan.split(
+        "PartitionFilters:")[1].splitlines()[0]
+    # pruned result == unpruned result (same probe cells either way)
+    expect = ivf_topk(assigned, cents, qvec, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect()))
+
+
+def test_resize_and_audio_stubs(spark):
+    """Resize emits exact-size payloads; audio features are deterministic
+    and content-dependent (multimodal plumbing surface)."""
+    from yaetl_spark.operators.multimodal import decode_audio, resize_images
+
+    docs = spark.read.parquet(table_path("documents")).limit(30)
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    resized = resize_images(bin_docs, 8, 6, binary_col="data",
+                            id_col="doc_id", use_stub_decoder=True)
+    rows = resized.collect()
+    assert all(len(r.data) == 8 * 6 * 3 for r in rows)
+    assert all(r.width == 8 and r.height == 6 for r in rows)
+
+    audio = decode_audio(bin_docs, binary_col="data", id_col="doc_id",
+                         use_stub_decoder=True)
+    a = {r.doc_id: (r.duration_sec, r.rms) for r in audio.collect()}
+    b = {r.doc_id: (r.duration_sec, r.rms) for r in decode_audio(
+        bin_docs.repartition(4), binary_col="data", id_col="doc_id",
+        use_stub_decoder=True).collect()}
+    assert a == b and all(v[0] > 0 for v in a.values())

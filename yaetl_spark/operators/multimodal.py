@@ -109,6 +109,77 @@ def decode_images(
     return df.select(id_col, binary_col).mapInPandas(mapper, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "data",
+    id_col: str = "id",
+    use_stub_decoder: bool = False,
+) -> DataFrame:
+    """binary → (id, data: binary, width, height) resized payloads.
+
+    Real implementation needs PIL; the stub emits a deterministic
+    ``width*height*3``-byte payload derived from an md5 keystream of the
+    input (content-dependent, size-exact — the partition/Arrow plumbing is
+    what's real here).
+    """
+    if not use_stub_decoder:
+        raise NotImplementedError(
+            "image codecs are not installed; pass use_stub_decoder=True"
+        )
+    import hashlib
+
+    out_schema = f"{id_col} bigint, data binary, width int, height int"
+    n_bytes = width * height * 3
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, raw in zip(batch[id_col], batch[binary_col]):
+                seed = hashlib.md5(bytes(raw)).digest()
+                reps = n_bytes // len(seed) + 1
+                rows.append((rid, (seed * reps)[:n_bytes], width, height))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "data", "width", "height"])
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema=out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    use_stub_decoder: bool = False,
+) -> DataFrame:
+    """binary → (id, duration_sec, sample_rate, rms) audio features.
+
+    Real implementation needs librosa/ffmpeg; the stub derives duration
+    from byte length (16 kHz 16-bit mono model) and an rms from the byte
+    histogram — deterministic and content-dependent.
+    """
+    if not use_stub_decoder:
+        raise NotImplementedError(
+            "audio codecs are not installed; pass use_stub_decoder=True"
+        )
+    out_schema = f"{id_col} bigint, duration_sec double, sample_rate int, rms double"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for rid, raw in zip(batch[id_col], batch[binary_col]):
+                data = np.frombuffer(bytes(raw), dtype=np.uint8)
+                duration = len(data) / (16_000 * 2)
+                rms = float(np.sqrt(np.mean(
+                    (data.astype(np.float64) - 127.5) ** 2))) if len(data) else 0.0
+                rows.append((rid, duration, 16_000, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "duration_sec", "sample_rate", "rms"])
+
+    return df.select(id_col, binary_col).mapInPandas(mapper, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "data",
