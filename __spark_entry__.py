@@ -610,6 +610,23 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface (§2.10 extension): schema-full from_json parse
+    of the events props column, aggregated per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k bigint").getField("k")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: monthly order count + revenue rollup."""
     return (
@@ -729,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_join": q_full_join,
         "grouping_sets": q_grouping_sets,
         "events_lag": q_events_lag,
+        "json_extract": q_json_extract,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
@@ -1137,6 +1155,14 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "full_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_custkey, c.c_acctbal
