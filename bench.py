@@ -39,10 +39,12 @@ def main() -> None:
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths so per-query timings measure the engine,
-    # not session startup.
+    # Warm the JVM/codegen paths AND the Python UDF workers so per-query
+    # timings measure the engine, not session/interpreter startup.
     warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
     materialize(warm)
+    materialize(
+        spark.range(32).mapInPandas(lambda it: it, schema="id long"))
 
     timings: dict[str, float] = {}
     queries = entry_mod.queries()
