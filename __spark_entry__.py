@@ -685,6 +685,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs — the bucketed scale path for
+    embedding dedup (equi join on an 8-bit sign bucket, never all-pairs).
+    Oracle mode uses the quadratic-residue plane family (exact in SQL)."""
+    from yaetl_spark.operators import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.40, num_planes=8,
+                                 plane_fn="lcg")
+
+
 def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality scoring + deterministic top-20."""
     docs = _t(spark, sf_dir, "documents")
@@ -747,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "events_lag": q_events_lag,
         "json_extract": q_json_extract,
+        "embedding_lsh": q_embedding_lsh,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
@@ -858,6 +870,41 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, seed: int = 42,
         WHERE list_sum(list_transform(range(1, {num_hashes} + 1),
                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
                   / {float(num_hashes)} >= {threshold}
+    """
+
+
+def _embedding_lsh_sql(num_planes: int = 8, seed: int = 42,
+                       threshold: float = 0.40) -> str:
+    """DuckDB replica of embedding_dedup_pairs(plane_fn='lcg'): the sign of
+    plane p at dimension i is the parity of ((a_p*i + b_p) % M)^2 % M —
+    exact int64 arithmetic in both engines."""
+    from yaetl_spark.operators.dedup import _MERSENNE31, _hash_coeffs31
+
+    M = _MERSENNE31
+    coeffs = _hash_coeffs31(num_planes, seed)
+    dots = []
+    for p, (a, b) in enumerate(coeffs):
+        sign = (f"(CASE WHEN ((({a} * i + {b}) % {M}) * (({a} * i + {b}) % {M}))"
+                f" % {M} % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+        dots.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * {sign})), (x, y) -> x + y)"
+        )
+    bucket = " + ".join(
+        f"(CASE WHEN ({d}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, d in enumerate(dots)
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        bucketed AS (SELECT vec_id, v, {bucket} AS bkt FROM emb)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM bucketed a JOIN bucketed b
+          ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
     """
 
 
@@ -1281,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "embedding_lsh": _embedding_lsh_sql(),
         "minhash_neardup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),
         # image_features: intentionally no oracle — the stub decoder derives

@@ -437,13 +437,16 @@ def embedding_dedup_pairs(
     num_planes: int = 8,
     seed: int = 42,
     brute_force: bool = False,
+    plane_fn: str = "xxhash",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
     Scale path: random-hyperplane LSH — each vector gets a ``num_planes``-bit
     sign bucket; only same-bucket pairs are compared (equi join on the
-    bucket key). Hyperplanes are deterministic pseudo-random unit-free
-    vectors derived from xxhash64 of (plane, dim) — no RNG state.
+    bucket key). ``plane_fn='xxhash'`` (production) derives the ±1 plane
+    components from xxhash64 of (plane, dim); ``'lcg'`` derives them from a
+    quadratic-residue mix of 31-bit coefficients — every step exact in
+    int64, so plain SQL (the DuckDB oracle) reproduces buckets bit-for-bit.
 
     ``brute_force=True`` switches to the exact quadratic join (for tests /
     small dims).
@@ -456,19 +459,43 @@ def embedding_dedup_pairs(
         pairs = a.join(b, F.col("a._id") < F.col("b._id"))
     else:
         dim_idx = F.sequence(F.lit(0), F.size("_v") - 1)
+        coeffs = _hash_coeffs31(num_planes, seed)
+
+        # Spark infers higher-order-function arity from the Python callable's
+        # parameter count — the sign fns must take exactly one argument.
+        def lcg_sign(a_p: int, b_p: int):
+            def sign(i):
+                # bigint throughout — int32 would silently wrap on a*(i+1)+b
+                v = F.pmod(
+                    F.lit(a_p).cast("bigint") * (i + 1).cast("bigint")
+                    + F.lit(b_p).cast("bigint"),
+                    F.lit(_MERSENNE31),
+                )
+                w = F.pmod(v * v, F.lit(_MERSENNE31))
+                return F.when(F.pmod(w, F.lit(2)) == 0,
+                              F.lit(1.0)).otherwise(F.lit(-1.0))
+
+            return sign
+
+        def xxhash_sign(p: int):
+            def sign(i):
+                return F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i),
+                           F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+
+            return sign
+
         plane_bits = []
         for p in range(num_planes):
-            # pseudo-random ±1 per dimension from a deterministic hash
+            sign = (lcg_sign(*coeffs[p]) if plane_fn == "lcg"
+                    else xxhash_sign(p))
+
             dot = F.aggregate(
                 F.zip_with(
                     F.col("_v"),
-                    F.transform(
-                        dim_idx,
-                        lambda i, p=p: F.when(
-                            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0)),
-                    ),
+                    F.transform(dim_idx, sign),
                     lambda v, s: v.cast("double") * s,
                 ),
                 F.lit(0.0),
