@@ -610,6 +610,34 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: per nation, the sorted distinct set of
+    customer market segments (sort_array(collect_set), joined to a
+    canonical string — deterministic, unlike raw collect_list)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment")))
+             .alias("segments"),
+             F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-UDF analogue (§2.10): explode tokenized documents into one
+    row per token, count occurrences, deterministic top-20."""
+    from yaetl_spark.operators import tokenize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-function surface (§2.10 extension): schema-full from_json parse
     of the events props column, aggregated per event type."""
@@ -759,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag": q_events_lag,
         "json_extract": q_json_extract,
         "embedding_lsh": q_embedding_lsh,
+        "collect_segments": q_collect_segments,
+        "explode_tokens": q_explode_tokens,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
@@ -1202,6 +1232,22 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "collect_segments": """
+            SELECT c_nationkey AS nationkey,
+                   array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+                   COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        """,
+        "explode_tokens": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '')) AS token
+                  FROM documents WHERE doc_id < 50)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
         """,
         "json_extract": """
             SELECT event_type,
