@@ -610,6 +610,40 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit value list so
+    output columns are deterministic; compiles to one aggregation)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        # pivot yields null for empty cells; the SQL FILTER count yields 0
+        .na.fill(0, ["n_f", "n_o", "n_p"])
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-returnflag totals melted into
+    (returnflag, measure, value) rows."""
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("qty"),
+            F.round(F.sum(_dec2("l_extendedprice")), 2).cast("double").alias("price"),
+            F.round(F.sum(_dec4("l_discount")), 2).cast("double").alias("discount"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nation pairs by year —
     five joins (fact + four dims, nation self-joined under two roles),
@@ -822,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "collect_segments": q_collect_segments,
         "nation_volume": q_nation_volume,
+        "pivot_counts": q_pivot_counts,
+        "unpivot_measures": q_unpivot_measures,
         "explode_tokens": q_explode_tokens,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1266,6 +1302,27 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "pivot_counts": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot_measures": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price,
+                       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS discount
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'price', price FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'discount', discount FROM wide
         """,
         "nation_volume": f"""
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
