@@ -610,6 +610,24 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity surface: Levenshtein distance between document
+    prefixes for a small candidate set (both engines implement the
+    standard edit distance)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, 30).alias("p"))
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 15)
+    )
+
+
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority × status (explicit value list so
     output columns are deterministic; compiles to one aggregation)."""
@@ -857,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_segments": q_collect_segments,
         "nation_volume": q_nation_volume,
         "pivot_counts": q_pivot_counts,
+        "edit_distance": q_edit_distance,
         "unpivot_measures": q_unpivot_measures,
         "explode_tokens": q_explode_tokens,
         "asof_join": q_asof_join,
@@ -1302,6 +1321,14 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk": f"""
             SELECT doc_id, {quality} AS quality FROM documents
             ORDER BY quality DESC, doc_id ASC LIMIT 20
+        """,
+        "edit_distance": """
+            WITH p AS (SELECT doc_id, substr(lower(text), 1, 30) AS p
+                       FROM documents WHERE doc_id < 30)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.p, b.p) <= 15
         """,
         "pivot_counts": """
             SELECT o_orderpriority,
