@@ -819,6 +819,239 @@ def q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of PROMO-part volume sold into ASIA
+    per order year. Conditional aggregation (sum-of-case over sum); all dims
+    broadcast, single big-table shuffle on the year key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA") \
+        .select("r_regionkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    volume = (_dec2("l_extendedprice") *
+              (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    zero = F.lit(0).cast("decimal(21,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("vol", volume)
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("vol"))
+                  .otherwise(zero)).alias("_n1"),
+            F.sum("vol").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_n1").cast("double") / F.col("_tot").cast("double"), 6)
+            .alias("mkt_share"),
+            F.round(F.col("_tot"), 2).cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned items
+    in 1996H1. Join fact→orders→customer (broadcast), aggregate on the
+    customer key, deterministic top-k."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    volume = (_dec2("l_extendedprice") *
+              (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, including
+    zero-order customers (left outer join + count, then a second aggregate
+    over the counts — the classic count-of-counts double shuffle)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue.
+    The scalar-subquery max is computed once and broadcast back (1-row
+    join), never a global window over the fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    volume = (_dec2("l_extendedprice") *
+              (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("_max"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity orders
+    (< 50% of the part's average quantity) for one brand were not filled.
+    The correlated AVG subquery decorrelates into a per-part aggregate
+    broadcast back onto the fact scan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1") \
+        .select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = (
+        brand_li.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.sum(_dec2("l_quantity")).cast("double")
+              / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        brand_li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice")) / 7, 2).cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250 (group-by +
+    HAVING in-subquery), joined back to customer and order headers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def q_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, count + balance of customers
+    whose balance beats the global positive average (scalar subquery,
+    broadcast 1-row join) and who never ordered (anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec2("c_acctbal")).cast("double")
+              / F.count(F.lit(1))).alias("_avg"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(_dec2("c_acctbal")), 2).cast("double").alias("total_bal"),
+        )
+    )
+
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in this schema): for each large
+    part, the supplier observed offering the lowest unit price. The
+    correlated MIN decorrelates into a row_number window partitioned by
+    part — one shuffle on l_partkey, ties broken on suppkey."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 45) \
+        .select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("double")
+         / F.col("l_quantity").cast("double")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc())
+    best = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"), "p_brand",
+            "s_suppkey", "s_name",
+            F.round("unit_price", 6).alias("best_unit_price"),
+        )
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline): a
+    Knuth-multiplicative hash of the key picks per-stratum rates (10% of
+    open, 50% of finished, 100% of pending orders). Pure integer
+    arithmetic — reproducible across engines and cluster sizes, no RNG
+    state; the filter pushes down to the scan."""
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", F.lit(100))
+        .when(F.col("o_orderstatus") == "F", F.lit(500))
+        .otherwise(F.lit(1000))
+    )
+    bucket = F.pmod(F.col("o_orderkey") * F.lit(2654435761) + F.lit(12345),
+                    F.lit(1000))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(bucket < rate)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -883,6 +1116,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "image_features": q_image_features,
         "ann_ivf": q_ann_ivf,
+        # TPC-H-shaped decision-support suite (subquery/decorrelation shapes)
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "prospects": q_prospects,
+        "min_price_supplier": q_min_price_supplier,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -1510,6 +1753,130 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _embedding_lsh_sql(),
         "minhash_neardup": _minhash_sql(),
         "simhash_dedup": _simhash_sql(),
+        "market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(SUM(CASE WHEN ns.n_name = 'NATION_1'
+                                       THEN {disc_price}
+                                       ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                         / CAST(SUM({disc_price}) AS DOUBLE), 6) AS mkt_share,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS total_volume
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "customer_distribution": """
+            SELECT c_count, COUNT(*) AS n_custs FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "small_qty_revenue": """
+            WITH brand_li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ),
+            avg_qty AS (
+                SELECT l_partkey AS ap_key,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(*) AS avg_qty
+                FROM brand_li GROUP BY l_partkey
+            )
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) / 7, 2)
+                        AS DOUBLE) AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM brand_li JOIN avg_qty ON l_partkey = ap_key
+            WHERE l_quantity < 0.5 * avg_qty
+        """,
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "prospects": """
+            SELECT c_mktsegment, COUNT(*) AS n_custs,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(*)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "min_price_supplier": """
+            WITH best AS (
+                SELECT l_partkey AS partkey, p_brand, l_suppkey,
+                       CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE) AS unit_price,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY CAST(l_extendedprice AS DOUBLE)
+                                        / CAST(l_quantity AS DOUBLE) ASC,
+                                    l_suppkey ASC) AS rn
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_size >= 45
+            )
+            SELECT partkey, p_brand, s_suppkey, s_name,
+                   round(unit_price, 6) AS best_unit_price
+            FROM best JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rn = 1
+        """,
+        "hash_sample": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE (o_orderkey * 2654435761 + 12345) % 1000 <
+                  CASE o_orderstatus WHEN 'O' THEN 100
+                                     WHEN 'F' THEN 500
+                                     ELSE 1000 END
+        """,
         # image_features: intentionally no oracle — the stub decoder derives
         # pixels from an md5 digest with no DuckDB equivalent; the driver
         # records the weaker rows-only check.

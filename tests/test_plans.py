@@ -109,3 +109,48 @@ def test_date_filter_pushdown(spark):
     plan = plan_of(spark, "order_priority")
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters")[1].splitlines()[0]
+
+
+def test_market_share_all_dims_broadcast(spark):
+    """Q8 shape: seven joins, but only orders is big enough to shuffle —
+    part/customer/nation/region/supplier must all broadcast."""
+    plan = plan_of(spark, "market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    # the only sort-merge candidate is lineitem ⋈ orders
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_top_supplier_scalar_max_broadcasts(spark):
+    """Q15 shape: the 1-row MAX side must come back as a broadcast, never
+    a shuffle of the aggregated side."""
+    plan = plan_of(spark, "top_supplier")
+    assert "BroadcastHashJoin" in plan
+    # date filter pushed to the fact scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_small_qty_decorrelated_avg_broadcasts(spark):
+    """Q17 shape: the per-part AVG subquery must broadcast back onto the
+    brand-filtered fact, and the brand filter must reach the part scan."""
+    plan = plan_of(spark, "small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "p_brand" in plan
+
+
+def test_prospects_anti_join_hash(spark):
+    plan = plan_of(spark, "prospects")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_single_stage(spark):
+    """Deterministic sampling is a pure map-side filter: no hash/range
+    shuffle anywhere (the only allowed Exchange is the round-robin
+    ensure_parallelism repartition for single-row-group test parquet),
+    and the filter must run below it, in the scan stage."""
+    plan = plan_of(spark, "hash_sample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    scan_stage = plan.split("Exchange")[-1]
+    assert "Filter" in scan_stage and "pmod" in scan_stage
