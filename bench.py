@@ -45,6 +45,12 @@ def main() -> None:
     materialize(warm)
     materialize(
         spark.range(32).mapInPandas(lambda it: it, schema="id long"))
+    # file-index + footer + scan-codegen init per table (fixed session
+    # setup, else it lands on whichever query touches a table first);
+    # events carries TIMESTAMP(NANOS) which Spark only reads as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in entry_mod.TABLES:
+        materialize(spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1))
 
     timings: dict[str, float] = {}
     queries = entry_mod.queries()

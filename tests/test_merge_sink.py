@@ -1,0 +1,65 @@
+"""MergeParquetSink (upsert into plain parquet) tests.
+
+The scale contract: a partitioned merge must read and rewrite ONLY the
+partitions the incoming batch touches (dynamic partition overwrite), so
+a 1-of-N-partition merge is ~1/N of the table's IO, not a full rewrite.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from yaetl_spark.sinks import MergeParquetSink
+
+
+def _rows(spark, path):
+    return {
+        tuple(r) for r in
+        spark.read.parquet(path).select("k", "seg", "v").collect()
+    }
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k int, seg string, v double")
+
+
+def test_merge_update_insert(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    sink = MergeParquetSink(path, keys=["k"])
+    sink.write(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]))
+    # k=2 updated, k=4 inserted, k=1/3 untouched
+    sink.write(_mk(spark, [(2, "a", 20.0), (4, "b", 4.0)]))
+    assert _rows(spark, path) == {
+        (1, "a", 1.0), (2, "a", 20.0), (3, "b", 3.0), (4, "b", 4.0)}
+
+
+def test_merge_delete_where(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    sink = MergeParquetSink(path, keys=["k"], delete_where="v < 0")
+    sink.write(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    # k=1 deleted (tombstone row), k=2 updated
+    sink.write(_mk(spark, [(1, "a", -1.0), (2, "a", 22.0)]))
+    assert _rows(spark, path) == {(2, "a", 22.0)}
+
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    sink = MergeParquetSink(path, keys=["k"], partition_by=["seg"])
+    sink.write(_mk(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]))
+
+    untouched_before = sorted(glob.glob(os.path.join(path, "seg=b", "*")))
+    sink.write(_mk(spark, [(2, "a", 20.0), (5, "a", 5.0)]))
+    untouched_after = sorted(glob.glob(os.path.join(path, "seg=b", "*")))
+
+    # dynamic overwrite must leave the seg=b partition's files untouched
+    assert untouched_before == untouched_after
+    assert _rows(spark, path) == {
+        (1, "a", 1.0), (2, "a", 20.0), (3, "b", 3.0), (5, "a", 5.0)}
+
+
+def test_merge_into_empty_target_is_plain_write(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    sink = MergeParquetSink(path, keys=["k"], partition_by=["seg"])
+    sink.write(_mk(spark, [(1, "a", 1.0)]))
+    assert _rows(spark, path) == {(1, "a", 1.0)}

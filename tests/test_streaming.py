@@ -166,3 +166,64 @@ def test_dedup_within_watermark_streaming(spark, sf_dir, tmp_path):
 
     expect = ev.select("user_id", "ts").distinct().count()
     assert len(out) == expect
+
+
+def test_stateful_sessionize_batch_fallback(spark):
+    from yaetl_spark.streaming import stateful_sessionize
+
+    df = spark.createDataFrame(
+        [("u1", 0), ("u1", 30), ("u1", 3600), ("u2", 10)],
+        "user_id string, sec long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    out = {
+        (r.user_id, r.window_start, r.window_end, r.n_events)
+        for r in stateful_sessionize(df, "user_id", "ts", 60).collect()
+    }
+    assert out == {("u1", 0, 90, 2), ("u1", 3600, 3660, 1), ("u2", 10, 70, 1)}
+
+
+def test_stateful_sessionize_streaming_multi_trigger(spark, tmp_path):
+    """Event-time-timeout sessionization across real triggers
+    (maxFilesPerTrigger=1). File 1 opens sessions for u1/u2; file 2's
+    late-gap u1 event closes u1's first session in-line, and the advanced
+    watermark fires u2's event-time timeout. u1's second session stays
+    open (no emission) — exactly the append-mode contract."""
+    import time as _t
+
+    from yaetl_spark.streaming import stateful_sessionize
+
+    src = str(tmp_path / "sess_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id string, sec long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    # base is well past epoch 0: the initial watermark is 0 ms and the
+    # late-row filter drops ts <= watermark, so an epoch-0 event vanishes
+    B = 100_000
+    mk([("u1", B + 0), ("u1", B + 30), ("u2", B + 10)]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    mk([("u1", B + 3600)]).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = stateful_sessionize(
+        stream, "user_id", "ts", 60, watermark="0 seconds")
+
+    out: list = []
+    q = (sessions.writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.window_start, r.window_end, r.n_events)
+           for r in out}
+    assert got == {("u1", B + 0, B + 90, 2), ("u2", B + 10, B + 70, 1)}

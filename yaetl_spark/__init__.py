@@ -24,7 +24,7 @@ from .operators import (
     as_of_join,
     join,
 )
-from .sinks import CollectSink, CsvSink, JdbcSink, JsonSink, NoOpSink, ParquetSink
+from .sinks import CollectSink, CsvSink, JdbcSink, JsonSink, MergeParquetSink, NoOpSink, ParquetSink
 from .sources import (
     Source,
     AggregateSource,
@@ -79,5 +79,6 @@ __all__ = [
     "CsvSink",
     "JsonSink",
     "ParquetSink",
+    "MergeParquetSink",
     "JdbcSink",
 ]

@@ -69,13 +69,26 @@ def brute_force_topk(
 
 
 def _vec_lit(values: list[float]) -> Column:
-    """Array literal in ONE py4j call (F.lit accepts lists in Spark 4);
-    falls back to per-element lits on older APIs. For a 64-dim centroid
-    set this is ~1000 fewer driver round-trips."""
-    try:
-        return F.lit([float(x) for x in values])
-    except Exception:
-        return F.array(*[F.lit(float(x)) for x in values])
+    """Array literal in ONE py4j call. ``F.lit(list)`` silently expands to
+    one JVM round-trip per element (~1 ms each — a 64-dim vector costs
+    ~70 ms of driver time); a SQL string through ``F.expr`` is a single
+    call and the JVM parser is microseconds. ``repr`` round-trips doubles
+    exactly; the ``D`` suffix forces DOUBLE (bare ``0.1`` parses DECIMAL)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in values) + ")"
+    )
+
+
+def _mat_lit(rows: list[list[float]]) -> Column:
+    """Nested array<array<double>> literal in ONE py4j call (see _vec_lit)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            for cv in rows
+        )
+        + ")"
+    )
 
 
 def build_ivf_index(
@@ -122,26 +135,29 @@ def build_ivf_index(
     # struct ordering is (d asc, cell asc), so ties break to the lowest
     # cell. One linear-size expression; a chained when(d < best_d) argmin
     # would embed the running best twice per step (exponential tree).
+    # The whole centroid set rides in as ONE nested-array literal (a single
+    # Catalyst constant + one py4j call) instead of num_cells × dim scalar
+    # literals — for 16×64 that cuts ~2 s of driver-side analysis.
     v = F.col(vec_col)
-    cents_arr = F.array(
-        *[
-            F.struct(F.lit(i).alias("cell"), _vec_lit(cvec).alias("cvec"))
-            for i, cvec in centroids
-        ]
-    )
+    cell_ids = [int(i) for i, _ in centroids]
+    cvecs = [[float(x) for x in cvec] for _, cvec in centroids]
+
+    def sqdist(cv: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v, cv,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ids_lit = F.expr(
+        "array(" + ",".join(str(i) for i in cell_ids) + ")")
     dist_structs = F.transform(
-        cents_arr,
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    s.getField("cvec"),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            s.getField("cell").alias("cell"),
+        _mat_lit(cvecs),
+        lambda cv, i: F.struct(
+            sqdist(cv).alias("d"), F.get(ids_lit, i).alias("cell")
         ),
     )
     best = F.array_min(dist_structs)

@@ -137,6 +137,106 @@ class BucketedTableSink(Sink):
         writer.saveAsTable(self.table)
 
 
+class MergeParquetSink(Sink):
+    """MERGE (upsert) into a parquet directory — no table format required.
+
+    Semantics per incoming batch (the reference has no merge; this is the
+    beyond-reference analogue of ``INSERT ... ON DUPLICATE KEY UPDATE``
+    that its PDO loaders lean on, ``/root/reference/docs/loaders.md``):
+
+    - matched key + ``delete_where`` row → existing row deleted;
+    - matched key → existing row replaced by the incoming row;
+    - unmatched key → incoming row inserted.
+
+    Mechanics: existing rows anti-joined against incoming keys, unioned
+    with the incoming batch, staged to a side directory (plain parquet has
+    no transaction log, and Spark refuses to overwrite a path it is
+    lazily reading), then committed.
+
+    Scale path: with ``partition_by``, only partitions present in the
+    incoming batch are read (partition pruning on the existing side) and
+    only those are rewritten (dynamic partition overwrite) — a merge that
+    touches 1 of 10 000 partitions reads and writes 1/10 000 of the table.
+    Unpartitioned targets are rewritten whole via a directory swap (the
+    swap is not atomic across processes — use a table format for
+    concurrent writers).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        delete_where: str | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.path = path
+        self.keys = list(keys)
+        self.partition_by = partition_by
+        self.delete_where = delete_where
+
+    def _target_exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            name.endswith(".parquet") or name.startswith(("part-", "_"))
+            or "=" in name
+            for name in os.listdir(self.path)
+        )
+
+    def write(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        upserts = df.filter(f"NOT ({self.delete_where})") \
+            if self.delete_where else df
+
+        if not self._target_exists():
+            writer = upserts.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.path)
+            return
+
+        existing = spark.read.parquet(self.path)
+        if self.partition_by:
+            # prune the existing side to the partitions the batch touches
+            touched = df.select(*self.partition_by).distinct().collect()
+            pred = None
+            for row in touched:
+                clause = None
+                for c in self.partition_by:
+                    eq = F.col(c) == F.lit(row[c])
+                    clause = eq if clause is None else (clause & eq)
+                pred = clause if pred is None else (pred | clause)
+            existing = existing.filter(pred)
+
+        kept = existing.join(
+            df.select(*self.keys).distinct(), on=self.keys, how="left_anti"
+        )
+        merged = kept.select(*df.columns).unionByName(upserts)
+
+        stage = self.path.rstrip("/") + "._merge_stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        try:
+            if self.partition_by:
+                (
+                    staged.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*self.partition_by)
+                    .parquet(self.path)
+                )
+            else:
+                tmp_old = self.path.rstrip("/") + "._merge_old"
+                shutil.rmtree(tmp_old, ignore_errors=True)
+                os.rename(self.path, tmp_old)
+                os.rename(stage, self.path)
+                shutil.rmtree(tmp_old)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
 class JsonSink(Sink):
     def __init__(self, path: str, mode: str = "overwrite", **kw):
         super().__init__(**kw)

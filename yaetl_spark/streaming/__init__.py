@@ -4,6 +4,7 @@ from .stream import (
     running_totals,
     session_window_agg,
     sliding_window_agg,
+    stateful_sessionize,
     tumbling_window_agg,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "session_window_agg",
     "dedup_within_watermark",
     "running_totals",
+    "stateful_sessionize",
 ]

@@ -145,6 +145,99 @@ def running_totals(
     )
 
 
+def stateful_sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    gap_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization with an event-time timeout — the
+    template for operators where built-in ``session_window`` can't carry
+    custom per-session state (e.g. emitting a session only once, when it
+    CLOSES, with arbitrary session-level features).
+
+    Per key, state holds (session_start, last_ts, n_events). An arriving
+    batch extends the open session or closes it (gap exceeded → emit the
+    closed session, open a new one). When no events arrive, the
+    event-time timeout fires once the watermark passes last_ts + gap and
+    the final session is emitted — state stays O(open sessions).
+
+    Batch mode falls back to the equivalent session_window aggregation
+    (same output schema), so the operator is oracle-checkable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} {dict(df.dtypes)[key]}, window_start bigint, "
+        "window_end bigint, n_events bigint"
+    )
+
+    if not df.isStreaming:
+        return session_window_agg(
+            df, time_col, f"{gap_seconds} seconds",
+            F.count(F.lit(1)).alias("n_events"), extra_keys=[key],
+        ).select(key, "window_start", "window_end", "n_events")
+
+    gap_ms = gap_seconds * 1000
+    state_schema = "start_ms bigint, last_ms bigint, cnt bigint"
+
+    def fn(key_tuple: tuple, pdfs, state: GroupState):
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_ms, last_ms, cnt = state.get
+                closed.append((start_ms, last_ms, cnt))
+                state.remove()
+        else:
+            start_ms, last_ms, cnt = (
+                state.get if state.exists else (None, None, 0)
+            )
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                # values may arrive as datetime64[ns] or [us] depending on
+                # the Arrow path; normalize through datetime64[ms]
+                ts_ms.extend(
+                    pdf[time_col].values.astype("datetime64[ms]")
+                    .astype("int64").tolist()
+                )
+            for t in sorted(ts_ms):
+                if start_ms is None:
+                    start_ms, last_ms, cnt = t, t, 1
+                elif t - last_ms >= gap_ms:
+                    closed.append((start_ms, last_ms, cnt))
+                    start_ms, last_ms, cnt = t, t, 1
+                else:
+                    last_ms, cnt = t, cnt + 1
+            state.update((start_ms, last_ms, cnt))
+            # the timeout must sit strictly beyond the current watermark
+            # (closing stale sessions would otherwise throw)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    key: key_tuple[0],
+                    "window_start": s // 1000,
+                    "window_end": (e + gap_ms) // 1000,
+                    "n_events": n,
+                }
+                for s, e, n in closed
+            ],
+            columns=[key, "window_start", "window_end", "n_events"],
+        )
+
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 class StreamPipeline:
     """Streaming mirror of the batch Pipeline grammar.
 
