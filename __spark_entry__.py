@@ -1032,6 +1032,29 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface beyond running sums: quartile bucketing
+    (ntile), relative rank (percent_rank), per-partition first/last over
+    the full frame, and a RANGE-based frame (peer rows included)."""
+    from pyspark.sql import Window
+
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    w = Window.partitionBy("o_custkey").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # RANGE frame over the price axis: all peers within totalprice ± 0 —
+    # i.e. ties; counts >1 only where a customer has equal-priced orders
+    w_range = (Window.partitionBy("o_custkey").orderBy("o_totalprice")
+               .rangeBetween(0, 0))
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_orderkey").over(w_full).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+        F.count(F.lit(1)).over(w_range).alias("n_price_peers"),
+    )
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data pipeline): a
     Knuth-multiplicative hash of the key picks per-stratum rates (10% of
@@ -1049,6 +1072,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .filter(bucket < rate)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training-data pipeline): 200-char chunks
+    with 50-char overlap, map-only posexplode over a sequence."""
+    from yaetl_spark.operators import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_size=200, overlap=50)
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
     )
 
 
@@ -1126,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prospects": q_prospects,
         "min_price_supplier": q_min_price_supplier,
         "hash_sample": q_hash_sample,
+        "window_frames": q_window_frames,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1876,6 +1915,41 @@ def oracle_sql() -> dict[str, str]:
                   CASE o_orderstatus WHEN 'O' THEN 100
                                      WHEN 'F' THEN 500
                                      ELSE 1000 END
+        """,
+        "window_frames": """
+            SELECT o_custkey, o_orderkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   first_value(o_orderkey) OVER w_full AS cheapest_order,
+                   last_value(o_orderkey) OVER w_full AS priciest_order,
+                   COUNT(*) OVER w_range AS n_price_peers
+            FROM orders
+            WINDOW
+                w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice ASC, o_orderkey ASC),
+                w_full AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice ASC, o_orderkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING),
+                w_range AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+        """,
+        "chunk_documents": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       1 + CAST(ceil(greatest(length(text) - 200, 0) / 150.0)
+                                AS BIGINT) AS n_chunks
+                FROM documents
+            )
+            SELECT doc_id,
+                   unnest(range(0, n_chunks)) AS chunk_id,
+                   unnest(list_transform(range(0, n_chunks),
+                       i -> CAST(length(substr(text, CAST(i*150+1 AS INT), 200))
+                                 AS BIGINT))) AS chunk_len,
+                   unnest(list_transform(range(0, n_chunks),
+                       i -> sha256(substr(text, CAST(i*150+1 AS INT), 200))))
+                       AS chunk_sha
+            FROM base
         """,
         # image_features: intentionally no oracle — the stub decoder derives
         # pixels from an md5 digest with no DuckDB equivalent; the driver

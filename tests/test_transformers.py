@@ -127,3 +127,72 @@ if HAS_HYPOTHESIS:
         got = [r.h for r in df.select(
             rolling_fingerprint(F.col("text")).alias("h")).collect()]
         assert got == [_py_rolling(t) for t in texts]
+
+
+def test_scd2_merge_close_insert_nochange(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            # closed history row
+            (1, "BUILDING", 100, 200, False),
+            # open rows
+            (1, "MACHINERY", 200, None, True),
+            (2, "FURNITURE", 150, None, True),
+            (3, "HOUSEHOLD", 150, None, True),
+        ],
+        "k int, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "AUTOMOBILE", 300),   # changed → close + new version
+            (2, "FURNITURE", 300),    # unchanged → no-op
+            (4, "MACHINERY", 300),    # new key → insert
+        ],
+        "k int, seg string, effective_ts long",
+    )
+    out = scd2_merge(current, updates, key="k", change_cols=["seg"],
+                     effective_col="effective_ts")
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        (1, "BUILDING", 100, 200, False),      # closed history untouched
+        (1, "MACHINERY", 200, 300, False),     # closed by the update
+        (1, "AUTOMOBILE", 300, None, True),    # new open version
+        (2, "FURNITURE", 150, None, True),     # unchanged stays open
+        (3, "HOUSEHOLD", 150, None, True),     # untouched stays open
+        (4, "MACHINERY", 300, None, True),     # brand-new key
+    }
+    # exactly one open row per live key
+    opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+
+
+def test_chunk_documents_boundaries(spark):
+    from yaetl_spark.operators import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 25), (3, "c")], "doc_id int, text string")
+    out = chunk_documents(df, chunk_size=10, overlap=5)
+    got = sorted((r.doc_id, r.chunk_id, len(r.chunk)) for r in out.collect())
+    # doc1: exactly one chunk; doc2: ceil((25-10)/5)+1 = 4 chunks, last
+    # short (25 - 3*5 = 10 → len 10); doc3: single short chunk
+    assert got == [
+        (1, 0, 10),
+        (2, 0, 10), (2, 1, 10), (2, 2, 10), (2, 3, 10),
+        (3, 0, 1),
+    ]
+    # overlap property: consecutive chunks share the overlap region
+    chunks = {(r.doc_id, r.chunk_id): r.chunk for r in out.collect()}
+    assert chunks[(2, 0)][5:] == chunks[(2, 1)][:5]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from yaetl_spark.operators import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=10, overlap=10)

@@ -173,3 +173,44 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window packing step of a training-data pipeline.
+
+    Chunk i covers ``[i*step, i*step + chunk_size)`` with
+    ``step = chunk_size - overlap``; the last chunk may be short, and a
+    document shorter than one chunk yields itself whole. Pure
+    posexplode-over-sequence (JVM expressions, narrow — no shuffle, no
+    Python): at 100 TB this is a map-only stage whose output is
+    repartitionable downstream.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    t = F.col(text_col)
+    # number of chunks: 1 + ceil(max(len - chunk_size, 0) / step)
+    extra = F.greatest(F.length(t) - F.lit(chunk_size), F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(extra / F.lit(step))).cast("int")
+    others = [c for c in df.columns if c not in (text_col,)]
+    return (
+        df.select(
+            *others,
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i", "_"),
+            t.alias("_t"),
+        )
+        .select(
+            *others,
+            F.col("_i").cast("bigint").alias("chunk_id"),
+            F.col("_t").substr(
+                F.col("_i") * step + 1, F.lit(chunk_size)
+            ).alias("chunk"),
+        )
+    )

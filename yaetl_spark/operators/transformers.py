@@ -233,3 +233,75 @@ class PandasMap(Transformer):
                 yield fn(batch)
 
         return df.mapInPandas(mapper, schema=self.schema)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    change_cols: list[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: history-preserving upsert.
+
+    ``current`` is the dimension with ``valid_from``/``valid_to``/
+    ``is_current`` columns (``valid_to`` null while open); ``updates``
+    carries the key, the tracked ``change_cols`` and an ``effective_col``
+    timestamp. For each key in ``updates`` whose tracked values differ
+    from the open row, the open row closes (``valid_to`` = new effective
+    ts) and a new open row appends. No-change updates are dropped; brand
+    new keys insert as open rows.
+
+    Plan shape: one shuffle on the key for the open-rows join; closed
+    history never rejoins (it unions back untouched) — at 100 TB the
+    closed partition rides through as a pass-through scan. With the
+    dimension stored partitioned on ``is_current``, the join side prunes
+    to open rows only.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    dim_cols = keys + change_cols
+
+    open_rows = current.filter(F.col(current_flag))
+    closed_rows = current.filter(~F.col(current_flag))
+
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in dim_cols],
+        F.col(effective_col).alias("_u_eff"),
+    )
+    key_cond = [F.col(k) == F.col(f"_u_{k}") for k in keys]
+    joined = open_rows.join(u, key_cond, "full_outer")
+
+    changed = ~F.struct(*[F.col(c) for c in change_cols]).eqNullSafe(
+        F.struct(*[F.col(f"_u_{c}") for c in change_cols]))
+    has_old = F.col(valid_from).isNotNull()
+    has_new = F.col("_u_eff").isNotNull()
+
+    # old open rows: keep as-is when no update or unchanged; close when
+    # the tracked values changed
+    kept_open = joined.filter(has_old & (~has_new | ~changed)).select(
+        *[F.col(c) for c in current.columns]
+    )
+    closed_now = joined.filter(has_old & has_new & changed).select(
+        *[F.col(c) if c not in (valid_to, current_flag)
+          else (F.col("_u_eff").alias(valid_to) if c == valid_to
+                else F.lit(False).alias(current_flag))
+          for c in current.columns]
+    )
+    # new versions: changed rows + brand-new keys
+    fresh = joined.filter(has_new & (~has_old | changed)).select(
+        *[
+            (F.col(f"_u_{c}").alias(c) if c in dim_cols
+             else F.col("_u_eff").alias(c) if c == valid_from
+             else F.lit(None).cast(dict(current.dtypes)[valid_to]).alias(c)
+             if c == valid_to
+             else F.lit(True).alias(c))
+            for c in current.columns
+        ]
+    )
+    return closed_rows.unionByName(kept_open).unionByName(
+        closed_now).unionByName(fresh)
