@@ -51,29 +51,40 @@ TABLES = [
 ]
 
 
-# Tiny dimension tables stay as-is (they broadcast); everything else goes
-# through ensure_parallelism so single-row-group test parquet doesn't pin
-# expression-heavy work to one core (no-op on multi-row-group inputs).
-_DIM_TABLES = {"region", "nation", "supplier"}
+# ensure_parallelism ("auto") injects a round-robin repartition when the
+# input has fewer splits than cores (single-row-group test parquet); it's
+# a no-op on real multi-row-group data. Measured policy at sf0.1: the
+# extra full-table exchange only pays for itself when per-row compute is
+# heavy relative to the scan (text/hash/vector expressions) — for scans
+# feeding a shuffle (groupBy/join/window) it ADDS 2-4x, since the partial
+# aggregate or shuffle write is cheap even on one core. So: documents/
+# embeddings default to spreading, relational tables default to plain,
+# and individual queries opt in via heavy=True (Q1's per-row decimal
+# chain, from_json parsing).
+_HEAVY_TABLES = {"documents", "embeddings"}
 
 
-def _ps(sf_dir: str, name: str) -> ParquetSource:
+def _ps(sf_dir: str, name: str, heavy: bool | None = None) -> ParquetSource:
+    if heavy is None:
+        heavy = name in _HEAVY_TABLES
     return ParquetSource(
         f"{sf_dir}/{name}.parquet",
-        min_parallelism=None if name in _DIM_TABLES else "auto",
+        min_parallelism="auto" if heavy else None,
     )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _ps(sf_dir, name).read(spark)
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       heavy: bool | None = None) -> DataFrame:
+    return _ps(sf_dir, name, heavy).read(spark)
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(spark: SparkSession, sf_dir: str,
+            heavy: bool | None = None) -> DataFrame:
     """The events table carries TIMESTAMP(NANOS) parquet, which Spark only
     reads as long; convert to a proper timestamp (ns → µs is lossless for
     this data). DuckDB reads nanos natively — semantics align."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events", heavy)
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
@@ -247,7 +258,7 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.lit(1).cast("decimal(8,4)") + _dec4("l_tax")))
     df = (
         Pipeline(spark)
-        .from_(_ps(sf_dir, "lineitem"))
+        .from_(_ps(sf_dir, "lineitem", heavy=True))
         .transform(Aggregate(
             ["l_returnflag", "l_linestatus"],
             F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
@@ -726,7 +737,7 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-function surface (§2.10 extension): schema-full from_json parse
     of the events props column, aggregated per event type."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, heavy=True)
     k = F.from_json(F.col("props"), "k bigint").getField("k")
     return (
         ev.select("event_type", k.alias("_k"))
