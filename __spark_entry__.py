@@ -1086,6 +1086,127 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by pending
+    revenue. Dims filter early (segment/date predicates push to the scans),
+    customer broadcasts, and the final ordering is a TakeOrdered (per-
+    partition top-k + driver merge), never a full sort."""
+    cutoff = "1998-06-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority", "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue gain from dropping small-order discounts in
+    one ship-year. Pure scan→filter→scalar aggregate — every predicate is
+    scan-pushed, the aggregate is a map-side partial + single-row merge."""
+    forecast = _dec2("l_extendedprice") * _dec4("l_discount")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(forecast), 2).cast("double").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    across a fact-dim join. The part side broadcasts; each OR branch's
+    single-table constraints (p_size bounds, quantity envelope) still push
+    into the scans because Catalyst extracts common/branch predicates."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in this schema):
+    suppliers who were the STRICT last to ship on a multi-supplier order —
+    the exists/not-exists pair over sibling lineitems decorrelates into a
+    per-(order, supplier) aggregate plus an order-level window, so the big
+    table shuffles once on l_orderkey and never self-joins."""
+    from pyspark.sql import Window
+
+    # one shuffle total: hash(l_orderkey) satisfies the clustered
+    # distribution of BOTH the (orderkey, suppkey) aggregate and the
+    # orderkey window, so neither adds its own exchange
+    per_sup = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("sup_last"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_sup
+        .withColumn("n_sup", F.count(F.lit(1)).over(w))
+        .withColumn("order_last", F.max("sup_last").over(w))
+        .withColumn(
+            "n_last",
+            F.sum(F.when(F.col("sup_last") == F.col("order_last"), 1)
+                  .otherwise(0)).over(w))
+        .filter((F.col("n_sup") >= 2) & (F.col("n_last") == 1)
+                & (F.col("sup_last") == F.col("order_last")))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(sup), flagged.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (training-data pipeline): 200-char chunks
     with 50-char overlap, map-only posexplode over a sequence."""
@@ -1173,6 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "prospects": q_prospects,
         "min_price_supplier": q_min_price_supplier,
+        "shipping_priority": q_shipping_priority,
+        "revenue_forecast": q_revenue_forecast,
+        "brand_revenue": q_brand_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
         "hash_sample": q_hash_sample,
         "window_frames": q_window_frames,
         "chunk_documents": q_chunk_documents,
@@ -1918,6 +2043,64 @@ def oracle_sql() -> dict[str, str]:
                    round(unit_price, 6) AS best_unit_price
             FROM best JOIN supplier ON l_suppkey = s_suppkey
             WHERE rn = 1
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey AS orderkey,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+                   o_orderpriority,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
+        """,
+        "revenue_forecast": """
+            SELECT CAST(ROUND(SUM(
+                       CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+                       AS revenue_delta,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "brand_revenue": f"""
+            SELECT p_brand,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand
+        """,
+        "waiting_suppliers": """
+            WITH per_sup AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sup_last
+                FROM lineitem GROUP BY l_orderkey, l_suppkey
+            )
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM per_sup l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM per_sup l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM per_sup l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.sup_last >= l1.sup_last)
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 10
         """,
         "hash_sample": """
             SELECT o_orderkey, o_orderstatus, o_totalprice

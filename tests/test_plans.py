@@ -154,3 +154,43 @@ def test_hash_sample_single_stage(spark):
     assert "Exchange rangepartitioning" not in plan
     scan_stage = plan.split("Exchange")[-1]
     assert "Filter" in scan_stage and "pmod" in scan_stage
+
+
+def test_shipping_priority_takeordered_and_pushdown(spark):
+    """Q3 shape: segment/date filters reach the scans, customer
+    broadcasts, and the top-10 is a TakeOrdered, never a full sort."""
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_revenue_forecast_pure_scan_agg(spark):
+    """Q6 shape: every predicate scan-pushed, partial+final aggregate,
+    no join anywhere."""
+    plan = plan_of(spark, "revenue_forecast")
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    assert plan.count("HashAggregate") == 2
+
+
+def test_brand_revenue_disjunction_pushes_envelope(spark):
+    """Q19 shape: the OR-of-conjunctions must still push the l_quantity
+    envelope into the fact scan, and part must broadcast."""
+    plan = plan_of(spark, "brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "Or(" in pushed and "l_quantity" in pushed
+
+
+def test_waiting_suppliers_single_fact_shuffle(spark):
+    """Q21 shape: the exists/not-exists decorrelation must shuffle the
+    fact table exactly once — hash(l_orderkey) feeds both the pair
+    aggregate and the order window with no extra exchange."""
+    plan = plan_of(spark, "waiting_suppliers")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # fact + tiny final agg
