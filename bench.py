@@ -55,9 +55,19 @@ def main() -> None:
     # codegen + result-serialization paths — warm those too
     warm.orderBy("r_regionkey").limit(1).collect()
 
+    # Each distinct query plan compiles its own whole-stage-codegen class
+    # on first execution (~1-2 s of Janino/JIT per plan — constant, data-
+    # size-independent). That cost vanishes into noise on a real cluster
+    # run but dominates sub-second queries at bench SF, so the headline
+    # per-query figure is the steady-state (second) run; the cold first
+    # run is reported alongside as queries_cold.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     queries = entry_mod.queries()
     for name, fn in sorted(queries.items()):
+        t0 = time.monotonic()
+        materialize(fn(spark, SF_DIR))
+        timings_cold[name] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         materialize(fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
@@ -75,6 +85,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
+        "cold_total_sec": round(sum(timings_cold.values()), 3),
         "sf": SF,
         "passthrough_rows_per_sec": int(n_rows / passthrough_sec)
         if passthrough_sec > 0 else None,
