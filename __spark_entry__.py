@@ -1207,6 +1207,49 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (§2.11 streaming surface, batch-verified):
+    each click paired with the FIRST purchase by the same user within 30
+    minutes. The two-sided time bound is what lets the streaming form
+    expire join state; batch runs the identical condition, so the operator
+    is oracle-checkable. First-match dedup is a row_number window over the
+    join output (shuffle key user_id covers both the join and the window)."""
+    from pyspark.sql import Window
+
+    from yaetl_spark.streaming import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        F.col("user_id").alias("purch_user"),
+        F.col("ts").alias("purch_ts"),
+        F.col("value").alias("purch_value"),
+    )
+    joined = interval_join(
+        clicks, purchases, "click_user", "purch_user",
+        "click_ts", "purch_ts", lower_seconds=1, upper_seconds=1800,
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.col("purch_ts").asc(), F.col("purch_id").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            F.col("click_user").alias("user_id"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            "purch_id",
+            F.unix_timestamp("purch_ts").alias("purch_epoch"),
+            "purch_value",
+        )
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (training-data pipeline): 200-char chunks
     with 50-char overlap, map-only posexplode over a sequence."""
@@ -1298,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": q_revenue_forecast,
         "brand_revenue": q_brand_revenue,
         "waiting_suppliers": q_waiting_suppliers,
+        "click_attribution": q_click_attribution,
         "hash_sample": q_hash_sample,
         "window_frames": q_window_frames,
         "chunk_documents": q_chunk_documents,
@@ -2101,6 +2145,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 10
+        """,
+        "click_attribution": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+                SELECT event_id AS purch_id, user_id AS pu, ts AS purch_ts,
+                       value AS purch_value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            j AS (
+                SELECT click_id, user_id, click_ts, purch_id, purch_ts,
+                       purch_value,
+                       row_number() OVER (
+                           PARTITION BY click_id
+                           ORDER BY purch_ts ASC, purch_id ASC) AS rn
+                FROM clicks JOIN purchases
+                  ON user_id = pu
+                 AND purch_ts >= click_ts + INTERVAL 1 SECOND
+                 AND purch_ts <= click_ts + INTERVAL 1800 SECOND
+            )
+            SELECT click_id, user_id,
+                   CAST(floor(epoch(click_ts)) AS BIGINT) AS click_epoch,
+                   purch_id,
+                   CAST(floor(epoch(purch_ts)) AS BIGINT) AS purch_epoch,
+                   purch_value
+            FROM j WHERE rn = 1
         """,
         "hash_sample": """
             SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -227,3 +227,70 @@ def test_stateful_sessionize_streaming_multi_trigger(spark, tmp_path):
     got = {(r.user_id, r.window_start, r.window_end, r.n_events)
            for r in out}
     assert got == {("u1", B + 0, B + 90, 2), ("u2", B + 10, B + 70, 1)}
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click→purchase attribution): the same
+    interval_join code runs both sides as file streams and matches the
+    batch join pair-for-pair. The two-sided time bound lets Spark expire
+    join state — without it a stream-stream join is unbounded."""
+    from yaetl_spark.streaming import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    to_ts = lambda df: df.withColumn(  # noqa: E731
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purch_id"),
+            F.col("user_id").alias("purch_user"),
+            F.col("ts").alias("purch_ts"),
+        )
+        return clicks, purchases
+
+    expected = sorted(
+        (r["click_id"], r["purch_id"])
+        for r in interval_join(
+            *sides(to_ts(raw)), "click_user", "purch_user",
+            "click_ts", "purch_ts", 1, 1800,
+        ).collect()
+    )
+    assert expected, "fixture should produce at least one join pair"
+
+    src_dir = _stage_dir(tmp_path, f"{sf_dir}/events.parquet")
+    stream = to_ts(
+        spark.readStream.schema(raw.schema).parquet(src_dir))
+    s_clicks, s_purch = sides(stream)
+    q = (
+        interval_join(
+            s_clicks, s_purch, "click_user", "purch_user",
+            "click_ts", "purch_ts", 1, 1800, watermark="1 hour",
+        )
+        .select("click_id", "purch_id")
+        .writeStream.format("memory").queryName("ij_test")
+        .outputMode("append").start()
+    )
+    _wait_done(q)
+    got = sorted(
+        (r["click_id"], r["purch_id"])
+        for r in spark.sql("SELECT * FROM ij_test").collect()
+    )
+    assert got == expected
+
+
+def test_interval_join_rejects_column_overlap(spark):
+    import pytest as _pytest
+
+    from yaetl_spark.streaming import interval_join
+
+    df = spark.range(3).select(
+        F.col("id"), F.current_timestamp().alias("ts"))
+    with _pytest.raises(ValueError, match="overlap"):
+        interval_join(df, df, "id", "id", "ts", "ts")

@@ -1,6 +1,7 @@
 from .stream import (
     StreamPipeline,
     dedup_within_watermark,
+    interval_join,
     running_totals,
     session_window_agg,
     sliding_window_agg,
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_within_watermark",
+    "interval_join",
     "running_totals",
     "stateful_sessionize",
 ]

@@ -238,6 +238,49 @@ def stateful_sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int = 0,
+    upper_seconds: int = 900,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join: pair each left row with right rows of the
+    same key whose ``right_time`` falls in
+    ``[left_time + lower, left_time + upper]`` — the click→conversion
+    attribution shape.
+
+    Streaming: both sides get the watermark, and the two-sided time bound
+    is what lets Spark expire join state (without it, stream-stream join
+    state grows forever — the bound IS the scale contract). Batch: the
+    identical condition runs as an ordinary join, so the operator is
+    oracle-checkable in DuckDB.
+
+    Column names must be disjoint across the two sides (pre-alias before
+    calling — self-joins always need that anyway).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    if left.isStreaming:
+        left = left.withWatermark(left_time, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_time, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_time)
+           >= F.col(left_time) + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (F.col(right_time)
+           <= F.col(left_time) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return left.join(right, cond, how)
+
+
 class StreamPipeline:
     """Streaming mirror of the batch Pipeline grammar.
 
