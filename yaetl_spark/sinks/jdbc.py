@@ -7,19 +7,24 @@ designs offered here:
 
 - ``mode='append'/'overwrite'``: plain ``df.write.jdbc`` (batched inserts,
   one round-trip per ``batchsize`` rows per partition).
-- ``mode='upsert'``: per-partition batched upsert via ``foreachPartition``
-  building multi-row ``INSERT ... ON CONFLICT``/``REPLACE`` statements —
+- ``mode='upsert'``: per-partition batched upsert via ``mapInPandas``
+  (Arrow-batched rows → ``executemany`` of ``INSERT ... ON CONFLICT``) —
   the distributed equivalent of MERGE when no lakehouse table format is
   available. Requires a DBAPI connection factory (no JDBC jar in this
   container), so the SQL generation is unit-tested and the network path is
-  exercised only when a factory is injected.
+  exercised only when a factory is injected. ``mapInPandas`` (not
+  ``foreachPartition``) keeps the write inside SQL execution, so
+  ``df.observe`` metrics attached by ``Pipeline.run`` still fire —
+  RDD-level actions bypass the CollectMetrics listener and would deadlock
+  ``Observation.get``.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Callable, Iterator
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .base import Sink
 
@@ -88,22 +93,26 @@ class JdbcSink(Sink):
                 )
             batchsize = self.batchsize
 
-            def upsert_partition(rows: Iterable[Row]) -> None:
+            def upsert_partition(batches: Iterator) -> Iterator:
+                import pandas as pd
+
                 conn = factory()
                 cur = conn.cursor()
-                batch = []
-                for row in rows:
-                    batch.append(tuple(row))
-                    if len(batch) >= batchsize:
-                        cur.executemany(sql, batch)
+                n = 0
+                for pdf in batches:
+                    rows = list(pdf.itertuples(index=False, name=None))
+                    for i in range(0, len(rows), batchsize):
+                        cur.executemany(sql, rows[i : i + batchsize])
                         conn.commit()
-                        batch = []
-                if batch:
-                    cur.executemany(sql, batch)
-                    conn.commit()
+                    n += len(rows)
                 conn.close()
+                yield pd.DataFrame({"upserted": [n]})
 
-            df.foreachPartition(upsert_partition)
+            # one aggregate action over the per-partition counts; stays a
+            # SQL-engine action so upstream observe() metrics materialize
+            df.mapInPandas(upsert_partition, "upserted bigint").agg(
+                F.sum("upserted")
+            ).collect()
             return
         writer = df.write.mode(self.mode).format("jdbc").option("url", self.url)
         writer = writer.option("dbtable", self.table).option(
