@@ -1264,6 +1264,193 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from local supply chains (customer and
+    supplier in the same nation) within one region and one order year.
+    Six-table join; region→nation→(customer, supplier) all broadcast, so
+    the only shuffles are lineitem⋈orders and the final agg. At 100 TB
+    customer stops being broadcastable — the plan then shuffles
+    orders⋈customer on custkey, which AQE picks automatically once the
+    size estimate crosses the broadcast threshold."""
+    nation_in_region = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(_t(spark, sf_dir, "region")
+                          .filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation_in_region),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.year("o_orderdate") == 1997)
+              .select("o_orderkey", "o_custkey"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup),
+              (li.l_suppkey == sup.s_suppkey)
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year. The testdata has
+    no partsupp table, so unit cost is proxied as 10% of p_retailprice;
+    profit = disc_price − cost·qty. Part (filtered to one type) and
+    supplier/nation broadcast; lineitem⋈orders is the one big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "STANDARD")
+            .select("p_partkey", "p_retailprice"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        _dec2("l_extendedprice")
+        * (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount"))
+        - _dec2("p_retailprice") * F.lit(0.1).cast("decimal(8,4)")
+        * _dec2("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fixed fraction
+    of the global total — group-by + HAVING against a scalar aggregate
+    (broadcast 1-row cross join, the decorrelated form). Values compared
+    as doubles derived from exact decimal sums (bit-identical cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    value = _dec2("l_extendedprice") * _dec2("l_quantity")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(value), 2).cast("double").alias("value"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+    total = li.agg(F.sum(value).cast("double").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.004)
+        .select("l_partkey", "value", "n_lines")
+    )
+
+
+def q_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship-delay bucket, how many urgent vs other
+    orders. The testdata has no l_shipmode/commitdate, so the mode is
+    replaced by a signed orderdate→shipdate delay bucket (delays run
+    −636..+1400 days — the synthetic data is not causal). Lineitem⋈orders
+    on orderkey, conditional counts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(delay <= F.lit(0), "early")
+        .when(delay <= F.lit(90), "on-time")
+        .otherwise("late")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a percentage of total revenue for
+    one ship year — conditional aggregation to a single scalar row. Part
+    broadcast; map-side partial agg means the shuffle moves two numbers
+    per partition regardless of lineitem size."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1998)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (_dec2("l_extendedprice") *
+               (F.lit(1).cast("decimal(8,4)") - _dec4("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", revenue)  # else NULL; SUM skips
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                    / F.sum(revenue).cast("double"), 6)
+            .alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to deliver per part
+    (brand, size) group — partsupp is absent, so observed lineitem
+    part→supplier pairs stand in for it; suppliers with negative-ish
+    balance are the 'complaints' NOT-IN anti join; one brand and large
+    sizes excluded. count(distinct) after a distinct-pair shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25))
+            .select("p_partkey", "p_brand", "p_size"))
+    bad_sup = (_t(spark, sf_dir, "supplier")
+               .filter(F.col("s_acctbal") < 1000)
+               .select("s_suppkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved more than a threshold quantity
+    of PROMO parts in 1997 — aggregate subquery on the fact, then a semi
+    join back to supplier, nation broadcast-joined for display. The
+    subquery's group-by keys (suppkey) make the semi join a shuffle-free
+    broadcast at this SF; at 100 TB it becomes a shuffled semi join."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    promo_parts = (_t(spark, sf_dir, "part")
+                   .filter(F.col("p_type") == "PROMO")
+                   .select("p_partkey"))
+    movers = (
+        li.join(F.broadcast(promo_parts), li.l_partkey == promo_parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_dec2("l_quantity")), 2).cast("double")
+             .alias("promo_qty"))
+        .filter(F.col("promo_qty") > 100)
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(movers, sup.s_suppkey == movers.l_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name",
+                F.col("n_name").alias("nation"), "promo_qty")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1341,6 +1528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast": q_revenue_forecast,
         "brand_revenue": q_brand_revenue,
         "waiting_suppliers": q_waiting_suppliers,
+        "local_volume": q_local_volume,
+        "profit_by_nation": q_profit_by_nation,
+        "stock_value": q_stock_value,
+        "late_lines": q_late_lines,
+        "promo_share": q_promo_share,
+        "supplier_cnt": q_supplier_cnt,
+        "excess_supply": q_excess_supply,
         "click_attribution": q_click_attribution,
         "hash_sample": q_hash_sample,
         "window_frames": q_window_frames,
@@ -2145,6 +2339,106 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 10
+        """,
+        "local_volume": f"""
+            SELECT n_name,
+                   CAST(ROUND(SUM({disc_price}), 2) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+            GROUP BY n_name
+        """,
+        "profit_by_nation": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(SUM(
+                       {disc_price}
+                       - CAST(p_retailprice AS DECIMAL(12,2))
+                         * CAST(0.1 AS DECIMAL(8,4))
+                         * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                       AS sum_profit,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "stock_value": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                      * CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) AS value,
+                       COUNT(*) AS n_lines
+                FROM lineitem GROUP BY l_partkey
+            ),
+            total AS (
+                SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       AS _total
+                FROM lineitem
+            )
+            SELECT l_partkey, value, n_lines
+            FROM per_part, total
+            WHERE value > _total * 0.004
+        """,
+        "late_lines": """
+            SELECT CASE
+                     WHEN date_diff('day', o_orderdate, l_shipdate) <= 0
+                       THEN 'early'
+                     WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                       THEN 'on-time'
+                     ELSE 'late'
+                   END AS delay_bucket,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "promo_share": f"""
+            SELECT round(100.0
+                       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN {disc_price} END) AS DOUBLE)
+                       / CAST(SUM({disc_price}) AS DOUBLE), 6) AS promo_pct,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE year(l_shipdate) = 1998
+        """,
+        "supplier_cnt": """
+            SELECT p_brand, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size <= 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000)
+            GROUP BY p_brand, p_size
+        """,
+        "excess_supply": """
+            WITH movers AS (
+                SELECT l_suppkey,
+                       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DOUBLE) AS promo_qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+                WHERE year(l_shipdate) = 1997
+                GROUP BY l_suppkey
+                HAVING promo_qty > 100
+            )
+            SELECT s_suppkey, s_name, n_name AS nation, promo_qty
+            FROM supplier
+            JOIN movers ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
         """,
         "click_attribution": """
             WITH clicks AS (

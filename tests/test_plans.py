@@ -194,3 +194,46 @@ def test_waiting_suppliers_single_fact_shuffle(spark):
     plan = plan_of(spark, "waiting_suppliers")
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2  # fact + tiny final agg
+
+
+def test_local_volume_one_fact_shuffle(spark):
+    """Q5 shape: region/nation/customer/supplier all broadcast; the only
+    big-table exchange is lineitem⋈orders plus the final small agg."""
+    plan = plan_of(spark, "local_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # order-year filter must reach the orders side of the plan
+    assert "o_orderdate" in plan
+
+
+def test_profit_by_nation_broadcasts_filtered_part(spark):
+    """Q9 shape: the p_type filter prunes part BEFORE broadcast, so the
+    fact rows drop at the first join, not at the agg."""
+    plan = plan_of(spark, "profit_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,STANDARD)" in plan
+
+
+def test_stock_value_scalar_total_broadcast(spark):
+    """Q11 shape: the global-total scalar must arrive via a broadcast
+    nested-loop of one row, never a shuffled join."""
+    plan = plan_of(spark, "stock_value")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_promo_share_partial_agg_after_broadcast(spark):
+    """Q14 shape: part broadcasts; shipdate-year filter reaches the fact
+    scan; two HashAggregate levels (map-side partial)."""
+    plan = plan_of(spark, "promo_share")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") == 2
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_supplier_cnt_anti_join_broadcast(spark):
+    """Q16 shape: NOT-IN complaints list is tiny — must plan as a
+    broadcast anti join, not a shuffle."""
+    plan = plan_of(spark, "supplier_cnt")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan)
