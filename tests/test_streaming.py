@@ -294,3 +294,50 @@ def test_interval_join_rejects_column_overlap(spark):
         F.col("id"), F.current_timestamp().alias("ts"))
     with _pytest.raises(ValueError, match="overlap"):
         interval_join(df, df, "id", "id", "ts", "ts")
+
+
+def test_session_window_streaming_merges_across_triggers(spark, tmp_path):
+    """Built-in session_window under real triggers (maxFilesPerTrigger=1):
+    file 2 extends a session opened in file 1's trigger (state merge), and
+    its far-future event advances the watermark so both finalized sessions
+    emit in append mode. Session end = last event + gap."""
+    import time as _t
+
+    from yaetl_spark.streaming import session_window_agg
+
+    src = str(tmp_path / "sw_src")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id string, sec long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    B = 100_000
+    mk([("u1", B + 0), ("u1", B + 30), ("u2", B + 10)]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    # B+45 merges into u1's open session; B+3600 pushes the watermark
+    mk([("u1", B + 45), ("u1", B + 3600)]).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = session_window_agg(
+        stream, "ts", "1 minute", F.count(F.lit(1)).alias("n"),
+        extra_keys=["user_id"], watermark="0 seconds",
+    )
+
+    out: list = []
+    q = (sessions.writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sw_ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = {(r.user_id, r.window_start, r.window_end, r.n) for r in out}
+    assert got == {("u1", B + 0, B + 105, 3), ("u2", B + 10, B + 70, 1)}
