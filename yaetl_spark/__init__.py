@@ -24,7 +24,7 @@ from .operators import (
     as_of_join,
     join,
 )
-from .sinks import CollectSink, CsvSink, JdbcSink, JsonSink, MergeParquetSink, NoOpSink, ParquetSink
+from .sinks import CollectSink, CsvSink, JdbcSink, JsonSink, MergeParquetSink, NoOpSink, OrcSink, ParquetSink
 from .sources import (
     Source,
     AggregateSource,
@@ -33,6 +33,7 @@ from .sources import (
     JdbcSource,
     JsonSource,
     MemorySource,
+    OrcSource,
     ParquetSource,
     RangeSource,
     TextLinesSource,
@@ -66,6 +67,7 @@ __all__ = [
     "Source",
     "DataFrameSource",
     "ParquetSource",
+    "OrcSource",
     "CsvSource",
     "JsonSource",
     "TextLinesSource",
@@ -79,6 +81,7 @@ __all__ = [
     "CsvSink",
     "JsonSink",
     "ParquetSink",
+    "OrcSink",
     "MergeParquetSink",
     "JdbcSink",
 ]

@@ -1,5 +1,5 @@
 from .base import CollectSink, NoOpSink, Sink
-from .files import BucketedTableSink, CsvSink, JsonSink, MergeParquetSink, ParquetSink
+from .files import BucketedTableSink, CsvSink, JsonSink, MergeParquetSink, OrcSink, ParquetSink
 from .jdbc import JdbcSink, build_upsert_sql
 
 __all__ = [
@@ -9,6 +9,7 @@ __all__ = [
     "CsvSink",
     "JsonSink",
     "ParquetSink",
+    "OrcSink",
     "MergeParquetSink",
     "BucketedTableSink",
     "JdbcSink",

@@ -34,6 +34,21 @@ class ParquetSink(Sink):
         writer.parquet(self.path)
 
 
+class OrcSink(Sink):
+    def __init__(self, path: str, mode: str = "overwrite",
+                 partition_by: list[str] | None = None, **kw):
+        super().__init__(**kw)
+        self.path = path
+        self.mode = mode
+        self.partition_by = partition_by
+
+    def write(self, df: DataFrame) -> None:
+        writer = df.write.mode(self.mode)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.orc(self.path)
+
+
 class CsvSink(Sink):
     def __init__(
         self,

@@ -1,5 +1,5 @@
 from .base import DataFrameSource, Source
-from .files import CsvSource, JsonSource, ParquetSource, TextLinesSource
+from .files import CsvSource, JsonSource, OrcSource, ParquetSource, TextLinesSource
 from .memory import MemorySource, RangeSource
 from .jdbc import JdbcSource
 from .aggregate import SHARD_COL, AggregateSource
@@ -8,6 +8,7 @@ __all__ = [
     "Source",
     "DataFrameSource",
     "ParquetSource",
+    "OrcSource",
     "CsvSource",
     "JsonSource",
     "TextLinesSource",

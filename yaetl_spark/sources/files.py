@@ -35,6 +35,22 @@ class ParquetSource(Source):
         return df
 
 
+class OrcSource(Source):
+    """ORC scan — same contract as :class:`ParquetSource` (columnar,
+    predicate/column pushdown via the native ORC reader)."""
+
+    def __init__(self, path: str, columns: list[str] | None = None, **kw):
+        super().__init__(**kw)
+        self.path = path
+        self.columns = columns
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.orc(self.path)
+        if self.columns:
+            df = df.select(*self.columns)
+        return df
+
+
 def _sniff_sep_line(path: str, encoding: str) -> str | None:
     """Return the separator from an Excel ``sep=X`` first line, if present."""
     candidates = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
