@@ -258,3 +258,49 @@ def test_run_event_callbacks(spark, sf_dir):
     assert names[-1] == "flow.success"
     success = dict(events)[ "flow.success"]
     assert success["report"]["status"] == "clean"
+
+
+def test_chained_loader_uuid_consistent(spark):
+    """Chained-loader parity (LoaderAbstract.php:28-35, docs/citizens.md:
+    465-496): a UUID-assigning step feeding two sinks. run() persists the
+    shared upstream when there is more than one action, so both sinks see
+    the SAME nondeterministic UUIDs — the Spark equivalent of loader 1
+    mutating the record loader 2 receives."""
+    a, b = CollectSink(), CollectSink()
+    (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(20)], "id int"))
+        .transform(lambda df: df.withColumn("uid", F.expr("uuid()")))
+        .to(a)
+        .to(b)
+        .run()
+    )
+    uids_a = {(r["id"], r["uid"]) for r in a.rows}
+    uids_b = {(r["id"], r["uid"]) for r in b.rows}
+    assert uids_a == uids_b  # re-computed lineage would differ
+    assert len({u for _, u in uids_a}) == 20
+
+
+def test_flush_gets_exception_status(spark):
+    """A sink whose write blows up must still be flushed with status
+    'exception' (flush always sees the flow status,
+    LoaderAbstract.php:61-87); sinks that already wrote are flushed with
+    the same failed status."""
+    seen: list = []
+
+    class Boom(CollectSink):
+        def write(self, df):
+            raise RuntimeError("boom")
+
+    ok = CollectSink(on_flush=lambda s: seen.append(("ok", s)))
+    boom = Boom(on_flush=lambda s: seen.append(("boom", s)))
+    with pytest.raises(RuntimeError):
+        (
+            Pipeline(spark)
+            .from_(MemorySource([(1,)], "id int"))
+            .to(ok)
+            .to(boom)
+            .run()
+        )
+    assert ("ok", "exception") in seen
+    assert ("boom", "exception") in seen

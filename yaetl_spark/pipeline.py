@@ -231,12 +231,15 @@ class Pipeline:
                 from .sinks.base import NoOpSink
 
                 NoOpSink().write(df)
+            # register BEFORE writing: a sink whose write fails still gets
+            # its flush('exception') — loaders always see the flow status
+            # at flush time (LoaderAbstract.php:61-87)
             for sink in self._sinks:
+                all_sinks.append(sink)
                 sink.write(df)
-                all_sinks.append(sink)
             for sink, bdf in branch_jobs:
-                sink.write(bdf)
                 all_sinks.append(sink)
+                sink.write(bdf)
         except Exception as exc:
             status = "exception"
             emit("flow.fail", error=repr(exc))
