@@ -31,6 +31,7 @@ DEFAULT_CONF = {
     # Parquet vectorized reader + pushdown are on by default; keep explicit
     # so a cluster-side conf override is visible here.
     "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.orc.filterPushdown": "true",
     # ANSI off: engine semantics follow permissive SQL (reference has no
     # type system at all; see SURVEY.md §1.2).
     "spark.sql.ansi.enabled": "false",
