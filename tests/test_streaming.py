@@ -341,3 +341,28 @@ def test_session_window_streaming_merges_across_triggers(spark, tmp_path):
 
     got = {(r.user_id, r.window_start, r.window_end, r.n) for r in out}
     assert got == {("u1", B + 0, B + 105, 3), ("u2", B + 10, B + 70, 1)}
+
+
+def test_stream_to_files_exactly_once(spark, sf_dir, tmp_path):
+    """File-sink path: stream events → filtered parquet directory with
+    checkpoint. Restarting the query over the same source must NOT
+    duplicate rows (checkpoint + sink log idempotence)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = batch.filter(F.col("event_type") == "view").count()
+    out = str(tmp_path / "landed")
+
+    def run_once():
+        q = (
+            StreamPipeline(spark)
+            .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                        fmt="parquet", schema=batch.schema)
+            .qualify(F.col("event_type") == 'view')
+            .to_files(out, checkpoint=str(tmp_path / "ck"))
+        )
+        _wait_done(q)
+
+    run_once()
+    run_once()  # replay: checkpoint says nothing new; no duplicates
+    got = spark.read.parquet(out).count()
+    assert got == expected

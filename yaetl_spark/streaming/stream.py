@@ -332,6 +332,27 @@ class StreamPipeline:
             .start()
         )
 
+    def to_files(
+        self, path: str, fmt: str = "parquet", checkpoint: str | None = None,
+        output_mode: str = "append", partition_by: list[str] | None = None,
+        **options,
+    ):
+        """Durable file sink: exactly-once append into a ``fmt`` directory
+        (the streaming ParquetSink/OrcSink analogue). The checkpoint plus
+        the sink's transaction log make replays idempotent — this is the
+        production landing-zone path; defaults the checkpoint next to the
+        output."""
+        writer = (self._df.writeStream.format(fmt)
+                  .outputMode(output_mode)
+                  .option("path", path)
+                  .option("checkpointLocation",
+                          checkpoint or path.rstrip("/") + "_ckpt"))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        return writer.start()
+
     def to_foreach_batch(
         self, fn: Callable[[DataFrame, int], None], output_mode: str = "update",
         checkpoint: str | None = None,
