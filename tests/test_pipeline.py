@@ -304,3 +304,36 @@ def test_flush_gets_exception_status(spark):
         )
     assert ("ok", "exception") in seen
     assert ("boom", "exception") in seen
+
+
+def test_progress_events_fire(spark):
+    """flow.progress events stream from the status tracker while the write
+    action runs (ProgressBarSubscriber.php:134-198 analogue; time-based
+    throttling replaces the per-1024-records progressMod)."""
+    import time as _t
+
+    events: list = []
+
+    def slow(df):
+        @F.pandas_udf("long")
+        def crawl(s):
+            _t.sleep(0.3)
+            return s
+
+        return df.withColumn("id", crawl("id"))
+
+    (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(64)], "id int"))
+        .transform(lambda df: df.repartition(8))
+        .transform(slow)
+        .run(on_event=lambda e, p: events.append((e, p)),
+             progress_interval=0.05)
+    )
+    progress = [p for e, p in events if e == "flow.progress"]
+    assert progress, "no flow.progress events captured"
+    assert all({"job", "stage", "tasks_done", "tasks"} <= set(p)
+               for p in progress)
+    # lifecycle events still intact and ordered around progress
+    names = [e for e, _ in events]
+    assert names[0] == "flow.start" and names[-1] == "flow.success"

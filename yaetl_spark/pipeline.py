@@ -186,6 +186,7 @@ class Pipeline:
         self,
         count_records: bool = True,
         on_event: Callable[[str, dict], None] | None = None,
+        progress_interval: float | None = None,
     ) -> dict[str, Any]:
         """Execute: one write action per sink (+ branch sinks). Returns the
         stats report. With no sink, runs a noop write so the flow is
@@ -194,9 +195,14 @@ class Pipeline:
         ``on_event`` receives (event, payload) callbacks mirroring the
         reference's event vocabulary (``src/Events/YaEtlEvent.php:17-37``):
         ``flow.start``, ``flow.flush`` (per sink), ``flow.success`` /
-        ``flow.fail``. Per-record progress events are a deliberate
-        divergence: record-level callbacks don't exist in a vectorized
-        engine — use ``observe()`` metrics or a SparkListener instead.
+        ``flow.fail``. With ``progress_interval`` (seconds) set, a
+        ``flow.progress`` event fires per active stage at that cadence,
+        carrying (job, stage, tasks_done, tasks) from the status tracker —
+        the ProgressBarSubscriber analogue
+        (``src/Events/ProgressBarSubscriber.php:134-198``). Time-based
+        throttling replaces the reference's every-1024-records progressMod:
+        records don't tick one at a time in a vectorized engine, task
+        completions do.
         """
         df = self._require_df()
         t0 = time.monotonic()
@@ -207,6 +213,9 @@ class Pipeline:
                 on_event(event, payload)
 
         emit("flow.start", counters=dict(self._counters))
+        progress_stop = self._start_progress_poller(
+            emit, progress_interval) if (
+            on_event is not None and progress_interval) else None
         # record-count observation on the final frame, free during the write
         obs: Observation | None = None
         if count_records:
@@ -245,6 +254,8 @@ class Pipeline:
             emit("flow.fail", error=repr(exc))
             raise
         finally:
+            if progress_stop is not None:
+                progress_stop()
             for sink in all_sinks:
                 sink.flush(status)
                 emit("flow.flush", sink=type(sink).__name__, status=status)
@@ -261,6 +272,45 @@ class Pipeline:
             report[f"observe_{name}"] = o.get
         emit("flow.success", report=dict(report))
         return report
+
+    def _start_progress_poller(
+        self, emit: Callable[..., None], interval: float
+    ) -> Callable[[], None]:
+        """Poll the status tracker on a daemon thread, emitting
+        ``flow.progress`` per active stage. Returns a stop() that joins the
+        thread. Driver-side observation only — zero executor overhead."""
+        import threading
+
+        stop_evt = threading.Event()
+        tracker = self.spark.sparkContext.statusTracker()
+
+        def poll() -> None:
+            while not stop_evt.wait(interval):
+                try:
+                    for jid in tracker.getActiveJobsIds():
+                        info = tracker.getJobInfo(jid)
+                        for sid in (info.stageIds if info else []):
+                            si = tracker.getStageInfo(sid)
+                            if si and si.numTasks:
+                                emit(
+                                    "flow.progress",
+                                    job=jid,
+                                    stage=sid,
+                                    tasks_done=si.numCompletedTasks,
+                                    tasks=si.numTasks,
+                                )
+                except Exception:  # py4j races as jobs finish: drop tick
+                    continue
+
+        t = threading.Thread(
+            target=poll, name="yaetl-progress", daemon=True)
+        t.start()
+
+        def stop() -> None:
+            stop_evt.set()
+            t.join(timeout=2)
+
+        return stop
 
     def _apply_to(self, parent_df: DataFrame) -> DataFrame:
         """Branch lineage: replay deferred ops onto the shared upstream."""
