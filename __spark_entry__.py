@@ -432,17 +432,43 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_size=5, threshold=0.2)
 
 
+def _emb_rows(spark: SparkSession, sf_dir: str,
+              max_vec_id: int) -> list[tuple[int, list[float]]]:
+    """Driver-side lookup of a handful of embedding rows (query vectors /
+    seed centroids), sorted by vec_id. A metastore-style point read: done
+    with an Arrow dataset scan (~20 ms, no Spark job); falls back to a
+    pushdown-filtered Spark collect for stores pyarrow can't reach. On a
+    cluster the k rows live in a catalog/feature store — never a 100 TB
+    table job either way."""
+    try:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("vec_id") < max_vec_id)
+        return sorted(
+            (int(i), [float(x) for x in v])
+            for i, v in zip(tbl["vec_id"].to_pylist(),
+                            tbl["embedding"].to_pylist()))
+    except (ImportError, OSError):
+        plain = ParquetSource(f"{sf_dir}/embeddings.parquet").read(spark)
+        rows = (plain.filter(F.col("vec_id") < max_vec_id)
+                .select("vec_id", "embedding").orderBy("vec_id").collect())
+        return [(int(r.vec_id), [float(x) for x in r.embedding])
+                for r in rows]
+
+
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int = 1) -> list[float]:
-    """Driver-side query-vector lookup from a plain (unrepartitioned) scan —
-    the id filter pushes down to parquet; no shuffle before a 1-row fetch."""
-    plain = ParquetSource(f"{sf_dir}/embeddings.parquet").read(spark)
-    return [float(x) for x in
-            plain.filter(F.col("vec_id") == vec_id).select("embedding").first()[0]]
+    """Driver-side 1-row query-vector lookup (see :func:`_emb_rows`)."""
+    rows = _emb_rows(spark, sf_dir, vec_id + 1)
+    return next(v for i, v in rows if i == vec_id)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 vs the vec_id=1 query vector."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Brute-force cosine top-10 vs the vec_id=1 query vector. Plain scan:
+    the cosine map feeds TakeOrdered (no shuffle), and per-row vector math
+    is too cheap for the spread repartition to pay for itself."""
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
     return brute_force_topk(emb, _qvec(spark, sf_dir), k=10)
 
 
@@ -563,16 +589,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning when the index table is written partitionBy(_cell))."""
     from yaetl_spark.operators import build_ivf_index, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    plain = ParquetSource(f"{sf_dir}/embeddings.parquet").read(spark)
-    # one driver job fetches centroids AND the query vector (vec_id 1 is a
-    # centroid id); the pushdown filter reads a handful of rows
-    rows = (plain.filter(F.col("vec_id") < _IVF_CELLS)
-            .select("vec_id", "embedding").orderBy("vec_id").collect())
-    cents = [(i, [float(x) for x in r.embedding])
-             for i, r in enumerate(rows)]
-    qvec = [float(x)
-            for x in next(r.embedding for r in rows if r.vec_id == 1)]
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)  # map+topk: no spread
+    # one driver-side Arrow read fetches centroids AND the query vector
+    # (vec_id 1 is a centroid id) — no Spark job at all
+    rows = _emb_rows(spark, sf_dir, _IVF_CELLS)
+    cents = [(i, v) for i, (_, v) in enumerate(rows)]
+    qvec = next(v for vid, v in rows if vid == 1)
     assigned, cents = build_ivf_index(emb, centroids=cents)
     return ivf_topk(assigned, cents, qvec, k=10, nprobe=_IVF_PROBE)
 
