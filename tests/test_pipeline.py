@@ -337,3 +337,24 @@ def test_progress_events_fire(spark):
     # lifecycle events still intact and ordered around progress
     names = [e for e, _ in events]
     assert names[0] == "flow.start" and names[-1] == "flow.success"
+
+
+def test_force_flush_orders_before_root_flush(spark):
+    """force_flush sinks flush right after their own write; deferred sinks
+    flush at end-of-flow (YaEtl.php:148-153, 349-393)."""
+    order: list = []
+    eager = CollectSink(on_flush=lambda s: order.append(("eager", s)),
+                        force_flush=True)
+    lazy = CollectSink(on_flush=lambda s: order.append(("lazy", s)))
+    events: list = []
+    (
+        Pipeline(spark)
+        .from_(MemorySource([(1,), (2,)], "id int"))
+        .to(eager)
+        .to(lazy)
+        .run(on_event=lambda e, p: events.append((e, p)))
+    )
+    assert order == [("eager", "clean"), ("lazy", "clean")]
+    forced = [p for e, p in events if e == "flow.flush" and p.get("forced")]
+    assert len(forced) == 1
+    assert eager.rows is not None and lazy.rows is not None

@@ -242,13 +242,17 @@ class Pipeline:
                 NoOpSink().write(df)
             # register BEFORE writing: a sink whose write fails still gets
             # its flush('exception') — loaders always see the flow status
-            # at flush time (LoaderAbstract.php:61-87)
-            for sink in self._sinks:
+            # at flush time (LoaderAbstract.php:61-87). force_flush sinks
+            # flush right after their own write (YaEtl.php:148-153);
+            # everyone else defers to the root flush in `finally`.
+            for sink, sink_df in [(s, df) for s in self._sinks] + branch_jobs:
                 all_sinks.append(sink)
-                sink.write(df)
-            for sink, bdf in branch_jobs:
-                all_sinks.append(sink)
-                sink.write(bdf)
+                sink.write(sink_df)
+                if sink.force_flush:
+                    all_sinks.remove(sink)
+                    sink.flush(status)
+                    emit("flow.flush", sink=type(sink).__name__,
+                         status=status, forced=True)
         except Exception as exc:
             status = "exception"
             emit("flow.fail", error=repr(exc))

@@ -15,10 +15,20 @@ from pyspark.sql import DataFrame
 
 
 class Sink:
-    """Base sink: subclasses implement :meth:`write`."""
+    """Base sink: subclasses implement :meth:`write`.
 
-    def __init__(self, on_flush: Callable[[str], None] | None = None):
+    ``force_flush=True`` flushes this sink immediately after its own write
+    instead of deferring to the end-of-flow root flush — the
+    ``forceFlush`` analogue (``src/YaEtl.php:148-153``, branch-flush
+    deferral ``src/YaEtl.php:349-393``)."""
+
+    def __init__(
+        self,
+        on_flush: Callable[[str], None] | None = None,
+        force_flush: bool = False,
+    ):
         self._on_flush = on_flush
+        self.force_flush = force_flush
 
     def write(self, df: DataFrame) -> None:
         raise NotImplementedError
