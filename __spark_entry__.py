@@ -1473,6 +1473,20 @@ def q_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id >= 50) sharing any
+    word 5-gram with the eval set (doc_id < 50). Benchmark shingle hashes
+    broadcast; the training side never shuffles raw text."""
+    from yaetl_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        ngram_size=5,
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1561,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "window_frames": q_window_frames,
         "chunk_documents": q_chunk_documents,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2461,6 +2476,36 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             JOIN movers ON s_suppkey = l_suppkey
             JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - 3),
+                              i -> array_to_string(list_slice(t, i, i + 4), ' '))
+                    END) AS g
+                FROM toks
+            ),
+            hashes AS (
+                SELECT doc_id, list_distinct(list_transform(g, s ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(s) + 1),
+                            i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+                        (h, c) -> (h * 31 + c) % 2147483647))) AS hs
+                FROM grams
+            ),
+            bench AS (SELECT DISTINCT unnest(hs) AS gh FROM hashes WHERE doc_id < 50),
+            train AS (SELECT doc_id, unnest(hs) AS gh FROM hashes WHERE doc_id >= 50)
+            SELECT doc_id, COUNT(*) AS n_matched
+            FROM train JOIN bench USING (gh)
+            GROUP BY doc_id
+            HAVING COUNT(*) >= 1
         """,
         "click_attribution": """
             WITH clicks AS (

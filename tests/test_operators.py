@@ -185,3 +185,42 @@ def test_pandas_udaf_grouped_agg(spark, sf_dir):
     assert set(g) == set(e)
     for k in e:
         assert abs(g[k] - e[k]) < 1e-9
+
+
+def test_decontaminate_flag_and_clean(spark):
+    from yaetl_spark.operators import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with different words entirely"),
+            (3, "quick brown fox jumps over something else near here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["n_matched"]
+               for r in decontaminate(docs, bench, ngram_size=5).collect()}
+    # doc 1 shares 'quick brown fox jumps over' + downstream 5-grams
+    assert 1 in flagged and flagged[1] >= 2
+    assert 3 in flagged and flagged[3] == 1
+    assert 2 not in flagged
+
+    clean = decontaminate(docs, bench, ngram_size=5, mode="clean")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+    strict = decontaminate(docs, bench, ngram_size=5, min_matches=2)
+    assert {r["doc_id"] for r in strict.collect()} == {1}
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    """Docs shorter than the n-gram window collapse to one whole-text
+    shingle (same rule as shingles()) — a verbatim short leak still flags."""
+    from yaetl_spark.operators import decontaminate
+
+    docs = spark.createDataFrame([(1, "tiny leak")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "tiny leak")], "doc_id long, text string")
+    assert decontaminate(docs, bench, ngram_size=5).count() == 1

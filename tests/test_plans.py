@@ -237,3 +237,11 @@ def test_supplier_cnt_anti_join_broadcast(spark):
     plan = plan_of(spark, "supplier_cnt")
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti" in plan and "BroadcastExchange" in plan)
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    """Decontamination: the benchmark shingle set must broadcast — the
+    100 TB training side joins without shuffling its exploded grams."""
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

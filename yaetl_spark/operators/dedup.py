@@ -429,6 +429,56 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_size: int = 5,
+    min_matches: int = 1,
+    mode: str = "flag",
+    hash_fn: str = "rolling",
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing at least
+    ``min_matches`` distinct word ``ngram_size``-grams with an evaluation
+    set — the standard pre-training leak check.
+
+    Scale shape: the benchmark side is small by construction — its distinct
+    shingle hashes BROADCAST, so the 100 TB training side is a narrow
+    map (tokenize → hash → explode) plus a broadcast hash join; the only
+    shuffle carries matched (doc, shingle) pairs, which contamination
+    rarity keeps tiny. ``mode='flag'`` returns (id, n_matched);
+    ``mode='clean'`` anti-joins the flagged ids away.
+
+    ``hash_fn='rolling'`` (default) uses the 31-bit polynomial family —
+    bit-exact in any SQL engine, collisions included; ``'xxhash'`` trades
+    oracle checkability for a 64-bit space."""
+    hasher = F.xxhash64 if hash_fn == "xxhash" else rolling_hash_raw
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        h = F.transform(
+            shingles(F.col(text_col), "word", ngram_size),
+            lambda s: hasher(s),
+        )
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(h)).alias("_ghash")
+        )
+
+    bench = gram_hashes(benchmark).select("_ghash").distinct()
+    flagged = (
+        gram_hashes(docs)
+        .join(F.broadcast(bench), "_ghash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
+    )
+    if mode == "flag":
+        return flagged
+    if mode == "clean":
+        return docs.join(flagged, id_col, "left_anti")
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
