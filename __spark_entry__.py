@@ -1473,6 +1473,18 @@ def q_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: duplicate-3-gram fraction
+    per document (map-only; no shuffle, no UDF)."""
+    from yaetl_spark.operators import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        repetition_ratio(F.col("text"), 3).alias("rep3"),
+    ).filter(F.col("rep3") > 0.01)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >= 50) sharing any
     word 5-gram with the eval set (doc_id < 50). Benchmark shingle hashes
@@ -1576,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
     }
 
 
@@ -2506,6 +2519,32 @@ def oracle_sql() -> dict[str, str]:
             FROM train JOIN bench USING (gh)
             GROUP BY doc_id
             HAVING COUNT(*) >= 1
+        """,
+        "repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN []
+                            ELSE list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                       END AS g
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN len(g) <= 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                       / CAST(len(g) AS DOUBLE), 6)
+                   END AS rep3
+            FROM grams
+            WHERE CASE WHEN len(g) <= 0 THEN 0.0
+                       ELSE round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                      / CAST(len(g) AS DOUBLE), 6)
+                  END > 0.01
         """,
         "click_attribution": """
             WITH clicks AS (

@@ -224,3 +224,20 @@ def test_decontaminate_short_doc_whole_text_gram(spark):
     docs = spark.createDataFrame([(1, "tiny leak")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "tiny leak")], "doc_id long, text string")
     assert decontaminate(docs, bench, ngram_size=5).count() == 1
+
+
+def test_repetition_ratio(spark):
+    from yaetl_spark.operators import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # 4 grams, 1 distinct
+            (2, "all words here are fully distinct"),  # no repeats
+            (3, "ab cd"),                              # shorter than window
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", repetition_ratio("text", 3).alias("r"))
+    got = {r["doc_id"]: r["r"] for r in df.collect()}
+    assert got[1] == 0.75
+    assert got[2] == 0.0
+    assert got[3] == 0.0

@@ -78,6 +78,32 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_ratio(text: Column, ngram: int = 3) -> Column:
+    """Within-document duplicate-``ngram`` fraction — the Gopher-style
+    repetition quality signal (boilerplate / generated-text detector):
+    ``1 − distinct_ngrams / total_ngrams``, 0.0 for docs shorter than the
+    window. Pure map-side expression, exact integer counts both engines."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    grams = F.when(
+        n < ngram, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+        )
+    )
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / total.cast("double"),
+            6,
+        )
+    )
+
+
 def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
     """Heuristic language ID: the language with the most marker-stopword
     hits; 'und' (undetermined) when no marker fires."""
