@@ -366,3 +366,33 @@ def test_stream_to_files_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # replay: checkpoint says nothing new; no duplicates
     got = spark.read.parquet(out).count()
     assert got == expected
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: the streaming side enriches against a batch
+    dimension (broadcast per micro-batch, no stream state). Counts match
+    the batch join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    expected = (events.join(dim, "event_type")
+                .groupBy("category").count()
+                .collect())
+    expected = {(r["category"], r["count"]) for r in expected}
+
+    q = (
+        StreamPipeline(spark)
+        .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                    fmt="parquet", schema=events.schema)
+        .transform(lambda df: df.join(dim, "event_type"))
+        .transform(lambda df: df.groupBy("category").count())
+        .to_memory("enriched_test", output_mode="complete")
+    )
+    _wait_done(q)
+    got = {(r["category"], r["count"])
+           for r in spark.sql("SELECT * FROM enriched_test").collect()}
+    assert got == expected
