@@ -241,3 +241,22 @@ def test_repetition_ratio(spark):
     assert got[1] == 0.75
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_redact_pii(spark):
+    from yaetl_spark.operators import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call (555) 123-4567, "
+             "ssn 123-45-6789, host 10.0.42.7 ok")],
+        "id long, text string",
+    ).select(redact_pii("text").alias("t"))
+    out = df.first()["t"]
+    assert "[EMAIL]" in out and "[PHONE]" in out
+    assert "[SSN]" in out and "[IPV4]" in out
+    assert "@" not in out and "123-45-6789" not in out
+
+    only_email = spark.createDataFrame(
+        [(1, "a@b.co 10.0.0.1")], "id long, text string"
+    ).select(redact_pii("text", kinds=["email"]).alias("t")).first()["t"]
+    assert only_email == "[EMAIL] 10.0.0.1"

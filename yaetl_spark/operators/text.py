@@ -78,6 +78,32 @@ def quality_score(text: Column) -> Column:
     )
 
 
+_PII_PATTERNS: dict[str, str] = {
+    # order matters: longer/more-specific first so replacements don't
+    # partially consume each other's matches
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}",
+}
+
+
+def redact_pii(
+    text: Column, kinds: list[str] | None = None, token: str = "[{kind}]"
+) -> Column:
+    """Scrub PII-shaped substrings (emails, IPv4s, SSNs, phone numbers)
+    with per-kind placeholder tokens — the standard pre-training privacy
+    pass. Chained native ``regexp_replace`` calls: JVM-side, streaming-
+    safe, no UDF. ``kinds`` selects/orders a subset of
+    :data:`_PII_PATTERNS`."""
+    out = text
+    for kind in kinds or list(_PII_PATTERNS):
+        out = F.regexp_replace(
+            out, _PII_PATTERNS[kind], token.format(kind=kind.upper())
+        )
+    return out
+
+
 def repetition_ratio(text: Column, ngram: int = 3) -> Column:
     """Within-document duplicate-``ngram`` fraction — the Gopher-style
     repetition quality signal (boilerplate / generated-text detector):
