@@ -1493,6 +1493,24 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sorted-interpolation, deterministic cross-engine
+    unlike t-digest sketches) of order value per status. Exact percentile
+    is a sort-based aggregate: at 100 TB swap in percentile_approx and
+    accept sketch variance, or pre-bucket; here the oracle requires
+    exactness."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >= 50) sharing any
     word 5-gram with the eval set (doc_id < 50). Benchmark shingle hashes
@@ -1596,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": q_window_frames,
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
+        "percentiles": q_percentiles,
         "repetition": q_repetition,
     }
 
@@ -2551,6 +2570,14 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             ORDER BY rep3 DESC, doc_id ASC
             LIMIT 20
+        """,
+        "percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
         """,
         "click_attribution": """
             WITH clicks AS (
