@@ -1511,6 +1511,31 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who viewed,
+    then clicked strictly after their first view, then purchased strictly
+    after that click. Three per-user min aggregations chained by
+    co-partitioned joins on user_id — after the first shuffle every stage
+    reuses the same hash partitioning, so the fact table shuffles once
+    per step and nothing re-shuffles between join and aggregate."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .join(views, "user_id")
+              .filter(F.col("ts") > F.col("t1"))
+              .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .join(clicks, "user_id")
+                 .filter(F.col("ts") > F.col("t2"))
+                 .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id >= 50) sharing any
     word 5-gram with the eval set (doc_id < 50). Benchmark shingle hashes
@@ -1615,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "decontaminate": q_decontaminate,
         "percentiles": q_percentiles,
+        "funnel": q_funnel,
         "repetition": q_repetition,
     }
 
@@ -2578,6 +2604,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+                  JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND ts > t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+                  JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND ts > t2
+                  GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM v) AS n_view_users,
+                   (SELECT count(*) FROM c) AS n_click_users,
+                   (SELECT count(*) FROM p) AS n_purchase_users
         """,
         "click_attribution": """
             WITH clicks AS (
