@@ -245,3 +245,24 @@ def test_decontaminate_benchmark_broadcasts(spark):
     plan = plan_of(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Funnel: the three per-user stages must share hash(user_id)
+    partitioning — joins between them add no extra fact exchange beyond
+    one per step (3 aggs + 2 joins + 3 single-row finals ≤ 8 total) and
+    never degrade to nested loops."""
+    plan = plan_of(spark, "funnel")
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")  # 1-row crossJoins broadcast
+    assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_percentiles_single_shuffle(spark):
+    """Exact percentiles: one hash exchange on the group key feeds the
+    sort-based aggregate; no range shuffle, no join."""
+    plan = plan_of(spark, "percentiles")
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "") \
+        or "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in plan
