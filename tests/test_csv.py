@@ -90,3 +90,23 @@ def test_text_lines_skip_blank_and_trim(spark, tmp_path):
         fh.write("﻿1\n 2 \n\n3\n\n".encode("utf-8"))
     df = TextLinesSource(path).read(spark)
     assert sorted(r["value"] for r in df.collect()) == ["1", "2", "3"]
+
+
+def test_csv_single_file_append_and_modes(spark, tmp_path):
+    """single_file honors mode against the FINAL file: append concatenates
+    (header deduplicated), error refuses, ignore no-ops."""
+    df1 = spark.createDataFrame([("a", "1")], "k string, v string")
+    df2 = spark.createDataFrame([("b", "2")], "k string, v string")
+    out = os.path.join(str(tmp_path), "ap.csv")
+    CsvSink(out, single_file=True).write(df1)
+    CsvSink(out, single_file=True, mode="append").write(df2)
+    back = CsvSource(out).read(spark)
+    assert sorted(tuple(r) for r in back.collect()) == [("a", "1"), ("b", "2")]
+
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        CsvSink(out, single_file=True, mode="error").write(df1)
+    CsvSink(out, single_file=True, mode="ignore").write(df1)  # no-op
+    assert sorted(tuple(r) for r in CsvSource(out).read(spark).collect()) == [
+        ("a", "1"), ("b", "2")]

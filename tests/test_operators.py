@@ -63,11 +63,16 @@ def test_simhash_dedup_collapses_exact_dups(spark):
 
 def test_ngram_jaccard_exact_values(spark):
     pairs = ngram_jaccard_pairs(
-        _docs(spark), shingle_size=5, threshold=0.5
+        _docs(spark), shingle_size=5, threshold=0.5, all_pairs=True
     ).collect()
     sims = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert sims[(1, 2)] == 1.0  # identical text
     assert 0.5 <= sims[(1, 3)] < 1.0  # one word differs
+
+
+def test_ngram_jaccard_requires_all_pairs_opt_in(spark):
+    with pytest.raises(ValueError, match="all_pairs=True"):
+        ngram_jaccard_pairs(_docs(spark), threshold=0.5)
 
 
 def test_embedding_dedup_bruteforce_vs_lsh(spark):
@@ -260,3 +265,51 @@ def test_redact_pii(spark):
         [(1, "a@b.co 10.0.0.1")], "id long, text string"
     ).select(redact_pii("text", kinds=["email"]).alias("t")).first()["t"]
     assert only_email == "[EMAIL] 10.0.0.1"
+
+
+def test_percentiles_approx_default_and_exact(spark):
+    from yaetl_spark.operators import percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "k string, x double",
+    )
+    exact = {r["k"]: r for r in percentiles(
+        df, "x", keys=["k"], exact=True).collect()}
+    assert exact["a"]["p50"] == 50.5 and exact["a"]["n_rows"] == 100
+    assert exact["b"]["p50"] == 10.0  # interpolated midpoint
+
+    # production default: approx sketch — returns actual data elements,
+    # within rank tolerance of the exact answer
+    approx = {r["k"]: r for r in percentiles(df, "x", keys=["k"]).collect()}
+    assert abs(approx["a"]["p50"] - 50.5) <= 1.0
+    assert approx["a"]["p99"] >= approx["a"]["p90"] >= approx["a"]["p50"]
+    assert approx["b"]["p50"] in (5.0, 15.0)
+
+    # ungrouped + custom prob naming
+    g = percentiles(df, "x", probs=(0.25, 0.999)).first()
+    assert "p25" in g.asDict() and "p99_9" in g.asDict()
+
+
+def test_as_of_join_deterministic_tie_break(spark):
+    trades = spark.createDataFrame([(1, 10, "t1")], "key int, t int, trade string")
+    # two quotes at the identical timestamp: greatest attribute tuple wins
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 10, 200.0), (1, 10, 150.0)],
+        "key int, t int, px double",
+    )
+    for _ in range(3):
+        out = as_of_join(
+            trades.repartition(4), quotes.repartition(3),
+            on="key", left_time="t", right_time="t",
+        ).collect()
+        assert [(r["key"], r["t"], r["px"]) for r in out] == [(1, 10, 200.0)]
+
+
+def test_join_default_record_rejects_non_left(spark):
+    from yaetl_spark.operators import OnClause, join
+
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([(2, "y")], "id int, w string")
+    with pytest.raises(ValueError, match="how='left'"):
+        join(a, b, OnClause("id", default_record={"w": "d"}), how="full")

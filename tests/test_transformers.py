@@ -196,3 +196,19 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_scd2_merge_rejects_untracked_columns(spark):
+    from yaetl_spark.operators import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, "A", "note", 100, None, True)],
+        "k int, seg string, memo string, valid_from long, valid_to long, "
+        "is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "B", 200)], "k int, seg string, effective_ts long"
+    )
+    with pytest.raises(ValueError, match="memo"):
+        scd2_merge(current, updates, key="k", change_cols=["seg"],
+                   effective_col="effective_ts")

@@ -124,6 +124,45 @@ def pandas_udaf(fn, return_type: str = "double"):
     return pandas_udf(wrapped, return_type)
 
 
+def percentiles(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    names: Sequence[str] | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Grouped percentiles of ``value_col``.
+
+    Production default is ``percentile_approx`` — a bounded-size sketch
+    that merges map-side, so the shuffle carries one sketch per group
+    regardless of row count: the only shape that survives 100 TB.
+    ``exact=True`` switches to the sort-based ``percentile()`` aggregate
+    (each group's values gathered and interpolated — deterministic and
+    cross-engine reproducible, for oracle/verification runs on bounded
+    groups). ``accuracy`` trades sketch memory for error (1/accuracy
+    relative rank error).
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    names = list(names) if names else [
+        "p" + format(p * 100, "g").replace(".", "_") for p in probs
+    ]
+    aggs = []
+    for p, name in zip(probs, names):
+        expr = (
+            f"{fn}({value_col}, {p})" if exact
+            else f"{fn}({value_col}, {p}, {accuracy})"
+        )
+        if round_to is not None:
+            expr = f"round({expr}, {round_to})"
+        aggs.append(F.expr(expr).alias(name))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(*aggs)
+
+
 def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 

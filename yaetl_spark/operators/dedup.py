@@ -385,18 +385,26 @@ def ngram_jaccard_pairs(
     shingle_size: int = 5,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Without ``candidates`` falls back to an all-pairs join — correct but
-    quadratic; at scale always feed LSH candidates (``minhash_lsh``).
-    Returns ``(id_a, id_b, jaccard)``.
+    At scale always feed LSH ``candidates`` (``minhash_lsh``). The
+    all-pairs join is quadratic — a 100 TB footgun — so running without
+    ``candidates`` requires the explicit ``all_pairs=True`` opt-in and
+    raises otherwise. Returns ``(id_a, id_b, jaccard)``.
     """
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(char_ngrams(F.col(text_col), shingle_size)).alias("_g"),
     )
     if candidates is None:
+        if not all_pairs:
+            raise ValueError(
+                "ngram_jaccard_pairs without candidates is a quadratic "
+                "all-pairs join; pass minhash_lsh candidates, or opt in "
+                "explicitly with all_pairs=True on bounded inputs"
+            )
         a, b = grams.alias("a"), grams.alias("b")
         pairs = a.join(b, F.col("a._id") < F.col("b._id"))
     else:

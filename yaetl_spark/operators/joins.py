@@ -83,6 +83,12 @@ def join(
     clause = on if isinstance(on, OnClause) else OnClause(on)
     if how not in VALID_HOW:
         raise ValueError(f"how must be one of {sorted(VALID_HOW)}, got {how!r}")
+    if clause.default_record and how != "left":
+        # defaults are a left-join miss-fill concept; silently ignoring
+        # them on other join types hid user intent
+        raise ValueError(
+            f"default_record is only supported for how='left', got {how!r}"
+        )
 
     rhs = F.broadcast(right) if broadcast else right
     lalias, ralias = left.alias("__l"), rhs.alias("__r")
@@ -199,6 +205,10 @@ def as_of_join(
 
     Implemented as union + window over event time — one shuffle on
     ``(key, time)``, no range explosion, scales linearly with input.
+
+    When several right rows share the same ``(key, right_time)``, the one
+    with the greatest attribute tuple wins — a deterministic, partition-
+    layout-independent tie-break (engine-order ``last()`` is not).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward/forward")
@@ -223,16 +233,24 @@ def as_of_join(
     ).select(*l_tagged.columns)  # align column order
 
     unioned = l_tagged.unionByName(r_tagged)
+    # final tie-break among right rows at identical (key, __t): order by
+    # the right attribute tuple so last() picks a deterministic row (left
+    # rows carry all-null __r_* and sort first within their (__t, 1) slot,
+    # which never matters — only right rows compete for last())
+    ties = (
+        [F.struct(*[F.col(f"__r_{c}") for c in rcols]).asc_nulls_first()]
+        if rcols else []
+    )
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *ties)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), *ties)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     filled = unioned.select(

@@ -46,23 +46,27 @@ def repartition_by_bytes(
 ) -> DataFrame:
     """Repartition so each partition holds ~target_bytes of media payload.
 
-    Uses the total size / target ratio for the partition count and a
-    random-ish (hash of size+monotonic id) key to spread large items —
-    prevents one task from receiving several 4 GB videos.
+    Uses the total size / target ratio for the partition count and plain
+    round-robin redistribution to spread large items — prevents one task
+    from receiving several 4 GB videos. (Round-robin, not a hash of any
+    row attribute: equally-sized items from one input split would hash
+    together and re-create the hot task.)
     """
     total = df.agg(F.sum(size_col)).first()[0] or 0
     n = max(1, int(total / target_bytes) + 1)
-    return df.repartition(n, F.spark_partition_id(), F.col(size_col))
+    return df.repartition(n)
 
 
 def _stub_decode_image(data: bytes) -> np.ndarray:
-    """Deterministic fake decoder: derives a 4x4 RGB array from an md5 of
+    """Deterministic fake decoder: derives a 4x4 RGB array from a sha256 of
     the bytes so tests get stable, content-dependent output. (Python's
     builtin ``hash()`` is salted per process — it would differ across
-    executor workers; a real digest is executor-stable.)"""
+    executor workers; a real digest is executor-stable. sha256 specifically
+    because the DuckDB oracle can replicate it on varchar payloads —
+    ``sha256(text)`` — making the stub features hash-checkable.)"""
     import hashlib
 
-    h = np.frombuffer(hashlib.md5(data).digest(), dtype=np.uint8)
+    h = np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
     return np.tile(h[:3], (4, 4, 1))
 
 

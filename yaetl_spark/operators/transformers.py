@@ -265,6 +265,14 @@ def scd2_merge(
 
     keys = [key] if isinstance(key, str) else list(key)
     dim_cols = keys + change_cols
+    expected = set(dim_cols) | {valid_from, valid_to, current_flag}
+    extra = sorted(set(current.columns) - expected)
+    if extra:
+        raise ValueError(
+            "scd2_merge requires current's columns to be exactly keys + "
+            f"change_cols + bookkeeping columns; untracked columns {extra} "
+            "cannot be populated on new versions — add them to change_cols"
+        )
 
     open_rows = current.filter(F.col(current_flag))
     closed_rows = current.filter(~F.col(current_flag))

@@ -35,6 +35,11 @@ DEFAULT_CONF = {
     # ANSI off: engine semantics follow permissive SQL (reference has no
     # type system at all; see SURVEY.md §1.2).
     "spark.sql.ansi.enabled": "false",
+    # TIMESTAMP(NANOS) parquet (e.g. the events table) is unreadable by
+    # Spark 4 without this; readers then rebuild timestamps losslessly via
+    # timestamp_micros(ns DIV 1000). Session-level so no query mutates
+    # config at build time.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -81,12 +81,19 @@ class CsvSink(Sink):
     def write(self, df: DataFrame) -> None:
         target = self.path
         tmp = None
+        exists = os.path.exists(self.path)
         if self.single_file:
+            # mode applies to the FINAL file, not the tmp part dir: honor
+            # append/error/ignore here instead of silently truncating
+            if self.mode in ("error", "errorifexists") and exists:
+                raise FileExistsError(self.path)
+            if self.mode == "ignore" and exists:
+                return
             tmp = self.path + "._spark_tmp"
             target = tmp
             df = df.coalesce(1)
         (
-            df.write.mode(self.mode)
+            df.write.mode("overwrite" if self.single_file else self.mode)
             .option("header", self.header)
             .option("sep", self.sep)
             .option("quote", self.quote)
@@ -99,12 +106,20 @@ class CsvSink(Sink):
         if self.single_file:
             part = sorted(glob.glob(os.path.join(tmp, "part-*")))[0]
             payload = open(part, "rb").read()
-            with open(self.path, "wb") as out:
-                if self.bom:
-                    out.write("﻿".encode(self.encoding))
-                if self.sep_line:
-                    out.write(f"sep={self.sep}\n".encode(self.encoding))
-                out.write(payload)
+            if self.mode == "append" and exists:
+                # concatenate onto the existing export, dropping the
+                # duplicated header line
+                if self.header:
+                    payload = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
+                with open(self.path, "ab") as out:
+                    out.write(payload)
+            else:
+                with open(self.path, "wb") as out:
+                    if self.bom:
+                        out.write("﻿".encode(self.encoding))
+                    if self.sep_line:
+                        out.write(f"sep={self.sep}\n".encode(self.encoding))
+                    out.write(payload)
             shutil.rmtree(tmp)
 
 
