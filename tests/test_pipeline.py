@@ -358,3 +358,77 @@ def test_force_flush_orders_before_root_flush(spark):
     forced = [p for e, p in events if e == "flow.flush" and p.get("forced")]
     assert len(forced) == 1
     assert eager.rows is not None and lazy.rows is not None
+
+
+def test_flush_gets_dirty_status_on_stopwhen(spark):
+    """A StopWhen-truncated flow flushes 'dirty' — the reference's "one
+    node broke the flow" status (LoaderAbstract.php:61-87,
+    docs/callbacks.md:27-48); untruncated flows stay 'clean'."""
+    from yaetl_spark.operators import StopWhen
+
+    seen: list = []
+    sink = CollectSink(on_flush=lambda s: seen.append(s))
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(10)], "id int"))
+        .qualify(StopWhen(max_records=3))
+        .to(sink)
+        .run()
+    )
+    assert report["status"] == "dirty"
+    assert seen == ["dirty"]
+    assert len(sink.rows) == 3
+
+    # branch-side StopWhen dirties the whole flow too
+    seen2: list = []
+    child = BranchPipeline(spark).qualify(StopWhen(max_records=1)).to(
+        CollectSink(on_flush=lambda s: seen2.append(s)))
+    report2 = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(5)], "id int"))
+        .branch(child)
+        .run()
+    )
+    assert report2["status"] == "dirty" and "dirty" in seen2
+
+
+def test_chained_returning_sink_feeds_next_sink(spark):
+    """Chained loaders (isAReturningVal, LoaderAbstract.php:28-35,
+    docs/citizens.md:465-496): a returning sink's enriched output feeds
+    the next sink — the UUID-assigning-loader pattern."""
+    import uuid as uuidlib
+
+    class UuidAssignSink(CollectSink):
+        """Assigns a uuid per record, persists the mapping (here: driver
+        list), returns the enriched, materialized frame."""
+
+        def __init__(self, **kw):
+            super().__init__(returning=True, **kw)
+
+        def write(self, df):
+            rows = [r.asDict() for r in df.collect()]
+            for r in rows:
+                r["uid"] = str(uuidlib.uuid4())
+            self.rows = rows
+            return df.sparkSession.createDataFrame(
+                [tuple(r.values()) for r in rows],
+                df.columns + ["uid"],
+            )
+
+    first = UuidAssignSink()
+    second = CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(1, "a"), (2, "b")], "id int, v string"))
+        .to(first)
+        .to(second)
+        .run()
+    )
+    assert report["status"] == "clean"
+    assert {r["uid"] for r in second.rows} == {r["uid"] for r in first.rows}
+    assert {(r["id"], r["v"]) for r in second.rows} == {(1, "a"), (2, "b")}
+
+    # non-returning sinks keep feeding the original frame to the next sink
+    plain, tail = CollectSink(), CollectSink()
+    Pipeline(spark).from_(MemorySource([(3,)], "id int")).to(plain).to(tail).run()
+    assert [r["id"] for r in tail.rows] == [3] and "uid" not in tail.rows[0].asDict()

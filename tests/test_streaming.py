@@ -396,3 +396,94 @@ def test_stream_static_join_enrichment(spark, sf_dir, tmp_path):
     got = {(r["category"], r["count"])
            for r in spark.sql("SELECT * FROM enriched_test").collect()}
     assert got == expected
+
+
+def test_interval_join_state_expiry_under_triggers(spark, tmp_path):
+    """Stream-stream interval_join under real triggers (maxFilesPerTrigger
+    =1): on-time pairs match the batch oracle, and a purchase arriving
+    AFTER the watermark passed its window is dropped — the two-sided bound
+    + watermark expired the click's join state (the contract that keeps
+    stream-stream state finite)."""
+    import os
+    import time as _t
+
+    from yaetl_spark.streaming import interval_join
+
+    clicks_dir = str(tmp_path / "ij_clicks")
+    purch_dir = str(tmp_path / "ij_purch")
+    mk = lambda rows, sch: spark.createDataFrame(rows, sch).withColumn(  # noqa: E731
+        "sec", F.col("sec").cast("long"))
+    c_sch, p_sch = "click_id string, cu string, sec long", \
+        "purch_id string, pu string, sec long"
+
+    def stage(d, batches, sch):
+        t0 = _t.time()
+        for i, rows in enumerate(batches):
+            sub = f"{d}/f{i}"
+            mk(rows, sch).withColumn(
+                "ts", F.timestamp_seconds(F.col("sec"))).drop("sec") \
+                .coalesce(1).write.mode("overwrite").parquet(sub)
+            for f in os.listdir(sub):  # force pickup order = batch order
+                os.utime(os.path.join(sub, f), (t0 + i, t0 + i))
+
+    B = 1_000_000
+    stage(clicks_dir, [
+        [("c1", "u1", B + 0)],
+        [("c2", "u1", B + 5000)],
+    ], c_sch)
+    stage(purch_dir, [
+        [("p_ontime", "u1", B + 30)],
+        [("p_far", "u1", B + 5020)],
+        # buffer batch: state eviction is end-of-batch, so the late row
+        # must arrive after the watermark-advancing batch has committed
+        [("p_dummy", "u9", B + 5040)],
+        [("p_late", "u1", B + 40)],  # in c1's window but watermark-expired
+    ], p_sch)
+
+    def src(d):
+        sch = spark.read.parquet(f"{d}/f0").schema
+        return (spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1).parquet(f"{d}/f*"))
+
+    joined = interval_join(
+        src(clicks_dir).withColumnRenamed("ts", "cts"),
+        src(purch_dir).withColumnRenamed("ts", "pts"),
+        "cu", "pu", "cts", "pts",
+        0, 60, watermark="10 seconds",
+    ).select("click_id", "purch_id")
+
+    out: list = []
+    q = (joined.writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ij_ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = {(r.click_id, r.purch_id) for r in out}
+    # batch oracle over the ON-TIME rows: exactly the streamed result
+    assert got == {("c1", "p_ontime"), ("c2", "p_far")}
+    # the join state observably dropped the watermark-expired purchase
+    dropped = sum(
+        (p.get("stateOperators") or [{}])[0]
+        .get("numRowsDroppedByWatermark", 0) or 0
+        for p in q.recentProgress)
+    assert dropped >= 1
+    # batch over ALL rows would also pair the late purchase — streaming
+    # correctly dropped it after state expiry
+    batch_all = interval_join(
+        spark.read.parquet(f"{clicks_dir}/f*")
+        .withColumnRenamed("ts", "cts"),
+        spark.read.parquet(f"{purch_dir}/f*")
+        .withColumnRenamed("ts", "pts"),
+        "cu", "pu", "cts", "pts", 0, 60,
+    )
+    assert ("c1", "p_late") in {
+        (r.click_id, r.purch_id) for r in batch_all.collect()}

@@ -212,3 +212,37 @@ def test_scd2_merge_rejects_untracked_columns(spark):
     with pytest.raises(ValueError, match="memo"):
         scd2_merge(current, updates, key="k", change_cols=["seg"],
                    effective_col="effective_ts")
+
+
+def test_map_fields_recursive_walks_leaves(spark):
+    """ArrayWalkRecursiveTransformer parity: the callable reaches every
+    leaf through nested structs, arrays, array-of-struct and map values
+    (ref ArrayWalkRecursiveTransformer.php:56-65 + ArrayTransformersTest)."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import MapFieldsRecursive
+
+    df = spark.createDataFrame(
+        [(" a ", {"x": " b ", "y": [" c ", " d "]},
+          [{"z": " e "}], {"k1": " f "})],
+        "s string, st struct<x string, y array<string>>, "
+        "arr array<struct<z string>>, m map<string, string>",
+    )
+    out = MapFieldsRecursive(F.trim).apply(df).first()
+    assert out["s"] == "a"
+    assert out["st"]["x"] == "b" and out["st"]["y"] == ["c", "d"]
+    assert out["arr"][0]["z"] == "e"
+    assert out["m"]["k1"] == "f"
+
+    # key-aware form sees the nearest field name
+    seen = []
+
+    def tag(col, name):
+        seen.append(name)
+        return F.concat(F.lit(name + ":"), F.trim(col))
+
+    tagged = MapFieldsRecursive(tag, with_key=True, columns=["st"]).apply(df).first()
+    assert tagged["st"]["x"] == "x: b ".replace(" b ", "b")
+    assert tagged["st"]["y"] == ["y:c", "y:d"]
+    assert tagged["s"] == " a "  # untargeted column untouched
+    assert set(seen) == {"x", "y"}

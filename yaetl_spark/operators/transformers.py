@@ -192,6 +192,72 @@ class MapFields(Transformer):
         return df.select(*exprs)
 
 
+class MapFieldsRecursive(Transformer):
+    """Apply a Column function to every LEAF value, descending into nested
+    structs, arrays and map values (ArrayWalkRecursiveTransformer parity —
+    ref ``src/Transformers/Arrays/ArrayWalkRecursiveTransformer.php:56-65``:
+    PHP's ``array_walk_recursive`` recurses into nested arrays and applies
+    the callable to non-array leaves only).
+
+    ``fn`` is ``Column -> Column``, or ``(Column, name) -> Column`` with
+    ``with_key=True``. The name passed for a nested leaf is its struct
+    field name; array elements and map values inherit the enclosing
+    field's name (Spark arrays are positional where PHP lists are keyed —
+    the integer keys PHP would pass carry no schema meaning here).
+
+    Whole plan stays a single Project of native higher-order functions
+    (``transform`` / ``transform_values`` / struct rebuild) — no shuffle,
+    no Python, fully codegen'd.
+    """
+
+    def __init__(
+        self,
+        fn: Callable[..., Column],
+        columns: list[str] | None = None,
+        with_key: bool = False,
+    ):
+        self.fn = fn
+        self.columns = columns
+        self.with_key = with_key
+
+    def _leaf(self, col: Column, name: str) -> Column:
+        return self.fn(col, name) if self.with_key else self.fn(col)
+
+    def _walk(self, col: Column, name: str, dtype) -> Column:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dtype, StructType):
+            return F.struct(
+                *[
+                    self._walk(
+                        col.getField(f.name), f.name, f.dataType
+                    ).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
+        if isinstance(dtype, ArrayType):
+            return F.transform(
+                col, lambda x: self._walk(x, name, dtype.elementType)
+            )
+        if isinstance(dtype, MapType):
+            return F.transform_values(
+                col, lambda k, v: self._walk(v, name, dtype.valueType)
+            )
+        return self._leaf(col, name)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        targets = self.columns or df.columns
+        exprs = []
+        for f in df.schema.fields:
+            if f.name in targets:
+                exprs.append(
+                    self._walk(F.col(f.name), f.name, f.dataType).alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+        return df.select(*exprs)
+
+
 class WithColumns(Transformer):
     """Arbitrary named Column expressions — the main projection workhorse."""
 

@@ -67,6 +67,10 @@ class Pipeline:
             "num_branch": 0,
         }
         self._parent_df: DataFrame | None = None  # set on branches at run time
+        # a StopWhen qualifier marks the flow break-truncated: sinks then
+        # flush 'dirty', the reference's "one node broke the flow" status
+        # (LoaderAbstract.php:61-87, docs/callbacks.md:27-48)
+        self._dirty = False
 
     # -- grammar --------------------------------------------------------------
     def _require_df(self) -> DataFrame:
@@ -108,9 +112,14 @@ class Pipeline:
         return self
 
     def qualify(self, condition: Qualifier | Column | str | Callable) -> "Pipeline":
+        from .operators.qualifiers import StopWhen
+
         df = self._require_df()
         self._counters["num_qualify"] += 1
-        if isinstance(condition, Qualifier):
+        if isinstance(condition, StopWhen):
+            self._dirty = True
+            self._df = condition.apply(df)
+        elif isinstance(condition, Qualifier):
             self._df = condition.apply(df)
         elif callable(condition) and not isinstance(condition, Column):
             self._df = df.filter(condition(df))
@@ -206,7 +215,10 @@ class Pipeline:
         """
         df = self._require_df()
         t0 = time.monotonic()
-        status = "clean"
+        # break-truncated flows (StopWhen here or in a branch) flush dirty
+        status = "dirty" if (
+            self._dirty or any(b._dirty for b in self._branches)
+        ) else "clean"
 
         def emit(event: str, **payload) -> None:
             if on_event is not None:
@@ -222,13 +234,22 @@ class Pipeline:
             obs = Observation("_pipeline")
             df = df.observe(obs, F.count(F.lit(1)).alias("num_records"))
 
-        branch_jobs: list[tuple[Sink, DataFrame]] = []
+        # sink chains: the root's sinks run in declared order over the root
+        # frame, each branch's over its own lineage; within a chain a
+        # returning sink's output feeds the next sink (docs/citizens.md:
+        # 465-496 chained loaders)
+        chains: list[tuple[list[Sink], DataFrame]] = []
+        if self._sinks:
+            chains.append((list(self._sinks), df))
+        n_branch_sinks = 0
         for child in self._branches:
             if child._df is not None:
                 raise PipelineError("branch pipelines must not call from_()")
-            branch_jobs.extend((s, child._apply_to(df)) for s in child._sinks)
+            if child._sinks:
+                chains.append((list(child._sinks), child._apply_to(df)))
+                n_branch_sinks += len(child._sinks)
 
-        n_actions = len(self._sinks) + len(branch_jobs) + (0 if self._sinks or branch_jobs else 1)
+        n_actions = len(self._sinks) + n_branch_sinks + (0 if chains else 1)
         persisted = False
         if n_actions > 1:
             # shared upstream: extract once, fan out (README.md:219-246)
@@ -236,7 +257,7 @@ class Pipeline:
             persisted = True
         all_sinks: list[Sink] = []
         try:
-            if not self._sinks and not branch_jobs:
+            if not chains:
                 from .sinks.base import NoOpSink
 
                 NoOpSink().write(df)
@@ -245,14 +266,18 @@ class Pipeline:
             # at flush time (LoaderAbstract.php:61-87). force_flush sinks
             # flush right after their own write (YaEtl.php:148-153);
             # everyone else defers to the root flush in `finally`.
-            for sink, sink_df in [(s, df) for s in self._sinks] + branch_jobs:
-                all_sinks.append(sink)
-                sink.write(sink_df)
-                if sink.force_flush:
-                    all_sinks.remove(sink)
-                    sink.flush(status)
-                    emit("flow.flush", sink=type(sink).__name__,
-                         status=status, forced=True)
+            for sinks, chain_df in chains:
+                cur = chain_df
+                for sink in sinks:
+                    all_sinks.append(sink)
+                    ret = sink.write(cur)
+                    if sink.returning and ret is not None:
+                        cur = ret
+                    if sink.force_flush:
+                        all_sinks.remove(sink)
+                        sink.flush(status)
+                        emit("flow.flush", sink=type(sink).__name__,
+                             status=status, forced=True)
         except Exception as exc:
             status = "exception"
             emit("flow.fail", error=repr(exc))
@@ -347,8 +372,13 @@ class BranchPipeline(Pipeline):
         raise PipelineError("branch pipelines must not call from_()")
 
     def qualify(self, condition) -> "BranchPipeline":
+        from .operators.qualifiers import StopWhen
+
         self._counters["num_qualify"] += 1
-        if isinstance(condition, Qualifier):
+        if isinstance(condition, StopWhen):
+            self._dirty = True
+            self._ops.append(condition.apply)
+        elif isinstance(condition, Qualifier):
             self._ops.append(condition.apply)
         elif callable(condition) and not isinstance(condition, Column):
             self._ops.append(lambda df: df.filter(condition(df)))

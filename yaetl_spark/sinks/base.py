@@ -20,17 +20,28 @@ class Sink:
     ``force_flush=True`` flushes this sink immediately after its own write
     instead of deferring to the end-of-flow root flush — the
     ``forceFlush`` analogue (``src/YaEtl.php:148-153``, branch-flush
-    deferral ``src/YaEtl.php:349-393``)."""
+    deferral ``src/YaEtl.php:349-393``).
+
+    ``returning=True`` marks a *chained* sink (``isAReturningVal``,
+    ``src/Loaders/LoaderAbstract.php:28-35``, ``docs/citizens.md:465-496``):
+    its :meth:`write` may return an enriched DataFrame which then feeds the
+    NEXT sink in the same chain — the reference's UUID-assigning-loader
+    pattern. The returned frame must be deterministic on re-evaluation or
+    already materialized (``createDataFrame`` over computed rows, or a
+    re-read of the written output): downstream sinks trigger their own
+    actions over it."""
 
     def __init__(
         self,
         on_flush: Callable[[str], None] | None = None,
         force_flush: bool = False,
+        returning: bool = False,
     ):
         self._on_flush = on_flush
         self.force_flush = force_flush
+        self.returning = returning
 
-    def write(self, df: DataFrame) -> None:
+    def write(self, df: DataFrame) -> "DataFrame | None":
         raise NotImplementedError
 
     def flush(self, status: str) -> None:
