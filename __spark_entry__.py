@@ -1560,6 +1560,60 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (new operator surface): orders matched into
+    25k-wide price bands via :func:`range_join` — the interval condition
+    becomes an EQUI join on covering buckets + refine filter, so the plan
+    is a plain hash join (never BroadcastNestedLoop/cartesian, the
+    100 TB contract for interval matching)."""
+    from yaetl_spark.operators import range_join
+
+    bands = spark.range(0, 24).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25000.0).alias("lo"),
+        ((F.col("id") + 1) * 25000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=25000.0
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec2("o_totalprice")), 2)
+        .cast("double").alias("sum_price"),
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF, top-3 terms per document (LLM-pipeline keyword
+    extraction). Shape: explode → two partial-agg groupBys → token-keyed
+    join (vocabulary-sized) → per-doc rank window; N is a literal from
+    one count job, never a cross join."""
+    from yaetl_spark.operators import tfidf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return tfidf(docs, top_k_per_doc=3)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (new driver row for the salted_join operator):
+    lineitem ⋈ orders on the order key with an 8-way salt — hot keys
+    spread over 8 reducers, build side replicated 8×. Results are
+    IDENTICAL to the plain join (the oracle is the plain SQL join), only
+    the shuffle layout changes."""
+    from yaetl_spark.operators import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, orders, "l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1609,6 +1663,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
+        # -- new this round -------------------------------------------------
+        "range_band": q_range_band,
+        "tfidf": q_tfidf,
+        "salted_join": q_salted_join,
         # -- round-1 green (rotate back into the window as slots allow) ----
         "scan_filter_project": q_scan_filter_project,
         "inner_join": q_inner_join,
@@ -2716,6 +2774,50 @@ def oracle_sql() -> dict[str, str]:
                        i -> sha256(substr(text, CAST(i*150+1 AS INT), 200))))
                        AS chunk_sha
             FROM base
+        """,
+        "range_band": """
+            WITH bands AS (
+                SELECT i AS band_id, i * 25000.0 AS lo, (i + 1) * 25000.0 AS hi
+                FROM range(0, 24) t(i)
+            )
+            SELECT band_id, COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_price
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id
+        """,
+        "tfidf": """
+            WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+            terms AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM docs
+            ),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM terms GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM docs),
+            scored AS (
+                SELECT doc_id, token, tf,
+                       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                           AS score
+                FROM tf JOIN dfreq USING (token), n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+                FROM scored
+            )
+            SELECT doc_id, token, tf, score FROM ranked WHERE rk <= 3
+        """,
+        "salted_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         # image_features: the stub decoder derives 4x4 pixels from the
         # sha256 of the payload bytes; the payload is UTF-8-encoded ASCII

@@ -313,3 +313,71 @@ def test_join_default_record_rejects_non_left(spark):
     b = spark.createDataFrame([(2, "y")], "id int, w string")
     with pytest.raises(ValueError, match="how='left'"):
         join(a, b, OnClause("id", default_record={"w": "d"}), how="full")
+
+
+# -- range join ------------------------------------------------------------
+
+def test_range_join_bucketed_matches_naive(spark):
+    from yaetl_spark.operators import range_join
+
+    vals = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 5.0, 9.99, 10.0, 42.0, 99.5])],
+        "vid int, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 50.0), (300, 99.0, 100.0)],
+        "iv int, lo double, hi double",
+    )
+    got = {
+        (r["vid"], r["iv"])
+        for r in range_join(vals, ivs, "v", "lo", "hi", bucket_width=7.0).collect()
+    }
+    naive = {
+        (r["vid"], r["iv"])
+        for r in vals.crossJoin(ivs)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect()
+    }
+    assert got == naive and (3, 200) in got and (0, 100) in got
+
+    # auto bucket width (derived from median span) gives the same answer
+    auto = {(r["vid"], r["iv"]) for r in range_join(vals, ivs, "v", "lo", "hi").collect()}
+    assert auto == naive
+
+
+def test_range_join_with_keys_and_guards(spark):
+    from yaetl_spark.operators import range_join
+
+    left = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "k string, v double")
+    right = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "k string, lo double, hi double")
+    out = range_join(left, right, "v", "lo", "hi", on="k",
+                     bucket_width=4.0).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("a", 5.0)]
+
+    with pytest.raises(ValueError, match="inner"):
+        range_join(left, right, "v", "lo", "hi", how="left")
+    with pytest.raises(ValueError, match="overlap"):
+        range_join(left.withColumnRenamed("v", "lo"), right, "lo", "lo", "hi")
+
+
+def test_tfidf_scores_and_topk(spark):
+    from yaetl_spark.operators import tfidf
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "durian")],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_id"], r["token"]): (r["tf"], r["score"])
+            for r in tfidf(df).collect()}
+    # apple: tf=2 in doc1, df=1, N=3 → 2 * (ln(4/2)+1)
+    assert rows[(1, "apple")][0] == 2
+    assert abs(rows[(1, "apple")][1] - round(2 * (math.log(2.0) + 1), 6)) < 1e-9
+    # banana appears in 2 docs → lower idf than cherry (df=1)
+    assert rows[(2, "banana")][1] < rows[(2, "cherry")][1]
+
+    top1 = tfidf(df, top_k_per_doc=1).collect()
+    assert {(r["doc_id"], r["token"]) for r in top1} == {
+        (1, "apple"), (2, "cherry"), (3, "durian")}

@@ -266,3 +266,29 @@ def test_percentiles_single_shuffle(spark):
         or "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_band_is_hash_join_not_nested_loop(spark):
+    """range_join's bucketed form: the interval condition compiles to an
+    equi join — no BroadcastNestedLoopJoin, no CartesianProduct."""
+    plan = plan_of(spark, "range_band")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_candidates_no_cartesian(spark):
+    """Two-stage near-dup: the exact-verify stage joins LSH candidates,
+    never all pairs."""
+    plan = plan_of(spark, "ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_partial_aggs_no_cartesian(spark):
+    """tf and df both partially aggregate map-side; N is a literal (no
+    count-join), so no nested-loop/cartesian appears."""
+    plan = plan_of(spark, "tfidf")
+    assert plan.count("HashAggregate") >= 4  # tf partial+final, df partial+final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

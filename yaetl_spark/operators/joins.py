@@ -264,3 +264,65 @@ def as_of_join(
             *[F.col(f"__f_{c}").alias(c) for c in rcols],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    right_lo: str,
+    right_hi: str,
+    on: str | Sequence[str] | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Value-in-interval join: pair each left row with right rows whose
+    ``[right_lo, right_hi)`` interval contains ``left_value`` (plus
+    optional equi ``on`` keys). Column names must be disjoint across the
+    sides apart from the ``on`` keys.
+
+    The naive formulation is a pure non-equi join, which Spark can only
+    plan as a broadcast-nested-loop / cartesian — quadratic at scale.
+    With ``bucket_width`` set (the default path when omitted: derived
+    from the right side's median interval span), every right interval is
+    exploded into its covering buckets of that width and the left value
+    maps to ``floor(value / width)`` — turning the range condition into
+    an *equi* join on ``(keys..., bucket)`` plus an exact refine filter.
+    Per-interval fanout is ``span/width + 1`` rows, the join is a plain
+    hash join (AQE skew-split applies), and nothing is quadratic.
+
+    Timestamps: cast to epoch seconds/micros first — buckets are numeric.
+    """
+    if how != "inner":
+        # the post-join refine filter would silently drop unmatched outer
+        # rows; outer interval semantics need an anti-side union — not
+        # offered until someone needs it
+        raise ValueError("range_join supports how='inner' only")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"column overlap between sides: {sorted(overlap)}")
+    if bucket_width is None:
+        # one tiny driver job over the right (intervals) side only
+        med = right.select(
+            F.expr(f"percentile_approx({right_hi} - {right_lo}, 0.5, 1000)")
+        ).first()[0]
+        bucket_width = float(med) if med and med > 0 else 1.0
+    w = float(bucket_width)
+
+    lb = left.withColumn("__bucket", F.floor(F.col(left_value) / w).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, keys + ["__bucket"], how)
+    refined = joined.filter(
+        (F.col(left_value) >= F.col(right_lo))
+        & (F.col(left_value) < F.col(right_hi))
+    )
+    return refined.drop("__bucket")

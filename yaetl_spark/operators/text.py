@@ -266,3 +266,50 @@ def chunk_documents(
             ).alias("chunk"),
         )
     )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k_per_doc: int | None = None,
+) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token):
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` — the scikit-style smooth idf.
+
+    Scale shape: tokenize+explode is a narrow map; term counts and
+    document frequencies are two partially-aggregated groupBys; the
+    tf⋈df join shuffles on ``token`` (vocabulary-sized, NOT corpus-sized
+    — Zipf keeps it orders of magnitude below the token stream), and the
+    corpus size N rides in as a literal from a count job, never a
+    cross join. With ``top_k_per_doc`` a per-doc rank window keeps only
+    the strongest terms — per-doc state, distributes freely.
+    """
+    n_docs = df.count()  # one count job; N becomes a plan literal
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        F.col(id_col),
+        F.col("token"),
+        F.col("tf"),
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("score"),
+    )
+    if top_k_per_doc is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("token").asc()
+        )
+        scored = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k_per_doc)
+            .drop("_rk")
+        )
+    return scored
