@@ -1614,6 +1614,47 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched audio feature extraction plumbing (stub decoder:
+    16 kHz/16-bit model, rms over the byte histogram). Payload is the
+    UTF-8 text, so the DuckDB oracle replicates duration and rms from
+    character codes exactly (round 6 absorbs numpy's pairwise-sum vs
+    sequential-sum float ordering)."""
+    from yaetl_spark.operators.multimodal import decode_audio
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    feats = decode_audio(bin_docs, binary_col="data", id_col="doc_id",
+                         use_stub_decoder=True)
+    return feats.select(
+        "doc_id",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        "sample_rate",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out plumbing (video → exploded frame rows via
+    mapInPandas; stub emits one 16-byte frame per 1000 payload bytes).
+    Binary frame values are byte slices of the ASCII payload — exactly
+    substr() in the oracle; emitted hex-encoded so the compare never
+    depends on how an engine serializes raw blobs."""
+    from yaetl_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    bin_docs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    frames = sample_frames(bin_docs, binary_col="data", id_col="doc_id",
+                           every_nth=1, use_stub_decoder=True)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1667,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band": q_range_band,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
         # -- round-1 green (rotate back into the window as slots allow) ----
         "scan_filter_project": q_scan_filter_project,
         "inner_join": q_inner_join,
@@ -2818,6 +2861,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "audio_features": """
+            SELECT doc_id,
+                   round(length(text) / 32000.0, 6) AS duration_sec,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   round(sqrt(list_avg(list_transform(
+                       range(1, length(text) + 1),
+                       i -> (CAST(unicode(substr(text, CAST(i AS INT), 1))
+                                  AS DOUBLE) - 127.5)
+                            * (CAST(unicode(substr(text, CAST(i AS INT), 1))
+                                    AS DOUBLE) - 127.5)))), 6) AS rms
+            FROM documents WHERE doc_id < 500
+        """,
+        "frame_sample": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       greatest(length(text) // 1000, 1) AS n_frames
+                FROM documents WHERE doc_id < 500
+            )
+            SELECT doc_id,
+                   CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+                   unnest(list_transform(range(0, n_frames),
+                       i -> hex(encode(substr(text, CAST(i + 1 AS INT), 16)))))
+                       AS frame_hex
+            FROM base
         """,
         # image_features: the stub decoder derives 4x4 pixels from the
         # sha256 of the payload bytes; the payload is UTF-8-encoded ASCII
