@@ -1584,6 +1584,20 @@ def q_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_break_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted break interrupt (ref QualifierAbstract.php:69-77) made
+    order-deterministic: keep orders strictly before the first (by
+    o_orderkey) order crossing the price trigger. Scale shape: the cut is
+    a map-side-combined min aggregate broadcast back as a one-row filter —
+    no global sort, no window (see BreakAt docstring)."""
+    from yaetl_spark.operators import BreakAt
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return BreakAt(F.col("o_totalprice") > 499000.0, "o_orderkey").apply(orders)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-3 terms per document (LLM-pipeline keyword
     extraction). Shape: explode → two partial-agg groupBys → token-keyed
@@ -1705,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
         # -- new this round -------------------------------------------------
+        "break_at": q_break_at,
         "range_band": q_range_band,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
@@ -2817,6 +2832,13 @@ def oracle_sql() -> dict[str, str]:
                        i -> sha256(substr(text, CAST(i*150+1 AS INT), 200))))
                        AS chunk_sha
             FROM base
+        """,
+        "break_at": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey < COALESCE(
+                (SELECT MIN(o_orderkey) FROM orders WHERE o_totalprice > 499000.0),
+                9223372036854775807)
         """,
         "range_band": """
             WITH bands AS (

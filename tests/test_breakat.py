@@ -1,0 +1,143 @@
+"""BreakAt — targeted break interrupts made order-deterministic.
+
+Parity model: the reference's break interrupt matrix
+(``/root/reference/tests/QualifierTest.php:407-1276``) — break self stops the
+declaring traversable, break targeted at the root flow stops everything,
+records extracted *before* the trigger still reach every sink. Batch
+analogue asserted here: ordered truncation at the first trigger record.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yaetl_spark import BranchPipeline, Pipeline
+from yaetl_spark.operators.qualifiers import BreakAt
+from yaetl_spark.sinks import CollectSink
+
+
+def _seq(spark, n=10):
+    # ids 0..n-1 with a flag column that triggers at id == 6
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+
+
+def test_breakat_truncates_at_first_trigger(spark):
+    df = _seq(spark)
+    out = BreakAt(F.col("id") >= 6, "id").apply(df)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_breakat_inclusive_keeps_trigger_row(spark):
+    df = _seq(spark)
+    out = BreakAt(F.col("id") >= 6, "id", inclusive=True).apply(df)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_breakat_no_trigger_is_noop(spark):
+    df = _seq(spark)
+    out = BreakAt(F.col("id") > 99, "id").apply(df)
+    assert out.count() == 10
+
+
+def test_breakat_rejects_bad_target(spark):
+    with pytest.raises(ValueError):
+        BreakAt(F.lit(True), "id", target="sibling")
+
+
+def test_pipeline_breakat_dirty_only_when_fired(spark):
+    # fired → sink sees the truncated flow and flushes 'dirty'
+    seen: list[str] = []
+    sink = CollectSink(on_flush=seen.append)
+    report = (
+        Pipeline(spark)
+        .from_(_seq(spark))
+        .qualify(BreakAt(F.col("id") >= 4, "id"))
+        .to(sink)
+        .run()
+    )
+    assert report["status"] == "dirty"
+    assert seen == ["dirty"]
+    assert sorted(r.id for r in sink.rows) == [0, 1, 2, 3]
+
+    # not fired → clean, untruncated
+    sink2 = CollectSink()
+    report2 = (
+        Pipeline(spark)
+        .from_(_seq(spark))
+        .qualify(BreakAt(F.col("id") > 99, "id"))
+        .to(sink2)
+        .run()
+    )
+    assert report2["status"] == "clean"
+    assert len(sink2.rows) == 10
+
+
+def test_branch_self_break_leaves_root_intact(spark):
+    root_sink, branch_sink = CollectSink(), CollectSink()
+    child = (
+        BranchPipeline(spark)
+        .qualify(BreakAt(F.col("id") >= 3, "id"))
+        .to(branch_sink)
+    )
+    report = (
+        Pipeline(spark)
+        .from_(_seq(spark))
+        .to(root_sink)
+        .branch(child)
+        .run()
+    )
+    assert len(root_sink.rows) == 10  # root flow untouched
+    assert sorted(r.id for r in branch_sink.rows) == [0, 1, 2]
+    assert report["status"] == "dirty"
+
+
+def test_branch_root_break_truncates_everything(spark):
+    """Root-targeted break from inside a branch stops the whole flow —
+    root sink AND sibling branch see the truncated flow
+    (ref tests/QualifierTest.php:570-648)."""
+    root_sink, brk_sink, sibling_sink = CollectSink(), CollectSink(), CollectSink()
+    breaker = (
+        BranchPipeline(spark)
+        .qualify(F.col("val") >= 0)  # prefix op before the break
+        .qualify(BreakAt(F.col("id") >= 5, "id", target="root"))
+        .to(brk_sink)
+    )
+    sibling = BranchPipeline(spark).to(sibling_sink)
+    report = (
+        Pipeline(spark)
+        .from_(_seq(spark))
+        .to(root_sink)
+        .branch(breaker)
+        .branch(sibling)
+        .run()
+    )
+    for s in (root_sink, brk_sink, sibling_sink):
+        assert sorted(r.id for r in s.rows) == [0, 1, 2, 3, 4]
+    assert report["status"] == "dirty"
+
+
+def test_branch_root_break_unfired_is_clean(spark):
+    root_sink, brk_sink = CollectSink(), CollectSink()
+    breaker = (
+        BranchPipeline(spark)
+        .qualify(BreakAt(F.col("id") > 99, "id", target="root"))
+        .to(brk_sink)
+    )
+    report = (
+        Pipeline(spark).from_(_seq(spark)).to(root_sink).branch(breaker).run()
+    )
+    assert len(root_sink.rows) == 10 and len(brk_sink.rows) == 10
+    assert report["status"] == "clean"
+
+
+def test_breakat_plan_has_no_global_sort(spark):
+    """The truncation must not introduce a global Sort/Window — the cut is a
+    min-aggregate broadcast (lazy form)."""
+    df = _seq(spark, 1000)
+    out = BreakAt(F.col("id") >= 500, "id").apply(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.split("Exchange")[0]  # no sort above the filter
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -19,6 +19,7 @@ from .operators import (
     Rename,
     Replace,
     ReplaceRecursive,
+    BreakAt,
     StopWhen,
     WithColumns,
     as_of_join,
@@ -52,6 +53,7 @@ __all__ = [
     "as_of_join",
     "Predicate",
     "PandasPredicate",
+    "BreakAt",
     "StopWhen",
     "NoOp",
     "Rename",

@@ -71,9 +71,8 @@ class StopWhen(Qualifier):
     the reference's break-to-source,
     ``/root/reference/src/Qualifiers/QualifierAbstract.php:69-77``).
 
-    Targeted ancestor breaks (break a *specific* upstream node from a
-    nested branch) are not replicable on a declarative engine — documented
-    divergence (SURVEY.md §7.4.1).
+    For *targeted* breaks with deterministic record order, see
+    :class:`BreakAt`.
     """
 
     def __init__(self, condition: Column | str | None = None, max_records: int | None = None):
@@ -92,3 +91,83 @@ class StopWhen(Qualifier):
         if self.max_records is not None:
             out = out.limit(self.max_records)
         return out
+
+
+class BreakAt(Qualifier):
+    """Targeted break interrupt, made deterministic by a record order.
+
+    The reference's break interrupt stops the *targeted* traversable: self,
+    a specific upstream node, or an ancestor flow
+    (``/root/reference/src/Qualifiers/QualifierAbstract.php:69-77``; counter
+    matrix in ``tests/QualifierTest.php:407-1276``). Record-at-a-time, "stop"
+    means "records after the triggering one are never extracted". The
+    deterministic batch analogue: order records by ``order_by`` and keep only
+    those strictly before the first record matching ``condition``
+    (``inclusive=True`` keeps the trigger record itself).
+
+    In a linear DataFrame lineage, breaking a mid-flow node and breaking its
+    source truncate the same flow — the reference's observable difference is
+    about in-flight records, which a vectorized engine doesn't have. The one
+    distinction that survives is *which flow* is truncated: ``target="self"``
+    truncates the declaring (branch) flow only; ``target="root"`` on a branch
+    qualifier truncates the shared ancestor flow — root sinks and sibling
+    branches included — matching the root-targeted break from inside a branch
+    (``tests/QualifierTest.php:570-648``).
+
+    Scale shape: no global sort. The cut point is a map-side-combinable
+    ``min(order_by) WHERE condition`` aggregate; the truncation is a filter
+    against that one-row broadcast (lazy form), or — when the pipeline runs
+    it (``Pipeline.run``) — a *literal* pushed-down filter after an eager
+    one-row cut job, which Catalyst can push into the scan and use for
+    partition pruning.
+    """
+
+    def __init__(
+        self,
+        condition: Column | str,
+        order_by: Column | str,
+        inclusive: bool = False,
+        target: str = "self",
+    ):
+        if target not in ("self", "root"):
+            raise ValueError(f"target must be 'self' or 'root', got {target!r}")
+        self.condition = condition
+        self.order_by = order_by
+        self.inclusive = inclusive
+        self.target = target
+
+    def _cond(self) -> Column:
+        c = self.condition
+        return F.expr(c) if isinstance(c, str) else c
+
+    def _order(self) -> Column:
+        o = self.order_by
+        return F.col(o) if isinstance(o, str) else o
+
+    def cut(self, df: DataFrame):
+        """Eagerly compute the cut point (one tiny job); None = no trigger."""
+        row = df.filter(self._cond()).agg(F.min(self._order())).first()
+        return row[0] if row else None
+
+    def truncate(self, df: DataFrame, cut_value) -> DataFrame:
+        """Apply an already-computed cut as a literal (pushdown-able) filter."""
+        if cut_value is None:
+            return df
+        order = self._order()
+        keep = order <= F.lit(cut_value) if self.inclusive else order < F.lit(cut_value)
+        return df.filter(keep)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Lazy single-plan form: broadcast the one-row cut aggregate."""
+        order = self._order()
+        cut = df.filter(self._cond()).agg(F.min(order).alias("__break_cut"))
+        keep = (
+            order <= F.col("__break_cut")
+            if self.inclusive
+            else order < F.col("__break_cut")
+        )
+        return (
+            df.crossJoin(F.broadcast(cut))
+            .filter(F.col("__break_cut").isNull() | keep)
+            .drop("__break_cut")
+        )

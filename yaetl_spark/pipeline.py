@@ -71,6 +71,10 @@ class Pipeline:
         # flush 'dirty', the reference's "one node broke the flow" status
         # (LoaderAbstract.php:61-87, docs/callbacks.md:27-48)
         self._dirty = False
+        # BreakAt bookkeeping: trigger-count observations (dirty only if a
+        # break actually fired) and branch-declared root-targeted breaks
+        self._break_obs: list[Observation] = []
+        self._root_breaks: list[tuple[int, Any]] = []
 
     # -- grammar --------------------------------------------------------------
     def _require_df(self) -> DataFrame:
@@ -112,13 +116,23 @@ class Pipeline:
         return self
 
     def qualify(self, condition: Qualifier | Column | str | Callable) -> "Pipeline":
-        from .operators.qualifiers import StopWhen
+        from .operators.qualifiers import BreakAt, StopWhen
 
         df = self._require_df()
         self._counters["num_qualify"] += 1
         if isinstance(condition, StopWhen):
             self._dirty = True
             self._df = condition.apply(df)
+        elif isinstance(condition, BreakAt):
+            # dirty only if the break actually fires: count trigger rows via
+            # a free observation on the pre-truncation frame (all pre rows
+            # flow through it — the cut join's probe side)
+            obs = Observation(f"_break_{len(self._break_obs)}")
+            pre = df.observe(
+                obs, F.count(F.when(condition._cond(), 1)).alias("n_trig")
+            )
+            self._break_obs.append(obs)
+            self._df = condition.apply(pre)
         elif isinstance(condition, Qualifier):
             self._df = condition.apply(df)
         elif callable(condition) and not isinstance(condition, Column):
@@ -215,9 +229,25 @@ class Pipeline:
         """
         df = self._require_df()
         t0 = time.monotonic()
+        # root-targeted breaks declared inside branches (BreakAt
+        # target="root"): compute each cut eagerly (one-row job over the
+        # branch's pre-break lineage), then truncate the SHARED flow with a
+        # literal filter — pushdown-able, and sibling branches + root sinks
+        # all see the truncated flow, matching the reference's root-targeted
+        # break from inside a branch (tests/QualifierTest.php:570-648)
+        broke = False
+        for child in self._branches:
+            for prefix_len, brk in child._root_breaks:
+                trig_df = df
+                for op in (child._ops or [])[:prefix_len]:
+                    trig_df = op(trig_df)
+                cut_value = brk.cut(trig_df)
+                if cut_value is not None:
+                    df = brk.truncate(df, cut_value)
+                    broke = True
         # break-truncated flows (StopWhen here or in a branch) flush dirty
         status = "dirty" if (
-            self._dirty or any(b._dirty for b in self._branches)
+            broke or self._dirty or any(b._dirty for b in self._branches)
         ) else "clean"
 
         def emit(event: str, **payload) -> None:
@@ -278,6 +308,14 @@ class Pipeline:
                         sink.flush(status)
                         emit("flow.flush", sink=type(sink).__name__,
                              status=status, forced=True)
+            # all writes done → every BreakAt observation has a value; a
+            # lazy (self-target) break that actually fired dirties the flow
+            if status == "clean":
+                break_obs = self._break_obs + [
+                    o for b in self._branches for o in b._break_obs
+                ]
+                if any((o.get.get("n_trig") or 0) > 0 for o in break_obs):
+                    status = "dirty"
         except Exception as exc:
             status = "exception"
             emit("flow.fail", error=repr(exc))
@@ -372,12 +410,28 @@ class BranchPipeline(Pipeline):
         raise PipelineError("branch pipelines must not call from_()")
 
     def qualify(self, condition) -> "BranchPipeline":
-        from .operators.qualifiers import StopWhen
+        from .operators.qualifiers import BreakAt, StopWhen
 
         self._counters["num_qualify"] += 1
         if isinstance(condition, StopWhen):
             self._dirty = True
             self._ops.append(condition.apply)
+        elif isinstance(condition, BreakAt) and condition.target == "root":
+            # recorded for Pipeline.run(): the cut is computed over this
+            # branch's lineage up to here, then truncates the shared flow.
+            # No local op — the root truncation already covers this branch.
+            self._root_breaks.append((len(self._ops), condition))
+        elif isinstance(condition, BreakAt):
+
+            def op(df: DataFrame, _brk=condition) -> DataFrame:
+                obs = Observation(f"_br_break_{id(_brk)}")
+                self._break_obs.append(obs)
+                pre = df.observe(
+                    obs, F.count(F.when(_brk._cond(), 1)).alias("n_trig")
+                )
+                return _brk.apply(pre)
+
+            self._ops.append(op)
         elif isinstance(condition, Qualifier):
             self._ops.append(condition.apply)
         elif callable(condition) and not isinstance(condition, Column):
