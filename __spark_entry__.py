@@ -1598,6 +1598,78 @@ def q_break_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BreakAt(F.col("o_totalprice") > 499000.0, "o_orderkey").apply(orders)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    cumulative Knuth-hash bucket thresholds on doc_id — a document keeps
+    its split across reruns, engines, partitionings, and data growth. The
+    split column is pure scan-level arithmetic (no RNG, no shuffle); the
+    summary groupBy is the only exchange."""
+    from yaetl_spark.operators import dataset_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        dataset_split(docs, "doc_id", weights=(0.9, 0.05, 0.05))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (operators/sampling.py):
+    keep 20% of English docs, all others — the boilerplate-downweighting
+    move of corpus curation. One pushed-down filter, zero shuffles,
+    reproducible regardless of cluster size."""
+    from yaetl_spark.operators import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 0.2}, default_rate=1.0
+    )
+
+
+def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users by event type — the oracle-mode twin
+    of the production sketch path (operators/sketches.py hll_rollup +
+    hll_merge: per-day mergeable HLL sketches, unioned to any coarser
+    grain without re-reading raw events; exact countDistinct shuffles
+    every key and is reserved for validation scale)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile over the embedding table: fit k=8 centroids
+    (2 Lloyd's iterations, deterministic id-ordered init — see
+    similarity.kmeans_fit) and summarize each cluster. Iterative — not
+    SQL-expressible, so this entry has no oracle (rows-only driver check
+    by design). Scale shape: assignment is a broadcast-argmin narrow map;
+    the update shuffle carries k × dim partial sums, never raw vectors."""
+    from yaetl_spark.operators import build_ivf_index, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        emb, k=8, iters=2, init_ids=[0, 1, 2, 3, 4, 5, 6, 7]
+    )
+    assigned, _ = build_ivf_index(emb, centroids=cents)
+    return (
+        assigned.groupBy(F.col("_cell").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("label"), 4).alias("avg_label"),
+        )
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-3 terms per document (LLM-pipeline keyword
     extraction). Shape: explode → two partial-agg groupBys → token-keyed
@@ -1720,6 +1792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "daily_active": q_daily_active,
+        "kmeans_assign": q_kmeans_assign,
         "range_band": q_range_band,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
@@ -2839,6 +2915,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey < COALESCE(
                 (SELECT MIN(o_orderkey) FROM orders WHERE o_totalprice > 499000.0),
                 9223372036854775807)
+        """,
+        "dataset_split": """
+            WITH tagged AS (
+                SELECT n_chars,
+                       CASE WHEN (doc_id*2654435761+12345) % 10000 < 9000
+                                THEN 'train'
+                            WHEN (doc_id*2654435761+12345) % 10000 < 9500
+                                THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM tagged GROUP BY split
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE (doc_id*2654435761+12345) % 1000 <
+                  CASE lang WHEN 'en' THEN 200 ELSE 1000 END
+        """,
+        "daily_active": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type, day
         """,
         "range_band": """
             WITH bands AS (

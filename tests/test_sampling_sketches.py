@@ -1,0 +1,193 @@
+"""Deterministic sampling / dataset splits, mergeable sketches, k-means.
+
+Key properties asserted:
+- samples and splits are pure functions of the key — stable across
+  repartitioning (the contamination guard RNG-based sampling can't give);
+- the string-key bucket matches DuckDB's md5 arithmetic (oracle parity);
+- HLL estimates are within rsd bounds AND merge losslessly across grains;
+- k-means recovers planted clusters and monotonically improves inertia.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from yaetl_spark.operators import (
+    approx_distinct,
+    approx_quantiles,
+    dataset_split,
+    hash_bucket_str,
+    hash_sample,
+    hll_merge,
+    hll_rollup,
+    kmeans_fit,
+    kmeans_inertia,
+    stratified_hash_sample,
+)
+
+
+def test_hash_sample_deterministic_across_partitioning(spark):
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    a = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 0.1).collect()}
+    assert a == b
+    assert 0.08 < len(a) / 20000 < 0.12
+
+
+def test_stratified_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 0.2}, default_rate=1.0
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = out.filter(F.col("lang") == "en").count()
+    n_rest = docs.filter(F.col("lang") != "en").count()
+    k_rest = out.filter(F.col("lang") != "en").count()
+    assert k_rest == n_rest  # default rate keeps everything
+    assert k_en < n_en * 0.5  # en downsampled hard
+
+
+def test_string_bucket_matches_duckdb(spark):
+    df = spark.createDataFrame(
+        [("hello",), ("wörld",), ("日本語",), ("",)], "s string"
+    )
+    got = {
+        r.s: r.b
+        for r in df.select("s", hash_bucket_str("s", 1000).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for s, b in got.items():
+        expected = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?),1,8)) AS BIGINT) % 1000", [s]
+        ).fetchone()[0]
+        assert b == expected, s
+
+
+def test_dataset_split_cover_stability_proportions(spark):
+    df = spark.range(50000).select(F.col("id").alias("k"))
+    s1 = dataset_split(df, "k", weights=(0.9, 0.05, 0.05))
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 50000  # disjoint cover
+    assert 0.88 < counts["train"] / 50000 < 0.92
+    # stability: same assignment regardless of partitioning/order
+    s2 = dataset_split(df.repartition(7).orderBy(F.desc("k")), "k",
+                       weights=(0.9, 0.05, 0.05))
+    diff = (
+        s1.alias("a")
+        .join(s2.alias("b"), "k")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.08 * n), (k, n, approx[k])
+
+
+def test_hll_rollup_merges_losslessly(spark, sf_dir):
+    """Daily sketches merged to event_type grain must estimate the same
+    as sketching the event_type grain directly — mergeability is the whole
+    point of the rollup pattern."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    fine = hll_rollup(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r.event_type: r.distinct_estimate
+        for r in hll_merge(fine, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.distinct_estimate
+        for r in hll_merge(
+            hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= max(3, 0.05 * n)
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = approx_quantiles(
+        orders, ["o_orderstatus"], "o_totalprice", (0.5, 0.9)
+    ).collect()
+    for r in got:
+        exact = orders.filter(
+            F.col("o_orderstatus") == r.o_orderstatus
+        ).selectExpr(
+            "percentile(o_totalprice, 0.5) AS p50",
+            "percentile(o_totalprice, 0.9) AS p90",
+        ).first()
+        assert abs(r.p50 - exact.p50) / exact.p50 < 0.02
+        assert abs(r.p90 - exact.p90) / exact.p90 < 0.02
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # three well-separated planted clusters in 4-d
+    import itertools
+
+    centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0]]
+    rows = []
+    i = 0
+    for c_idx, c in enumerate(centers):
+        for j in range(100):
+            # deterministic jitter in [-0.5, 0.5)
+            jit = [(((i * 2654435761 + d * 97 + 12345) % 1000) / 1000.0 - 0.5)
+                   for d in range(4)]
+            rows.append((i, [c[d] + jit[d] for d in range(4)], c_idx))
+            i += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, truth int"
+    )
+
+
+def test_kmeans_recovers_planted_clusters(clustered):
+    cents = kmeans_fit(clustered, k=3, iters=5, init_ids=[0, 100, 200])
+    # each learned centroid sits near one distinct planted center
+    planted = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]  # (dim0, dim2) signature
+    got = sorted((round(v[0]), round(v[2])) for _, v in cents)
+    assert got == sorted((int(a), int(b)) for a, b in planted)
+
+
+def test_kmeans_inertia_improves(clustered):
+    c1 = kmeans_fit(clustered, k=3, iters=1, init_ids=[0, 1, 2])
+    c5 = kmeans_fit(clustered, k=3, iters=5, init_ids=[0, 1, 2])
+    i1 = kmeans_inertia(clustered, c1)
+    i5 = kmeans_inertia(clustered, c5)
+    assert i5 <= i1
+    assert i5 < 400  # ~300 pts × avg jitter ssd (<1) — tight fit
+
+
+def test_kmeans_deterministic(clustered):
+    a = kmeans_fit(clustered, k=3, iters=3, init_ids=[5, 105, 205])
+    b = kmeans_fit(clustered.repartition(11), k=3, iters=3,
+                   init_ids=[5, 105, 205])
+    for (_, va), (_, vb) in zip(a, b):
+        assert all(math.isclose(x, y, rel_tol=1e-9) for x, y in zip(va, vb))

@@ -1,0 +1,137 @@
+"""Deterministic sampling & dataset splitting — training-pipeline surface.
+
+Beyond-ref operators (the reference has no sampling; SURVEY.md §2.11 lists
+the absences we fill Spark-side). Everything here is RNG-free: buckets come
+from pure integer/hash arithmetic on a key column, so a sample is
+
+- reproducible across engines (the oracle SQL computes the same buckets),
+- stable across cluster sizes, partitioning, and reruns (no seed state),
+- pushdown-able — the bucket predicate is a scan-level filter, which is
+  the shape that matters at 100 TB: a 1% sample reads ~1% of row groups
+  when the key correlates with file order, and never shuffles.
+
+``df.sample()``/``sampleBy()`` are deliberately not used: their per-task
+RNG streams change with partitioning, which breaks train/eval set stability
+between pipeline versions — the cardinal sin of dataset curation.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant (2^32 * golden ratio conjugate) — fast
+# integer mixing for already-unique integer keys.
+_KNUTH = 2654435761
+_SALT = 12345
+
+
+def hash_bucket(
+    key: Column | str, buckets: int = 1000, salt: int = _SALT
+) -> Column:
+    """Deterministic bucket in [0, buckets) from a key column.
+
+    Integer keys mix via Knuth multiplicative hashing; string keys via the
+    first 8 hex digits of md5 — both reproducible in any engine (the
+    DuckDB oracle uses the same arithmetic / ``md5``).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    # dtype-dispatch happens at plan time via a try on the cast: callers
+    # pass the right variant explicitly with `string_key=True` semantics
+    return F.pmod(c * F.lit(_KNUTH) + F.lit(salt), F.lit(buckets))
+
+
+def hash_bucket_str(
+    key: Column | str, buckets: int = 1000
+) -> Column:
+    """String-key variant: md5-prefix → int → bucket. JVM-side, no UDF."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    fraction: float,
+    buckets: int = 1000,
+    string_key: bool = False,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed by ``key``."""
+    b = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
+    return df.filter(b < F.lit(int(round(fraction * buckets))))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    rates: Mapping[object, float],
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+    string_key: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps a stratum value
+    to its keep-fraction (e.g. downsample boilerplate web text to 5% while
+    keeping 100% of books). One pushed-down filter, zero shuffles."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    rate = None
+    for value, frac in rates.items():
+        thr = F.lit(int(round(frac * buckets)))
+        rate = F.when(s == F.lit(value), thr) if rate is None else rate.when(
+            s == F.lit(value), thr
+        )
+    rate = (
+        rate.otherwise(F.lit(int(round(default_rate * buckets))))
+        if rate is not None
+        else F.lit(int(round(default_rate * buckets)))
+    )
+    b = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
+    return df.filter(b < rate)
+
+
+def split_column(
+    key: Column | str,
+    weights: Sequence[float] = (0.98, 0.01, 0.01),
+    names: Sequence[str] = ("train", "val", "test"),
+    buckets: int = 10000,
+    string_key: bool = False,
+) -> Column:
+    """Deterministic train/val/test assignment as a Column.
+
+    Cumulative bucket thresholds over the key hash: a document keeps its
+    split forever — across reruns, engines, and data growth (new keys land
+    proportionally). The standard contamination guard: eval membership
+    must never depend on partitioning or RNG state.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must have equal length")
+    total = float(sum(weights))
+    b = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
+    out = None
+    acc = 0.0
+    for w, name in zip(weights, names):
+        acc += w / total
+        thr = F.lit(int(round(acc * buckets)))
+        out = F.when(b < thr, F.lit(name)) if out is None else out.when(
+            b < thr, F.lit(name)
+        )
+    # rounding safety: the last threshold == buckets, so otherwise() is
+    # unreachable; keep it for arithmetic edge cases
+    return out.otherwise(F.lit(names[-1]))
+
+
+def dataset_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: Sequence[float] = (0.98, 0.01, 0.01),
+    names: Sequence[str] = ("train", "val", "test"),
+    split_col: str = "split",
+    **kw,
+) -> DataFrame:
+    """Attach the deterministic split assignment as a column."""
+    return df.withColumn(split_col, split_column(key, weights, names, **kw))

@@ -195,3 +195,92 @@ def ivf_topk(
         vec_col=vec_col,
         id_col=id_col,
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    init_ids: list[int] | None = None,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over an embedding column, DataFrame-native.
+
+    The centroid trainer for :func:`build_ivf_index` (IVF quality depends
+    on centroids matching the data distribution, not a random sample).
+
+    Scale shape per iteration: assignment is the same broadcast-argmin
+    narrow map the IVF index uses (no shuffle of vectors); the update
+    aggregates per-dimension sums with one ``groupBy(_cell)`` whose
+    map-side combine reduces the shuffle to k × dim doubles per input
+    partition — raw vectors never shuffle. k centroids come back to the
+    driver between iterations (k × dim floats, a few KB); ``iters``
+    bounded jobs total. Deterministic: init from ``init_ids`` (id order)
+    or the xxhash64 sample used by the index builder — no RNG state.
+
+    Returns ``[(cell_id, centroid_vector), ...]`` ready to pass as
+    ``build_ivf_index(..., centroids=...)``.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty input")
+    dim = first.d
+
+    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if init_ids is not None:
+        rows = base.filter(F.col("cid").isin(list(init_ids))).orderBy("cid").collect()
+    else:
+        rows = (
+            base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
+    centroids = [(i, [float(x) for x in r.cvec]) for i, r in enumerate(rows)]
+    if len(centroids) < k:
+        raise ValueError(f"kmeans_fit: only {len(centroids)} init vectors for k={k}")
+
+    for _ in range(iters):
+        assigned, _ = build_ivf_index(
+            df, vec_col=vec_col, id_col=id_col, centroids=centroids
+        )
+        sums = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        updated = {
+            r._cell: [r[f"_s{i}"] / r._n for i in range(dim)]
+            for r in sums.collect()
+        }
+        # empty cells keep their previous centroid (standard Lloyd's)
+        centroids = [
+            (cell, updated.get(cell, vec)) for cell, vec in centroids
+        ]
+    return centroids
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Sum of squared distances to the nearest centroid (fit quality)."""
+    assigned, _ = build_ivf_index(
+        df, vec_col=vec_col, id_col=id_col, centroids=centroids
+    )
+    cvec = F.create_map(
+        *[x for cell, vec in centroids for x in (F.lit(cell), _vec_lit(vec))]
+    )[F.col("_cell")]
+    v = F.col(vec_col)
+    d2 = F.aggregate(
+        F.zip_with(v, cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = assigned.agg(F.sum(d2)).first()
+    return float(row[0]) if row and row[0] is not None else 0.0
