@@ -292,3 +292,45 @@ def test_tfidf_partial_aggs_no_cartesian(spark):
     assert plan.count("HashAggregate") >= 4  # tf partial+final, df partial+final
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """AQE runtime filters: when a selective dim filter feeds a shuffle
+    join, Spark injects a bloom-filter semi-reduction (`might_contain`)
+    into the fact-side scan — at 100 TB this prunes most of the probe
+    shuffle. Locally the fact table sits under the application-side scan
+    threshold, so the gate lowers it to prove the engine-level contract
+    (the session keeps bloom filters enabled, Spark's default)."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            F.col("p_size") == 1)
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
+
+
+def test_dataset_split_and_sample_are_scan_level(spark):
+    """Sampling/splitting must stay pure arithmetic: no shuffle except the
+    summary agg (dataset_split) / none at all (stratified_sample)."""
+    plan = plan_of(spark, "stratified_sample")
+    assert "Exchange" not in plan  # filter only — no shuffle anywhere
+    plan2 = plan_of(spark, "dataset_split")
+    assert plan2.count("Exchange hashpartitioning") <= 1  # only the groupBy
