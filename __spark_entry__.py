@@ -2719,10 +2719,10 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'on-time'
                      ELSE 'late'
                    END AS delay_bucket,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
@@ -2926,7 +2926,8 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split
                 FROM documents
             )
-            SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM tagged GROUP BY split
         """,
         "stratified_sample": """
