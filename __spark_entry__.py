@@ -1650,10 +1650,12 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile over the embedding table: fit k=8 centroids
     (2 Lloyd's iterations, deterministic id-ordered init — see
-    similarity.kmeans_fit) and summarize each cluster. Iterative — not
-    SQL-expressible, so this entry has no oracle (rows-only driver check
-    by design). Scale shape: assignment is a broadcast-argmin narrow map;
-    the update shuffle carries k × dim partial sums, never raw vectors."""
+    similarity.kmeans_fit) and summarize each cluster. The oracle unrolls
+    the two fixed Lloyd's iterations as nested CTEs (_km_iter_sql) — same
+    init, same strict-left-fold distance, same tie-break, same sum/count
+    update — so even this iterative op is value-hash-checked. Scale shape:
+    assignment is a broadcast-argmin narrow map; the update shuffle
+    carries k × dim partial sums, never raw vectors."""
     from yaetl_spark.operators import build_ivf_index, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2044,6 +2046,44 @@ def _simhash_sql(shingle_size: int = 3) -> str:
         sigs AS (SELECT doc_id, {sig} AS sh FROM counts)
         SELECT MIN(doc_id) AS doc_id FROM sigs GROUP BY sh
     """
+
+
+def _km_assign_sql(prev_c: str, assign: str) -> str:
+    """One Lloyd's assignment step in DuckDB SQL: nearest centroid per
+    vector, squared-L2 via a strict left fold seeded with 0.0 (bit-equal
+    to Spark's ``aggregate(zip_with(...))``), ties to the lowest cell
+    (mirrors the (d, cell) struct-min in build_ivf_index)."""
+    return f"""
+            {assign} AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   list_transform(range(1, 65),
+                                       i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                                   (a, b) -> a + b), c.cell) AS rk
+                    FROM emb e CROSS JOIN {prev_c} c
+                ) WHERE rk = 1
+            )"""
+
+
+def _km_iter_sql(prev_c: str, assign: str, new_c: str) -> str:
+    """One unrolled Lloyd's iteration (assign + centroid update) for the
+    kmeans_assign oracle. Update = per-cell per-dimension mean (sum/count,
+    matching kmeans_fit's ``F.sum(v[i])/n``); empty cells keep the previous
+    centroid via the LEFT JOIN + COALESCE."""
+    return f"""{_km_assign_sql(prev_c, assign)},
+            {new_c} AS (
+                SELECT p.cell, COALESCE(n.c, p.c) AS c
+                FROM {prev_c} p LEFT JOIN (
+                    SELECT cell, list(m ORDER BY dim) AS c FROM (
+                        SELECT a.cell, t.i AS dim, sum(e.v[t.i]) / count(*) AS m
+                        FROM {assign} a JOIN emb e USING (vec_id)
+                        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+                        GROUP BY a.cell, t.i
+                    ) GROUP BY cell
+                ) n USING (cell)
+            )"""
 
 
 def _stopword_hits_sql(padded: str) -> str:
@@ -2483,6 +2523,21 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN q
             ORDER BY score DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "kmeans_assign": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+                FROM emb WHERE vec_id < 8
+            ),{_km_iter_sql("c0", "a1", "c1")},{_km_iter_sql("c1", "a2", "c2")},{_km_assign_sql("c2", "a3")}
+            SELECT CAST(a.cell AS INTEGER) AS cluster,
+                   COUNT(*) AS n_vectors,
+                   round(avg(CAST(e.label AS DOUBLE)), 4) AS avg_label
+            FROM a3 a JOIN emb e USING (vec_id)
+            GROUP BY cluster
         """,
         "embedding_lsh": _embedding_lsh_sql(),
         "minhash_neardup": _minhash_sql(),
