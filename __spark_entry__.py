@@ -446,6 +446,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clustering*: the verified pair graph from the ngram_jaccard
+    stage (LSH candidates → exact 5-gram Jaccard ≥ 0.2) resolved into
+    connected components (operators/graph.py) — every clustered doc labeled
+    with its canonical representative, covering transitive chains. The
+    oracle computes the same fixpoint as a recursive transitive closure;
+    the Spark side is min-label propagation + pointer doubling, O(log
+    diameter) bounded-size iterations with per-round lineage checkpoints."""
+    from yaetl_spark.operators import dedup_clusters, minhash_lsh, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    cands = minhash_lsh(
+        docs, num_hashes=32, bands=16, shingle_size=2,
+        jaccard_threshold=None, hash_fn="rolling",
+    ).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=5, threshold=0.2, candidates=cands
+    )
+    return dedup_clusters(pairs)
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1792,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2295,6 +2317,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_cands_cte(num_hashes=32, bands=16, bound=100)},
+            grams AS (SELECT DISTINCT doc_id, gram FROM ({grams})),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cands USING (id_a, id_b)
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster
+            FROM reach GROUP BY node
         """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

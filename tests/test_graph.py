@@ -1,0 +1,74 @@
+"""Connected components / dedup clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yaetl_spark.operators import (
+    connected_components,
+    dedup_clusters,
+    drop_duplicate_members,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _cc_dict(df):
+    return {r.node: r.comp for r in df.collect()}
+
+
+def test_two_components_and_singleton_edge(spark):
+    # {1,2,3} chained, {10,11} direct, self-loop 20-20 dropped entirely
+    got = _cc_dict(
+        connected_components(
+            _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+        )
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_via_pointer_doubling(spark):
+    # a 40-node path: plain neighbor propagation needs 40 rounds;
+    # pointer doubling must finish well inside max_iter=10
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _cc_dict(connected_components(_edges(spark, pairs), max_iter=10))
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_direction_and_duplicates_are_irrelevant(spark):
+    got = _cc_dict(
+        connected_components(
+            _edges(spark, [(5, 2), (2, 5), (5, 2), (7, 5)])
+        )
+    )
+    assert got == {2: 2, 5: 2, 7: 2}
+
+
+def test_max_iter_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(300)]), max_iter=2
+        )
+
+
+def test_dedup_clusters_and_canonical_keep(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(8)], "doc_id long, text string"
+    )
+    clusters = dedup_clusters(_edges(spark, [(0, 3), (3, 6), (2, 4)]))
+    assert {r.doc_id: r.cluster for r in clusters.collect()} == {
+        0: 0, 3: 0, 6: 0, 2: 2, 4: 2,
+    }
+    kept = drop_duplicate_members(docs, clusters)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 5, 7]
+
+
+def test_no_cartesian_in_cc_plan(spark):
+    clusters = dedup_clusters(_edges(spark, [(0, 1), (1, 2)]))
+    plan = clusters._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,136 @@
+"""Connected components + dedup clustering (beyond-reference).
+
+The near-dup operators (:mod:`yaetl_spark.operators.dedup`) emit verified
+*pairs*; corpus dedup needs *clusters* — every document labeled with one
+canonical representative so a keep/drop decision covers transitive chains
+(A~B, B~C ⇒ {A,B,C} is one group even if A≁C directly). This is the
+standard final stage of a training-data dedup pipeline (the reference
+engine has no graph stage; parity target is the pair ops it feeds from,
+cited in dedup.py).
+
+Scale shape: min-label propagation with pointer doubling — per iteration
+one edge⋈label equi-join (shuffle on node id) plus one label⋈label
+pointer jump, both map-side-combinable `groupBy(min)` aggregations.
+Pointer doubling halves label-tree depth each round, so convergence is
+O(log(diameter)) iterations, not O(diameter) — a 1M-node dup chain
+resolves in ~20 rounds. Lineage is truncated every iteration with an
+eager ``localCheckpoint`` (on a real cluster swap for
+``checkpoint``/write-to-parquet): without it the loop's plan doubles per
+round and Catalyst analysis time explodes. Edges for near-dup graphs are
+tiny relative to the corpus (only dup candidates appear), so the label
+frame — two longs per node — is the largest shuffled artifact; raw
+documents never enter the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters", "drop_duplicate_members"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph with the minimum node id
+    reachable from it (its component representative).
+
+    Returns ``(node, component)`` — one row per distinct node appearing
+    in ``edges``, both columns ``long``. Deterministic: the fixpoint is a
+    pure graph property, independent of partitioning or engine.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (pointer doubling makes that ~2^max_iter of
+    effective diameter, so hitting it signals bad input, not tuning).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    # Symmetrize once; dedup so a hot pair does not multiply join output.
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # 1) neighbor-min: the best label any neighbor holds.
+        nbr = (
+            e.join(labels, e.b == labels.node)
+            .select(F.col("a").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+        )
+        # 2) pointer doubling: adopt the label of the current label.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        doubled = (
+            stepped.join(parent, stepped.comp == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce("p_comp", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} iterations"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster verified near-duplicate pairs: ``(doc_id, cluster)`` where
+    ``cluster`` is the smallest doc_id in the connected group. Only
+    documents that appear in at least one pair are returned — at corpus
+    scale the overwhelming majority of docs never enter the graph."""
+    cc = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
+
+
+def drop_duplicate_members(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical document per cluster: drop every clustered doc
+    whose id is not its cluster representative. Non-clustered docs pass
+    through untouched. The drop-list is cluster-sized (small), so the
+    anti join broadcasts — the corpus is filtered in one narrow pass."""
+    losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
