@@ -467,6 +467,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloom.py): lineitem rows kept only
+    for high-value orders. The bloom (built with a distributed bit_or block
+    aggregation, probed by a vectorized Arrow-batch bit test) prunes
+    non-matching rows before the shuffle; the closing exact semi join
+    removes false positives, so the oracle is the plain IN-subquery join."""
+    from yaetl_spark.operators import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    hot = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, hot, "l_orderkey", fpp=0.01)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1814,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "bloom_join": q_bloom_join,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2348,6 +2373,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "bloom_join": """
+            SELECT l_orderkey, COUNT(*) AS n_lines,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                        AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000.0)
+            GROUP BY l_orderkey
         """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,47 @@
+"""Bloom-filter join pruning (operators/bloom.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yaetl_spark.operators import bloom_build, bloom_prune, bloom_semi_join
+from tests.conftest import table_path
+
+
+def test_bloom_has_no_false_negatives(spark):
+    small = spark.range(0, 100).withColumn("k", F.concat(F.lit("key"), F.col("id")))
+    bloom = bloom_build(small, "k", expected_items=100, fpp=0.01)
+    kept = bloom_prune(small, "k", bloom)
+    assert kept.count() == 100  # every inserted key must survive
+
+
+def test_bloom_prunes_most_non_members(spark):
+    small = spark.range(0, 100).withColumn("k", F.concat(F.lit("in"), F.col("id")))
+    big = spark.range(0, 20_000).withColumn("k", F.concat(F.lit("out"), F.col("id")))
+    bloom = bloom_build(small, "k", expected_items=100, fpp=0.01)
+    survivors = bloom_prune(big, "k", bloom).count()
+    # none are members; at fpp=1% expect ~200 survivors of 20k — allow 5x
+    assert survivors < 1000
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    li = spark.read.parquet(table_path("lineitem")).select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(table_path("orders")).filter(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    got = bloom_semi_join(li, orders, "l_orderkey", fpp=0.05)
+    want = li.join(orders.distinct(), "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_build_shuffles_blocks_not_keys(spark):
+    # the build aggregation groups by 64-bit block id: the bitmap block
+    # map must stay <= num_bits/64 entries no matter how many keys go in
+    small = spark.range(0, 5000).withColumn("k", F.col("id"))
+    bloom = bloom_build(small, "k", expected_items=5000, fpp=0.01)
+    assert bloom.words.size == bloom.num_bits // 64
+    assert bloom.size_bytes < 64 * 1024  # ~6 KB bitmap for 5k keys at 1%

@@ -1,0 +1,168 @@
+"""Bloom-filter join pruning (beyond-reference).
+
+The classic big⋈small shape at 100 TB: the small side's keys don't fit a
+broadcast hash table, but a few-MB bloom filter of them does. Pruning the
+big side against the bloom *before* the shuffle removes the dominant cost
+— non-matching rows never serialize, never shuffle, never hit the join.
+The final exact semi/inner join still runs (a bloom has false positives,
+never false negatives), so results are bit-identical to the plain join —
+which is exactly what the oracle checks.
+
+Spark's optimizer can inject runtime bloom filters on its own
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
+the *explicit* variant for when the planner can't see the opportunity
+(e.g. the filter side comes from a separate pipeline stage, or the probe
+side is a stream).
+
+Scale shape:
+- build: k bit positions per key are derived JVM-side from one
+  ``xxhash64`` via double hashing; positions aggregate into 64-bit blocks
+  with a map-side-combined ``bit_or`` — the shuffle carries at most
+  ``m/64`` longs regardless of key count. Only the finished block map
+  (``m/64`` longs ≈ m/8 bytes) reaches the driver.
+- probe: the bitmap broadcasts once per executor; membership is a
+  vectorized numpy test inside an Arrow-batched ``mapInPandas`` — no
+  per-row Python, no shuffle, prunes at scan time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["BloomFilter", "bloom_build", "bloom_prune", "bloom_semi_join"]
+
+_BLOCK = 64
+
+
+class BloomFilter:
+    """Driver-side handle: m bits as ``ceil(m/64)`` uint64 words."""
+
+    def __init__(self, num_bits: int, num_hashes: int, words: np.ndarray):
+        self.num_bits = int(num_bits)
+        self.num_hashes = int(num_hashes)
+        self.words = words  # uint64[ceil(num_bits/64)]
+
+    @property
+    def size_bytes(self) -> int:
+        return int(self.words.nbytes)
+
+
+def _positions_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k bit positions via Kirsch–Mitzenmacher double hashing on one
+    xxhash64: pos_i = (h1 + i*h2) mod m, all exact int64 ops so numpy
+    reproduces them bit-for-bit at probe time (Java and numpy int64 share
+    two's-complement wraparound; ``pmod`` matches ``% m`` on the absolute
+    value trick below)."""
+    h = F.xxhash64(key)
+    h1 = F.pmod(h, F.lit(num_bits))
+    # second hash from the high bits; force odd so strides cycle all of m
+    h2 = F.pmod(F.shiftrightunsigned(h, 17) * F.lit(0x9E3779B1), F.lit(num_bits))
+    h2 = h2 * F.lit(2) + F.lit(1)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)).cast("long")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key: str | Column,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> BloomFilter:
+    """Aggregate a bloom filter of ``df[key]`` with ~``fpp`` false-positive
+    rate. Standard sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2)."""
+    if expected_items <= 0:
+        raise ValueError("expected_items must be positive")
+    num_bits = max(
+        _BLOCK,
+        int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))),
+    )
+    num_bits = ((num_bits + _BLOCK - 1) // _BLOCK) * _BLOCK
+    num_hashes = max(1, int(round(num_bits / expected_items * math.log(2))))
+
+    key_col = F.col(key) if isinstance(key, str) else key
+    pos = F.explode(F.array(*_positions_cols(key_col, num_bits, num_hashes)))
+    blocks = (
+        df.select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / _BLOCK).cast("long").alias("block"),
+            # shiftleft's numBits arg only takes a literal in the pyspark
+            # API; the expr form accepts a per-row shift amount
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOCK} AS INT))").alias("mask"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(num_bits // _BLOCK, dtype=np.uint64)
+    for r in blocks:
+        words[r.block] = np.uint64(r.bits % (1 << 64))
+    return BloomFilter(num_bits, num_hashes, words)
+
+
+def bloom_prune(
+    df: DataFrame,
+    key: str | Column,
+    bloom: BloomFilter,
+) -> DataFrame:
+    """Keep only rows whose key *might* be in the bloom (plus false
+    positives at ~fpp). The bitmap rides to executors as a broadcast
+    variable; the test is one numpy pass per Arrow batch."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (bloom.num_bits, bloom.num_hashes, bloom.words)
+    )
+    tagged = df.withColumn("__bloom_h", F.xxhash64(key_col))
+    schema = tagged.schema
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        num_bits, num_hashes, words = bc.value
+        m = np.int64(num_bits)
+        for pdf in batches:
+            h = pdf["__bloom_h"].to_numpy(dtype=np.int64)
+            h1 = np.mod(h, m)  # numpy mod matches Spark pmod (sign of divisor)
+            h2 = np.mod(
+                (h.astype(np.uint64) >> np.uint64(17)).astype(np.int64)
+                * np.int64(0x9E3779B1),
+                m,
+            )
+            h2 = h2 * np.int64(2) + np.int64(1)
+            keep = np.ones(len(h), dtype=bool)
+            for i in range(num_hashes):
+                pos = np.mod(h1 + np.int64(i) * h2, m).astype(np.uint64)
+                block = (pos >> np.uint64(6)).astype(np.int64)
+                bit = pos & np.uint64(63)
+                keep &= (words[block] >> bit) & np.uint64(1) != 0
+            yield pdf[keep]
+
+    return tagged.mapInPandas(probe, schema=schema).drop("__bloom_h")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact ``big SEMI JOIN small ON key``, bloom-pruned.
+
+    The bloom removes ~(1-fpp) of non-matching big-side rows before the
+    shuffle; the closing semi join removes the false positives, so the
+    result equals the plain semi join exactly. ``expected_items`` defaults
+    to a count of the small side (one cheap job on the *small* table)."""
+    if expected_items is None:
+        expected_items = small.select(key).distinct().count()
+        expected_items = max(1, expected_items)
+    bloom = bloom_build(small, key, expected_items, fpp)
+    pruned = bloom_prune(big, key, bloom)
+    return pruned.join(small.select(key).distinct(), key, "left_semi")
