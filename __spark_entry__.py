@@ -491,6 +491,18 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over a document slice (operators/text.py): token →
+    document frequency + ascending posting list, vocabulary pruned to
+    2 ≤ df ≤ 40. One token-keyed shuffle after a map-side distinct; the
+    posting list is flattened to a sorted comma string so the value hash
+    is engine- and partitioning-independent."""
+    from yaetl_spark.operators import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return inverted_index(docs, min_df=2, max_df=40)
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1839,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "bloom_join": q_bloom_join,
+        "inverted_index": q_inverted_index,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2373,6 +2386,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "inverted_index": """
+            WITH terms AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS tok
+                    FROM documents WHERE doc_id < 60
+                )
+            )
+            SELECT tok AS token, COUNT(*) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM terms
+            GROUP BY tok
+            HAVING COUNT(*) BETWEEN 2 AND 40
         """,
         "bloom_join": """
             SELECT l_orderkey, COUNT(*) AS n_lines,

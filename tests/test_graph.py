@@ -72,3 +72,25 @@ def test_no_cartesian_in_cc_plan(spark):
     plan = clusters._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_pruning_and_order(spark):
+    from yaetl_spark.operators import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "b a"),
+            (1, "a c"),
+            (2, "a a a"),  # repeated token counts once per doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.df, r.postings)
+        for r in inverted_index(docs).collect()
+    }
+    assert got == {"a": (3, "1,2,3"), "b": (1, "3"), "c": (1, "1")}
+    pruned = {
+        r.token for r in inverted_index(docs, min_df=2).collect()
+    }
+    assert pruned == {"a"}

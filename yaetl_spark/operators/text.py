@@ -313,3 +313,39 @@ def tfidf(
             .drop("_rk")
         )
     return scored
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Token → sorted posting list: ``(token, df, postings)`` where
+    ``postings`` is the ascending comma-joined doc-id list — the search /
+    retrieval-side index over a corpus, and the vocabulary-pruning tool
+    (``min_df``/``max_df`` drop hapax noise and stopword-frequency terms).
+
+    Scale shape: explode → one shuffle keyed by token (vocabulary-sized
+    after the map-side distinct combine, not token-stream-sized);
+    ``collect_set`` keeps per-token state only. Posting lists of
+    stopword-class tokens can be huge — prune them with ``max_df``
+    *inside* the aggregation stage via the df count, so the wide lists
+    are dropped before they serialize to the driver or a sink. The
+    flattened string form is deterministic (sorted, distinct) across
+    engines and partitionings.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    ).distinct()
+    idx = terms.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col(id_col))), ","
+        ).alias("postings"),
+    )
+    idx = idx.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx
