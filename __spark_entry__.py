@@ -1681,7 +1681,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible regardless of cluster size."""
     from yaetl_spark.operators import stratified_hash_sample
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    # heavy=False: a pushed-filter-only query gains nothing from the
+    # parallelism repartition — it would add the query's only shuffle
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "lang", "source")
     return stratified_hash_sample(
         docs, "doc_id", "lang", rates={"en": 0.2}, default_rate=1.0
     )
