@@ -503,6 +503,39 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(docs, min_df=2, max_df=40)
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals (operators/aggregates.py):
+    bin assignment is scan-level arithmetic; the only shuffle is the
+    ≤-nbins-row bin count after map-side combine."""
+    from yaetl_spark.operators import histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", lo=0.0, hi=600000.0, nbins=24)
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining concat-and-chunk packing (operators/text.py): docs
+    route to 8 xxhash64 buckets, order by id, and land in the 2048-token
+    context window their running offset starts in. Summarized per pack:
+    count + token sum. One bucket-partitioned window shuffle + the
+    summary agg."""
+    from yaetl_spark.operators import pack_documents, token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    )
+    return (
+        pack_documents(docs, budget=2048, num_buckets=8)
+        .groupBy("bucket", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1855,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "bloom_join": q_bloom_join,
         "inverted_index": q_inverted_index,
+        "histogram": q_histogram,
+        "pack_documents": q_pack_documents,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2389,6 +2424,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "histogram": """
+            SELECT bin,
+                   round(0.0 + bin * 25000.0, 6) AS bin_lo,
+                   round(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
+                   COUNT(*) AS n
+            FROM (
+                SELECT CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                  / 25000.0) AS BIGINT) AS bin
+                FROM orders
+                WHERE CAST(o_totalprice AS DOUBLE) >= 0.0
+                  AND CAST(o_totalprice AS DOUBLE) < 600000.0
+            )
+            GROUP BY bin
+        """,
+        "pack_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKN} AS n_tokens
+                FROM documents WHERE doc_id < 200
+            ),
+            routed AS (
+                SELECT doc_id, n_tokens,
+                       (doc_id * 2654435761 + 12345) % 8 AS bucket
+                FROM toks
+            ),
+            packed AS (
+                SELECT bucket, doc_id, n_tokens,
+                       CAST(floor((SUM(n_tokens) OVER (
+                                       PARTITION BY bucket ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                                   - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+                FROM routed
+            )
+            SELECT bucket, pack_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            FROM packed
+            GROUP BY bucket, pack_id
         """,
         "inverted_index": """
             WITH terms AS (

@@ -191,3 +191,42 @@ def test_kmeans_deterministic(clustered):
                    init_ids=[5, 105, 205])
     for (_, va), (_, vb) in zip(a, b):
         assert all(math.isclose(x, y, rel_tol=1e-9) for x, y in zip(va, vb))
+
+
+def test_histogram_bins_and_edges(spark):
+    from yaetl_spark.operators import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (24.9,), (25.0,), (49.0,), (99.9,), (100.0,), (-1.0,)],
+        "x double",
+    )
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+           for r in histogram(df, "x", lo=0.0, hi=100.0, nbins=4).collect()}
+    # 100.0 and -1.0 are out of [0, 100) and dropped
+    assert got == {0: (0.0, 25.0, 2), 1: (25.0, 50.0, 2), 3: (75.0, 100.0, 1)}
+
+
+def test_pack_documents_window_assignment(spark):
+    from yaetl_spark.operators import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, 600) for i in range(10)], "doc_id long, n_tokens int"
+    )
+    # single bucket so the stream is one ordered concat; budget 1000:
+    # starts at 0,600,1200,... -> packs 0,0,1,1,2,3,3,4,4,5
+    packed = pack_documents(docs, budget=1000, num_buckets=1)
+    got = {r.doc_id: r.pack_id for r in packed.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4, 9: 5}
+    assert all(r.bucket == 0 for r in packed.collect())
+
+
+def test_pack_documents_is_bucket_deterministic(spark):
+    from yaetl_spark.operators import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(50)], "doc_id long, n_tokens int"
+    )
+    a = sorted(map(tuple, pack_documents(docs, 512, num_buckets=4).collect()))
+    b = sorted(map(tuple,
+                   pack_documents(docs.repartition(7), 512, num_buckets=4).collect()))
+    assert a == b

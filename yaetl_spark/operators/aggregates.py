@@ -173,3 +173,33 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Equal-width histogram over ``[lo, hi)``: ``(bin, bin_lo, bin_hi,
+    n)``, out-of-range rows dropped. The bin is scan-level arithmetic
+    (``floor((x - lo) / width)``) so the only shuffle is the bin-keyed
+    count — map-side combine reduces it to ≤ nbins rows per partition;
+    empty bins are absent (join a bin spine if a dense axis is needed)."""
+    if not (hi > lo and nbins > 0):
+        raise ValueError("need hi > lo and nbins > 0")
+    width = (float(hi) - float(lo)) / nbins
+    x = F.col(col).cast("double")
+    b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    return (
+        df.filter((x >= lo) & (x < hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.lit(float(lo)) + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            "n",
+        )
+    )

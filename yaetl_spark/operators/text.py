@@ -349,3 +349,59 @@ def inverted_index(
     if max_df is not None:
         idx = idx.filter(F.col("df") <= max_df)
     return idx
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget context windows — the
+    pretraining concat-and-chunk step: within a stream, documents are
+    conceptually concatenated in order and cut every ``budget`` tokens;
+    ``pack_id`` is the window a document *starts* in (a long document may
+    span into the next window, as it does in the real packing).
+
+    Deterministic bucketed streams: docs route to
+    :func:`~yaetl_spark.operators.sampling.hash_bucket` buckets (Knuth
+    multiplicative hash — engine-reproducible, unlike xxhash64), order by
+    id within the bucket, and ``pack_id = floor((cumsum - n_tokens) /
+    budget)`` — the running token offset decides the window.
+
+    Scale shape: ONE shuffle (the bucket-partitioned window); each bucket
+    packs independently so parallelism = num_buckets regardless of corpus
+    size — no global ordering, no single-partition window. Deterministic
+    across engines and partitionings (hash route + id order). Raw text
+    never moves: only (id, n_tokens) flows through the window; join the
+    assignment back to the corpus on id.
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import hash_bucket
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    bucket = hash_bucket(F.col(id_col), buckets=num_buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(token_col),
+            bucket.alias("bucket"),
+        )
+        .withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .select(
+            id_col,
+            token_col,
+            "bucket",
+            F.floor((F.col("_cum") - F.col(token_col)) / budget)
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
