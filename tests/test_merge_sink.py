@@ -10,6 +10,8 @@ from __future__ import annotations
 import glob
 import os
 
+from pyspark.sql import functions as F
+
 from yaetl_spark.sinks import MergeParquetSink
 
 
@@ -63,3 +65,33 @@ def test_merge_into_empty_target_is_plain_write(spark, tmp_path):
     sink = MergeParquetSink(path, keys=["k"], partition_by=["seg"])
     sink.write(_mk(spark, [(1, "a", 1.0)]))
     assert _rows(spark, path) == {(1, "a", 1.0)}
+
+
+def test_clustered_sink_layout_enables_file_pruning(spark, tmp_path):
+    """Range clustering must (a) round-trip all rows, (b) produce files
+    with disjoint key ranges so a key filter touches a subset of files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yaetl_spark.sinks import ClusteredParquetSink
+
+    out = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).withColumn("payload", F.hash("id"))
+    ClusteredParquetSink(out, cluster_by=["id"], num_files=8).write(df)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+
+    # every data file covers a contiguous id range; ranges must not overlap
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ids = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        lo = min(c.statistics.min for c in ids)
+        hi = max(c.statistics.max for c in ids)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo  # disjoint: min/max stats prune whole files

@@ -1,5 +1,13 @@
 from .base import CollectSink, NoOpSink, Sink
-from .files import BucketedTableSink, CsvSink, JsonSink, MergeParquetSink, OrcSink, ParquetSink
+from .files import (
+    BucketedTableSink,
+    ClusteredParquetSink,
+    CsvSink,
+    JsonSink,
+    MergeParquetSink,
+    OrcSink,
+    ParquetSink,
+)
 from .jdbc import JdbcSink, build_upsert_sql
 
 __all__ = [
@@ -11,6 +19,7 @@ __all__ = [
     "ParquetSink",
     "OrcSink",
     "MergeParquetSink",
+    "ClusteredParquetSink",
     "BucketedTableSink",
     "JdbcSink",
     "build_upsert_sql",
