@@ -499,7 +499,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine- and partitioning-independent."""
     from yaetl_spark.operators import inverted_index
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # heavy=False: the id-bounded slice is tiny; the token shuffle spreads
+    # the aggregation without an extra parallelism repartition
+    docs = _t(spark, sf_dir, "documents", heavy=False).filter(
+        F.col("doc_id") < 60)
     return inverted_index(docs, min_df=2, max_df=40)
 
 
@@ -521,8 +524,10 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary agg."""
     from yaetl_spark.operators import pack_documents, token_count
 
+    # heavy=False: the bucket window shuffle right after the scan already
+    # spreads the work; a parallelism repartition would just add a shuffle
     docs = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", heavy=False)
         .filter(F.col("doc_id") < 200)
         .select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     )

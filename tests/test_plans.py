@@ -334,3 +334,39 @@ def test_dataset_split_and_sample_are_scan_level(spark):
     assert "Exchange" not in plan  # filter only — no shuffle anywhere
     plan2 = plan_of(spark, "dataset_split")
     assert plan2.count("Exchange hashpartitioning") <= 1  # only the groupBy
+
+
+def test_histogram_single_exchange_pushed_range(spark):
+    """Bin arithmetic is scan-level: the range filter reaches the parquet
+    scan and the only shuffle is the bin-count aggregation."""
+    plan = plan_of(spark, "histogram")
+    assert plan.count("Exchange") == 1
+    # column-pruned scan (single column) with the range reaching the scan
+    assert "FileScan parquet [o_totalprice#" in plan
+    assert ">= 0.0" in plan and "< 600000.0" in plan
+
+
+def test_pack_documents_reuses_window_partitioning(spark):
+    """The summary groupBy(bucket, pack_id) must ride the bucket-window
+    exchange (hash partitioning on bucket satisfies the agg's clustered
+    distribution) — one shuffle total, and the id bound is pushed."""
+    plan = plan_of(spark, "pack_documents")
+    assert plan.count("Exchange") == 1
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]" in plan
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """collect_set dedupes inside the aggregation: no separate distinct
+    exchange, just the token-keyed shuffle with partial aggregation."""
+    plan = plan_of(spark, "inverted_index")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_bloom_join_probe_before_shuffle(spark):
+    """The bloom probe (ArrowEvalPython-free mapInPandas) must sit under
+    the semi join, and the join itself stays a hash join."""
+    plan = plan_of(spark, "bloom_join")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -327,23 +327,26 @@ def inverted_index(
     retrieval-side index over a corpus, and the vocabulary-pruning tool
     (``min_df``/``max_df`` drop hapax noise and stopword-frequency terms).
 
-    Scale shape: explode → one shuffle keyed by token (vocabulary-sized
-    after the map-side distinct combine, not token-stream-sized);
-    ``collect_set`` keeps per-token state only. Posting lists of
+    Scale shape: explode → ONE shuffle keyed by token. ``collect_set``
+    dedupes inside the aggregation state (map-side partial sets shrink
+    the shuffle below the raw token stream), so no separate distinct
+    exchange is needed; ``df`` is the set size. Posting lists of
     stopword-class tokens can be huge — prune them with ``max_df``
-    *inside* the aggregation stage via the df count, so the wide lists
-    are dropped before they serialize to the driver or a sink. The
-    flattened string form is deterministic (sorted, distinct) across
-    engines and partitionings.
+    *inside* the aggregation stage, so the wide lists are dropped before
+    they serialize to the driver or a sink. The flattened string form is
+    deterministic (sorted, distinct) across engines and partitionings.
     """
     terms = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
-    ).distinct()
-    idx = terms.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.array_join(
-            F.sort_array(F.collect_set(F.col(id_col))), ","
-        ).alias("postings"),
+    )
+    idx = (
+        terms.groupBy("token")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .select(
+            "token",
+            F.size("_ids").cast("bigint").alias("df"),
+            F.array_join("_ids", ",").alias("postings"),
+        )
     )
     idx = idx.filter(F.col("df") >= min_df)
     if max_df is not None:
