@@ -1783,8 +1783,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe join (new driver row for the salted_join operator):
-    lineitem ⋈ orders on the order key with an 8-way salt — hot keys
-    spread over 8 reducers, build side replicated 8×. Results are
+    lineitem ⋈ orders on the order key with a 4-way salt — hot keys
+    spread over 4 reducers, build side replicated 4×. Results are
     IDENTICAL to the plain join (the oracle is the plain SQL join), only
     the shuffle layout changes."""
     from yaetl_spark.operators import salted_join
@@ -1793,7 +1793,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_join(li, orders, "l_orderkey", salt=8)
+    j = salted_join(li, orders, "l_orderkey", salt=4)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
