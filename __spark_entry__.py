@@ -541,6 +541,31 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling via the grouped-map Arrow escape
+    hatch (transformers.GroupedPandasMap / applyInPandas): each language
+    group arrives as one pandas frame and is scaled by its own min/max —
+    exact integer min/max + one float64 division, so DuckDB's window-
+    function replica is bit-identical. One group-key shuffle; memory is
+    O(group). Rounding happens JVM-side after the UDF (pandas' half-even
+    vs SQL half-up would diverge)."""
+    from yaetl_spark.operators import GroupedPandasMap
+
+    def scale(pdf):
+        x = pdf["n_chars"]
+        lo, hi = x.min(), x.max()
+        pdf["scaled"] = 0.0 if hi == lo else (x - lo) / (hi - lo)
+        return pdf[["doc_id", "lang", "scaled"]]
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "lang", "n_chars")
+    out = GroupedPandasMap(
+        ["lang"], scale, "doc_id long, lang string, scaled double"
+    ).apply(docs)
+    return out.select(
+        "doc_id", "lang", F.round("scaled", 6).alias("scaled"))
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1894,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "histogram": q_histogram,
         "pack_documents": q_pack_documents,
+        "group_scale": q_group_scale,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -1965,7 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # is from round 1. Everything else keeps its round-2 green row.
 _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
-    "pack_documents",
+    "pack_documents", "group_scale",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -1977,7 +2003,7 @@ _DRIVER_WINDOW = [
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
     "explode_tokens", "asof_join", "doc_fingerprint", "media_meta",
     "ann_ivf", "market_share",
-    "scan_filter_project", "groupby_agg", "inner_join", "funnel",
+    "scan_filter_project", "groupby_agg", "inner_join",
 ]
 
 
@@ -2453,6 +2479,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "group_scale": """
+            SELECT doc_id, lang,
+                   round(CASE WHEN mx = mn THEN 0.0
+                              ELSE (n_chars - mn) / (mx - mn) END, 6) AS scaled
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                       MIN(n_chars) OVER (PARTITION BY lang) AS mn,
+                       MAX(n_chars) OVER (PARTITION BY lang) AS mx
+                FROM documents
+            )
         """,
         "histogram": """
             SELECT bin,

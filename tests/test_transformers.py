@@ -246,3 +246,31 @@ def test_map_fields_recursive_walks_leaves(spark):
     assert tagged["st"]["y"] == ["y:c", "y:d"]
     assert tagged["s"] == " a "  # untargeted column untouched
     assert set(seen) == {"x", "y"}
+
+
+def test_grouped_pandas_map_full_group_semantics(spark):
+    from yaetl_spark.operators import GroupedPandasMap
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10)], "g string, x int"
+    )
+
+    def spread(pdf):
+        pdf["spread"] = int(pdf["x"].max() - pdf["x"].min())
+        return pdf[["g", "spread"]].head(1)
+
+    got = {
+        r.g: r.spread
+        for r in GroupedPandasMap(["g"], spread, "g string, spread int")
+        .apply(df).collect()
+    }
+    assert got == {"a": 4, "b": 0}
+
+
+def test_grouped_pandas_map_requires_keys(spark):
+    import pytest
+
+    from yaetl_spark.operators import GroupedPandasMap
+
+    with pytest.raises(ValueError):
+        GroupedPandasMap([], lambda p: p, "g string")

@@ -301,6 +301,35 @@ class PandasMap(Transformer):
         return df.mapInPandas(mapper, schema=self.schema)
 
 
+class GroupedPandasMap(Transformer):
+    """Per-group Arrow escape hatch: ``groupBy(keys).applyInPandas(fn)`` —
+    the grouped-map companion to :class:`PandasMap` for logic that needs a
+    whole group in one pandas frame (per-group normalization, per-entity
+    model scoring, group-local resampling).
+
+    ``fn`` is ``pd.DataFrame -> pd.DataFrame`` receiving one full group.
+    Scale shape: one shuffle on the group keys; memory is O(largest
+    group), so key choice must bound group size — at 100 TB a hot key
+    becomes an executor OOM, not a slowdown (pre-split hot keys with a
+    salt column in ``keys`` when group semantics allow it).
+    """
+
+    def __init__(
+        self,
+        keys: list[str],
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: Any,
+    ):
+        if not keys:
+            raise ValueError("keys must name at least one grouping column")
+        self.keys = keys
+        self.fn = fn
+        self.schema = schema
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.keys).applyInPandas(self.fn, self.schema)
+
+
 def scd2_merge(
     current: DataFrame,
     updates: DataFrame,
