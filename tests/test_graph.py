@@ -94,3 +94,54 @@ def test_inverted_index_pruning_and_order(spark):
         r.token for r in inverted_index(docs, min_df=2).collect()
     }
     assert pruned == {"a"}
+
+
+def test_gap_fill_strategies(spark):
+    import datetime
+
+    from yaetl_spark.operators import gap_fill
+
+    daily = spark.createDataFrame(
+        [
+            ("a", datetime.date(2024, 1, 1), 10.0, 2),
+            ("a", datetime.date(2024, 1, 4), 40.0, 1),
+        ],
+        "k string, day date, v double, n long",
+    )
+    got = {
+        (r.k, str(r.day)): (r.v, r.n)
+        for r in gap_fill(daily, ["k"], "day", {"v": "ffill", "n": "zero"}).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): (10.0, 2),
+        ("a", "2024-01-02"): (10.0, 0),
+        ("a", "2024-01-03"): (10.0, 0),
+        ("a", "2024-01-04"): (40.0, 1),
+    }
+
+
+def test_cohort_retention_counts(spark):
+    import datetime
+
+    from yaetl_spark.operators import cohort_retention
+
+    # two users first active in week of Jan 1 2024 (Mon), one returns
+    # two weeks later; a third user starts the following week
+    ev = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 2, 10)),
+            (2, datetime.datetime(2024, 1, 3, 11)),
+            (1, datetime.datetime(2024, 1, 16, 9)),
+            (3, datetime.datetime(2024, 1, 9, 8)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r.cohort), r.offset): r.n_users
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

@@ -1,0 +1,113 @@
+"""Time-series regularization + cohort analytics (beyond-reference).
+
+Gap-filling turns an event-driven aggregate (rows only where activity
+happened) into a regular series (one row per key per period, carried
+forward) — the prerequisite for joining series, charting, and window
+math that assumes dense time. Cohort retention is the standard
+product-analytics rollup: users grouped by first-activity period,
+tracked by period offset.
+
+Scale shapes:
+- ``date_spine``/``gap_fill``: the spine is ``per-key (min, max)`` →
+  ``explode(sequence(...))`` — size = keys × periods, generated
+  distributed, never on the driver. The fill join shuffles on
+  (key, period) where the aggregate side is already period-grained
+  (small); the forward-fill window partitions by key.
+- ``cohort_retention``: two shuffles — per-user first-activity (user-
+  keyed, map-side combinable min), then the (cohort, offset) distinct-
+  user count. User activity never multiplies: each (user, period) row
+  contributes one count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["date_spine", "gap_fill", "cohort_retention"]
+
+
+def date_spine(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+) -> DataFrame:
+    """One row per key per calendar day over each key's own [min, max]
+    activity span: ``key_cols + [day_col]``. Generated with
+    ``explode(sequence(min, max, 1 day))`` per key — distributed, and
+    spine size is bounded by keys × span, independent of event count."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+            ).alias(day_col),
+        )
+    )
+
+
+def gap_fill(
+    daily: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    fill_cols: dict[str, str],
+) -> DataFrame:
+    """Densify a per-(key, day) aggregate onto the full per-key day spine.
+
+    ``fill_cols`` maps column → strategy: ``"ffill"`` carries the last
+    observed value forward (leading gaps stay NULL), ``"zero"`` fills
+    gaps with 0. Rows arrive back one-per-key-per-day.
+    """
+    spine = date_spine(daily, key_cols, day_col)
+    joined = spine.join(daily, [*key_cols, day_col], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined
+    for col, how in fill_cols.items():
+        if how == "ffill":
+            out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
+        elif how == "zero":
+            out = out.withColumn(
+                col, F.coalesce(F.col(col), F.lit(0).cast(joined.schema[col].dataType))
+            )
+        else:
+            raise ValueError(f"unknown fill strategy {how!r} for {col}")
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort × offset retention counts: users grouped by their first
+    active period (``cohort``), counted once per later period at
+    ``offset = period - cohort`` (in periods). Returns
+    ``(cohort, offset, n_users)`` with offset 0 = the cohort size."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day/week/month")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    active = events.select(
+        F.col(user_col).alias("_u"), p.alias("_p")
+    ).distinct()
+    first = active.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    div = {"day": 1, "week": 7}.get(period)
+    if div is not None:
+        offset = (F.datediff("_p", "_cohort") / div).cast("long")
+    else:
+        offset = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        ).cast("long")
+    return (
+        active.join(first, "_u")
+        .groupBy(F.col("_cohort").alias("cohort"), offset.alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
