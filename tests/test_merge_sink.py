@@ -95,3 +95,55 @@ def test_clustered_sink_layout_enables_file_pruning(spark, tmp_path):
     assert len(ranges) == 8
     for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
         assert ahi < blo  # disjoint: min/max stats prune whole files
+
+
+def test_zorder_sink_bounds_file_regions_on_both_dims(spark, tmp_path):
+    """Z-order layout: every file must cover a small REGION of the 2-D key
+    space (both dims bounded), unlike 1-D range clustering where the
+    second dim spans the full domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yaetl_spark.sinks import ClusteredParquetSink
+
+    out = str(tmp_path / "zordered")
+    df = (
+        spark.range(0, 16_384)
+        .withColumn("x", (F.col("id") % 128).cast("long"))
+        .withColumn("y", (F.col("id") / 128).cast("long"))
+    )
+    ClusteredParquetSink(
+        out, cluster_by=["x", "y"], num_files=16, zorder=True
+    ).write(df)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 16_384
+    assert "_z" not in back.columns
+
+    areas = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        schema_names = md.schema.to_arrow_schema().names
+        spans = {}
+        for col in ("x", "y"):
+            ci = schema_names.index(col)
+            cs = [md.row_group(i).column(ci).statistics
+                  for i in range(md.num_row_groups)]
+            spans[col] = (max(c.max for c in cs) - min(c.min for c in cs))
+        areas.append((spans["x"] + 1) * (spans["y"] + 1))
+    # 16 z-tiles of a 128x128 grid: each file's bounding box must be a
+    # fraction of the domain (1-D clustering would give full-width boxes)
+    assert max(areas) <= 128 * 128 / 3
+
+
+def test_zorder_sink_validates_args(spark):
+    from yaetl_spark.sinks import ClusteredParquetSink
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ClusteredParquetSink("/tmp/x", ["a"], zorder=True)
+    with pytest.raises(ValueError):
+        ClusteredParquetSink("/tmp/x", ["a", "b", "c"], zorder=True,
+                             zorder_bits=32)

@@ -167,17 +167,35 @@ class BucketedTableSink(Sink):
         writer.saveAsTable(self.table)
 
 
+def _interleave_bits(cols, bits: int):
+    """Morton/z-value from pre-normalized long columns in ``[0, 2^bits)``:
+    bit i of column j lands at position ``i * k + j``. Pure JVM shift/or
+    expressions — ``bits * k`` terms, all inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 class ClusteredParquetSink(Sink):
-    """Range-clustered parquet layout: ``repartitionByRange`` on the
-    cluster keys + ``sortWithinPartitions`` before writing.
+    """Clustered parquet layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the cluster keys — or on their
+    interleaved z-value with ``zorder=True``.
 
     The data-clustering primitive for scan pruning at 100 TB: each output
-    file covers a narrow contiguous key range, so parquet row-group
-    min/max statistics let a key-range filter skip almost every file —
-    the poor man's z-order, and the right layout for time-series or
-    id-range access patterns. One range shuffle at write time (range
-    boundaries come from a driver-side sample job Spark runs
-    automatically); reads after that prune for free.
+    file covers a narrow key region, so parquet row-group min/max
+    statistics let a key filter skip almost every file. Plain range
+    clustering is ideal for one dominant access dimension (time series,
+    id ranges); z-order trades a little per-dimension tightness for
+    pruning on EVERY cluster key at once (multi-tenant time × entity
+    scans). Cost at write time: one min/max agg job over the cluster
+    keys (z-order only, to normalize domains) + one range shuffle whose
+    boundaries Spark samples automatically; reads after that prune free.
     """
 
     def __init__(
@@ -186,25 +204,61 @@ class ClusteredParquetSink(Sink):
         cluster_by: list[str],
         num_files: int | None = None,
         mode: str = "overwrite",
+        zorder: bool = False,
+        zorder_bits: int = 16,
         **kw,
     ):
         super().__init__(**kw)
         if not cluster_by:
             raise ValueError("cluster_by must name at least one column")
+        if zorder and len(cluster_by) < 2:
+            raise ValueError("zorder needs at least two cluster columns")
+        if zorder and zorder_bits * len(cluster_by) > 63:
+            raise ValueError("zorder_bits * len(cluster_by) must fit in 63 bits")
         self.path = path
         self.cluster_by = cluster_by
         self.num_files = num_files
         self.mode = mode
+        self.zorder = zorder
+        self.zorder_bits = zorder_bits
 
     def write(self, df: DataFrame) -> None:
-        cols = [df[c] for c in self.cluster_by]
-        if self.num_files:
-            clustered = df.repartitionByRange(self.num_files, *cols)
+        from pyspark.sql import functions as F
+
+        if self.zorder:
+            stats = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+                  for c in self.cluster_by],
+                *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                  for c in self.cluster_by],
+            ).first()
+            top = (1 << self.zorder_bits) - 1
+            scaled = []
+            for c in self.cluster_by:
+                mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+                if mn is None or mx is None or mx == mn:
+                    scaled.append(F.lit(0).cast("long"))
+                    continue
+                q = F.floor(
+                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit(float(mx) - float(mn)) * top
+                ).cast("long")
+                scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+            keyed = df.withColumn(
+                "_z", _interleave_bits(scaled, self.zorder_bits))
+            cols = [keyed["_z"]]
         else:
-            clustered = df.repartitionByRange(*cols)
-        clustered.sortWithinPartitions(*cols).write.mode(self.mode).parquet(
-            self.path
-        )
+            keyed = df
+            cols = [df[c] for c in self.cluster_by]
+        if self.num_files:
+            clustered = keyed.repartitionByRange(self.num_files, *cols)
+        else:
+            clustered = keyed.repartitionByRange(*cols)
+        out = clustered.sortWithinPartitions(*cols)
+        if self.zorder:
+            # projecting the key away preserves the partition sort order
+            out = out.drop("_z")
+        out.write.mode(self.mode).parquet(self.path)
 
 
 class MergeParquetSink(Sink):
