@@ -87,12 +87,11 @@ def _events(spark: SparkSession, sf_dir: str,
     ``get_spark()`` sets the nanos conf as a session default; the guard
     below only covers sessions the caller built elsewhere (the driver
     hands us its own SparkSession) and is a no-op otherwise."""
+    from yaetl_spark.session import ensure_event_time
+
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _t(spark, sf_dir, "events", heavy)
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return ensure_event_time(_t(spark, sf_dir, "events", heavy))
 
 
 # Decimal widths chosen so every product stays inside DECIMAL(38): prices

@@ -60,9 +60,9 @@ def chunked_events_dir(spark, tmp_path):
     """events split into several parquet files → several stream triggers."""
     out = str(tmp_path / "events_chunks")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(table_path("events"))
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from yaetl_spark.session import ensure_event_time
+
+    ev = ensure_event_time(spark.read.parquet(table_path("events")))
     ev.repartition(3).write.parquet(out)
     yield out
     shutil.rmtree(out, ignore_errors=True)

@@ -7,6 +7,7 @@ import time
 
 import pyspark.sql.functions as F
 
+from yaetl_spark.session import ensure_event_time
 from yaetl_spark.streaming import (
     StreamPipeline,
     dedup_within_watermark,
@@ -58,9 +59,7 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     produces identical window aggregates (batch-verifiability invariant)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    to_ts = lambda df: df.withColumn(  # noqa: E731
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    to_ts = ensure_event_time
     batch = tumbling_window_agg(
         to_ts(raw), "ts", "1 hour", F.count(F.lit(1)).alias("n")
     )
@@ -134,9 +133,7 @@ def test_dedup_within_watermark_streaming(spark, sf_dir, tmp_path):
     from yaetl_spark.streaming import dedup_within_watermark
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ev = ensure_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ev = ev.limit(500).coalesce(1)
     src = str(tmp_path / "dedup_src")
     ev.write.parquet(src)  # file 1: originals
@@ -238,9 +235,7 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    to_ts = lambda df: df.withColumn(  # noqa: E731
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    to_ts = ensure_event_time
 
     def sides(df):
         clicks = df.filter(F.col("event_type") == "click").select(

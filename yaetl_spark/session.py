@@ -61,6 +61,26 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) across the
+    parquet encodings seen in the wild for the same logical data:
+    TIMESTAMP(NANOS) read as ``bigint`` (under the nanosAsLong conf),
+    TIMESTAMP_NTZ (micros with isAdjustedToUTC=false), and proper LTZ.
+    Streaming watermarks and window functions require LTZ; under the
+    engine's fixed UTC session timezone the NTZ→LTZ cast is a pure type
+    relabel (no instant shift), and the nanos→micros conversion is
+    lossless for micro-aligned data."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, df[col].cast("timestamp"))
+    return df
+
+
 def get_spark(
     app_name: str = "yaetl-spark",
     master: str | None = None,
