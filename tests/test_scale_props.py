@@ -204,3 +204,34 @@ def test_resize_and_audio_stubs(spark):
         bin_docs.repartition(4), binary_col="data", id_col="doc_id",
         use_stub_decoder=True).collect()}
     assert a == b and all(v[0] > 0 for v in a.values())
+
+
+def test_bloom_bitmap_is_partition_invariant(spark):
+    """bit_or block aggregation is commutative: the finished bitmap must be
+    byte-identical no matter how the build side is partitioned."""
+    import numpy as np
+
+    from yaetl_spark.operators import bloom_build
+
+    small = spark.range(0, 2000).withColumn(
+        "k", F.concat(F.lit("key"), F.col("id")))
+    a = bloom_build(small, "k", expected_items=2000, fpp=0.02)
+    b = bloom_build(small.repartition(13), "k", expected_items=2000, fpp=0.02)
+    assert a.num_bits == b.num_bits and a.num_hashes == b.num_hashes
+    assert np.array_equal(a.words, b.words)
+
+
+def test_connected_components_partition_invariant(spark):
+    """The CC fixpoint is a graph property: edge order, direction, and
+    partitioning must not change the labeling."""
+    from yaetl_spark.operators import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 30, 2)]  # 15 two-node comps
+    edges += [(100, 101), (101, 102), (102, 103)]  # one chain
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.node: r.comp for r in connected_components(df).collect()}
+    flipped = df.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    b = {r.node: r.comp
+         for r in connected_components(flipped.repartition(9)).collect()}
+    assert a == b
+    assert a[103] == 100
