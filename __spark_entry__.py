@@ -1830,7 +1830,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(
-        emb, k=8, iters=2, init_ids=[0, 1, 2, 3, 4, 5, 6, 7]
+        emb, k=8, iters=2, init_ids=[0, 1, 2, 3, 4, 5, 6, 7], cache=True
     )
     assigned, _ = build_ivf_index(emb, centroids=cents)
     return (

@@ -130,7 +130,10 @@ def drop_duplicate_members(
 ) -> DataFrame:
     """Keep one canonical document per cluster: drop every clustered doc
     whose id is not its cluster representative. Non-clustered docs pass
-    through untouched. The drop-list is cluster-sized (small), so the
-    anti join broadcasts — the corpus is filtered in one narrow pass."""
+    through untouched. Join strategy is left to Catalyst/AQE: on a
+    lightly-duplicated corpus the drop-list fits a broadcast and the
+    filter is one narrow pass; on a heavy-dup corpus (drop-list at
+    corpus scale) forcing a broadcast would OOM the driver, and the
+    planner correctly falls back to a shuffled anti join."""
     losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

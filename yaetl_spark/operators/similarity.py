@@ -205,6 +205,7 @@ def kmeans_fit(
     iters: int = 5,
     init_ids: list[int] | None = None,
     seed: int = 42,
+    cache: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means over an embedding column, DataFrame-native.
 
@@ -241,25 +242,35 @@ def kmeans_fit(
     if len(centroids) < k:
         raise ValueError(f"kmeans_fit: only {len(centroids)} init vectors for k={k}")
 
-    for _ in range(iters):
-        assigned, _ = build_ivf_index(
-            df, vec_col=vec_col, id_col=id_col, centroids=centroids
-        )
-        sums = assigned.groupBy("_cell").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
-                for i in range(dim)
-            ],
-        )
-        updated = {
-            r._cell: [r[f"_s{i}"] / r._n for i in range(dim)]
-            for r in sums.collect()
-        }
-        # empty cells keep their previous centroid (standard Lloyd's)
-        centroids = [
-            (cell, updated.get(cell, vec)) for cell, vec in centroids
-        ]
+    # prune to the two needed columns; with cache=True (standard Lloyd's
+    # practice for a curated feature table) the pruned frame persists
+    # across iterations instead of re-scanning the source each round
+    work = df.select(id_col, vec_col)
+    if cache:
+        work = work.persist()
+    try:
+        for _ in range(iters):
+            assigned, _ = build_ivf_index(
+                work, vec_col=vec_col, id_col=id_col, centroids=centroids
+            )
+            sums = assigned.groupBy("_cell").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            updated = {
+                r._cell: [r[f"_s{i}"] / r._n for i in range(dim)]
+                for r in sums.collect()
+            }
+            # empty cells keep their previous centroid (standard Lloyd's)
+            centroids = [
+                (cell, updated.get(cell, vec)) for cell, vec in centroids
+            ]
+    finally:
+        if cache:
+            work.unpersist()
     return centroids
 
 
