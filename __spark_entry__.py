@@ -613,6 +613,22 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset", "n_users")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling
+    (operators/sampling.py): each document survives with probability
+    equal to its own quality score, decided by the Knuth key hash — no
+    RNG, no shuffle, pure scan-level arithmetic, reproducible in SQL."""
+    from yaetl_spark.operators import weighted_hash_sample
+    from yaetl_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "lang", F.col("text"))
+    kept = weighted_hash_sample(
+        docs, "doc_id", quality_score(F.col("text")))
+    return kept.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1969,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_scale": q_group_scale,
         "gap_fill": q_gap_fill,
         "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2041,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
     "pack_documents", "group_scale", "gap_fill", "cohort_retention",
+    "weighted_sample",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -2051,7 +2069,7 @@ _DRIVER_WINDOW = [
     "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
     "explode_tokens", "asof_join", "doc_fingerprint", "media_meta",
-    "ann_ivf", "market_share", "scan_filter_project",
+    "ann_ivf", "market_share",
 ]
 
 
@@ -3337,6 +3355,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE (doc_id*2654435761+12345) % 1000 <
                   CASE lang WHEN 'en' THEN 200 ELSE 1000 END
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang, {quality} AS quality
+            FROM documents
+            WHERE (doc_id*2654435761+12345) % 1000 < ({quality}) * 1000.0
         """,
         "daily_active": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -230,3 +230,21 @@ def test_pack_documents_is_bucket_deterministic(spark):
     b = sorted(map(tuple,
                    pack_documents(docs.repartition(7), 512, num_buckets=4).collect()))
     assert a == b
+
+
+def test_weighted_hash_sample_clamps_and_is_deterministic(spark):
+    from yaetl_spark.operators import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in [(1, 1.5), (2, 1.0), (3, 0.0), (4, -2.0)]],
+        "k long, w double",
+    )
+    kept = {r.k for r in weighted_hash_sample(df, "k", "w").collect()}
+    # weight >= 1 always survives; weight <= 0 never does
+    assert {1, 2} <= kept and not ({3, 4} & kept)
+
+    big = spark.range(0, 5000).withColumn("w", F.lit(0.3))
+    n = weighted_hash_sample(big, "id", "w").count()
+    assert abs(n - 1500) < 150  # Knuth hash is uniform enough at 0.3
+    n2 = weighted_hash_sample(big.repartition(11), "id", "w").count()
+    assert n == n2

@@ -135,3 +135,26 @@ def dataset_split(
 ) -> DataFrame:
     """Attach the deterministic split assignment as a column."""
     return df.withColumn(split_col, split_column(key, weights, names, **kw))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    buckets: int = 1000,
+    string_key: bool = False,
+) -> DataFrame:
+    """Keep each row with probability equal to its own ``weight`` (clamped
+    to [0, 1]), decided deterministically by the key hash — the per-row
+    generalization of :func:`hash_sample` and the quality-weighted
+    downsampling move of corpus curation (keep good docs at full rate,
+    noisy docs proportionally to their score).
+
+    Same guarantees as the other hash samplers: a row's fate depends only
+    on (key, weight) — stable across reruns, engines, partitionings, and
+    data growth; pure scan-level arithmetic, no RNG state, no shuffle.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    b = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
+    return df.filter(b < w * F.lit(float(buckets)))
