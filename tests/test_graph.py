@@ -33,8 +33,10 @@ def test_two_components_and_singleton_edge(spark):
 def test_long_chain_converges_via_pointer_doubling(spark):
     # a 40-node path: plain neighbor propagation needs 40 rounds;
     # pointer doubling must finish well inside max_iter=10
+    # (local_threshold=0 forces the distributed loop)
     pairs = [(i, i + 1) for i in range(40)]
-    got = _cc_dict(connected_components(_edges(spark, pairs), max_iter=10))
+    got = _cc_dict(connected_components(
+        _edges(spark, pairs), max_iter=10, local_threshold=0))
     assert set(got.values()) == {0}
     assert len(got) == 41
 
@@ -51,7 +53,8 @@ def test_direction_and_duplicates_are_irrelevant(spark):
 def test_max_iter_guard_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(
-            _edges(spark, [(i, i + 1) for i in range(300)]), max_iter=2
+            _edges(spark, [(i, i + 1) for i in range(300)]),
+            max_iter=2, local_threshold=0,
         )
 
 

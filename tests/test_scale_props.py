@@ -229,9 +229,13 @@ def test_connected_components_partition_invariant(spark):
     edges = [(i, i + 1) for i in range(0, 30, 2)]  # 15 two-node comps
     edges += [(100, 101), (101, 102), (102, 103)]  # one chain
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # local union-find path (default threshold)
     a = {r.node: r.comp for r in connected_components(df).collect()}
+    # distributed min-propagation path, flipped + repartitioned input:
+    # both paths must produce the identical fixpoint
     flipped = df.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     b = {r.node: r.comp
-         for r in connected_components(flipped.repartition(9)).collect()}
+         for r in connected_components(
+             flipped.repartition(9), local_threshold=0).collect()}
     assert a == b
     assert a[103] == 100

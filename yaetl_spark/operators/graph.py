@@ -35,6 +35,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     reachable from it (its component representative).
@@ -43,9 +44,18 @@ def connected_components(
     in ``edges``, both columns ``long``. Deterministic: the fixpoint is a
     pure graph property, independent of partitioning or engine.
 
-    Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds (pointer doubling makes that ~2^max_iter of
-    effective diameter, so hitting it signals bad input, not tuning).
+    Adaptive execution, same spirit as AQE localizing a small join: a
+    near-dup pair graph is usually tiny relative to the corpus (only dup
+    candidates appear), so when the deduped edge count is ≤
+    ``local_threshold`` (~a few MB of longs) the fixpoint is solved with
+    driver-side union-find in one collect instead of 2-3 distributed
+    rounds of 2 joins each. Above the threshold — or with
+    ``local_threshold=0`` — the distributed min-label-propagation loop
+    runs. Both paths compute the identical fixpoint.
+
+    Raises ``RuntimeError`` if the distributed loop hits ``max_iter``
+    rounds without converging (pointer doubling makes that ~2^max_iter of
+    effective diameter, so it signals bad input, not tuning).
     """
     e = (
         edges.select(
@@ -57,6 +67,9 @@ def connected_components(
     # Symmetrize once; dedup so a hot pair does not multiply join output.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
+
+    if local_threshold and e.count() <= local_threshold:
+        return _local_union_find(e)
 
     labels = (
         e.select(F.col("a").alias("node"))
@@ -109,17 +122,45 @@ def connected_components(
     )
 
 
+def _local_union_find(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (already symmetrized,
+    checkpointed) edge frame: path-halving + union-by-min so every root
+    is its component's minimum id. One bounded collect in, one
+    createDataFrame out — the classic small-side localization."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in e.toLocalIterator():
+        a, b = r.a, r.b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(rows, "node long, comp long")
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Cluster verified near-duplicate pairs: ``(doc_id, cluster)`` where
     ``cluster`` is the smallest doc_id in the connected group. Only
     documents that appear in at least one pair are returned — at corpus
     scale the overwhelming majority of docs never enter the graph."""
-    cc = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    cc = connected_components(
+        pairs, src=id_a, dst=id_b, max_iter=max_iter,
+        local_threshold=local_threshold)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
 
 
