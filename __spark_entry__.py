@@ -430,11 +430,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard verification over MinHash-LSH candidates — the
-    production two-stage near-dup shape (LSH prunes to candidate pairs,
-    exact Jaccard verifies; raw text never joins all-pairs). Oracle-mode
-    rolling hash family so DuckDB replicates the candidate set exactly."""
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair pipeline for q_ngram_jaccard and q_dedup_clusters:
+    MinHash-LSH candidates (32 hashes / 16 bands / 2-shingles, oracle-mode
+    rolling hash family) verified by exact 5-gram Jaccard ≥ 0.2 over the
+    doc_id < 100 slice. ONE set of parameters — both queries and both
+    DuckDB oracles must describe the same pair graph."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     cands = minhash_lsh(
         docs, num_hashes=32, bands=16, shingle_size=2,
@@ -445,25 +446,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard verification over MinHash-LSH candidates — the
+    production two-stage near-dup shape (LSH prunes to candidate pairs,
+    exact Jaccard verifies; raw text never joins all-pairs). Oracle-mode
+    rolling hash family so DuckDB replicates the candidate set exactly."""
+    return _verified_pairs(spark, sf_dir)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clustering*: the verified pair graph from the ngram_jaccard
     stage (LSH candidates → exact 5-gram Jaccard ≥ 0.2) resolved into
     connected components (operators/graph.py) — every clustered doc labeled
     with its canonical representative, covering transitive chains. The
     oracle computes the same fixpoint as a recursive transitive closure;
-    the Spark side is min-label propagation + pointer doubling, O(log
-    diameter) bounded-size iterations with per-round lineage checkpoints."""
-    from yaetl_spark.operators import dedup_clusters, minhash_lsh, ngram_jaccard_pairs
+    the Spark side is min-label propagation + pointer doubling (localized
+    adaptively for small graphs), sharing _verified_pairs with
+    q_ngram_jaccard so both queries describe the same pair graph."""
+    from yaetl_spark.operators import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    cands = minhash_lsh(
-        docs, num_hashes=32, bands=16, shingle_size=2,
-        jaccard_threshold=None, hash_fn="rolling",
-    ).select("id_a", "id_b")
-    pairs = ngram_jaccard_pairs(
-        docs, shingle_size=5, threshold=0.2, candidates=cands
-    )
-    return dedup_clusters(pairs)
+    return dedup_clusters(_verified_pairs(spark, sf_dir))
 
 
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:

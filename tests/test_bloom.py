@@ -45,3 +45,21 @@ def test_bloom_build_shuffles_blocks_not_keys(spark):
     bloom = bloom_build(small, "k", expected_items=5000, fpp=0.01)
     assert bloom.words.size == bloom.num_bits // 64
     assert bloom.size_bytes < 64 * 1024  # ~6 KB bitmap for 5k keys at 1%
+
+
+def test_bloom_survives_ansi_session(spark):
+    """The driver hands the engine its own SparkSession, which may run
+    with ANSI mode on (Spark 4 default) — there int64 overflow THROWS, so
+    every hash intermediate must stay in range rather than rely on
+    wraparound."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        small = spark.range(0, 500).withColumn(
+            "k", F.concat(F.lit("key"), F.col("id")))
+        bloom = bloom_build(small, "k", expected_items=500, fpp=0.01)
+        assert bloom_prune(small, "k", bloom).count() == 500
+        big = spark.range(0, 5000).withColumn(
+            "k", F.concat(F.lit("other"), F.col("id")))
+        assert bloom_prune(big, "k", bloom).count() < 500
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

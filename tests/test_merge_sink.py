@@ -147,3 +147,24 @@ def test_zorder_sink_validates_args(spark):
     with pytest.raises(ValueError):
         ClusteredParquetSink("/tmp/x", ["a", "b", "c"], zorder=True,
                              zorder_bits=32)
+
+
+def test_zorder_rejects_strings_handles_dates_and_nulls(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from yaetl_spark.sinks import ClusteredParquetSink
+
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        ClusteredParquetSink(
+            str(tmp_path / "bad"), ["s", "x"], num_files=2, zorder=True
+        ).write(spark.createDataFrame([("a", 1)], "s string, x long"))
+
+    # dates work (day-number axis) and a NULL key lands in cell 0, not top
+    rows = [(datetime.date(2024, 1, d % 28 + 1), float(d)) for d in range(200)]
+    rows.append((None, 0.0))
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = str(tmp_path / "dated")
+    ClusteredParquetSink(out, ["d", "v"], num_files=4, zorder=True).write(df)
+    assert spark.read.parquet(out).count() == 201

@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 __all__ = ["BloomFilter", "bloom_build", "bloom_prune", "bloom_semi_join"]
 
 _BLOCK = 64
+# keep every hash intermediate below 2^62 (ANSI-safe): m < 2^31 caps the
+# bitmap at 256 MB ≈ 223M keys at 1% fpp — beyond that, partition the
+# keyspace and build one bloom per partition
+_MAX_BITS = (1 << 31) - _BLOCK
 
 
 class BloomFilter:
@@ -57,16 +61,23 @@ class BloomFilter:
 def _positions_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """k bit positions via Kirsch–Mitzenmacher double hashing on one
     xxhash64: pos_i = (h1 + i*h2) mod m, all exact int64 ops so numpy
-    reproduces them bit-for-bit at probe time (Java and numpy int64 share
-    two's-complement wraparound; ``pmod`` matches ``% m`` on the absolute
-    value trick below)."""
+    reproduces them bit-for-bit at probe time.
+
+    Every intermediate stays below 2^62 — ((x mod m) * (c mod m)) mod m
+    instead of a raw multiply — so the arithmetic is identical under ANSI
+    and non-ANSI sessions (the driver may hand us an ANSI session, where
+    an int64 overflow would *throw* rather than wrap). ``_MAX_BITS``
+    guards the bound."""
+    m = F.lit(num_bits)
+    golden = 0x9E3779B1 % num_bits
     h = F.xxhash64(key)
-    h1 = F.pmod(h, F.lit(num_bits))
-    # second hash from the high bits; force odd so strides cycle all of m
-    h2 = F.pmod(F.shiftrightunsigned(h, 17) * F.lit(0x9E3779B1), F.lit(num_bits))
+    h1 = F.pmod(h, m)
+    # second hash from the high bits; force odd so strides cycle all of m.
+    # (h>>>17 mod m) < m < 2^31 and golden < m, so the product < 2^62.
+    h2 = F.pmod(F.pmod(F.shiftrightunsigned(h, 17), m) * F.lit(golden), m)
     h2 = h2 * F.lit(2) + F.lit(1)
     return [
-        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)).cast("long")
+        F.pmod(h1 + F.lit(i) * h2, m).cast("long")
         for i in range(num_hashes)
     ]
 
@@ -86,6 +97,11 @@ def bloom_build(
         int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2))),
     )
     num_bits = ((num_bits + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if num_bits > _MAX_BITS:
+        raise ValueError(
+            f"bloom sizing {num_bits} bits exceeds the 2^31 ANSI-safe cap; "
+            "partition the keyspace and build per-partition blooms"
+        )
     num_hashes = max(1, int(round(num_bits / expected_items * math.log(2))))
 
     key_col = F.col(key) if isinstance(key, str) else key
@@ -127,12 +143,14 @@ def bloom_prune(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         num_bits, num_hashes, words = bc.value
         m = np.int64(num_bits)
+        golden = np.int64(0x9E3779B1 % int(m))
         for pdf in batches:
             h = pdf["__bloom_h"].to_numpy(dtype=np.int64)
             h1 = np.mod(h, m)  # numpy mod matches Spark pmod (sign of divisor)
+            # mirror the overflow-free reduced multiply of _positions_cols
             h2 = np.mod(
-                (h.astype(np.uint64) >> np.uint64(17)).astype(np.int64)
-                * np.int64(0x9E3779B1),
+                np.mod((h.astype(np.uint64) >> np.uint64(17)).astype(np.int64), m)
+                * golden,
                 m,
             )
             h2 = h2 * np.int64(2) + np.int64(1)
@@ -158,11 +176,13 @@ def bloom_semi_join(
 
     The bloom removes ~(1-fpp) of non-matching big-side rows before the
     shuffle; the closing semi join removes the false positives, so the
-    result equals the plain semi join exactly. ``expected_items`` defaults
-    to a count of the small side (one cheap job on the *small* table)."""
+    result equals the plain semi join exactly. The distinct key set is
+    materialized once (eager localCheckpoint) and reused by the sizing
+    count, the bloom build, and the closing join — the small side is
+    scanned a single time."""
+    keys = small.select(key).distinct().localCheckpoint(eager=True)
     if expected_items is None:
-        expected_items = small.select(key).distinct().count()
-        expected_items = max(1, expected_items)
-    bloom = bloom_build(small, key, expected_items, fpp)
+        expected_items = max(1, keys.count())
+    bloom = bloom_build(keys, key, expected_items, fpp)
     pruned = bloom_prune(big, key, bloom)
-    return pruned.join(small.select(key).distinct(), key, "left_semi")
+    return pruned.join(keys, key, "left_semi")

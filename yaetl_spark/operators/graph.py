@@ -40,9 +40,11 @@ def connected_components(
     """Label every node of the undirected graph with the minimum node id
     reachable from it (its component representative).
 
-    Returns ``(node, component)`` — one row per distinct node appearing
-    in ``edges``, both columns ``long``. Deterministic: the fixpoint is a
-    pure graph property, independent of partitioning or engine.
+    Returns ``(node, component)`` — one row per distinct node that has at
+    least one edge to a *different* node (self-loops are discarded, so a
+    node appearing only in self-loops is absent), both columns ``long``.
+    Deterministic: the fixpoint is a pure graph property, independent of
+    partitioning or engine.
 
     Adaptive execution, same spirit as AQE localizing a small join: a
     near-dup pair graph is usually tiny relative to the corpus (only dup

@@ -224,12 +224,31 @@ class ClusteredParquetSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         from pyspark.sql import functions as F
+        from pyspark.sql.types import DateType, NumericType, TimestampType
 
         if self.zorder:
+            # silent degradation would be worse than an error: a
+            # non-numeric dimension would collapse to constant 0 and the
+            # layout would quietly stop pruning on it
+            num_exprs: dict[str, object] = {}
+            for c in self.cluster_by:
+                dt = df.schema[c].dataType
+                if isinstance(dt, DateType):
+                    # cast(date as double) is null in Spark — use day number
+                    num_exprs[c] = F.datediff(
+                        F.col(c), F.lit("1970-01-01")).cast("double")
+                elif isinstance(dt, (NumericType, TimestampType)):
+                    num_exprs[c] = F.col(c).cast("double")
+                else:
+                    raise ValueError(
+                        f"zorder column {c!r} has non-orderable-numeric "
+                        f"type {dt.simpleString()}; cast it to a numeric/"
+                        "date/timestamp first"
+                    )
             stats = df.agg(
-                *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+                *[F.min(num_exprs[c]).alias(f"_mn_{c}")
                   for c in self.cluster_by],
-                *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                *[F.max(num_exprs[c]).alias(f"_mx_{c}")
                   for c in self.cluster_by],
             ).first()
             top = (1 << self.zorder_bits) - 1
@@ -240,10 +259,17 @@ class ClusteredParquetSink(Sink):
                     scaled.append(F.lit(0).cast("long"))
                     continue
                 q = F.floor(
-                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    (num_exprs[c] - F.lit(float(mn)))
                     / F.lit(float(mx) - float(mn)) * top
                 ).cast("long")
-                scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), q)))
+                # NULL keys sort first (cell 0), not into the top cell —
+                # least/greatest skip nulls, so coalesce explicitly
+                scaled.append(
+                    F.coalesce(
+                        F.greatest(F.lit(0), F.least(F.lit(top), q)),
+                        F.lit(0),
+                    )
+                )
             keyed = df.withColumn(
                 "_z", _interleave_bits(scaled, self.zorder_bits))
             cols = [keyed["_z"]]
