@@ -1840,8 +1840,9 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 Lloyd's iterations, deterministic id-ordered init — see
     similarity.kmeans_fit) and summarize each cluster. The oracle unrolls
     the two fixed Lloyd's iterations as nested CTEs (_km_iter_sql) — same
-    init, same strict-left-fold distance, same tie-break, same sum/count
-    update — so even this iterative op is value-hash-checked. Scale shape:
+    init, same strict-left-fold distance, same tie-break, same
+    9-decimal-rounded mean update (rounding absorbs summation-order ulps,
+    see kmeans_fit) — so even this iterative op is value-hash-checked. Scale shape:
     assignment is a broadcast-argmin narrow map; the update shuffle
     carries k × dim partial sums, never raw vectors."""
     from yaetl_spark.operators import build_ivf_index, kmeans_fit
@@ -2290,15 +2291,18 @@ def _km_assign_sql(prev_c: str, assign: str) -> str:
 
 def _km_iter_sql(prev_c: str, assign: str, new_c: str) -> str:
     """One unrolled Lloyd's iteration (assign + centroid update) for the
-    kmeans_assign oracle. Update = per-cell per-dimension mean (sum/count,
-    matching kmeans_fit's ``F.sum(v[i])/n``); empty cells keep the previous
-    centroid via the LEFT JOIN + COALESCE."""
+    kmeans_assign oracle. Update = per-cell per-dimension mean rounded to
+    9 decimals (matching kmeans_fit's ``round(F.sum(v[i])/n, 9)`` —
+    rounding absorbs last-ulp summation-order differences between
+    engines/partitionings); empty cells keep the previous centroid via
+    the LEFT JOIN + COALESCE."""
     return f"""{_km_assign_sql(prev_c, assign)},
             {new_c} AS (
                 SELECT p.cell, COALESCE(n.c, p.c) AS c
                 FROM {prev_c} p LEFT JOIN (
                     SELECT cell, list(m ORDER BY dim) AS c FROM (
-                        SELECT a.cell, t.i AS dim, sum(e.v[t.i]) / count(*) AS m
+                        SELECT a.cell, t.i AS dim,
+                               round(sum(e.v[t.i]) / count(*), 9) AS m
                         FROM {assign} a JOIN emb e USING (vec_id)
                         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
                         GROUP BY a.cell, t.i

@@ -260,8 +260,13 @@ def kmeans_fit(
                     for i in range(dim)
                 ],
             )
+            # round to 9 decimals: double summation order (partition
+            # layout, core count) perturbs the mean in the last ulps
+            # (~1e-13); rounding makes the centroid identical across
+            # partitionings and engines while staying far finer than any
+            # real assignment gap — the value-hash oracle mirrors this
             updated = {
-                r._cell: [r[f"_s{i}"] / r._n for i in range(dim)]
+                r._cell: [round(r[f"_s{i}"] / r._n, 9) for i in range(dim)]
                 for r in sums.collect()
             }
             # empty cells keep their previous centroid (standard Lloyd's)
