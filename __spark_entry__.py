@@ -633,6 +633,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of orders
+    (operators/aggregates.py): row/non-null/distinct counts + native-
+    ordering min/max per column, all from ONE aggregation pass (the
+    long format explodes finished scalars — no second scan). String
+    rendering keeps values below Spark's 1e7 scientific-notation
+    threshold so both engines print identically."""
+    from yaetl_spark.operators import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders, ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -1991,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
+        "profile": q_profile,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2063,7 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
     "pack_documents", "group_scale", "gap_fill", "cohort_retention",
-    "weighted_sample",
+    "weighted_sample", "profile",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -2074,7 +2089,7 @@ _DRIVER_WINDOW = [
     "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
     "explode_tokens", "asof_join", "doc_fingerprint", "media_meta",
-    "ann_ivf", "market_share",
+    "ann_ivf",
 ]
 
 
@@ -2553,6 +2568,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "profile": """
+            SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+                   COUNT(o_orderstatus) AS n_nonnull,
+                   COUNT(DISTINCT o_orderstatus) AS ndv,
+                   CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR),
+                   CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+                   COUNT(DISTINCT o_totalprice),
+                   CAST(MIN(o_totalprice) AS VARCHAR),
+                   CAST(MAX(o_totalprice) AS VARCHAR)
+            FROM orders
         """,
         "gap_fill": """
             WITH daily AS (

@@ -203,3 +203,42 @@ def histogram(
             "n",
         )
     )
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile: one row per column with
+    ``(column, n_rows, n_nonnull, ndv, min_val, max_val)`` — min/max
+    computed in the column's native ordering, then rendered as strings so
+    heterogeneous columns stack into one frame.
+
+    Scale shape: a single aggregation pass over the table computes every
+    metric for every column at once (one job, map-side partial aggs);
+    the per-column long format comes from exploding an inline struct
+    array of the finished scalars — no second scan, no shuffle beyond
+    the global agg. ``countDistinct`` over many wide columns can be
+    heavy at 100 TB; swap in ``approx_count_distinct`` for profiling
+    runs where exact ndv is not required.
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__ndv_{c}").alias("ndv"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(structs).alias("p")).select("p.*")
