@@ -482,3 +482,25 @@ def test_interval_join_state_expiry_under_triggers(spark, tmp_path):
     )
     assert ("c1", "p_late") in {
         (r.click_id, r.purch_id) for r in batch_all.collect()}
+
+
+def test_stream_to_batch_sink_bridge(spark, sf_dir, tmp_path):
+    """to_sink drives a batch Sink per micro-batch: streaming the events
+    file through a MergeParquetSink upsert must land exactly the batch
+    rows (idempotent keyed writes = effective exactly-once)."""
+    from yaetl_spark.sinks import MergeParquetSink
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = batch.filter(F.col("event_type") == "purchase").count()
+    out = str(tmp_path / "merged")
+
+    sink = MergeParquetSink(out, keys=["event_id"])
+    q = (
+        StreamPipeline(spark)
+        .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                    fmt="parquet", schema=batch.schema)
+        .qualify(F.col("event_type") == "purchase")
+        .to_sink(sink, checkpoint=str(tmp_path / "ck2"))
+    )
+    _wait_done(q)
+    assert spark.read.parquet(out).count() == expected

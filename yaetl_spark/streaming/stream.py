@@ -362,3 +362,23 @@ class StreamPipeline:
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         return writer.start()
+
+    def to_sink(
+        self, sink, output_mode: str = "append",
+        checkpoint: str | None = None,
+    ):
+        """Drive any *batch* Sink (CsvSink, JdbcSink upsert, Merge/
+        Clustered parquet, chained sinks …) from the stream: each
+        micro-batch epoch is handed to ``sink.write`` via foreachBatch —
+        one sink implementation serves both execution modes, the same
+        unification the reference gets from a single Loader interface.
+
+        Exactly-once caveat: foreachBatch gives at-least-once epochs on
+        restart; pair with an idempotent sink (upsert/merge keyed
+        writes) for effective exactly-once — the same contract the
+        reference's flush() has."""
+        def commit(df: DataFrame, _epoch: int) -> None:
+            sink.write(df)
+
+        return self.to_foreach_batch(
+            commit, output_mode=output_mode, checkpoint=checkpoint)
