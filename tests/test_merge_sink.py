@@ -168,3 +168,21 @@ def test_zorder_rejects_strings_handles_dates_and_nulls(spark, tmp_path):
     out = str(tmp_path / "dated")
     ClusteredParquetSink(out, ["d", "v"], num_files=4, zorder=True).write(df)
     assert spark.read.parquet(out).count() == 201
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from yaetl_spark.sinks import compact_parquet
+
+    out = str(tmp_path / "fragmented")
+    spark.range(0, 20_000).withColumn("v", F.hash("id")) \
+        .repartition(40).write.parquet(out)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 40
+
+    n = compact_parquet(spark, out, target_file_bytes=100 * 1024)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n < 40
+    assert spark.read.parquet(out).count() == 20_000
+    # staging/trash directories cleaned up
+    assert not glob.glob(f"{out}__*")

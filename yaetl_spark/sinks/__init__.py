@@ -7,6 +7,7 @@ from .files import (
     MergeParquetSink,
     OrcSink,
     ParquetSink,
+    compact_parquet,
 )
 from .jdbc import JdbcSink, build_upsert_sql
 
@@ -23,4 +24,5 @@ __all__ = [
     "BucketedTableSink",
     "JdbcSink",
     "build_upsert_sql",
+    "compact_parquet",
 ]

@@ -395,3 +395,49 @@ class JsonSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         df.write.mode(self.mode).json(self.path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ``ceil(total_bytes / target)``
+    files — the small-file compaction maintenance job. Streaming sinks
+    and frequent small merges fragment a table into thousands of tiny
+    files; scan cost then goes to task scheduling and footer reads
+    instead of data. Returns the new file count.
+
+    Sizing reads the directory's byte total through the Hadoop
+    FileSystem API (works for any scheme — local, HDFS, S3A).
+    ``cluster_by`` range-partitions while rewriting, restoring min/max
+    pruning at the same time. The commit is a staging write + directory
+    swap, same non-atomicity caveat as MergeParquetSink's unpartitioned
+    path: no table format, no concurrent-writer safety.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if cluster_by:
+        out = df.repartitionByRange(n, *[df[c] for c in cluster_by])
+        out = out.sortWithinPartitions(*cluster_by)
+    else:
+        out = df.repartition(n)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(staging)
+    trash = path.rstrip("/") + "__precompact"
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    jtrash = jvm.org.apache.hadoop.fs.Path(trash)
+    fs.delete(jtrash, True)
+    fs.rename(jpath, jtrash)
+    fs.rename(jstaging, jpath)
+    fs.delete(jtrash, True)
+    return n
