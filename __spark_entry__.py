@@ -647,6 +647,29 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset incremental dedup — the production "have we seen this
+    document" filter when a new crawl lands next to an existing corpus:
+    bloom of the existing half's md5 fingerprints prunes the incoming
+    half before an exact anti join removes bloom false positives
+    (operators/bloom.py + text.fingerprint). Oracle is the plain
+    fingerprint anti join, which the bloom + closure equals exactly."""
+    from yaetl_spark.operators import bloom_build, bloom_prune
+    from yaetl_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"))
+    existing = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250)
+    bloom = bloom_build(existing, "fp", expected_items=250, fpp=0.01)
+    candidates = bloom_prune(incoming, "fp", bloom)
+    # survivors of the bloom that DO match must be dropped (seen before);
+    # rows the bloom already cleared are definitively new (no false
+    # negatives) — union them back without touching the existing side
+    seen = candidates.join(existing.select("fp"), "fp", "left_semi")
+    return incoming.join(seen.select("doc_id"), "doc_id", "left_anti")
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -2006,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
         "profile": q_profile,
+        "incremental_dedup": q_incremental_dedup,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2078,7 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
     "pack_documents", "group_scale", "gap_fill", "cohort_retention",
-    "weighted_sample", "profile",
+    "weighted_sample", "profile", "incremental_dedup",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -2089,7 +2113,6 @@ _DRIVER_WINDOW = [
     "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
     "explode_tokens", "asof_join", "doc_fingerprint", "media_meta",
-    "ann_ivf",
 ]
 
 
@@ -2568,6 +2591,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "incremental_dedup": f"""
+            WITH fps AS (SELECT doc_id, {fp} AS fp FROM documents),
+            existing AS (SELECT fp FROM fps WHERE doc_id < 250),
+            incoming AS (SELECT doc_id, fp FROM fps WHERE doc_id >= 250)
+            SELECT doc_id, fp FROM incoming
+            WHERE fp NOT IN (SELECT fp FROM existing)
         """,
         "profile": """
             SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
