@@ -211,13 +211,15 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     computed in the column's native ordering, then rendered as strings so
     heterogeneous columns stack into one frame.
 
-    Scale shape: a single aggregation pass over the table computes every
-    metric for every column at once (one job, map-side partial aggs);
-    the per-column long format comes from exploding an inline struct
-    array of the finished scalars — no second scan, no shuffle beyond
-    the global agg. ``countDistinct`` over many wide columns can be
-    heavy at 100 TB; swap in ``approx_count_distinct`` for profiling
-    runs where exact ndv is not required.
+    Scale shape: a single scan computes every metric for every column at
+    once; the per-column long format comes from exploding an inline
+    struct array of the finished scalars — no second scan. Caveat:
+    multiple exact ``countDistinct`` aggregates compile to an Expand
+    node that replicates each input row once per distinct-aggregate
+    (k profiled columns → (k+1)× the shuffled rows). Fine for a
+    profiling job; at 100 TB with many columns swap in
+    ``approx_count_distinct``, which drops the Expand entirely and
+    shuffles constant-size HLL sketches instead.
     """
     if not cols:
         raise ValueError("cols must name at least one column")
