@@ -432,3 +432,33 @@ def test_chained_returning_sink_feeds_next_sink(spark):
     plain, tail = CollectSink(), CollectSink()
     Pipeline(spark).from_(MemorySource([(3,)], "id int")).to(plain).to(tail).run()
     assert [r["id"] for r in tail.rows] == [3] and "uid" not in tail.rows[0].asDict()
+
+
+def test_pipeline_grouped_map_to_clustered_sink(spark, tmp_path):
+    """Round-3 integration: the Pipeline grammar drives a grouped-map
+    Arrow transformer into a range-clustered parquet sink end-to-end."""
+    from yaetl_spark.operators import GroupedPandasMap
+    from yaetl_spark.sinks import ClusteredParquetSink
+    from yaetl_spark.sources.files import ParquetSource
+    from tests.conftest import SF_DIR
+
+    def spread(pdf):
+        lo = pdf["o_totalprice"].min()
+        pdf["rel"] = pdf["o_totalprice"] - lo
+        return pdf[["o_custkey", "o_totalprice", "rel"]]
+
+    out = str(tmp_path / "clustered_orders")
+    report = (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{SF_DIR}/orders.parquet"))
+        .transform(GroupedPandasMap(
+            ["o_custkey"], spread,
+            "o_custkey long, o_totalprice double, rel double"))
+        .to(ClusteredParquetSink(out, cluster_by=["o_custkey"], num_files=4))
+        .run()
+    )
+    assert report["status"] == "clean"
+    back = spark.read.parquet(out)
+    batch = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert back.count() == batch.count()
+    assert back.filter(F.col("rel") < 0).count() == 0
