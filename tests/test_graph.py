@@ -148,3 +148,23 @@ def test_cohort_retention_counts(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_gap_fill_hourly_step(spark):
+    import datetime
+
+    from yaetl_spark.operators import gap_fill
+
+    hourly = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1, 0), 5.0),
+            ("a", datetime.datetime(2024, 1, 1, 3), 8.0),
+        ],
+        "k string, h timestamp, v double",
+    )
+    got = {
+        r.h.hour: r.v
+        for r in gap_fill(hourly, ["k"], "h", {"v": "ffill"},
+                          step="1 hour").collect()
+    }
+    assert got == {0: 5.0, 1: 5.0, 2: 5.0, 3: 8.0}

@@ -32,18 +32,25 @@ def date_spine(
     df: DataFrame,
     key_cols: list[str],
     day_col: str,
+    step: str = "1 day",
 ) -> DataFrame:
-    """One row per key per calendar day over each key's own [min, max]
-    activity span: ``key_cols + [day_col]``. Generated with
-    ``explode(sequence(min, max, 1 day))`` per key — distributed, and
-    spine size is bounded by keys × span, independent of event count."""
+    """One row per key per period over each key's own [min, max] activity
+    span: ``key_cols + [day_col]``. ``step`` is any Spark interval string
+    (``"1 day"``, ``"1 hour"``, ``"15 minutes"``, ``"7 days"`` — the
+    period column's type must support it: DATE steps by whole days,
+    TIMESTAMP by any interval). Generated with
+    ``explode(sequence(min, max, step))`` per key — distributed, and
+    spine size is bounded by keys × span/step, independent of event
+    count. Input values must already sit on step boundaries (they come
+    from a ``date_trunc``-style aggregate), or spine rows won't align
+    with data rows."""
     return (
         df.groupBy(*key_cols)
         .agg(F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi"))
         .select(
             *key_cols,
             F.explode(
-                F.sequence("_lo", "_hi", F.expr("interval 1 day"))
+                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
             ).alias(day_col),
         )
     )
@@ -54,14 +61,16 @@ def gap_fill(
     key_cols: list[str],
     day_col: str,
     fill_cols: dict[str, str],
+    step: str = "1 day",
 ) -> DataFrame:
-    """Densify a per-(key, day) aggregate onto the full per-key day spine.
+    """Densify a per-(key, period) aggregate onto the full per-key spine
+    (``step`` as in :func:`date_spine` — hourly, weekly, …).
 
     ``fill_cols`` maps column → strategy: ``"ffill"`` carries the last
     observed value forward (leading gaps stay NULL), ``"zero"`` fills
-    gaps with 0. Rows arrive back one-per-key-per-day.
+    gaps with 0. Rows arrive back one-per-key-per-period.
     """
-    spine = date_spine(daily, key_cols, day_col)
+    spine = date_spine(daily, key_cols, day_col, step=step)
     joined = spine.join(daily, [*key_cols, day_col], "left")
     w = (
         Window.partitionBy(*key_cols)
