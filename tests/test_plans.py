@@ -370,3 +370,31 @@ def test_bloom_join_probe_before_shuffle(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_scan_level(spark):
+    """Per-row weighted sampling must stay a pure filter: zero exchanges,
+    no joins — the survive/drop decision is scan-side arithmetic."""
+    plan = plan_of(spark, "weighted_sample")
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+
+
+def test_timeseries_plans_have_no_cartesian(spark):
+    """Spine and cohort joins must stay keyed (hash/broadcast) — a
+    cartesian spine x aggregate would explode at scale."""
+    for name in ("gap_fill", "cohort_retention"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert plan_of(spark, "gap_fill").count("Exchange") <= 3
+    assert plan_of(spark, "cohort_retention").count("Exchange") <= 4
+
+
+def test_incremental_dedup_prunes_before_joins(spark):
+    """The bloom probe must precede the exact joins; both closure joins
+    stay hash joins (no nested loop for the fingerprint matching)."""
+    plan = plan_of(spark, "incremental_dedup")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
