@@ -239,3 +239,28 @@ def test_connected_components_partition_invariant(spark):
              flipped.repartition(9), local_threshold=0).collect()}
     assert a == b
     assert a[103] == 100
+
+
+def test_hash_heavy_queries_survive_ansi_mode(spark):
+    """The integer-hash operator family (Knuth buckets, rolling hashes,
+    LSH coefficients, bloom double-hashing) must keep every intermediate
+    in int64 range: under an ANSI session (a driver may hand us one)
+    overflow THROWS instead of wrapping. Execute the hash-heavy queries
+    end-to-end with ANSI on."""
+    import __spark_entry__ as entry_mod
+
+    from tests.conftest import SF_DIR
+
+    names = [
+        "dataset_split", "hash_sample", "weighted_sample", "pack_documents",
+        "bloom_join", "incremental_dedup", "minhash_neardup",
+        "simhash_dedup", "embedding_lsh", "doc_fingerprint",
+    ]
+    queries = entry_mod.queries()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in names:
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
