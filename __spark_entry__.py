@@ -2331,18 +2331,20 @@ def _km_assign_sql(prev_c: str, assign: str) -> str:
 
 def _km_iter_sql(prev_c: str, assign: str, new_c: str) -> str:
     """One unrolled Lloyd's iteration (assign + centroid update) for the
-    kmeans_assign oracle. Update = per-cell per-dimension mean rounded to
-    9 decimals (matching kmeans_fit's ``round(F.sum(v[i])/n, 9)`` —
-    rounding absorbs last-ulp summation-order differences between
-    engines/partitionings); empty cells keep the previous centroid via
-    the LEFT JOIN + COALESCE."""
+    kmeans_assign oracle. Update = per-cell per-dimension mean snapped to
+    a 1e-9 grid with ``floor(x*1e9 + 0.5)/1e9`` — the exact float ops
+    kmeans_fit runs, so both engines land on the identical double even
+    at grid boundaries (library round() algorithms differ there), and
+    last-ulp summation-order drift disappears. Empty cells keep the
+    previous centroid via the LEFT JOIN + COALESCE."""
     return f"""{_km_assign_sql(prev_c, assign)},
             {new_c} AS (
                 SELECT p.cell, COALESCE(n.c, p.c) AS c
                 FROM {prev_c} p LEFT JOIN (
                     SELECT cell, list(m ORDER BY dim) AS c FROM (
                         SELECT a.cell, t.i AS dim,
-                               round(sum(e.v[t.i]) / count(*), 9) AS m
+                               floor(sum(e.v[t.i]) / count(*) * 1e9 + 0.5)
+                                   / 1e9 AS m
                         FROM {assign} a JOIN emb e USING (vec_id)
                         CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
                         GROUP BY a.cell, t.i
@@ -2596,8 +2598,8 @@ def oracle_sql() -> dict[str, str]:
             WITH fps AS (SELECT doc_id, {fp} AS fp FROM documents),
             existing AS (SELECT fp FROM fps WHERE doc_id < 250),
             incoming AS (SELECT doc_id, fp FROM fps WHERE doc_id >= 250)
-            SELECT doc_id, fp FROM incoming
-            WHERE fp NOT IN (SELECT fp FROM existing)
+            SELECT doc_id, fp FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
         """,
         "profile": """
             SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,

@@ -504,3 +504,14 @@ def test_stream_to_batch_sink_bridge(spark, sf_dir, tmp_path):
     )
     _wait_done(q)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_stream_to_sink_rejects_overwrite_sinks(spark):
+    from yaetl_spark.sinks import CsvSink
+
+    import pytest as _pytest
+
+    p = StreamPipeline(spark).from_stream(
+        spark.readStream.format("rate").load())
+    with _pytest.raises(ValueError, match="LAST micro-batch"):
+        p.to_sink(CsvSink("/tmp/nope.csv"))

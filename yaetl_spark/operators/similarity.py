@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -260,13 +262,18 @@ def kmeans_fit(
                     for i in range(dim)
                 ],
             )
-            # round to 9 decimals: double summation order (partition
-            # layout, core count) perturbs the mean in the last ulps
-            # (~1e-13); rounding makes the centroid identical across
-            # partitionings and engines while staying far finer than any
-            # real assignment gap — the value-hash oracle mirrors this
+            # snap to a 1e-9 grid with floor(x*1e9 + 0.5)/1e9 — the SAME
+            # float ops the oracle's SQL runs, so both engines land on
+            # the identical double even AT grid boundaries (library
+            # round() implementations differ there). Summation order
+            # (partition layout, core count) perturbs the mean only in
+            # the last ulps (~1e-13), far inside the grid step, and the
+            # grid is far finer than any real assignment gap.
             updated = {
-                r._cell: [round(r[f"_s{i}"] / r._n, 9) for i in range(dim)]
+                r._cell: [
+                    math.floor(r[f"_s{i}"] / r._n * 1e9 + 0.5) / 1e9
+                    for i in range(dim)
+                ]
                 for r in sums.collect()
             }
             # empty cells keep their previous centroid (standard Lloyd's)

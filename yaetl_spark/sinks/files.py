@@ -426,18 +426,26 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_file_bytes))
 
     df = spark.read.parquet(path)
-    if cluster_by:
-        out = df.repartitionByRange(n, *[df[c] for c in cluster_by])
-        out = out.sortWithinPartitions(*cluster_by)
-    else:
-        out = df.repartition(n)
     staging = path.rstrip("/") + "__compacting"
-    out.write.mode("overwrite").parquet(staging)
+    if cluster_by:
+        # one clustering implementation: reuse the clustered sink so
+        # future layout fixes (null ordering, z-order) reach compaction
+        ClusteredParquetSink(staging, cluster_by, num_files=n).write(df)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(staging)
     trash = path.rstrip("/") + "__precompact"
     jstaging = jvm.org.apache.hadoop.fs.Path(staging)
     jtrash = jvm.org.apache.hadoop.fs.Path(trash)
     fs.delete(jtrash, True)
-    fs.rename(jpath, jtrash)
-    fs.rename(jstaging, jpath)
+    # Hadoop rename reports failure via its return value, not an
+    # exception — swallowing a false here would delete the only copy
+    if not fs.rename(jpath, jtrash):
+        fs.delete(jstaging, True)
+        raise IOError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(jstaging, jpath):
+        # roll the original back before failing; nothing is lost
+        fs.rename(jtrash, jpath)
+        fs.delete(jstaging, True)
+        raise IOError(f"compact_parquet: could not commit {staging}")
     fs.delete(jtrash, True)
     return n

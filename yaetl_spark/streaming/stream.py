@@ -367,16 +367,27 @@ class StreamPipeline:
         self, sink, output_mode: str = "append",
         checkpoint: str | None = None,
     ):
-        """Drive any *batch* Sink (CsvSink, JdbcSink upsert, Merge/
-        Clustered parquet, chained sinks …) from the stream: each
-        micro-batch epoch is handed to ``sink.write`` via foreachBatch —
-        one sink implementation serves both execution modes, the same
-        unification the reference gets from a single Loader interface.
+        """Drive any *accumulating* batch Sink (JdbcSink upsert,
+        MergeParquetSink, append-mode file sinks, chained sinks …) from
+        the stream: each micro-batch epoch is handed to ``sink.write``
+        via foreachBatch — one sink implementation serves both execution
+        modes, the same unification the reference gets from a single
+        Loader interface.
+
+        An overwrite-mode sink is refused: every epoch would clobber the
+        previous one and the output would silently hold only the last
+        micro-batch. Use an upsert/merge sink or ``mode="append"``.
 
         Exactly-once caveat: foreachBatch gives at-least-once epochs on
         restart; pair with an idempotent sink (upsert/merge keyed
         writes) for effective exactly-once — the same contract the
         reference's flush() has."""
+        if getattr(sink, "mode", None) == "overwrite":
+            raise ValueError(
+                "to_sink: an overwrite-mode sink keeps only the LAST "
+                "micro-batch; use an upsert/merge sink or mode='append'"
+            )
+
         def commit(df: DataFrame, _epoch: int) -> None:
             sink.write(df)
 
