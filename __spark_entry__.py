@@ -670,6 +670,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(seen.select("doc_id"), "doc_id", "left_anti")
 
 
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-version compaction (operators/dedup.keep_latest):
+    one row per user — the most recent event, event_id as the
+    deterministic tiebreak. One user-keyed shuffle, single row of window
+    state per key."""
+    from yaetl_spark.operators import keep_latest
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    latest = keep_latest(ev, "user_id", "ts", tiebreak="event_id")
+    return latest.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+    )
+
+
 def _emb_rows(spark: SparkSession, sf_dir: str,
               max_vec_id: int) -> list[tuple[int, list[float]]]:
     """Driver-side lookup of a handful of embedding rows (query vectors /
@@ -2030,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "profile": q_profile,
         "incremental_dedup": q_incremental_dedup,
+        "keep_latest": q_keep_latest,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2102,7 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
     "pack_documents", "group_scale", "gap_fill", "cohort_retention",
-    "weighted_sample", "profile", "incremental_dedup",
+    "weighted_sample", "profile", "incremental_dedup", "keep_latest",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -2112,7 +2130,7 @@ _DRIVER_WINDOW = [
     "simhash_dedup", "orders_by_month", "order_priority", "full_join",
     "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
-    "explode_tokens", "asof_join", "doc_fingerprint", "media_meta",
+    "explode_tokens", "asof_join", "doc_fingerprint",
 ]
 
 
@@ -2593,6 +2611,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "keep_latest": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   event_type
+            FROM (
+                SELECT user_id, ts, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "incremental_dedup": f"""
             WITH fps AS (SELECT doc_id, {fp} AS fp FROM documents),

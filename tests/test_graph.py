@@ -168,3 +168,20 @@ def test_gap_fill_hourly_step(spark):
                           step="1 hour").collect()
     }
     assert got == {0: 5.0, 1: 5.0, 2: 5.0, 3: 8.0}
+
+
+def test_keep_latest_tiebreak_and_invariance(spark):
+    from yaetl_spark.operators import keep_latest
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 20, "b"),          # later ts wins
+            (2, 5, "x"), (2, 5, "y"),            # tie -> higher tiebreak
+        ],
+        "k long, ts long, v string",
+    )
+    got = {r.k: r.v for r in keep_latest(df, "k", "ts", tiebreak="v").collect()}
+    assert got == {1: "b", 2: "y"}
+    got2 = {r.k: r.v for r in keep_latest(
+        df.repartition(5), "k", "ts", tiebreak="v").collect()}
+    assert got == got2

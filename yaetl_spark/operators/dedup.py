@@ -577,3 +577,32 @@ def embedding_dedup_pairs(
         F.col("b._id").alias("id_b"),
         F.round(sim, 6).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    tiebreak: list[str] | str | None = None,
+) -> DataFrame:
+    """Latest-version-per-key compaction — the CDC/changelog dedup: one
+    row per key, the one with the greatest ``order_col`` (append a
+    ``tiebreak`` column list to make ties deterministic — without it,
+    ties resolve arbitrarily and results are partitioning-dependent).
+
+    One shuffle on the keys; ``row_number`` keeps a single row of state
+    per key per partition. The upsert-compaction complement to
+    :func:`~yaetl_spark.operators.transformers.scd2_merge` (which keeps
+    history; this keeps only the head).
+    """
+    from pyspark.sql.window import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tb]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
