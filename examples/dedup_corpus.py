@@ -1,0 +1,45 @@
+"""End-to-end corpus dedup — the full near-duplicate pipeline a
+training-data curation job runs: LSH candidates → exact-Jaccard verify →
+connected-component clusters → keep one canonical doc per cluster.
+
+Run: ``python examples/dedup_corpus.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from yaetl_spark import get_spark
+from yaetl_spark.operators import (
+    dedup_clusters,
+    drop_duplicate_members,
+    minhash_lsh,
+    ngram_jaccard_pairs,
+)
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1) cheap candidates: banded MinHash (never all-pairs)
+    candidates = minhash_lsh(
+        docs, num_hashes=32, bands=16, shingle_size=2,
+        jaccard_threshold=None,
+    ).select("id_a", "id_b")
+
+    # 2) exact verification only on the candidates
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=5, threshold=0.2, candidates=candidates)
+
+    # 3) transitive clusters, one canonical keeper each
+    clusters = dedup_clusters(pairs)
+    kept = drop_duplicate_members(docs, clusters)
+    return docs.count(), clusters.count(), kept.count()
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="dedup-example", shuffle_partitions=8)
+    total, clustered, kept = main(spark, *(sys.argv[1:2]))
+    print(f"docs={total} in_dup_clusters={clustered} kept={kept}")

@@ -1,0 +1,41 @@
+"""Linear ETL with the Pipeline grammar — the reference's
+``(new YaEtl)->from($e)->join(...)->qualify(...)->transform(...)->to($l)->exec()``
+flow, Spark-first (`/root/reference/docs/index.md` quick-start shape).
+
+Run: ``python examples/etl_pipeline.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from yaetl_spark import OnClause, ParquetSource, Pipeline, Rename, get_spark
+from yaetl_spark.sinks import CsvSink
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001",
+         out: str = "/tmp/etl_demo.csv") -> dict:
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    report = (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/orders.parquet"))
+        .left_join(
+            customers,
+            OnClause({"o_custkey": "c_custkey"},
+                     default_record={"c_name": "NO MATCH"}),
+        )
+        .qualify(F.col("o_totalprice") > 100_000)
+        .transform(Rename({"o_orderkey": "orderkey", "c_name": "customer"}))
+        .observe("demo", F.count(F.lit(1)).alias("rows_seen"))
+        .to(CsvSink(out, single_file=True))
+        .run()
+    )
+    return report
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="etl-example", shuffle_partitions=8)
+    rep = main(spark, *(sys.argv[1:2]))
+    print({k: rep[k] for k in sorted(rep)})

@@ -1,0 +1,38 @@
+"""The examples/ scripts must stay runnable against the test data."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_etl_pipeline_example(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "examples")
+    try:
+        import etl_pipeline
+    finally:
+        sys.path.pop(0)
+    rep = etl_pipeline.main(spark, sf_dir, out=str(tmp_path / "etl.csv"))
+    assert rep["status"] == "clean" and rep["num_records"] > 0
+
+
+def test_dedup_corpus_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import dedup_corpus
+    finally:
+        sys.path.pop(0)
+    total, clustered, kept = dedup_corpus.main(spark, sf_dir)
+    assert kept + clustered >= total  # every dropped doc was clustered
+    assert kept <= total
+
+
+def test_stream_upsert_example(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "examples")
+    try:
+        import stream_upsert
+    finally:
+        sys.path.pop(0)
+    n = stream_upsert.main(spark, sf_dir, out=str(tmp_path / "su"))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    assert n == batch.filter(F.col("event_type") == "purchase").count()
