@@ -1028,6 +1028,24 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType JSON path (§2.10 extension, companion to the
+    schema-full from_json in q_json_extract): ``parse_json`` once into a
+    variant, typed ``try_variant_get`` extraction — the
+    schema-on-read route for heterogeneous JSON where declaring a struct
+    schema up front isn't possible. Decade-bucketed event histogram."""
+    ev = _events(spark, sf_dir, heavy=True)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("_k"), "user_id")
+        .groupBy(F.floor(F.col("_k") / 10).cast("long").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: monthly order count + revenue rollup."""
     return (
@@ -2048,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "incremental_dedup": q_incremental_dedup,
         "keep_latest": q_keep_latest,
+        "variant_json": q_variant_json,
         # -- new this round -------------------------------------------------
         "break_at": q_break_at,
         "dataset_split": q_dataset_split,
@@ -2121,6 +2140,7 @@ _DRIVER_WINDOW = [
     "dedup_clusters", "bloom_join", "inverted_index", "histogram",
     "pack_documents", "group_scale", "gap_fill", "cohort_retention",
     "weighted_sample", "profile", "incremental_dedup", "keep_latest",
+    "variant_json",
     "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
     "ngram_jaccard",
     "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
@@ -2130,7 +2150,7 @@ _DRIVER_WINDOW = [
     "simhash_dedup", "orders_by_month", "order_priority", "full_join",
     "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
     "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
-    "explode_tokens", "asof_join", "doc_fingerprint",
+    "explode_tokens", "asof_join",
 ]
 
 
@@ -2611,6 +2631,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "variant_json": """
+            SELECT CAST(floor(CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) / 10) AS BIGINT) AS k_decade,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1
         """,
         "keep_latest": """
             SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
