@@ -519,7 +519,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining concat-and-chunk packing (operators/text.py): docs
-    route to 8 xxhash64 buckets, order by id, and land in the 2048-token
+    route to 8 Knuth-multiplicative hash buckets, order by id, and land in the 2048-token
     context window their running offset starts in. Summarized per pack:
     count + token sum. One bucket-partitioned window shuffle + the
     summary agg."""
@@ -2736,8 +2736,9 @@ def oracle_sql() -> dict[str, str]:
                    round(0.0 + (bin + 1) * 25000.0, 6) AS bin_hi,
                    COUNT(*) AS n
             FROM (
-                SELECT CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
-                                  / 25000.0) AS BIGINT) AS bin
+                SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 25000.0) AS BIGINT),
+                             CAST(23 AS BIGINT)) AS bin
                 FROM orders
                 WHERE CAST(o_totalprice AS DOUBLE) >= 0.0
                   AND CAST(o_totalprice AS DOUBLE) < 600000.0

@@ -206,6 +206,18 @@ def test_histogram_bins_and_edges(spark):
     assert got == {0: (0.0, 25.0, 2), 1: (25.0, 50.0, 2), 3: (75.0, 100.0, 1)}
 
 
+def test_histogram_clamps_float_edge_bin(spark):
+    """width = (hi-lo)/nbins is inexact; for x = nextafter(hi, 0) the
+    division can round UP to nbins — the clamp folds it into the top bin
+    instead of emitting a phantom bin with bin_hi > hi."""
+    from yaetl_spark.operators import histogram
+
+    x = math.nextafter(1.0, 0.0)  # < hi, but floor((x-0)/(1/3)) == 3
+    df = spark.createDataFrame([(x,), (0.1,)], "x double")
+    got = {r.bin: r.n for r in histogram(df, "x", lo=0.0, hi=1.0, nbins=3).collect()}
+    assert got == {0: 1, 2: 1}
+
+
 def test_pack_documents_window_assignment(spark):
     from yaetl_spark.operators import pack_documents
 

@@ -191,7 +191,12 @@ def histogram(
         raise ValueError("need hi > lo and nbins > 0")
     width = (float(hi) - float(lo)) / nbins
     x = F.col(col).cast("double")
-    b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    # clamp: width = (hi-lo)/nbins is inexact, so (x-lo)/width can round
+    # up to nbins for x just below hi, emitting a bin with bin_hi > hi
+    b = F.least(
+        F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long"),
+        F.lit(nbins - 1).cast("long"),
+    )
     return (
         df.filter((x >= lo) & (x < hi))
         .groupBy(b.alias("bin"))

@@ -72,7 +72,11 @@ def _positions_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]
     golden = 0x9E3779B1 % num_bits
     h = F.xxhash64(key)
     h1 = F.pmod(h, m)
-    # second hash from the high bits; force odd so strides cycle all of m.
+    # second hash from the high bits; forced odd. m is 64-aligned, not a
+    # power of two, so gcd(h2, m) may still exceed 1 and the k probes can
+    # land in a subgroup of the bit positions — the effect is a slightly
+    # worse fpp than the sizing formula promises, never a false negative
+    # (the numpy probe mirrors this arithmetic exactly).
     # (h>>>17 mod m) < m < 2^31 and golden < m, so the product < 2^62.
     h2 = F.pmod(F.pmod(F.shiftrightunsigned(h, 17), m) * F.lit(golden), m)
     h2 = h2 * F.lit(2) + F.lit(1)
@@ -137,7 +141,12 @@ def bloom_prune(
     bc = spark.sparkContext.broadcast(
         (bloom.num_bits, bloom.num_hashes, bloom.words)
     )
-    tagged = df.withColumn("__bloom_h", F.xxhash64(key_col))
+    # unique temp column — a fixed name would silently clobber a
+    # same-named user column and corrupt the output schema
+    hcol = "__bloom_h"
+    while hcol in df.columns:
+        hcol += "_"
+    tagged = df.withColumn(hcol, F.xxhash64(key_col))
     schema = tagged.schema
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,7 +154,7 @@ def bloom_prune(
         m = np.int64(num_bits)
         golden = np.int64(0x9E3779B1 % int(m))
         for pdf in batches:
-            h = pdf["__bloom_h"].to_numpy(dtype=np.int64)
+            h = pdf[hcol].to_numpy(dtype=np.int64)
             h1 = np.mod(h, m)  # numpy mod matches Spark pmod (sign of divisor)
             # mirror the overflow-free reduced multiply of _positions_cols
             h2 = np.mod(
@@ -162,7 +171,7 @@ def bloom_prune(
                 keep &= (words[block] >> bit) & np.uint64(1) != 0
             yield pdf[keep]
 
-    return tagged.mapInPandas(probe, schema=schema).drop("__bloom_h")
+    return tagged.mapInPandas(probe, schema=schema).drop(hcol)
 
 
 def bloom_semi_join(

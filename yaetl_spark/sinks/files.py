@@ -443,9 +443,18 @@ def compact_parquet(
         fs.delete(jstaging, True)
         raise IOError(f"compact_parquet: could not move {path} aside")
     if not fs.rename(jstaging, jpath):
-        # roll the original back before failing; nothing is lost
-        fs.rename(jtrash, jpath)
+        # roll the original back before failing; rename reports failure
+        # via its return value, so check it — if the rollback also fails
+        # the only copy of the data is sitting at the trash path and the
+        # error must say so
+        rolled_back = fs.rename(jtrash, jpath)
         fs.delete(jstaging, True)
+        if not rolled_back:
+            raise IOError(
+                f"compact_parquet: could not commit {staging} AND the "
+                f"rollback rename failed — the original data is intact "
+                f"at {trash}; move it back to {path} manually"
+            )
         raise IOError(f"compact_parquet: could not commit {staging}")
     fs.delete(jtrash, True)
     return n
