@@ -50,6 +50,30 @@ def test_direction_and_duplicates_are_irrelevant(spark):
     assert got == {2: 2, 5: 2, 7: 2}
 
 
+def test_reliable_checkpoint_dir_converges(spark, tmp_path):
+    # checkpoint_dir switches lineage truncation from localCheckpoint to
+    # reliable checkpoint(); the loop must still converge to the same
+    # fixpoint and must actually materialize checkpoint data in the dir
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _cc_dict(connected_components(
+        _edges(spark, pairs), max_iter=10, local_threshold=0,
+        checkpoint_dir=str(tmp_path)))
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+    ckpt_files = list(tmp_path.rglob("*"))
+    assert ckpt_files, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_checkpoint_dir_same_fixpoint_as_local(spark, tmp_path):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 20)]
+    local = _cc_dict(connected_components(
+        _edges(spark, pairs), local_threshold=0))
+    durable = _cc_dict(connected_components(
+        _edges(spark, pairs), local_threshold=0,
+        checkpoint_dir=str(tmp_path)))
+    assert local == durable == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_max_iter_guard_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(

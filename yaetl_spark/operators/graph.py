@@ -13,10 +13,13 @@ one edge⋈label equi-join (shuffle on node id) plus one label⋈label
 pointer jump, both map-side-combinable `groupBy(min)` aggregations.
 Pointer doubling halves label-tree depth each round, so convergence is
 O(log(diameter)) iterations, not O(diameter) — a 1M-node dup chain
-resolves in ~20 rounds. Lineage is truncated every iteration with an
-eager ``localCheckpoint`` (on a real cluster swap for
-``checkpoint``/write-to-parquet): without it the loop's plan doubles per
-round and Catalyst analysis time explodes. Edges for near-dup graphs are
+resolves in ~20 rounds. Lineage is truncated every iteration (without
+truncation the loop's plan doubles per round and Catalyst analysis time
+explodes) — by default with an eager ``localCheckpoint`` (fast, but the
+blocks live on executors and are lost on executor death), or, when
+``checkpoint_dir=`` is given, with a reliable ``checkpoint()`` to that
+directory so the loop survives executor loss on a real cluster. Edges
+for near-dup graphs are
 tiny relative to the corpus (only dup candidates appear), so the label
 frame — two longs per node — is the largest shuffled artifact; raw
 documents never enter the loop.
@@ -36,6 +39,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     local_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph with the minimum node id
     reachable from it (its component representative).
@@ -55,10 +59,29 @@ def connected_components(
     ``local_threshold=0`` — the distributed min-label-propagation loop
     runs. Both paths compute the identical fixpoint.
 
+    ``checkpoint_dir`` selects the lineage-truncation strategy for the
+    iterative loop: ``None`` (default) uses ``localCheckpoint`` — fast,
+    zero I/O, but the checkpoint blocks live in executor storage and an
+    executor death mid-loop fails the job; a path (HDFS/S3A/local)
+    switches to reliable ``checkpoint()`` so the truncated frames are
+    replicated to that directory and the loop survives executor loss —
+    the right setting for a long dedup job on a real cluster. Both
+    strategies compute the identical fixpoint.
+
     Raises ``RuntimeError`` if the distributed loop hits ``max_iter``
     rounds without converging (pointer doubling makes that ~2^max_iter of
     effective diameter, so it signals bad input, not tuning).
     """
+    if checkpoint_dir is not None:
+        sc = edges.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = (
         edges.select(
             F.col(src).cast("long").alias("a"),
@@ -68,16 +91,15 @@ def connected_components(
     )
     # Symmetrize once; dedup so a hot pair does not multiply join output.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = _truncate(e)
 
     if local_threshold and e.count() <= local_threshold:
         return _local_union_find(e)
 
-    labels = (
+    labels = _truncate(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -101,13 +123,12 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
-        doubled = (
+        doubled = _truncate(
             stepped.join(parent, stepped.comp == parent.p_node, "left")
             .select(
                 "node",
                 F.coalesce("p_comp", "comp").alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             doubled.alias("n")
@@ -155,14 +176,17 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     local_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster verified near-duplicate pairs: ``(doc_id, cluster)`` where
     ``cluster`` is the smallest doc_id in the connected group. Only
     documents that appear in at least one pair are returned — at corpus
-    scale the overwhelming majority of docs never enter the graph."""
+    scale the overwhelming majority of docs never enter the graph.
+    ``checkpoint_dir`` forwards to :func:`connected_components` for
+    cluster-durable lineage truncation."""
     cc = connected_components(
         pairs, src=id_a, dst=id_b, max_iter=max_iter,
-        local_threshold=local_threshold)
+        local_threshold=local_threshold, checkpoint_dir=checkpoint_dir)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster"))
 
 
