@@ -139,7 +139,9 @@ def test_media_meta_and_stub_decode(spark):
     feats = decode_images(df, use_stub_decoder=True).collect()
     assert len(feats) == 2 and feats[0]["width"] == 4
 
-    with pytest.raises(NotImplementedError):
+    # real path: non-PNG payload without Pillow fails with a clear error
+    # (real-codec decode of actual PNG/WAV bytes: test_multimodal_codecs.py)
+    with pytest.raises(Exception, match="PNG|Pillow|image"):
         decode_images(df).collect()
 
 
