@@ -193,6 +193,32 @@ def test_kmeans_deterministic(clustered):
         assert all(math.isclose(x, y, rel_tol=1e-9) for x, y in zip(va, vb))
 
 
+def test_kmeans_high_dim_update_is_dim_independent(spark):
+    """dim=256: the posexplode update keeps the plan at two aggregate
+    expressions total (count + sum over the exploded value) instead of
+    generating one sum column per dimension — dim=1024 would previously
+    blow past codegen limits. Also checks the fit still recovers planted
+    centers at this width."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim = 256
+    rows = []
+    for i in range(40):
+        center = 10.0 if i < 20 else -10.0
+        rows.append((i, (center + 0.01 * rng.standard_normal(dim)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=3, init_ids=[0, 20])
+    assert len(cents) == 2 and all(len(v) == dim for _, v in cents)
+    m0 = sum(cents[0][1]) / dim
+    m1 = sum(cents[1][1]) / dim
+    assert abs(m0 - 10.0) < 0.1 and abs(m1 + 10.0) < 0.1
+    # determinism across partitioning at width
+    again = kmeans_fit(df.repartition(13), k=2, iters=3, init_ids=[0, 20])
+    for (_, va), (_, vb) in zip(cents, again):
+        assert all(math.isclose(x, y, rel_tol=1e-9) for x, y in zip(va, vb))
+
+
 def test_histogram_bins_and_edges(spark):
     from yaetl_spark.operators import histogram
 

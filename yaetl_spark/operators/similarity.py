@@ -216,12 +216,16 @@ def kmeans_fit(
 
     Scale shape per iteration: assignment is the same broadcast-argmin
     narrow map the IVF index uses (no shuffle of vectors); the update
-    aggregates per-dimension sums with one ``groupBy(_cell)`` whose
-    map-side combine reduces the shuffle to k × dim doubles per input
-    partition — raw vectors never shuffle. k centroids come back to the
-    driver between iterations (k × dim floats, a few KB); ``iters``
-    bounded jobs total. Deterministic: init from ``init_ids`` (id order)
-    or the xxhash64 sample used by the index builder — no RNG state.
+    ``posexplode``s each assigned vector and aggregates one ``sum`` per
+    ``(_cell, dimension)`` key — map-side combine reduces the shuffle to
+    k × dim doubles per input partition (raw vectors never shuffle), and
+    because the dimension is a grouping VALUE rather than a generated
+    column, the plan holds two aggregate expressions total regardless of
+    dim — dim=1024 costs no more codegen than dim=4. k centroids come
+    back to the driver between iterations (k × dim floats, a few KB);
+    ``iters`` bounded jobs total. Deterministic: init from ``init_ids``
+    (id order) or the xxhash64 sample used by the index builder — no RNG
+    state.
 
     Returns ``[(cell_id, centroid_vector), ...]`` ready to pass as
     ``build_ivf_index(..., centroids=...)``.
@@ -255,12 +259,17 @@ def kmeans_fit(
             assigned, _ = build_ivf_index(
                 work, vec_col=vec_col, id_col=id_col, centroids=centroids
             )
-            sums = assigned.groupBy("_cell").agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
+            sums = (
+                assigned.select(
+                    "_cell",
+                    F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+                )
+                .groupBy("_cell", "_i")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.col("_x").cast("double")).alias("_s"),
+                )
+                .collect()
             )
             # snap to a 1e-9 grid with floor(x*1e9 + 0.5)/1e9 — the SAME
             # float ops the oracle's SQL runs, so both engines land on
@@ -269,12 +278,14 @@ def kmeans_fit(
             # (partition layout, core count) perturbs the mean only in
             # the last ulps (~1e-13), far inside the grid step, and the
             # grid is far finer than any real assignment gap.
+            acc: dict[int, dict[int, float]] = {}
+            for r in sums:
+                acc.setdefault(r._cell, {})[r._i] = (
+                    math.floor(r._s / r._n * 1e9 + 0.5) / 1e9
+                )
             updated = {
-                r._cell: [
-                    math.floor(r[f"_s{i}"] / r._n * 1e9 + 0.5) / 1e9
-                    for i in range(dim)
-                ]
-                for r in sums.collect()
+                cell: [dims[i] for i in range(dim)]
+                for cell, dims in acc.items()
             }
             # empty cells keep their previous centroid (standard Lloyd's)
             centroids = [
