@@ -469,11 +469,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-pruned semi join (operators/bloom.py): lineitem rows kept only
-    for high-value orders. The bloom (built with a distributed bit_or block
-    aggregation, probed by a vectorized Arrow-batch bit test) prunes
-    non-matching rows before the shuffle; the closing exact semi join
-    removes false positives, so the oracle is the plain IN-subquery join."""
+    """Bloom-accelerated semi join (operators/bloom.py): lineitem rows
+    kept only for high-value orders. Uses the default *native* strategy —
+    both sides share one plan, so Spark's runtime bloom filter
+    (bloom_filter_agg build + codegen'd might_contain probe, zero Python)
+    prunes the probe side before the shuffle; an exact semi join closes.
+    The explicit portable-BloomFilter path (bit_or block build + numpy
+    Arrow-batch probe) is exercised by incremental_dedup, its genuine
+    cross-stage use. Oracle: the plain IN-subquery join."""
     from yaetl_spark.operators import bloom_semi_join
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

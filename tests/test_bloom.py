@@ -31,11 +31,38 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     orders = spark.read.parquet(table_path("orders")).filter(
         F.col("o_totalprice") > 400000
     ).select(F.col("o_orderkey").alias("l_orderkey"))
-    got = bloom_semi_join(li, orders, "l_orderkey", fpp=0.05)
     want = li.join(orders.distinct(), "l_orderkey", "left_semi")
-    assert got.count() == want.count()
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
+    for strategy in ("native", "explicit"):
+        got = bloom_semi_join(li, orders, "l_orderkey", fpp=0.05,
+                              strategy=strategy)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_semi_join_native_has_no_python_in_plan(spark):
+    """The default (same-plan) strategy must keep the hot path JVM-side:
+    no mapInPandas/Arrow round-trip in the executed plan, just the semi
+    join Spark can wrap with its injected runtime bloom filter."""
+    li = spark.read.parquet(table_path("lineitem")).select("l_orderkey")
+    orders = spark.read.parquet(table_path("orders")).filter(
+        F.col("o_totalprice") > 400000
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    native = bloom_semi_join(li, orders, "l_orderkey")
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+    explicit = bloom_semi_join(li, orders, "l_orderkey", strategy="explicit")
+    eplan = explicit._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in eplan  # the portable path does pay the probe
+
+
+def test_bloom_semi_join_rejects_unknown_strategy(spark):
+    li = spark.range(3).withColumn("k", F.col("id"))
+    try:
+        bloom_semi_join(li, li, "k", strategy="what")
+        raise AssertionError("expected ValueError")
+    except ValueError as err:
+        assert "native|explicit" in str(err)
 
 
 def test_bloom_build_shuffles_blocks_not_keys(spark):

@@ -363,13 +363,25 @@ def test_inverted_index_single_token_shuffle(spark):
     assert plan.count("HashAggregate") == 2  # partial + final
 
 
-def test_bloom_join_probe_before_shuffle(spark):
-    """The bloom probe (ArrowEvalPython-free mapInPandas) must sit under
-    the semi join, and the join itself stays a hash join."""
+def test_bloom_join_native_is_jvm_only(spark):
+    """bloom_semi_join's default (native) strategy: the semi join stays
+    a hash join with ZERO Python in the plan — pruning belongs to
+    Spark's injected runtime bloom filter (see
+    test_runtime_bloom_filter_injects_on_shuffle_join for the injection
+    contract itself). The explicit numpy-probe path is pinned separately
+    in test_incremental_dedup_probe_is_arrow_batched."""
     plan = plan_of(spark, "bloom_join")
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_probe_is_arrow_batched(spark):
+    """The cross-stage bloom (incremental_dedup) keeps the portable
+    explicit path: exactly one MapInPandas probe, no cartesian."""
+    plan = plan_of(spark, "incremental_dedup")
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
 
 
 def test_weighted_sample_is_scan_level(spark):

@@ -8,11 +8,19 @@ The final exact semi/inner join still runs (a bloom has false positives,
 never false negatives), so results are bit-identical to the plain join —
 which is exactly what the oracle checks.
 
-Spark's optimizer can inject runtime bloom filters on its own
-(``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
-the *explicit* variant for when the planner can't see the opportunity
-(e.g. the filter side comes from a separate pipeline stage, or the probe
-side is a stream).
+Two paths, picked by how much the planner can see:
+
+- **native** (the :func:`bloom_semi_join` default): both sides share one
+  query plan, so Spark's own runtime bloom filter
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, pinned on in
+  :mod:`yaetl_spark.session`) does the pruning JVM-side —
+  ``bloom_filter_agg`` build, codegen'd ``might_contain`` probe at the
+  scan, zero Python in the hot path.
+- **explicit** (:func:`bloom_build` / :func:`bloom_prune`, or
+  ``strategy="explicit"``): the portable :class:`BloomFilter` handle for
+  what the planner can't see — the filter side built in a separate
+  pipeline stage or session, or a streaming probe side. Costs one Arrow
+  round-trip on the probe.
 
 Scale shape:
 - build: k bit positions per key are derived JVM-side from one
@@ -180,15 +188,38 @@ def bloom_semi_join(
     key: str,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    strategy: str = "native",
 ) -> DataFrame:
-    """Exact ``big SEMI JOIN small ON key``, bloom-pruned.
+    """Exact ``big SEMI JOIN small ON key``, bloom-accelerated. Both
+    strategies return the identical result (a bloom has false positives,
+    never false negatives, and an exact join always closes).
 
-    The bloom removes ~(1-fpp) of non-matching big-side rows before the
-    shuffle; the closing semi join removes the false positives, so the
-    result equals the plain semi join exactly. The distinct key set is
-    materialized once (eager localCheckpoint) and reused by the sizing
-    count, the bloom build, and the closing join — the small side is
-    scanned a single time."""
+    ``strategy="native"`` (default) — when both sides live in the SAME
+    query plan, emit a plain semi join and let Spark's optimizer inject
+    its own runtime bloom filter on the probe side
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default
+    in :mod:`yaetl_spark.session`): the build is a JVM
+    ``bloom_filter_agg``, the probe a codegen'd ``might_contain`` at the
+    scan — zero Python in the hot path, and AQE sizes/skips the filter
+    from real runtime stats. This is strictly better than the explicit
+    path whenever the planner can see both sides.
+
+    ``strategy="explicit"`` — build the portable :class:`BloomFilter`
+    (distributed ``bit_or`` block aggregation) and probe via the
+    vectorized numpy ``mapInPandas`` test. The probe pays one Arrow
+    round-trip, so reserve it for what the native path CANNOT do: the
+    filter side comes from a separate pipeline stage or session (the
+    handle is a plain numpy array — serializable, reusable across jobs),
+    or the probe side is a stream.
+
+    The distinct key set is materialized once (eager localCheckpoint)
+    and reused by the sizing count, the bloom build, and the closing
+    join — the small side is scanned a single time."""
+    if strategy == "native":
+        keys = small.select(key).distinct()
+        return big.join(keys, key, "left_semi")
+    if strategy != "explicit":
+        raise ValueError(f"unknown strategy {strategy!r}: native|explicit")
     keys = small.select(key).distinct().localCheckpoint(eager=True)
     if expected_items is None:
         expected_items = max(1, keys.count())

@@ -28,6 +28,11 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Small dims (region/nation/...) should always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter injection on shuffle joins (Spark default, but
+    # pinned: bloom_semi_join's native strategy and the plan gate in
+    # tests/test_plans.py rely on it — the JVM-side might_contain probe
+    # replaces any Python on the semi-join hot path).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Parquet vectorized reader + pushdown are on by default; keep explicit
     # so a cluster-side conf override is visible here.
     "spark.sql.parquet.filterPushdown": "true",
