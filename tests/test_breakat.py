@@ -47,6 +47,48 @@ def test_breakat_rejects_bad_target(spark):
         BreakAt(F.lit(True), "id", target="sibling")
 
 
+def test_breakat_target_matrix_mirrors_reference_and_names_divergence(spark):
+    """The reference's break-target matrix
+    (ref tests/QualifierTest.php:407-1276; dispatch in
+    ref src/Qualifiers/QualifierAbstract.php:69-77) has three target
+    kinds. The two this engine CAN honor are asserted to match the
+    reference's per-node record counts; the third is a *documented
+    divergence* whose rejection path is pinned here — no silent gap.
+
+    1. TARGET_SELF (ref flow7 shape: break-at-5 inside a branch) —
+       nodes after the qualifier in the branch see 5 records
+       (inclusive), the root flow's own nodes see all 10.
+    2. TARGET_TOP on the root flow from inside a branch — every flow
+       (root sink, breaking branch, sibling branch) sees the truncated
+       prefix, matching ref QualifierTest.php:570-648.
+    3. A specific upstream NODE as target: only observable through
+       in-flight records draining between the target node and the
+       qualifier — a vectorized plan has none, so construction is
+       REJECTED with an error naming the divergence, rather than
+       silently degrading to 'self'.
+    """
+    # (1) self-target: reference counts 5 at the post-qualifier node,
+    # 10 on the unbranched flow
+    root_sink, branch_sink = CollectSink(), CollectSink()
+    child = (
+        BranchPipeline(spark)
+        .qualify(BreakAt(F.col("id") >= 4, "id", inclusive=True))
+        .to(branch_sink)
+    )
+    Pipeline(spark).from_(_seq(spark)).to(root_sink).branch(child).run()
+    assert len(branch_sink.rows) == 5  # num_exec of the ref's post-break node
+    assert len(root_sink.rows) == 10
+
+    # (2) root-target from a branch: all three flows truncate together
+    # (asserted in detail by test_branch_root_break_truncates_everything)
+
+    # (3) node-target: rejected, and the error must NAME the divergence
+    with pytest.raises(ValueError, match="in-flight records"):
+        BreakAt(F.lit(True), "id", target="extractor1")
+    with pytest.raises(ValueError, match="documented divergence"):
+        BreakAt(F.lit(True), "id", target="node")
+
+
 def test_pipeline_breakat_dirty_only_when_fired(spark):
     # fired → sink sees the truncated flow and flushes 'dirty'
     seen: list[str] = []

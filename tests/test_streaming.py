@@ -451,6 +451,9 @@ def test_interval_join_state_expiry_under_triggers(spark, tmp_path):
     q = (joined.writeStream
          .foreachBatch(lambda df, _e: out.extend(df.collect()))
          .outputMode("append")
+         # real periodic trigger (not the default ASAP mode): state
+         # eviction happens at micro-batch boundaries the clock drives
+         .trigger(processingTime="500 milliseconds")
          .option("checkpointLocation", str(tmp_path / "ij_ck"))
          .start())
     try:

@@ -130,7 +130,19 @@ class BreakAt(Qualifier):
         target: str = "self",
     ):
         if target not in ("self", "root"):
-            raise ValueError(f"target must be 'self' or 'root', got {target!r}")
+            raise ValueError(
+                f"target must be 'self' or 'root', got {target!r}. The "
+                "reference additionally targets a specific UPSTREAM NODE "
+                "from a downstream qualifier (Interrupter(TARGET_TOP/"
+                "node), src/Qualifiers/QualifierAbstract.php:69-77) — in "
+                "its record-at-a-time engine that differs from a source "
+                "break only in which in-flight records drain through the "
+                "nodes between target and qualifier. A vectorized plan "
+                "has no in-flight records, so node-targeted breaks are "
+                "indistinguishable from target='self' here; they are "
+                "rejected (documented divergence, SURVEY.md §2.8) rather "
+                "than silently approximated."
+            )
         self.condition = condition
         self.order_by = order_by
         self.inclusive = inclusive
