@@ -4,14 +4,18 @@
 JSON line with per-query wall seconds.
 
 Each query is materialized with a noop write (full plan execution, no
-driver collect). A passthrough scan→noop throughput figure is included
-for comparison against BASELINE.md's ~500K records/s/core anchor.
+driver collect). Headline per-query figures are medians of n=5 warm
+runs (override with $SPARK_GRAFT_BENCH_RUNS) with [min, max] spread
+reported per query; the cold (codegen-compiling) first run is reported
+separately. A passthrough scan→noop throughput figure is included for
+comparison against BASELINE.md's ~500K records/s/core anchor.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,24 +63,27 @@ def main() -> None:
     # on first execution (~1-2 s of Janino/JIT per plan — constant, data-
     # size-independent). That cost vanishes into noise on a real cluster
     # run but dominates sub-second queries at bench SF, so the headline
-    # per-query figure is the steady-state (second) run; the cold first
-    # run is reported alongside as queries_cold.
+    # per-query figure is the MEDIAN of n=5 steady-state runs (a median
+    # can't be faked by one lucky run nor spoiled by one GC pause —
+    # sub-second jitter was masquerading as 30% regressions at n=2);
+    # per-query [min, max] spread is reported so readers can tell noise
+    # from a real shift. The cold first run stays in queries_cold.
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     timings_cold: dict[str, float] = {}
     queries = entry_mod.queries()
     for name, fn in sorted(queries.items()):
         t0 = time.monotonic()
         materialize(fn(spark, SF_DIR))
         timings_cold[name] = round(time.monotonic() - t0, 3)
-        # steady-state = best of two warm runs: a single warm run still
-        # catches GC pauses / OS scheduling noise worth 2-3x on
-        # sub-second queries; the min is the reproducible figure
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_warm):
             t0 = time.monotonic()
             materialize(fn(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # passthrough anchor: full lineitem scan + noop (BASELINE.md anchor)
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -91,6 +98,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "n_warm_runs": n_warm,
         "queries_cold": timings_cold,
         "cold_total_sec": round(sum(timings_cold.values()), 3),
         "sf": SF,
