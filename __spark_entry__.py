@@ -2135,25 +2135,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-3 front-of-window: new queries (dedup_clusters .. pack_documents),
-# oracles fixed this round (late_lines, dataset_split, kmeans_assign), the
-# plan-changed stratified_sample, then the 36 entries whose last driver row
-# is from round 1. Everything else keeps its round-2 green row.
+# Round-4 front-of-window. Priority order: (a) the four queries whose
+# implementation or oracle changed this round (histogram gained the
+# edge-bin clamp on both engines; bloom_join switched to the native
+# runtime-bloom strategy; kmeans_assign's update became posexplode-based;
+# incremental_dedup's bloom_prune temp column was made collision-safe),
+# then (b) the four entries whose last driver row is round 1 (ann_ivf,
+# doc_fingerprint, market_share, media_meta), then (c) 42 of the 45
+# entries last checked in round 2 — deferring only scan_filter_project,
+# inner_join and limit_offset (trivial plans, green in BOTH r1 and r2)
+# to round 5, where they plus this round's r3-green remainder become the
+# stalest cohort. After r4 lands, no query's latest driver row is older
+# than two rounds.
 _DRIVER_WINDOW = [
-    "dedup_clusters", "bloom_join", "inverted_index", "histogram",
-    "pack_documents", "group_scale", "gap_fill", "cohort_retention",
-    "weighted_sample", "profile", "incremental_dedup", "keep_latest",
-    "variant_json",
-    "late_lines", "dataset_split", "kmeans_assign", "stratified_sample",
-    "ngram_jaccard",
-    "cube_agg", "window_rank", "window_running_sum", "topk", "distinct",
-    "intersect", "except", "events_tumbling", "events_sessions",
-    "part_promo", "events_sliding", "embedding_neardup", "quality_topk",
-    "dedup_exact", "text_stats", "lang_id", "ann_topk", "minhash_neardup",
-    "simhash_dedup", "orders_by_month", "order_priority", "full_join",
-    "grouping_sets", "events_lag", "embedding_lsh", "collect_segments",
-    "nation_volume", "pivot_counts", "edit_distance", "unpivot_measures",
-    "explode_tokens", "asof_join",
+    # (a) changed this round
+    "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
+    # (b) last checked round 1
+    "ann_ivf", "doc_fingerprint", "market_share", "media_meta",
+    # (c) last checked round 2
+    "returned_items", "customer_distribution", "top_supplier",
+    "small_qty_revenue", "large_orders", "prospects",
+    "min_price_supplier", "shipping_priority", "revenue_forecast",
+    "brand_revenue", "waiting_suppliers", "local_volume",
+    "profit_by_nation", "stock_value", "promo_share", "supplier_cnt",
+    "excess_supply", "click_attribution", "hash_sample",
+    "window_frames", "chunk_documents", "decontaminate", "percentiles",
+    "funnel", "repetition", "json_extract", "image_features",
+    "break_at", "daily_active", "range_band", "tfidf", "salted_join",
+    "audio_features", "frame_sample", "anti_join", "chained_join_agg",
+    "cross_join", "groupby_agg", "left_join_default", "rollup_agg",
+    "semi_join", "union_sources",
 ]
 
 
