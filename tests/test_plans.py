@@ -384,6 +384,30 @@ def test_incremental_dedup_probe_is_arrow_batched(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmeans_update_is_partial_agg_one_exchange(spark):
+    """The posexplode-based centroid update must keep its claimed scale
+    shape: Generate(posexplode) feeding a map-side partial aggregate, a
+    SINGLE exchange carrying only (cell, dim) partial sums — raw vectors
+    never shuffle, and the expression count is dim-independent."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sums = (
+        df.withColumn("_cell", F.lit(0))
+        .select("_cell", F.posexplode(F.col("embedding")).alias("_i", "_x"))
+        .groupBy("_cell", "_i")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.col("_x").cast("double")).alias("_s"))
+    )
+    plan = sums._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+    assert "partial_sum" in plan  # map-side combine below the shuffle
+    assert plan.count("Exchange") == 1
+    # the shuffled payload is the exploded scalar, not the vector column
+    exchange_and_above = plan.split("Generate")[0]
+    assert "embedding" not in exchange_and_above
+
+
 def test_weighted_sample_is_scan_level(spark):
     """Per-row weighted sampling must stay a pure filter: zero exchanges,
     no joins — the survive/drop decision is scan-side arithmetic."""
