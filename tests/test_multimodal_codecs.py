@@ -143,6 +143,36 @@ def test_png_rejects_non_png_and_unsupported():
         _decode_png(data)
 
 
+def test_png_roundtrip_property():
+    """Property: decode(encode(x)) == x for arbitrary RGB arrays, and
+    decode survives every filter-type labeling of the same pixels."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.RandomState(seed)
+        pixels = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(_decode_png(_encode_png(pixels)), pixels)
+        filters = [int(x) for x in rng.randint(0, 5, size=h)]
+        np.testing.assert_array_equal(
+            _decode_png(_make_png(pixels, colortype=2, filters=filters)),
+            pixels,
+        )
+
+    check()
+
+
 # ------------------------------------------------------ Spark operators
 
 
