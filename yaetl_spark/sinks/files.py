@@ -104,22 +104,23 @@ class CsvSink(Sink):
             .csv(target)
         )
         if self.single_file:
+            # stream-copy the part file in bounded chunks — the export
+            # use-case is small by design, but a surprise-large frame
+            # must not buffer whole in driver memory
             part = sorted(glob.glob(os.path.join(tmp, "part-*")))[0]
-            payload = open(part, "rb").read()
-            if self.mode == "append" and exists:
-                # concatenate onto the existing export, dropping the
-                # duplicated header line
-                if self.header:
-                    payload = payload.split(b"\n", 1)[1] if b"\n" in payload else b""
-                with open(self.path, "ab") as out:
-                    out.write(payload)
-            else:
-                with open(self.path, "wb") as out:
-                    if self.bom:
-                        out.write("﻿".encode(self.encoding))
-                    if self.sep_line:
-                        out.write(f"sep={self.sep}\n".encode(self.encoding))
-                    out.write(payload)
+            with open(part, "rb") as src:
+                if self.mode == "append" and exists:
+                    if self.header:
+                        src.readline()  # drop the duplicated header line
+                    with open(self.path, "ab") as out:
+                        shutil.copyfileobj(src, out, 1 << 20)
+                else:
+                    with open(self.path, "wb") as out:
+                        if self.bom:
+                            out.write("﻿".encode(self.encoding))
+                        if self.sep_line:
+                            out.write(f"sep={self.sep}\n".encode(self.encoding))
+                        shutil.copyfileobj(src, out, 1 << 20)
             shutil.rmtree(tmp)
 
 
