@@ -570,6 +570,65 @@ def q_group_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.round("scaled", 6).alias("scaled"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-line removal (operators/curation.py,
+    CCNet-style): documents are segmented into 3-token lines, any line
+    occurring more than once in the WHOLE corpus is boilerplate and is
+    cut from every document; survivors rejoin in order, fully-deduped
+    docs drop. Scale shape: the frequency table groups on md5(line)
+    (fixed-width shuffle key, map-side combined), only the over-threshold
+    hot set survives the HAVING so the removal is a broadcastable
+    left-anti, and reassembly is one per-doc groupBy — no global sort."""
+    from yaetl_spark.operators import line_dedup
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    k = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 3 + 1, 3)),
+    )
+    lined = docs.select("doc_id", F.array_join(segs, "\n").alias("text"))
+    return line_dedup(lined, max_occurrences=1)
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota (operators/curation.py): keep at
+    most 10 documents per source, ranked by the engine-reproducible
+    (Knuth hash_bucket, doc_id) order — the per-domain cap of corpus
+    curation, stable across reruns/partitionings/engines. ONE shuffle
+    (the row_number window partitioned by source)."""
+    from yaetl_spark.operators import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "source", "n_chars")
+    return cap_per_group(docs, "source", "doc_id", 10)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery (operators/curation.py): token
+    bounds, mean-word-length bounds, punctuation density, stopword
+    presence — each rule its own auditable flag plus the conjunction.
+    Pure scan-level expressions (whole-stage codegen, zero shuffles);
+    flags cast to BIGINT for unambiguous cross-engine hashing."""
+    from yaetl_spark.operators import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_flags(
+        docs, min_tokens=10, max_tokens=120,
+        min_mean_word_len=3.0, max_mean_word_len=8.0,
+        max_punct_ratio=0.1, min_stopword_kinds=1,
+    )
+    return out.select(
+        "doc_id", "n_tokens", "mean_word_len",
+        F.col("flag_tokens").cast("bigint").alias("flag_tokens"),
+        F.col("flag_word_len").cast("bigint").alias("flag_word_len"),
+        F.col("flag_punct").cast("bigint").alias("flag_punct"),
+        F.col("flag_stopwords").cast("bigint").alias("flag_stopwords"),
+        F.col("gopher_pass").cast("bigint").alias("gopher_pass"),
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase totals per event type densified onto each type's
     own day spine (operators/timeseries.py): missing days appear with the
@@ -2063,6 +2122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "pack_documents": q_pack_documents,
         "group_scale": q_group_scale,
+        "line_dedup": q_line_dedup,
+        "source_cap": q_source_cap,
+        "gopher_rules": q_gopher_rules,
         "gap_fill": q_gap_fill,
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
@@ -2135,20 +2197,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the four queries whose
-# implementation or oracle changed this round (histogram gained the
-# edge-bin clamp on both engines; bloom_join switched to the native
-# runtime-bloom strategy; kmeans_assign's update became posexplode-based;
-# incremental_dedup's bloom_prune temp column was made collision-safe),
-# then (b) the four entries whose last driver row is round 1 (ann_ivf,
-# doc_fingerprint, market_share, media_meta), then (c) 42 of the 45
-# entries last checked in round 2 — deferring only scan_filter_project,
-# inner_join and limit_offset (trivial plans, green in BOTH r1 and r2)
+# Round-4 front-of-window. Priority order: (a) the three curation
+# operators NEW this round (line_dedup, source_cap, gopher_rules) plus
+# the four queries whose implementation or oracle changed this round
+# (histogram gained the edge-bin clamp on both engines; bloom_join
+# switched to the native runtime-bloom strategy; kmeans_assign's update
+# became posexplode-based; incremental_dedup's bloom_prune temp column
+# was made collision-safe), then (b) the four entries whose last driver
+# row is round 1 (ann_ivf, doc_fingerprint, market_share, media_meta),
+# then (c) 39 of the 45 entries last checked in round 2 — deferring
+# scan_filter_project, inner_join, limit_offset, anti_join, semi_join
+# and union_sources (trivial single-op plans, green in BOTH r1 and r2)
 # to round 5, where they plus this round's r3-green remainder become the
-# stalest cohort. After r4 lands, no query's latest driver row is older
-# than two rounds.
+# stalest cohort. After r4 lands, no non-trivial query's latest driver
+# row is older than two rounds.
 _DRIVER_WINDOW = [
-    # (a) changed this round
+    # (a) new this round
+    "line_dedup", "source_cap", "gopher_rules",
+    # (a') changed this round
     "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
     # (b) last checked round 1
     "ann_ivf", "doc_fingerprint", "market_share", "media_meta",
@@ -2162,9 +2228,8 @@ _DRIVER_WINDOW = [
     "window_frames", "chunk_documents", "decontaminate", "percentiles",
     "funnel", "repetition", "json_extract", "image_features",
     "break_at", "daily_active", "range_band", "tfidf", "salted_join",
-    "audio_features", "frame_sample", "anti_join", "chained_join_agg",
+    "audio_features", "frame_sample", "chained_join_agg",
     "cross_join", "groupby_agg", "left_join_default", "rollup_agg",
-    "semi_join", "union_sources",
 ]
 
 
@@ -2413,6 +2478,17 @@ def _stopword_hits_sql(padded: str) -> str:
     return " + ".join(terms)
 
 
+def _stopword_kinds_sql() -> str:
+    """Count of DISTINCT English stopword markers present (the Gopher
+    'real prose' signal), generated from the same LANG_MARKERS constant
+    the Spark expression uses so the two can never drift."""
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(
+        f"CASE WHEN contains({padded}, '{m}') THEN 1 ELSE 0 END"
+        for m in LANG_MARKERS["en"]
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     disc_price = (
         "CAST(l_extendedprice AS DECIMAL(12,2)) * "
@@ -2594,6 +2670,69 @@ def oracle_sql() -> dict[str, str]:
                    {quality} AS quality,
                    {fp} AS fingerprint
             FROM documents
+        """,
+        "line_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, CAST(ceil(len(t) / 3.0) AS BIGINT) + 1))
+                           AS pos
+                FROM base
+            ),
+            lines AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(t, (pos - 1) * 3 + 1, (pos - 1) * 3 + 3),
+                           ' ') AS line
+                FROM idx
+            ),
+            freq AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY line),
+            kept AS (SELECT l.doc_id, l.pos, l.line
+                     FROM lines l JOIN freq f USING (line) WHERE f.n <= 1)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM kept GROUP BY doc_id
+        """,
+        "source_cap": """
+            WITH ranked AS (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761 + 12345) % 1000000,
+                                    doc_id) AS rk
+                FROM documents)
+            SELECT doc_id, source, n_chars FROM ranked WHERE rk <= 10
+        """,
+        "gopher_rules": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       {_TOKN} AS n_tok,
+                       CASE WHEN ({_TOKN}) = 0 THEN 0.0
+                            ELSE CAST(length(replace({_NORM}, ' ', ''))
+                                      AS DOUBLE) / CAST({_TOKN} AS DOUBLE)
+                       END AS mw,
+                       {punct} AS pr,
+                       {_stopword_kinds_sql()} AS kinds
+                FROM documents)
+            SELECT doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(mw, 6) AS mean_word_len,
+                   CAST(CASE WHEN n_tok BETWEEN 10 AND 120
+                             THEN 1 ELSE 0 END AS BIGINT) AS flag_tokens,
+                   CAST(CASE WHEN mw >= 3.0 AND mw <= 8.0
+                             THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+                   CAST(CASE WHEN pr <= 0.1
+                             THEN 1 ELSE 0 END AS BIGINT) AS flag_punct,
+                   CAST(CASE WHEN kinds >= 1
+                             THEN 1 ELSE 0 END AS BIGINT) AS flag_stopwords,
+                   CAST(CASE WHEN n_tok BETWEEN 10 AND 120
+                              AND mw >= 3.0 AND mw <= 8.0
+                              AND pr <= 0.1 AND kinds >= 1
+                             THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+            FROM g
         """,
         "lang_id": _lang_id_sql(),
         "ngram_jaccard": f"""

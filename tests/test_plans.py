@@ -434,3 +434,36 @@ def test_incremental_dedup_prunes_before_joins(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_hot_set_anti_join_no_cartesian(spark):
+    """Corpus line dedup must remove hot lines via a keyed anti join
+    against the over-threshold fingerprint set (broadcastable at scale),
+    never a cartesian; the frequency shuffle groups on the fixed-width
+    md5 fingerprint, not raw line text."""
+    plan = plan_of(spark, "line_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    # line-freq count + reassembly + id join back: bounded exchange count
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_source_cap_single_window_shuffle(spark):
+    """The per-group quota is ONE row_number window shuffle on the group
+    key — no extra exchanges, no join."""
+    plan = plan_of(spark, "source_cap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "Join" not in plan
+
+
+def test_gopher_rules_is_scan_level(spark):
+    """The quality rule battery is pure scan-level expression work: no
+    keyed shuffle (only the ensure_parallelism round-robin spread for the
+    regex-heavy map), zero joins, no Python."""
+    plan = plan_of(spark, "gopher_rules")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan

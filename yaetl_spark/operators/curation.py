@@ -1,0 +1,213 @@
+"""Corpus-curation operators — the document-level filters a pretraining
+pipeline runs between raw crawl and tokenizer.
+
+Beyond-reference capability layer (the reference has no text pipeline —
+SURVEY.md §2.10/§2.11 list the absences we fill Spark-side). Three ops the
+published curation recipes (CCNet, Gopher, RefinedWeb) made standard:
+
+- :func:`line_dedup` — corpus-level frequent-line removal: lines (or any
+  separator-delimited unit) that repeat across the corpus more than a
+  threshold are boilerplate (headers, nav bars, cookie banners) and are
+  cut from every document while the rest of the document survives.
+- :func:`cap_per_group` — deterministic per-source/domain quota: keep at
+  most ``n`` documents per group, chosen by a stable hash order so the
+  sample never changes across reruns, engines, or partitionings.
+- :func:`gopher_quality_flags` — the Gopher-style rule battery (token
+  count bounds, mean word length bounds, punctuation density, stopword
+  presence) as per-rule boolean columns plus the conjunction, so a
+  pipeline can either filter on ``gopher_pass`` or audit per-rule drop
+  rates.
+
+Everything is pure Column expressions + relational ops (JVM-side,
+whole-stage codegen; no Python UDFs), built only from primitives with
+identical semantics in DuckDB so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket, hash_bucket_str
+from .text import LANG_MARKERS, punct_ratio, token_count
+
+__all__ = ["line_dedup", "cap_per_group", "gopher_quality_flags"]
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_occurrences: int = 1,
+    min_line_chars: int = 0,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document (CCNet-style
+    line-level dedup): split ``text_col`` on the literal ``sep``, count
+    each line's occurrences across the WHOLE corpus, and cut every line
+    that occurs more than ``max_occurrences`` times; surviving lines
+    rejoin in their original order. Lines shorter than ``min_line_chars``
+    are exempt (kept regardless of frequency — short fragments are noisy
+    dedup keys). Documents left with zero lines are dropped when
+    ``drop_empty`` (else kept with empty text).
+
+    Returns the input columns with ``text_col`` rebuilt, plus ``n_lines``
+    (surviving line count per document).
+
+    Scale shape (100 TB):
+    - the frequency table groups on ``md5(line)`` — a fixed-width 32-char
+      key, so the count shuffle never carries full line text and
+      map-side partial aggregation collapses within-partition repeats
+      first;
+    - only the OVER-threshold fingerprints (the boilerplate set — tiny by
+      Zipf) survive the ``HAVING``, so the removal join is a
+      planner-broadcastable left-anti against a small hot set, not a join
+      against the full line inventory;
+    - reassembly is one groupBy on the document id with an
+      ``array_sort(collect_list(struct(pos, line)))`` — per-document
+      state, no global sort;
+    - the final join back to the original columns is id-keyed; raw
+      document text crosses the wire exactly once (exploded lines), and
+      AQE may replace the shuffle join with broadcast when one side is
+      small.
+    """
+    if max_occurrences < 1:
+        raise ValueError("max_occurrences must be >= 1")
+    line = F.col("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy(F.md5(line).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("_h")
+    )
+    tagged = lines.withColumn("_h", F.md5(line))
+    if min_line_chars > 0:
+        exempt = tagged.filter(F.length(line) < min_line_chars)
+        candidates = tagged.filter(F.length(line) >= min_line_chars)
+        kept = candidates.join(hot, "_h", "left_anti").unionByName(exempt)
+    else:
+        kept = tagged.join(hot, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_new_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    out = df.drop(text_col).join(
+        rebuilt, id_col, "inner" if drop_empty else "left"
+    )
+    if not drop_empty:
+        out = out.withColumn(
+            "_new_text", F.coalesce(F.col("_new_text"), F.lit(""))
+        ).withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)))
+    return out.withColumnRenamed("_new_text", text_col)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    string_key: bool = False,
+    buckets: int = 1_000_000,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col`` value — the per-domain /
+    per-source quota of corpus curation (no single crawl source may
+    dominate the mixture). Selection is DETERMINISTIC: rows rank within
+    their group by ``(hash_bucket(key), key)`` — a stable pseudo-random
+    order reproducible in any engine (same Knuth / md5-prefix arithmetic
+    as :mod:`~yaetl_spark.operators.sampling`), never by RNG or physical
+    row order, so the kept set is identical across reruns, engines,
+    partitionings, and cluster sizes. New rows entering a group displace
+    proportionally rather than reshuffling the whole quota.
+
+    ``rank_col`` optionally exposes the within-group rank (1-based).
+
+    Scale shape: ONE shuffle — the ``row_number`` window partitioned by
+    the group key; parallelism is the number of groups. A pathologically
+    hot group serializes through one task — pre-filter with a cheaper
+    per-group sample (e.g. :func:`~yaetl_spark.operators.sampling.
+    hash_sample` at a rate that overshoots ``n``) before the exact cap
+    when one group is corpus-scale.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    b = (hash_bucket_str if string_key else hash_bucket)(key_col, buckets)
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
+    rk = "_cap_rank" if rank_col is None else rank_col
+    out = df.withColumn(rk, F.row_number().over(w)).filter(F.col(rk) <= n)
+    return out.drop(rk) if rank_col is None else out
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.25,
+    min_stopword_kinds: int = 1,
+) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021, §A1.1) over a
+    text column: each rule lands as its own boolean column so drop rates
+    are auditable per rule, plus the conjunction ``gopher_pass`` for
+    direct filtering. Rules (all thresholds parameterized):
+
+    - ``flag_tokens``        — token count within ``[min_tokens, max_tokens]``
+    - ``flag_word_len``      — mean word length within
+      ``[min_mean_word_len, max_mean_word_len]``
+    - ``flag_punct``         — punctuation character ratio ≤ ``max_punct_ratio``
+    - ``flag_stopwords``     — at least ``min_stopword_kinds`` distinct
+      common-English stopwords present (the "real prose" signal)
+
+    Adds ``n_tokens`` and ``mean_word_len`` (rounded to 6) alongside the
+    flags. Pure scan-level expressions — whole-stage codegen, no shuffle,
+    no Python; formulas use only DuckDB-identical primitives, so the rule
+    battery itself is oracle-checkable.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    norm = F.trim(F.regexp_replace(t, r"\s+", " "))
+    n_word_chars = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_word_chars.cast("double") / n_tok.cast("double")
+    )
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    kinds: Column = F.lit(0)
+    for m in LANG_MARKERS["en"]:
+        kinds = kinds + F.when(padded.contains(m), F.lit(1)).otherwise(F.lit(0))
+    flag_tokens = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    flag_word_len = (mean_wl >= min_mean_word_len) & (
+        mean_wl <= max_mean_word_len
+    )
+    flag_punct = punct_ratio(t) <= max_punct_ratio
+    flag_stop = kinds >= min_stopword_kinds
+    return (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("flag_tokens", flag_tokens)
+        .withColumn("flag_word_len", flag_word_len)
+        .withColumn("flag_punct", flag_punct)
+        .withColumn("flag_stopwords", flag_stop)
+        .withColumn(
+            "gopher_pass",
+            flag_tokens & flag_word_len & flag_punct & flag_stop,
+        )
+    )
