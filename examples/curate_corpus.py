@@ -1,0 +1,86 @@
+"""End-to-end corpus curation — the document-level filter chain a
+pretraining pipeline runs between raw crawl and tokenizer, in the order
+the published recipes (Gopher, CCNet, RefinedWeb) apply them:
+
+1. quality gate   — Gopher rule battery, keep only ``gopher_pass`` docs
+2. line dedup     — cut corpus-frequent boilerplate lines from survivors
+3. exact dedup    — drop full-document duplicates (md5 fingerprint)
+4. source caps    — no source/domain may dominate the mixture
+5. dataset split  — deterministic train/val/test assignment
+
+Every stage is shuffle-frugal (see each operator's docstring for the
+100 TB shape) and RNG-free, so the output corpus is byte-stable across
+reruns, partitionings, and engines.
+
+Run: ``python examples/curate_corpus.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from yaetl_spark import get_spark
+from yaetl_spark.operators import (
+    cap_per_group,
+    dataset_split,
+    exact_dedup,
+    gopher_quality_flags,
+    line_dedup,
+)
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1) quality gate: scan-level rule battery, filter on the conjunction
+    quality = (
+        gopher_quality_flags(
+            docs, min_tokens=5, max_tokens=10_000,
+            min_mean_word_len=2.0, max_mean_word_len=12.0,
+            max_punct_ratio=0.25, min_stopword_kinds=0,
+        )
+        .filter(F.col("gopher_pass"))
+        .select(*docs.columns)
+    )
+
+    # 2) corpus-level boilerplate removal. This synthetic corpus is
+    #    single-line, so segment each doc into 3-token pseudo-lines
+    #    first (real crawls skip this and use the default sep="\n"):
+    #    any segment recurring across the corpus is boilerplate.
+    toks = F.split(F.col("text"), " ")
+    k = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 3 + 1, 3)),
+    )
+    lined = quality.withColumn("text", F.array_join(segs, "\n"))
+    deduped_lines = (
+        line_dedup(lined, max_occurrences=1, drop_empty=True)
+        .drop("n_lines")
+        .withColumn("text", F.replace(F.col("text"), F.lit("\n"), F.lit(" ")))
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    # 3) whole-document exact dedup: keeper ids → semi join back
+    keepers = exact_dedup(deduped_lines, text_col="text", id_col="doc_id")
+    uniq = deduped_lines.join(keepers, "doc_id", "left_semi")
+
+    # 4) per-source quota: deterministic, hash-ranked
+    capped = cap_per_group(uniq, "source", "doc_id", n=20)
+
+    # 5) stable train/val/test split
+    final = dataset_split(capped, "doc_id", weights=(0.9, 0.05, 0.05))
+    counts = {
+        r["split"]: r["count"]
+        for r in final.groupBy("split").count().collect()
+    }
+    return n_raw, quality.count(), uniq.count(), capped.count(), counts
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="curate-example", shuffle_partitions=8)
+    raw, q, u, c, splits = main(spark, *(sys.argv[1:2]))
+    print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits}")

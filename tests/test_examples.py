@@ -36,3 +36,17 @@ def test_stream_upsert_example(spark, sf_dir, tmp_path):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
     assert n == batch.filter(F.col("event_type") == "purchase").count()
+
+
+def test_curate_corpus_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import curate_corpus
+    finally:
+        sys.path.pop(0)
+    raw, quality, uniq, capped, splits = curate_corpus.main(spark, sf_dir)
+    # each stage is monotone non-increasing
+    assert raw >= quality >= uniq >= capped > 0
+    # split assignment covers every kept doc
+    assert sum(splits.values()) == capped
+    assert set(splits) <= {"train", "val", "test"}
