@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from yaetl_spark.operators import (
     cap_per_group,
+    frequent_lines,
     gopher_quality_flags,
     hash_bucket,
     line_dedup,
@@ -186,3 +187,57 @@ def test_gopher_flags_is_narrow_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan  # pure scan-level expressions
+
+
+# --- frequent_lines ---------------------------------------------------------
+
+
+def test_frequent_lines_inventory_matches_removal_set(spark):
+    inv = {
+        (r.line, r.n)
+        for r in frequent_lines(_corpus(spark), min_occurrences=3).collect()
+    }
+    assert inv == {("cookie banner", 4), ("footer", 3)}
+
+
+# --- cross-engine formula parity (hypothesis) -------------------------------
+
+
+def test_hash_formulas_match_reference_arithmetic(spark):
+    """The deterministic bucket/split formulas must be plain integer/md5
+    arithmetic any engine reproduces — hypothesis drives random keys
+    through Spark in ONE batch and replays the documented formula in
+    Python. Catches silent drift in hash_bucket / hash_bucket_str /
+    split_column (the oracle SQL embeds the same formulas)."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import hash_bucket_str, split_column
+
+    KNUTH, SALT = 2654435761, 12345
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**31 - 1),
+            min_size=1, max_size=40, unique=True,
+        )
+    )
+    def run(keys):
+        df = spark.createDataFrame([(k, str(k)) for k in keys], "k long, s string")
+        got = df.select(
+            "k",
+            hash_bucket("k", 1000).alias("b_int"),
+            hash_bucket_str("s", 1000).alias("b_str"),
+            split_column("k", (0.8, 0.1, 0.1)).alias("split"),
+        ).collect()
+        for r in got:
+            assert r.b_int == (r.k * KNUTH + SALT) % 1000
+            md5_prefix = int(hashlib.md5(str(r.k).encode()).hexdigest()[:8], 16)
+            assert r.b_str == md5_prefix % 1000
+            b = (r.k * KNUTH + SALT) % 10000
+            expect = "train" if b < 8000 else ("val" if b < 9000 else "test")
+            assert r.split == expect
+
+    run()

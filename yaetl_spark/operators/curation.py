@@ -33,7 +33,44 @@ from pyspark.sql import functions as F
 from .sampling import hash_bucket, hash_bucket_str
 from .text import LANG_MARKERS, punct_ratio, token_count
 
-__all__ = ["line_dedup", "cap_per_group", "gopher_quality_flags"]
+__all__ = [
+    "cap_per_group",
+    "frequent_lines",
+    "gopher_quality_flags",
+    "line_dedup",
+]
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The corpus boilerplate inventory: every line occurring at least
+    ``min_occurrences`` times across the corpus, as ``(line, n)`` rows —
+    the inspectable counterpart of :func:`line_dedup`'s removal set
+    (audit WHAT is being cut before cutting it).
+
+    Scale shape: one md5-keyed count shuffle with map-side combine; the
+    raw line string rides only inside the aggregation state of its own
+    group (``any_value``), never as the shuffle key.
+    """
+    line = F.col("line")
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
+                "line"
+            )
+        )
+        .groupBy(F.md5(line).alias("_h"))
+        .agg(
+            F.any_value(line).alias("line"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= min_occurrences)
+        .select("line", "n")
+    )
 
 
 def line_dedup(
