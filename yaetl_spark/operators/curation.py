@@ -128,9 +128,16 @@ def line_dedup(
     )
     tagged = lines.withColumn("_h", F.md5(line))
     if min_line_chars > 0:
-        exempt = tagged.filter(F.length(line) < min_line_chars)
-        candidates = tagged.filter(F.length(line) >= min_line_chars)
-        kept = candidates.join(hot, "_h", "left_anti").unionByName(exempt)
+        # one pass over the exploded lines: left-join the hot set and keep
+        # exempt-short lines regardless (a filtered-branch union would
+        # explode the corpus twice)
+        kept = (
+            tagged.join(hot.withColumn("_hot", F.lit(True)), "_h", "left")
+            .filter(
+                F.col("_hot").isNull() | (F.length(line) < min_line_chars)
+            )
+            .drop("_hot")
+        )
     else:
         kept = tagged.join(hot, "_h", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
