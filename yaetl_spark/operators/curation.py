@@ -150,6 +150,12 @@ def line_dedup(
         ).alias("_new_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+    if drop_empty and set(df.columns) == {id_col, text_col}:
+        # nothing to join back — the reassembly already carries every
+        # surviving column, so skip the id join entirely
+        return rebuilt.select(
+            id_col, F.col("_new_text").alias(text_col), "n_lines"
+        )
     out = df.drop(text_col).join(
         rebuilt, id_col, "inner" if drop_empty else "left"
     )
