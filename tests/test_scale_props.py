@@ -255,6 +255,10 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         "dataset_split", "hash_sample", "weighted_sample", "pack_documents",
         "bloom_join", "incremental_dedup", "minhash_neardup",
         "simhash_dedup", "embedding_lsh", "doc_fingerprint",
+        # curation: source_cap ranks by the Knuth product (doc_id·K stays
+        # far below 2^62 at any realistic doc count); line_dedup is
+        # md5-keyed but rides the same explode/agg machinery
+        "source_cap", "line_dedup", "gopher_rules",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")
