@@ -1971,6 +1971,26 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra between two user segments via mergeable Theta
+    sketches (operators/sketches.py theta_overlap): |A|, |B|, |A∪B|,
+    |A∩B|, |A\\B|, |B\\A| from two ~2 KB sketches — no exact-distinct
+    shuffle of raw keys. At test SF both segments sit below the sketch's
+    2^lg_k exact-mode bound, so the estimates ARE the exact counts and
+    the oracle's exact set SQL hash-matches; at production scale the same
+    plan returns bounded-error estimates by design."""
+    from yaetl_spark.operators import theta_overlap
+
+    ev = _events(spark, sf_dir, heavy=False)
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 75)
+    ).select("user_id")
+    b = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 90)
+    ).select("user_id")
+    return theta_overlap(a, b, "user_id")
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile over the embedding table: fit k=8 centroids
     (2 Lloyd's iterations, deterministic id-ordered init — see
@@ -2125,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "source_cap": q_source_cap,
         "gopher_rules": q_gopher_rules,
+        "segment_overlap": q_segment_overlap,
         "gap_fill": q_gap_fill,
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
@@ -2197,23 +2218,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the three curation
-# operators NEW this round (line_dedup, source_cap, gopher_rules) plus
-# the four queries whose implementation or oracle changed this round
-# (histogram gained the edge-bin clamp on both engines; bloom_join
+# Round-4 front-of-window. Priority order: (a) the four operators NEW
+# this round (line_dedup, source_cap, gopher_rules, segment_overlap)
+# plus the four queries whose implementation or oracle changed this
+# round (histogram gained the edge-bin clamp on both engines; bloom_join
 # switched to the native runtime-bloom strategy; kmeans_assign's update
 # became posexplode-based; incremental_dedup's bloom_prune temp column
 # was made collision-safe), then (b) the four entries whose last driver
 # row is round 1 (ann_ivf, doc_fingerprint, market_share, media_meta),
-# then (c) 39 of the 45 entries last checked in round 2 — deferring
-# scan_filter_project, inner_join, limit_offset, anti_join, semi_join
-# and union_sources (trivial single-op plans, green in BOTH r1 and r2)
-# to round 5, where they plus this round's r3-green remainder become the
-# stalest cohort. After r4 lands, no non-trivial query's latest driver
-# row is older than two rounds.
+# then (c) 38 of the 45 entries last checked in round 2 — deferring
+# scan_filter_project, inner_join, limit_offset, anti_join, semi_join,
+# cross_join and union_sources (trivial single-op plans, green in BOTH
+# r1 and r2) to round 5, where they plus this round's r3-green remainder
+# become the stalest cohort. After r4 lands, no non-trivial query's
+# latest driver row is older than two rounds.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "line_dedup", "source_cap", "gopher_rules",
+    "line_dedup", "source_cap", "gopher_rules", "segment_overlap",
     # (a') changed this round
     "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
     # (b) last checked round 1
@@ -2229,7 +2250,7 @@ _DRIVER_WINDOW = [
     "funnel", "repetition", "json_extract", "image_features",
     "break_at", "daily_active", "range_band", "tfidf", "salted_join",
     "audio_features", "frame_sample", "chained_join_agg",
-    "cross_join", "groupby_agg", "left_join_default", "rollup_agg",
+    "groupby_agg", "left_join_default", "rollup_agg",
 ]
 
 
@@ -2733,6 +2754,28 @@ def oracle_sql() -> dict[str, str]:
                               AND pr <= 0.1 AND kinds >= 1
                              THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
             FROM g
+        """,
+        "segment_overlap": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase' AND value > 75),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click' AND value > 90)
+            SELECT
+                CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+                CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+                CAST((SELECT COUNT(*) FROM
+                      (SELECT user_id FROM a UNION SELECT user_id FROM b))
+                     AS BIGINT) AS n_union,
+                CAST((SELECT COUNT(*) FROM
+                      (SELECT user_id FROM a
+                       INTERSECT SELECT user_id FROM b))
+                     AS BIGINT) AS n_intersection,
+                CAST((SELECT COUNT(*) FROM
+                      (SELECT user_id FROM a EXCEPT SELECT user_id FROM b))
+                     AS BIGINT) AS n_only_a,
+                CAST((SELECT COUNT(*) FROM
+                      (SELECT user_id FROM b EXCEPT SELECT user_id FROM a))
+                     AS BIGINT) AS n_only_b
         """,
         "lang_id": _lang_id_sql(),
         "ngram_jaccard": f"""

@@ -467,3 +467,15 @@ def test_gopher_rules_is_scan_level(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "Join" not in plan
     assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_segment_overlap_no_exact_distinct_expand(spark):
+    """The theta path must never materialize exact distincts: each side
+    reduces to ONE sketch via partial aggregation (SinglePartition
+    exchange of sketch state, not raw keys), and the filters reach the
+    scan."""
+    plan = plan_of(spark, "segment_overlap")
+    assert "Expand" not in plan
+    assert "theta_sketch_agg" in plan
+    assert plan.count("partial_theta_sketch_agg") == 2
+    assert "PushedFilters: [IsNotNull(event_type), IsNotNull(value)" in plan

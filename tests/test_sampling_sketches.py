@@ -286,3 +286,45 @@ def test_weighted_hash_sample_clamps_and_is_deterministic(spark):
     assert abs(n - 1500) < 150  # Knuth hash is uniform enough at 0.3
     n2 = weighted_hash_sample(big.repartition(11), "id", "w").count()
     assert n == n2
+
+
+def test_theta_overlap_exact_mode_matches_set_algebra(spark):
+    """Below 2^lg_k distincts a Theta sketch is exact: the overlap row
+    must equal plain set algebra on the same keys."""
+    from yaetl_spark.operators import theta_overlap
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(200, 450).select(F.col("id").alias("k"))
+    row = theta_overlap(a, b, "k").collect()[0]
+    assert (row.n_a, row.n_b) == (300, 250)
+    assert row.n_union == 450
+    assert row.n_intersection == 100
+    assert (row.n_only_a, row.n_only_b) == (200, 150)
+
+
+def test_theta_rollup_merges_like_hll(spark, sf_dir):
+    """Fine-grain theta sketches unioned to a coarser grain must equal
+    the single-pass sketch of the whole population (exact mode)."""
+    from yaetl_spark.operators import theta_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = theta_rollup(ev, ["event_type"], "user_id")
+    merged = fine.groupBy().agg(
+        F.theta_sketch_estimate(
+            F.theta_union_agg(F.col("theta_sketch"))
+        ).cast("bigint").alias("n")
+    ).collect()[0].n
+    exact = ev.select("user_id").distinct().count()
+    assert merged == exact
+
+
+def test_theta_overlap_partition_invariant(spark, sf_dir):
+    from yaetl_spark.operators import theta_overlap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    r1 = theta_overlap(a, b, "user_id").collect()[0]
+    r2 = theta_overlap(
+        a.repartition(7), b.repartition(3), "user_id").collect()[0]
+    assert tuple(r1) == tuple(r2)

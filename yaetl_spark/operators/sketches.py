@@ -93,3 +93,61 @@ def approx_quantiles(
         *keys, *[F.element_at(F.col("_q"), i + 1).alias(
             f"p{int(p * 100):02d}") for i, p in enumerate(probabilities)]
     )
+
+
+def theta_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lg_k: int = 12,
+    sketch_col: str = "theta_sketch",
+) -> DataFrame:
+    """Fine-grain pass: one mergeable Theta sketch per key group.
+
+    Theta is the set-OPERATION sketch: unlike HLL it supports
+    intersection and difference estimates after the fact
+    (:func:`theta_overlap`), at ~same size (~2^lg_k hashes max). Persist
+    at the finest grain; coarser grains derive via ``theta_union_agg``
+    without re-reading raw data. Below ~2^lg_k distinct values the
+    sketch is in exact mode — estimates are exact counts (what the
+    oracle checks at test SF; production answers are approximate by
+    design).
+    """
+    return df.groupBy(*keys).agg(
+        F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def theta_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-set algebra between two keyed populations without an
+    exact-distinct shuffle: one row with ``n_a``, ``n_b``, ``n_union``,
+    ``n_intersection``, ``n_only_a``, ``n_only_b`` — the segment-overlap
+    question ("how many users in A ∩ B") answered from two ~2 KB Theta
+    sketches.
+
+    Scale shape: each side is ONE partial-aggregated reduction to a
+    single sketch (the shuffle carries ≤ 2^lg_k hashes per partition,
+    never raw keys); the final combine is a 1×1 cross join of two
+    single-row frames. Exact below 2^lg_k distincts per side; bounded
+    relative error above.
+    """
+    sk_a = a.groupBy().agg(F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias("_a"))
+    sk_b = b.groupBy().agg(F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias("_b"))
+    both = sk_a.crossJoin(sk_b)
+    est = F.theta_sketch_estimate
+    return both.select(
+        est(F.col("_a")).cast("bigint").alias("n_a"),
+        est(F.col("_b")).cast("bigint").alias("n_b"),
+        est(F.theta_union(F.col("_a"), F.col("_b"))).cast("bigint").alias("n_union"),
+        est(F.theta_intersection(F.col("_a"), F.col("_b"))).cast("bigint")
+        .alias("n_intersection"),
+        est(F.theta_difference(F.col("_a"), F.col("_b"))).cast("bigint")
+        .alias("n_only_a"),
+        est(F.theta_difference(F.col("_b"), F.col("_a"))).cast("bigint")
+        .alias("n_only_b"),
+    )
