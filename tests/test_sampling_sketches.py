@@ -328,3 +328,32 @@ def test_theta_overlap_partition_invariant(spark, sf_dir):
     r2 = theta_overlap(
         a.repartition(7), b.repartition(3), "user_id").collect()[0]
     assert tuple(r1) == tuple(r2)
+
+
+def test_kll_rollup_merge_within_rank_error(spark, sf_dir):
+    """Merged per-group KLL sketches must reproduce global quantiles
+    within the sketch's rank-error bound (k=200 → ~1.65% of N ranks)."""
+    from yaetl_spark.operators import kll_merge, kll_rollup
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fine = kll_rollup(o, ["o_orderstatus"], "o_totalprice")
+    got = kll_merge(fine, [], probabilities=(0.5, 0.9)).collect()[0]
+    vals = sorted(r.o_totalprice for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    for est, p in ((got.p50, 0.5), (got.p90, 0.9)):
+        # translate the value estimate back to a rank and check the bound
+        import bisect
+        rank = bisect.bisect_left(vals, est) / n
+        assert abs(rank - p) < 0.04, (p, est, rank)
+
+
+def test_kll_merge_keeps_group_columns(spark, sf_dir):
+    from yaetl_spark.operators import kll_merge, kll_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = kll_rollup(ev, ["event_type", "user_id"], "value")
+    out = kll_merge(fine, ["event_type"], probabilities=(0.5,))
+    rows = out.collect()
+    assert {r.event_type for r in rows} == {
+        r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert all(r.p50 is not None for r in rows)

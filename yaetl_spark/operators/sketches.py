@@ -151,3 +151,59 @@ def theta_overlap(
         est(F.theta_difference(F.col("_b"), F.col("_a"))).cast("bigint")
         .alias("n_only_b"),
     )
+
+
+def kll_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Fine-grain pass: one mergeable KLL quantile sketch (double) per
+    key group — the quantile member of the sketch family beside HLL
+    (distincts) and Theta (set ops). ``k=200`` → ~1.65% rank error,
+    O(k·log n) bytes per sketch.
+
+    Honesty note (unique in this module): KLL compaction is randomized,
+    so estimates vary slightly across runs/partitionings WITHIN the rank
+    error bound — unlike every other operator here it is NOT
+    bit-deterministic and has no DuckDB oracle; use
+    ``aggregates.percentiles`` for the exact/oracle mode.
+    """
+    return df.groupBy(*keys).agg(
+        getattr(F, "kll_sketch_agg_double")(F.col(col), F.lit(k)).alias(
+            sketch_col
+        )
+    )
+
+
+def kll_merge(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    sketch_col: str = "kll_sketch",
+    keep_sketch: bool = False,
+) -> DataFrame:
+    """Coarse-grain pass: merge fine KLL sketches up to ``keys`` and emit
+    ``p50``-style quantile columns. The shuffle carries O(k·log n)-byte
+    sketch state per fine group — never raw values — so "p99 latency last
+    quarter" is a merge of per-day sketches, not a 100 TB re-read."""
+    merged = sketches.groupBy(*keys).agg(
+        getattr(F, "kll_merge_agg_double")(F.col(sketch_col)).alias(sketch_col)
+    )
+    qs = getattr(F, "kll_sketch_get_quantile_double")(
+        F.col(sketch_col),
+        F.array(*[F.lit(float(p)) for p in probabilities]),
+    )
+    out = merged.withColumn("_q", qs).select(
+        *keys,
+        *(
+            [F.col(sketch_col)] if keep_sketch else []
+        ),
+        *[
+            F.element_at(F.col("_q"), i + 1).alias(f"p{int(p * 100):02d}")
+            for i, p in enumerate(probabilities)
+        ],
+    )
+    return out
