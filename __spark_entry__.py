@@ -629,6 +629,126 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated token spans (operators/curation.py,
+    ExactSubstr-style after Lee et al. 2022): every maximal token run
+    whose 8-gram shingles all repeat corpus-wide, merged
+    gaps-and-islands into (start, end) spans per document. Scale shape:
+    fixed-width md5 shingle keys with map-side combine, Zipf-small hot
+    set drives a broadcastable tag join, span merge is a per-document
+    window — no global sort."""
+    from yaetl_spark.operators import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")
+    return duplicate_spans(docs, k=8, min_occurrences=2)
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut corpus-duplicated 12-gram spans out of every document
+    (operators/curation.py): tokens covered by any duplicated span are
+    removed, survivors rejoin in order, fully-duplicated docs drop.
+    The coverage test is an id-keyed equi join + exists() over the
+    per-doc span array (never a range-join explosion)."""
+    from yaetl_spark.operators import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")
+    return strip_duplicate_spans(docs, k=12, min_occurrences=2)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup (operators/curation.py): canonicalize messy
+    absolute URLs (case-folded scheme/host, www + default-port strip,
+    tracking params dropped, surviving params sorted, fragment cut,
+    trailing slash trimmed) and group to one row per canonical URL with
+    the deterministic min-id keeper. URLs are built deterministically
+    from (doc_id, source) so both engines canonicalize the same messy
+    forms; one shuffle on the canonical string."""
+    from yaetl_spark.operators import url_dedup
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "source")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("?b=2&a=1&utm_campaign=x")),
+        F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (operators/sketches.py): every token at
+    ≥1% corpus frequency with its exact count, via Misra-Gries
+    candidates (no false negatives, bounded driver artifact) + one
+    exact verify scan whose shuffle carries only candidate keys — never
+    the full token vocabulary. Deterministic: candidate false positives
+    are filtered by the exact ceil(support·total) threshold, so the
+    result equals the full exact GROUP BY."""
+    from yaetl_spark.operators import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents", heavy=False)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", support=0.01)
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history-preserving merge
+    (operators/transformers.py:scd2_merge): a customer dimension
+    snapshot (all rows open as of 2024-01-01) merged with an update
+    batch — every 14th key changes segment (close + new open row),
+    every 7th-not-14th arrives unchanged (dropped), every 97th key
+    inserts as a brand-new member. One key shuffle for the open-rows
+    full-outer join; closed history would pass through untouched.
+    Booleans cast BIGINT for unambiguous cross-engine hashing."""
+    from yaetl_spark.operators import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer", heavy=False)
+    k = F.col("c_custkey")
+    current = cust.select(
+        k.alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(k % 7 == 0).select(
+        k.alias("cust_id"),
+        F.when(k % 14 == 0, F.lit("PROMO"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.to_date(F.lit("2024-06-01")).alias("eff"),
+    ).unionByName(
+        cust.filter(k % 97 == 0).select(
+            (k + 1_000_000).alias("cust_id"),
+            F.lit("NEWSEG").alias("segment"),
+            F.to_date(F.lit("2024-06-01")).alias("eff"),
+        )
+    )
+    out = scd2_merge(current, updates, "cust_id", ["segment"],
+                     effective_col="eff")
+    # dates as strings: the cross-engine value hash treats DATE columns
+    # differently (datetime64/NaT vs date/None) — format on both sides
+    return out.select(
+        "cust_id", "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase totals per event type densified onto each type's
     own day spine (operators/timeseries.py): missing days appear with the
@@ -2145,6 +2265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "source_cap": q_source_cap,
         "gopher_rules": q_gopher_rules,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "url_dedup": q_url_dedup,
+        "heavy_hitters": q_heavy_hitters,
+        "scd2": q_scd2,
         "segment_overlap": q_segment_overlap,
         "gap_fill": q_gap_fill,
         "cohort_retention": q_cohort_retention,
@@ -2218,23 +2343,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the four operators NEW
-# this round (line_dedup, source_cap, gopher_rules, segment_overlap)
+# Round-4 front-of-window. Priority order: (a) the NINE operators NEW
+# this round (line_dedup, source_cap, gopher_rules, segment_overlap,
+# dup_spans, strip_spans, url_dedup, heavy_hitters, scd2)
 # plus the four queries whose implementation or oracle changed this
 # round (histogram gained the edge-bin clamp on both engines; bloom_join
 # switched to the native runtime-bloom strategy; kmeans_assign's update
 # became posexplode-based; incremental_dedup's bloom_prune temp column
 # was made collision-safe), then (b) the four entries whose last driver
 # row is round 1 (ann_ivf, doc_fingerprint, market_share, media_meta),
-# then (c) 38 of the 45 entries last checked in round 2 — deferring
+# then (c) 33 of the 45 entries last checked in round 2 — deferring
 # scan_filter_project, inner_join, limit_offset, anti_join, semi_join,
-# cross_join and union_sources (trivial single-op plans, green in BOTH
-# r1 and r2) to round 5, where they plus this round's r3-green remainder
+# cross_join, union_sources (trivial single-op plans, green in BOTH
+# r1 and r2) plus frame_sample, chained_join_agg, groupby_agg,
+# left_join_default and rollup_agg (displaced by this round's new
+# queries) to round 5, where they plus this round's r3-green remainder
 # become the stalest cohort. After r4 lands, no non-trivial query's
 # latest driver row is older than two rounds.
 _DRIVER_WINDOW = [
     # (a) new this round
     "line_dedup", "source_cap", "gopher_rules", "segment_overlap",
+    "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
     # (a') changed this round
     "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
     # (b) last checked round 1
@@ -2249,8 +2378,7 @@ _DRIVER_WINDOW = [
     "window_frames", "chunk_documents", "decontaminate", "percentiles",
     "funnel", "repetition", "json_extract", "image_features",
     "break_at", "daily_active", "range_band", "tfidf", "salted_join",
-    "audio_features", "frame_sample", "chained_join_agg",
-    "groupby_agg", "left_join_default", "rollup_agg",
+    "audio_features",
 ]
 
 
@@ -2289,6 +2417,45 @@ _TOKN = (
     f"ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1 END"
 )
 _PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _dup_spans_sql(k: int) -> str:
+    """Shared CTE chain for the duplicate_spans / strip_duplicate_spans
+    oracles: tokenized docs → length-``k`` shingle md5s → corpus-hot
+    shingles → marked positions → gaps-and-islands span grouping (the
+    same windowed running-max arithmetic the Spark operator uses).
+    Ends after the ``grp`` CTE so callers append either the span
+    aggregation or the token-strip chain."""
+    e = k - 1
+    return f"""
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            posn AS (
+                SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS pos
+                FROM base WHERE len(t) >= {k}),
+            sh AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(
+                           list_slice(t, pos, pos + {e}), ' ')) AS h
+                FROM posn),
+            hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+            mk AS (SELECT s.doc_id, s.pos FROM sh s JOIN hot USING (h)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN MAX(pos + {e}) OVER w IS NULL
+                              OR pos > MAX(pos + {e}) OVER w + 1
+                            THEN 1 ELSE 0 END AS brk
+                FROM mk
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)),
+            grp AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+                FROM isl)
+    """
 
 
 def _minhash_cands_cte(num_hashes: int = 32, bands: int = 8, seed: int = 42,
@@ -2754,6 +2921,146 @@ def oracle_sql() -> dict[str, str]:
                               AND pr <= 0.1 AND kinds >= 1
                              THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
             FROM g
+        """,
+        "dup_spans": _dup_spans_sql(k=8) + """
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM grp GROUP BY doc_id, island
+        """,
+        "strip_spans": _dup_spans_sql(k=12) + """,
+            spans AS (
+                SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 11 AS span_end
+                FROM grp GROUP BY doc_id, island
+            ),
+            tokv AS (
+                SELECT doc_id, len(t) AS len_t,
+                       unnest(range(1, len(t) + 1)) AS p, t
+                FROM base
+            ),
+            kept AS (
+                SELECT tv.doc_id, tv.len_t, tv.p, tv.t[tv.p] AS tok
+                FROM tokv tv
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = tv.doc_id
+                      AND tv.p BETWEEN s.span_start AND s.span_end)
+            )
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY p) AS text,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(ANY_VALUE(len_t) - COUNT(*) AS BIGINT) AS n_removed
+            FROM kept GROUP BY doc_id
+        """,
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                             ELSE 'https' END)
+                       || '://WWW.' || upper(source) || '.Example.COM'
+                       || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                                WHEN doc_id % 4 = 1 THEN ':443'
+                                ELSE '' END)
+                       || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                       || (CASE WHEN doc_id % 3 = 0
+                                THEN '?utm_source=feed&b=2&a=1'
+                                WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                                ELSE '?b=2&a=1&utm_campaign=x' END)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+                           AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(
+                           lower(regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           '^www\\.', '') AS h1,
+                       regexp_replace(
+                           regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                               1),
+                           '/+$', '') AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS qs
+                FROM u),
+            norm AS (
+                SELECT doc_id, scheme,
+                       CASE WHEN scheme = 'http'
+                                THEN regexp_replace(h1, ':80$', '')
+                            WHEN scheme = 'https'
+                                THEN regexp_replace(h1, ':443$', '')
+                            ELSE h1 END AS host,
+                       path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(qs, '&'),
+                           p -> p <> '' AND NOT regexp_matches(p,
+                               '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=')
+                       )), '&') AS q
+                FROM parts),
+            canon AS (
+                SELECT doc_id,
+                       CASE WHEN scheme <> '' THEN
+                            scheme || '://' || host || path
+                            || (CASE WHEN q <> '' THEN '?' || q ELSE '' END)
+                       END AS canonical_url
+                FROM norm)
+            SELECT canonical_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN(doc_id) AS keep_id
+            FROM canon GROUP BY canonical_url
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            c AS (SELECT tok, COUNT(*) AS n FROM toks
+                  WHERE tok IS NOT NULL GROUP BY tok),
+            t AS (SELECT SUM(n) AS total FROM c)
+            SELECT tok AS value, CAST(n AS BIGINT) AS n
+            FROM c, t
+            WHERE n >= CAST(ceil(0.01 * total) AS BIGINT)
+        """,
+        "scd2": """
+            WITH cur AS (
+                SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+                       DATE '2024-01-01' AS valid_from
+                FROM customer),
+            upd AS (
+                SELECT c_custkey AS cust_id,
+                       CASE WHEN c_custkey % 14 = 0 THEN 'PROMO'
+                            ELSE c_mktsegment END AS segment,
+                       DATE '2024-06-01' AS eff
+                FROM customer WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000, 'NEWSEG', DATE '2024-06-01'
+                FROM customer WHERE c_custkey % 97 = 0),
+            j AS (
+                SELECT cur.cust_id AS c_id, cur.segment AS c_seg,
+                       cur.valid_from AS vf,
+                       upd.cust_id AS u_id, upd.segment AS u_seg, upd.eff
+                FROM cur FULL OUTER JOIN upd ON cur.cust_id = upd.cust_id)
+            SELECT c_id AS cust_id, c_seg AS segment,
+                   strftime(vf, '%Y-%m-%d') AS valid_from,
+                   CAST(NULL AS VARCHAR) AS valid_to,
+                   CAST(1 AS BIGINT) AS is_current
+            FROM j
+            WHERE c_id IS NOT NULL
+              AND (u_id IS NULL OR c_seg IS NOT DISTINCT FROM u_seg)
+            UNION ALL
+            SELECT c_id, c_seg, strftime(vf, '%Y-%m-%d'),
+                   strftime(eff, '%Y-%m-%d'), CAST(0 AS BIGINT)
+            FROM j
+            WHERE c_id IS NOT NULL AND u_id IS NOT NULL
+              AND c_seg IS DISTINCT FROM u_seg
+            UNION ALL
+            SELECT u_id, u_seg, strftime(eff, '%Y-%m-%d'),
+                   CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
+            FROM j
+            WHERE u_id IS NOT NULL
+              AND (c_id IS NULL OR c_seg IS DISTINCT FROM u_seg)
         """,
         "segment_overlap": """
             WITH a AS (SELECT DISTINCT user_id FROM events

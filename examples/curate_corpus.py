@@ -4,9 +4,10 @@ the published recipes (Gopher, CCNet, RefinedWeb) apply them:
 
 1. quality gate   — Gopher rule battery, keep only ``gopher_pass`` docs
 2. line dedup     — cut corpus-frequent boilerplate lines from survivors
-3. exact dedup    — drop full-document duplicates (md5 fingerprint)
-4. source caps    — no source/domain may dominate the mixture
-5. dataset split  — deterministic train/val/test assignment
+3. span dedup     — cut corpus-duplicated token runs (ExactSubstr-style)
+4. exact dedup    — drop full-document duplicates (md5 fingerprint)
+5. source caps    — no source/domain may dominate the mixture
+6. dataset split  — deterministic train/val/test assignment
 
 Every stage is shuffle-frugal (see each operator's docstring for the
 100 TB shape) and RNG-free, so the output corpus is byte-stable across
@@ -28,6 +29,7 @@ from yaetl_spark.operators import (
     exact_dedup,
     gopher_quality_flags,
     line_dedup,
+    strip_duplicate_spans,
 )
 
 
@@ -64,14 +66,21 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         .withColumn("n_chars", F.length("text"))
     )
 
-    # 3) whole-document exact dedup: keeper ids → semi join back
-    keepers = exact_dedup(deduped_lines, text_col="text", id_col="doc_id")
-    uniq = deduped_lines.join(keepers, "doc_id", "left_semi")
+    # 3) duplicated-span removal: cut every corpus-repeated 12-token run
+    #    (broadcast hot-set tag + per-doc island merge; see PLANS.md)
+    despanned = strip_duplicate_spans(
+        deduped_lines.select("doc_id", "text"), k=12, min_occurrences=2,
+    ).drop("n_tokens", "n_removed").join(
+        deduped_lines.drop("text"), "doc_id")
 
-    # 4) per-source quota: deterministic, hash-ranked
+    # 4) whole-document exact dedup: keeper ids → semi join back
+    keepers = exact_dedup(despanned, text_col="text", id_col="doc_id")
+    uniq = despanned.join(keepers, "doc_id", "left_semi")
+
+    # 5) per-source quota: deterministic, hash-ranked
     capped = cap_per_group(uniq, "source", "doc_id", n=20)
 
-    # 5) stable train/val/test split
+    # 6) stable train/val/test split
     final = dataset_split(capped, "doc_id", weights=(0.9, 0.05, 0.05))
     counts = {
         r["split"]: r["count"]

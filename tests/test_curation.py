@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yaetl_spark.operators import (
+    canonical_url,
     cap_per_group,
+    duplicate_spans,
+    strip_duplicate_spans,
+    url_dedup,
     frequent_lines,
     gopher_quality_flags,
     hash_bucket,
@@ -241,3 +245,123 @@ def test_hash_formulas_match_reference_arithmetic(spark):
             assert r.split == expect
 
     run()
+
+
+# --- duplicate_spans / strip_duplicate_spans --------------------------------
+
+
+def _span_corpus(spark):
+    # docs 1 and 2 share tokens c..h (positions 3-8); doc 3 is clean;
+    # doc 4 repeats doc 1 verbatim (fully duplicated)
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y c d e f g h q r"),
+            (3, "clean text with nothing repeated anywhere at all ok fine"),
+            (4, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_finds_and_merges(spark):
+    spans = duplicate_spans(_span_corpus(spark), k=4, min_occurrences=2)
+    got = _rows(spans.select("doc_id", "span_start", "span_end",
+                             "span_tokens", "n_shingles"))
+    # docs 1/4 fully duplicated (10 tokens, 7 shingles); doc 2 shares the
+    # 6-token run c..h at positions 3-8 (3 hot shingles)
+    assert (2, 3, 8, 6, 3) in got
+    assert (1, 1, 10, 10, 7) in got and (4, 1, 10, 10, 7) in got
+    assert not any(r[0] == 3 for r in got)
+
+
+def test_duplicate_spans_short_docs_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")],
+                               "doc_id long, text string")
+    assert duplicate_spans(df, k=4).count() == 0  # shorter than k: no spans
+    assert duplicate_spans(df, k=2).count() == 2  # whole doc duplicated
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=2, min_occurrences=1)
+
+
+def test_strip_duplicate_spans_cuts_covered_tokens(spark):
+    out = strip_duplicate_spans(_span_corpus(spark), k=4, min_occurrences=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # fully-duplicated docs 1/4 drop entirely (drop_empty)
+    assert set(got) == {2, 3}
+    assert got[2]["text"] == "x y q r"
+    assert got[2]["n_tokens"] == 4 and got[2]["n_removed"] == 6
+    assert got[3]["n_removed"] == 0
+
+
+def test_strip_duplicate_spans_keep_empty_and_precomputed(spark):
+    corpus = _span_corpus(spark)
+    spans = duplicate_spans(corpus, k=4, min_occurrences=2)
+    out = strip_duplicate_spans(corpus, spans=spans, drop_empty=False)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["text"] is None or got[1]["n_tokens"] is None or \
+        got[1]["n_tokens"] == 0  # left-join miss: doc fully covered
+
+
+def test_duplicate_spans_partition_invariant(spark):
+    corpus = _span_corpus(spark)
+    a = _rows(duplicate_spans(corpus.repartition(1), k=4))
+    b = _rows(duplicate_spans(corpus.repartition(7), k=4))
+    assert a == b
+
+
+# --- canonical_url / url_dedup ----------------------------------------------
+
+
+def test_canonical_url_normalizations(spark):
+    cases = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#f"),
+            (2, "https://example.com:443/a/b?b=2&a=1"),
+            (3, "https://example.com:8443/a"),   # non-default port kept
+            (4, "ftp://Example.com:80/x"),        # :80 not ftp's default
+            (5, "https://example.com/"),          # root path trims to host
+            (6, "relative/path only"),            # not absolute -> NULL
+            (7, "https://example.com/a?fbclid=z&gclid=y&ref=t"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in cases.select(
+            "id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == "http://example.com/a/b?a=1&b=2"
+    assert got[2] == "https://example.com/a/b?a=1&b=2"
+    assert got[3] == "https://example.com:8443/a"
+    assert got[4] == "ftp://example.com:80/x"
+    assert got[5] == "https://example.com"
+    assert got[6] is None
+    assert got[7] == "https://example.com/a"
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://example.com/a?utm_source=x"),
+            (2, "https://WWW.example.com/a/"),
+            (9, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    got = _rows(url_dedup(df))
+    assert ("https://example.com/a", 2, 2) in got
+    assert ("https://example.com/b", 1, 9) in got
+
+
+def test_canonical_url_is_narrow_plan(spark):
+    df = spark.createDataFrame([(1, "https://e.com/a")],
+                               "doc_id long, url string")
+    plan = df.select(canonical_url(F.col("url")))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-level expression

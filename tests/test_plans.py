@@ -479,3 +479,54 @@ def test_segment_overlap_no_exact_distinct_expand(spark):
     assert "theta_sketch_agg" in plan
     assert plan.count("partial_theta_sketch_agg") == 2
     assert "PushedFilters: [IsNotNull(event_type), IsNotNull(value)" in plan
+
+
+def test_dup_spans_hot_set_broadcast_no_cartesian(spark):
+    """ExactSubstr-style span discovery: the corpus-hot shingle set is
+    Zipf-small, so tagging positions must be a broadcast equi join (never
+    a shuffle of the full shingle stream twice, never a cartesian), and
+    span merging is a per-doc window."""
+    plan = plan_of(spark, "dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_strip_spans_no_range_join_explosion(spark):
+    """Token coverage is an id-keyed equi join + exists() over the per-doc
+    span array — NOT a positional range join (which would plan as
+    nested-loop). No Python anywhere."""
+    plan = plan_of(spark, "strip_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_url_dedup_single_shuffle(spark):
+    """Canonicalization is scan-level expression work; the dedup is ONE
+    hash shuffle on the canonical string with map-side combine."""
+    plan = plan_of(spark, "url_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
+
+
+def test_heavy_hitters_shuffles_candidates_only(spark):
+    """The exact verify pass must broadcast the bounded candidate list
+    (never sort-merge against the corpus) and aggregate with map-side
+    partials; the only nested-loop is the one-row total broadcast."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_closed_history_never_rejoins(spark):
+    """SCD2: one keyed join for the open rows; the merge output unions
+    branches of THAT join — no second full-dimension join, no cartesian."""
+    plan = plan_of(spark, "scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan

@@ -22,6 +22,7 @@ from yaetl_spark.operators import (
     dataset_split,
     hash_bucket_str,
     hash_sample,
+    heavy_hitters,
     hll_merge,
     hll_rollup,
     kmeans_fit,
@@ -357,3 +358,53 @@ def test_kll_merge_keeps_group_columns(spark, sf_dir):
     assert {r.event_type for r in rows} == {
         r.event_type for r in ev.select("event_type").distinct().collect()}
     assert all(r.p50 is not None for r in rows)
+
+
+# --- heavy hitters (exact two-pass) -----------------------------------------
+
+
+def test_heavy_hitters_exact_counts(spark):
+    rows = [("a",)] * 500 + [("b",)] * 120 + [("c",)] * 49 + [
+        (f"z{i}",) for i in range(331)
+    ]
+    df = spark.createDataFrame(rows, "tok string")  # 1000 rows
+    got = {r["value"]: r["n"] for r in
+           heavy_hitters(df, "tok", support=0.05).collect()}
+    # threshold = ceil(0.05 * 1000) = 50: a and b qualify, c misses by 1
+    assert got == {"a": 500, "b": 120}
+
+
+def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    hh = {r["value"]: r["n"] for r in
+          heavy_hitters(toks, "tok", support=0.01).collect()}
+    exact = toks.groupBy("tok").count().collect()
+    total = sum(r["count"] for r in exact)
+    thr = math.ceil(0.01 * total)
+    want = {r["tok"]: r["count"] for r in exact if r["count"] >= thr}
+    assert hh == want
+
+
+def test_heavy_hitters_ignores_nulls_and_validates(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,)], "tok string")
+    got = {r["value"]: r["n"] for r in
+           heavy_hitters(df, "tok", support=0.5).collect()}
+    assert got == {"a": 2}  # 2 of 2 non-null rows; nulls don't count
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", support=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", support=1.0)
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    rows = [(f"k{i % 7}",) for i in range(700)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "tok string")
+    a = sorted(map(tuple, heavy_hitters(
+        df.repartition(1), "tok", support=0.1).collect()))
+    b = sorted(map(tuple, heavy_hitters(
+        df.repartition(13), "tok", support=0.1).collect()))
+    assert a == b and len(a) == 7

@@ -259,6 +259,10 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # far below 2^62 at any realistic doc count); line_dedup is
         # md5-keyed but rides the same explode/agg machinery
         "source_cap", "line_dedup", "gopher_rules",
+        # round-4 additions: dup_spans/strip_spans are md5-keyed like
+        # line_dedup; heavy_hitters/url_dedup/scd2 use only small-int
+        # modular arithmetic — all must survive an ANSI session
+        "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")

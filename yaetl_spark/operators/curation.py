@@ -34,10 +34,14 @@ from .sampling import hash_bucket, hash_bucket_str
 from .text import LANG_MARKERS, punct_ratio, token_count
 
 __all__ = [
+    "canonical_url",
     "cap_per_group",
+    "duplicate_spans",
     "frequent_lines",
     "gopher_quality_flags",
     "line_dedup",
+    "strip_duplicate_spans",
+    "url_dedup",
 ]
 
 
@@ -164,6 +168,254 @@ def line_dedup(
             "_new_text", F.coalesce(F.col("_new_text"), F.lit(""))
         ).withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)))
     return out.withColumnRenamed("_new_text", text_col)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-duplicated token spans (ExactSubstr-style dedup, after Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal run of tokens whose length-``k`` shingles all
+    occur at least ``min_occurrences`` times across the WHOLE corpus.
+    Returns one row per merged span: ``(id_col, span_start, span_end,
+    span_tokens, n_shingles)`` with 1-based inclusive token positions.
+
+    A duplicated region of ``L >= k`` tokens shows up as ``L - k + 1``
+    hot shingles at consecutive positions; overlapping/adjacent hot
+    shingle windows merge into one span (gaps-and-islands over the
+    position sequence).
+
+    Scale shape (100 TB):
+    - shingle fingerprints are fixed-width ``md5`` hex — the corpus-wide
+      frequency count shuffles 32-char keys with map-side combine, never
+      raw text;
+    - only over-threshold fingerprints survive (Zipf-small boilerplate
+      set), so tagging positions is a planner-broadcastable inner join;
+    - span merging is a per-document window (partitioned by ``id_col``,
+      ordered by position) — state bounded by document length, no global
+      sort.
+
+    Built from DuckDB-identical primitives (md5 / split / slice /
+    windowed running max-sum), so the whole operator is oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2 (1 matches every span)")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    positions = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                positions,
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(toks, p, k))).alias("_h"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s._h").alias("_h"))
+    hot = (
+        shingled.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("_h")
+    )
+    marked = shingled.join(hot, "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + F.lit(1)), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn(
+        "_island",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_shingles",
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Cut every corpus-duplicated span (see :func:`duplicate_spans`) out
+    of the documents: tokens covered by any span are removed, survivors
+    rejoin in order. Returns ``(id_col, text_col, n_tokens, n_removed)``.
+    Pass a precomputed ``spans`` frame to reuse one discovery pass across
+    several strip policies; otherwise spans are computed with the given
+    ``k`` / ``min_occurrences``.
+
+    Scale shape: spans collapse to one array per document (tiny — spans,
+    not tokens), the coverage test is an id-keyed equi join + an
+    ``exists()`` over that array (no range-join explosion), and
+    reassembly is the same per-document sort-free groupBy as
+    :func:`line_dedup`.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col=text_col, id_col=id_col, k=k,
+            min_occurrences=min_occurrences,
+        )
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
+    ).withColumn("_p", F.col("_p") + F.lit(1))
+    covered = F.exists(
+        F.col("_spans"),
+        lambda s: (F.col("_p") >= s["span_start"])
+        & (F.col("_p") <= s["span_end"]),
+    )
+    kept = (
+        toks.join(span_arr, id_col, "left")
+        .withColumn("_cut", F.coalesce(covered, F.lit(False)))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_cut"), F.struct("_p", "_tok"))
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_new_text"),
+        F.sum(F.when(F.col("_cut"), 0).otherwise(1)).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.sum(F.when(F.col("_cut"), 1).otherwise(0)).cast("bigint").alias(
+            "n_removed"
+        ),
+    )
+    if drop_empty:
+        rebuilt = rebuilt.filter(F.col("n_tokens") > 0)
+    out = df.drop(text_col).join(
+        rebuilt, id_col, "inner" if drop_empty else "left"
+    )
+    return out.withColumnRenamed("_new_text", text_col)
+
+
+#: query params cut by :func:`canonical_url` — the standard tracking set
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(
+    url: Column,
+    drop_param_re: str = TRACKING_PARAM_RE,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of an absolute URL, for web-corpus dedup:
+    lowercase scheme and host, strip a leading ``www.``, strip the
+    scheme's default port (``:80`` http / ``:443`` https), drop the
+    fragment, drop tracking query params (``drop_param_re``, matched
+    against ``name=value``), sort the surviving params, and trim
+    trailing slashes from the path. Returns NULL when the value has no
+    ``scheme://`` prefix (not an absolute URL).
+
+    Pure regexp/array expressions — scan-level, whole-stage codegen —
+    built only from primitives with identical semantics in DuckDB
+    (``regexp_extract`` group capture, ``list_filter``/``list_sort``),
+    so canonicalization itself is oracle-checkable. Deliberately NOT a
+    full RFC 3986 resolver: no percent-encoding normalization or dot-
+    segment removal (rare in crawl URLs; a Pandas-UDF ``urllib`` pass
+    can layer on top when needed).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(drop_param_re),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.when(
+        scheme != "",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    drop_param_re: str = TRACKING_PARAM_RE,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Group rows by :func:`canonical_url` of ``url_col``: one row per
+    canonical URL with ``n_dups`` (occurrence count) and ``keep_id``
+    (minimum ``id_col`` — the deterministic canonical keeper). Rows whose
+    URL fails to canonicalize (no scheme) group under NULL. One shuffle
+    on the canonical string; map-side combine collapses within-partition
+    repeats first.
+    """
+    curl = canonical_url(
+        F.col(url_col), drop_param_re=drop_param_re, strip_www=strip_www
+    )
+    return (
+        df.select(curl.alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
 
 
 def cap_per_group(

@@ -207,3 +207,59 @@ def kll_merge(
         ],
     )
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.001,
+    out_value: str = "value",
+    out_count: str = "n",
+) -> DataFrame:
+    """EXACT frequent items at sketch cost: every value of ``col`` whose
+    frequency is at least ``support`` of the (non-null) rows, with its
+    exact count — via the classic two-pass candidate/verify pattern.
+
+    Pass 1 runs Spark's built-in Misra-Gries summary
+    (``DataFrame.freqItems`` — single scan, per-partition O(1/support)
+    state, merged on the driver). Misra-Gries guarantees NO FALSE
+    NEGATIVES above the support threshold, so the candidate list (at most
+    ~1/support values — a bounded driver artifact) provably contains
+    every true heavy hitter. Pass 2 makes the answer exact: one more
+    scan that broadcast-joins the candidate list, counts ONLY candidate
+    keys (everything else collapses into a single null bucket that still
+    feeds the total), and keeps counts ≥ ``ceil(support * total)``.
+
+    Why this beats a plain groupBy at 100 TB: an exact
+    ``groupBy(col).count()`` shuffles EVERY distinct key — at web scale
+    that's billions of groups for a handful of answers. Here the shuffle
+    after pass 2's map side carries at most ``~1/support + 1`` groups,
+    and the false positives Misra-Gries may add are filtered by the
+    exact threshold, so the result is deterministic and oracle-equal to
+    the full exact query.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError("support must be in (0, 1)")
+    c = F.col(col)
+    src = df.select(c).filter(c.isNotNull())
+    cands = src.freqItems([col], support).collect()[0][0]
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(v,) for v in cands], schema=src.schema
+    ).withColumn("_hit", F.lit(True))
+    counts = (
+        src.join(F.broadcast(cand_df), col, "left")
+        .select(F.when(F.col("_hit"), c).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = counts.agg(F.sum("_n").alias("_total"))
+    thr = F.ceil(F.lit(float(support)) * F.col("_total")).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_k").isNotNull() & (F.col("_n") >= thr))
+        .select(
+            F.col("_k").alias(out_value),
+            F.col("_n").cast("bigint").alias(out_count),
+        )
+    )
