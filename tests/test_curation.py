@@ -365,3 +365,26 @@ def test_canonical_url_is_narrow_plan(spark):
     plan = df.select(canonical_url(F.col("url")))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # pure scan-level expression
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a projection: applying it to an already-
+    canonical URL changes nothing (messy forms across case, ports,
+    tracking params, fragments, and slash variants)."""
+    import itertools
+
+    parts = []
+    for scheme, port, qs, frag, slash in itertools.product(
+        ["http", "HTTPS"], ["", ":80", ":443", ":8080"],
+        ["", "?b=2&a=1", "?utm_source=x&a=1", "?utm_source=x"],
+        ["", "#frag"], ["", "/", "//"],
+    ):
+        parts.append(f"{scheme}://WWW.Ex{port and port or ''}.com/p{slash}{qs}{frag}"
+                     .replace("Ex:", "Ex.host:"))
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(parts)],
+                               "id long, url string")
+    once = df.select("id", canonical_url(F.col("url")).alias("u"))
+    twice = once.select("id", canonical_url(F.col("u")).alias("u2"), "u")
+    bad = twice.filter(
+        F.col("u").isNotNull() & (F.col("u") != F.col("u2"))).collect()
+    assert bad == []
