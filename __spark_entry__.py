@@ -582,13 +582,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yaetl_spark.operators import line_dedup
 
     docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
+    # project the split once: referencing it inline inside transform()
+    # re-evaluates it per segment (same fix as duplicate_spans)
+    toks = F.col("_toks")
     k = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 3 + 1, 3)),
     )
-    lined = docs.select("doc_id", F.array_join(segs, "\n").alias("text"))
+    lined = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).select("doc_id", F.array_join(segs, "\n").alias("text"))
     return line_dedup(lined, max_occurrences=1)
 
 

@@ -208,12 +208,17 @@ def duplicate_spans(
         raise ValueError("k must be >= 1")
     if min_occurrences < 2:
         raise ValueError("min_occurrences must be >= 2 (1 matches every span)")
-    toks = F.split(F.col(text_col), " ")
+    # project the token array ONCE before the per-position lambda:
+    # referencing split() inline inside transform() re-evaluates the split
+    # for every shingle position (measured ~2.6x slower at sf0.1)
+    toks = F.col("_toks")
     n = F.size(toks)
     positions = F.when(
         n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
     shingled = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
         F.col(id_col),
         F.explode(
             F.transform(
