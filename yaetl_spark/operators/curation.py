@@ -282,11 +282,15 @@ def strip_duplicate_spans(
     ``k`` / ``min_occurrences``.
 
     Scale shape: spans collapse to one array per document (tiny — spans,
-    not tokens), the coverage test is an id-keyed equi join + an
-    ``exists()`` over that array (no range-join explosion), and
-    reassembly is the same per-document sort-free groupBy as
-    :func:`line_dedup`.
+    not tokens), and the cut happens IN PLACE on the token array — an
+    indexed ``filter()`` lambda against the per-doc span array — so the
+    token stream is never exploded, never shuffled, and never
+    reassembled: the only exchanges are the span discovery itself and
+    the id-keyed span join (planner-broadcastable when the span set is
+    small).
     """
+    from .text import let_once
+
     if spans is None:
         spans = duplicate_spans(
             df, text_col=text_col, id_col=id_col, k=k,
@@ -295,44 +299,46 @@ def strip_duplicate_spans(
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_tok"),
-    ).withColumn("_p", F.col("_p") + F.lit(1))
-    covered = F.exists(
-        F.col("_spans"),
-        lambda s: (F.col("_p") >= s["span_start"])
-        & (F.col("_p") <= s["span_end"]),
-    )
-    kept = (
-        toks.join(span_arr, id_col, "left")
-        .withColumn("_cut", F.coalesce(covered, F.lit(False)))
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("_cut"), F.struct("_p", "_tok"))
-                    )
+
+    def cut(toks: Column) -> Column:
+        # positions are 1-based in the span table; filter() indexes from 0
+        kept = F.filter(
+            toks,
+            lambda t, i: ~F.coalesce(
+                F.exists(
+                    F.col("_spans"),
+                    lambda s: (i + 1 >= s["span_start"])
+                    & (i + 1 <= s["span_end"]),
                 ),
-                lambda s: s["_tok"],
+                F.lit(False),
             ),
-            " ",
-        ).alias("_new_text"),
-        F.sum(F.when(F.col("_cut"), 0).otherwise(1)).cast("bigint").alias(
-            "n_tokens"
-        ),
-        F.sum(F.when(F.col("_cut"), 1).otherwise(0)).cast("bigint").alias(
-            "n_removed"
-        ),
+        )
+
+        def finish(kept_b: Column) -> Column:
+            return F.struct(
+                F.array_join(kept_b, " ").alias("text"),
+                F.size(kept_b).cast("bigint").alias("n_tokens"),
+                (F.size(toks) - F.size(kept_b)).cast("bigint").alias(
+                    "n_removed"
+                ),
+            )
+
+        return let_once(kept, finish)
+
+    out = (
+        df.join(span_arr, id_col, "left")
+        .withColumn(
+            "_cutres", let_once(F.split(F.col(text_col), " "), cut)
+        )
+        .drop("_spans", text_col)
+        .withColumn(text_col, F.col("_cutres.text"))
+        .withColumn("n_tokens", F.col("_cutres.n_tokens"))
+        .withColumn("n_removed", F.col("_cutres.n_removed"))
+        .drop("_cutres")
     )
     if drop_empty:
-        rebuilt = rebuilt.filter(F.col("n_tokens") > 0)
-    out = df.drop(text_col).join(
-        rebuilt, id_col, "inner" if drop_empty else "left"
-    )
-    return out.withColumnRenamed("_new_text", text_col)
+        out = out.filter(F.col("n_tokens") > 0)
+    return out
 
 
 #: query params cut by :func:`canonical_url` — the standard tracking set
