@@ -2141,6 +2141,26 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (operators/similarity.py, after
+    Abbas et al. 2023): k-means the vectors (k=8, deterministic init,
+    2 unrolled Lloyd's iterations — same oracle machinery as
+    kmeans_assign), compare pairs only WITHIN a cluster, and drop every
+    vector with a smaller-id neighbor at rounded cosine ≥ τ. τ=0.3
+    exercises real drops on this corpus (its max within-cluster cosine
+    is ~0.51). Scale shape: pair join is cluster-bucketed (quadratic
+    only within a cell), drop set ships as a broadcastable anti join;
+    raw vectors never shuffle."""
+    from yaetl_spark.operators import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    surv = semantic_dedup(
+        emb, k=8, iters=2, init_ids=[0, 1, 2, 3, 4, 5, 6, 7],
+        threshold=0.3,
+    )
+    return surv.select("vec_id", "label")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-3 terms per document (LLM-pipeline keyword
     extraction). Shape: explode → two partial-agg groupBys → token-keyed
@@ -2288,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "daily_active": q_daily_active,
         "kmeans_assign": q_kmeans_assign,
+        "semantic_dedup": q_semantic_dedup,
         "range_band": q_range_band,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
@@ -2347,9 +2368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the NINE operators NEW
+# Round-4 front-of-window. Priority order: (a) the TEN operators NEW
 # this round (line_dedup, source_cap, gopher_rules, segment_overlap,
-# dup_spans, strip_spans, url_dedup, heavy_hitters, scd2)
+# dup_spans, strip_spans, url_dedup, heavy_hitters, scd2,
+# semantic_dedup)
 # plus the four queries whose implementation or oracle changed this
 # round (histogram gained the edge-bin clamp on both engines; bloom_join
 # switched to the native runtime-bloom strategy; kmeans_assign's update
@@ -2359,15 +2381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then (c) 33 of the 45 entries last checked in round 2 — deferring
 # scan_filter_project, inner_join, limit_offset, anti_join, semi_join,
 # cross_join, union_sources (trivial single-op plans, green in BOTH
-# r1 and r2) plus frame_sample, chained_join_agg, groupby_agg,
-# left_join_default and rollup_agg (displaced by this round's new
-# queries) to round 5, where they plus this round's r3-green remainder
+# r1 and r2) plus frame_sample, audio_features, chained_join_agg,
+# groupby_agg, left_join_default and rollup_agg (displaced by this
+# round's new queries) to round 5, where they plus this round's r3-green remainder
 # become the stalest cohort. After r4 lands, no non-trivial query's
 # latest driver row is older than two rounds.
 _DRIVER_WINDOW = [
     # (a) new this round
     "line_dedup", "source_cap", "gopher_rules", "segment_overlap",
     "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
+    "semantic_dedup",
     # (a') changed this round
     "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
     # (b) last checked round 1
@@ -2382,7 +2405,6 @@ _DRIVER_WINDOW = [
     "window_frames", "chunk_documents", "decontaminate", "percentiles",
     "funnel", "repetition", "json_extract", "image_features",
     "break_at", "daily_active", "range_band", "tfidf", "salted_join",
-    "audio_features",
 ]
 
 
@@ -3543,6 +3565,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(e.label AS DOUBLE)), 4) AS avg_label
             FROM a3 a JOIN emb e USING (vec_id)
             GROUP BY cluster
+        """,
+        "semantic_dedup": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+                FROM emb WHERE vec_id < 8
+            ),{_km_iter_sql("c0", "a1", "c1")},{_km_iter_sql("c1", "a2", "c2")},{_km_assign_sql("c2", "a3")},
+            losers AS (
+                SELECT DISTINCT y.vec_id
+                FROM a3 x
+                JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                JOIN emb ex ON ex.vec_id = x.vec_id
+                JOIN emb ey ON ey.vec_id = y.vec_id
+                WHERE round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.3
+            )
+            SELECT e.vec_id, e.label
+            FROM emb e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM losers l WHERE l.vec_id = e.vec_id)
         """,
         "embedding_lsh": _embedding_lsh_sql(),
         "minhash_neardup": _minhash_sql(),

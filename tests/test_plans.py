@@ -530,3 +530,13 @@ def test_scd2_closed_history_never_rejoins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Union" in plan
+
+
+def test_semantic_dedup_pairs_stay_cluster_bucketed(spark):
+    """SemDeDup: the pair comparison must be an equi join on the cluster
+    id (quadratic only within a cell) and the drop set an anti join —
+    never a corpus-wide cartesian."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

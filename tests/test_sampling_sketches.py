@@ -408,3 +408,55 @@ def test_heavy_hitters_partition_invariant(spark):
     b = sorted(map(tuple, heavy_hitters(
         df.repartition(13), "tok", support=0.1).collect()))
     assert a == b and len(a) == 7
+
+
+# --- semantic dedup (SemDeDup-style) ----------------------------------------
+
+
+def _semdd_corpus(spark):
+    # three well-separated directions; ids 10/11 duplicate id 1's vector
+    # almost exactly, id 21 duplicates id 20, id 30 is its own direction
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.999, 0.001, 0.0, 0.0]),
+        (11, [0.998, 0.002, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.999, 0.001, 0.0]),
+        (30, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_semantic_dedup_drops_near_identical_keeps_min_id(spark):
+    from yaetl_spark.operators import semantic_dedup
+
+    surv = semantic_dedup(
+        _semdd_corpus(spark), k=3, iters=2, init_ids=[1, 20, 30],
+        threshold=0.999,
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 20, 30]
+
+
+def test_semantic_dedup_threshold_and_reuse(spark):
+    from yaetl_spark.operators import kmeans_fit, semantic_dedup
+
+    corpus = _semdd_corpus(spark)
+    # τ=1.0 keeps everything (no exact duplicates in the corpus)
+    cents = kmeans_fit(corpus, k=3, iters=2, init_ids=[1, 20, 30], cache=True)
+    all_kept = semantic_dedup(corpus, centroids=cents, threshold=1.0)
+    assert all_kept.count() == 6
+    with pytest.raises(ValueError):
+        semantic_dedup(corpus, threshold=0.0)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from yaetl_spark.operators import semantic_dedup
+
+    corpus = _semdd_corpus(spark)
+    a = sorted(r["vec_id"] for r in semantic_dedup(
+        corpus.repartition(1), k=3, iters=2, init_ids=[1, 20, 30],
+        threshold=0.999).collect())
+    b = sorted(r["vec_id"] for r in semantic_dedup(
+        corpus.repartition(5), k=3, iters=2, init_ids=[1, 20, 30],
+        threshold=0.999).collect())
+    assert a == b == [1, 20, 30]

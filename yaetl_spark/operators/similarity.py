@@ -318,3 +318,74 @@ def kmeans_inertia(
     )
     row = assigned.agg(F.sum(d2)).first()
     return float(row[0]) if row and row[0] is not None else 0.0
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    init_ids: list[int] | None = None,
+    threshold: float = 0.99,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    keep_cols: bool = True,
+) -> DataFrame:
+    """SemDeDup-style embedding-level dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the vectors with k-means, compare pairs
+    ONLY within a cluster, and drop every row that has a smaller-id
+    neighbor at rounded cosine similarity ≥ ``threshold``. The survivor
+    set is deterministic (min-id representative per near-dup
+    neighborhood) — no RNG, no iteration-order dependence.
+
+    Cosine values are rounded to 6 decimals before the threshold
+    compare, so the keep/drop decision is reproducible across engines
+    and partitionings (same convention as the ANN oracle queries).
+
+    Scale shape (100 TB):
+    - clustering cost is the k-means fit (broadcast-argmin assignment,
+      k×dim partial-sum update — raw vectors never shuffle);
+    - the pair comparison is an equi self-join on the cluster id —
+      quadratic only WITHIN a cluster, never across the corpus; size
+      ``k`` proportionally to the corpus (cells of bounded average
+      population) exactly as an IVF index would;
+    - the drop set ships as a distinct-id anti join (planner
+      broadcast-able when the duplicate fraction is small).
+
+    Pass precomputed ``centroids`` (from :func:`kmeans_fit`) to reuse
+    one fit across threshold sweeps.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if centroids is None:
+        cents = kmeans_fit(
+            df, k=k, iters=iters, init_ids=init_ids,
+            vec_col=vec_col, id_col=id_col, cache=True,
+        )
+    else:
+        cents = centroids
+    assigned, _ = build_ivf_index(
+        df, centroids=cents, vec_col=vec_col, id_col=id_col
+    )
+    sides = assigned.select(
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_svec"),
+        "_cell",
+    )
+    a, b = sides.alias("_a"), sides.alias("_b")
+    cos = F.round(
+        cosine_similarity(F.col("_a._svec"), F.col("_b._svec")), 6
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("_a._cell") == F.col("_b._cell"))
+            & (F.col("_a._sid") < F.col("_b._sid")),
+        )
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("_b._sid").alias(id_col))
+        .distinct()
+    )
+    out = df.join(losers, id_col, "left_anti")
+    return out if keep_cols else out.select(id_col)
