@@ -753,6 +753,20 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/curation.py): per-doc
+    perplexity under an add-0.1-smoothed bigram model trained on the
+    corpus itself — gibberish scores high, fluent text low. Determinism:
+    each ln-term rounds to 9 decimals and sums as DECIMAL(20,9) (exact,
+    order-independent) before the one float exp/divide. Scale shape:
+    narrow bigram explode, vocabulary-keyed count tables, V as a literal
+    from one count job."""
+    from yaetl_spark.operators import ngram_perplexity
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")
+    return ngram_perplexity(docs, alpha=0.1)
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase totals per event type densified onto each type's
     own day spine (operators/timeseries.py): missing days appear with the
@@ -2309,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active": q_daily_active,
         "kmeans_assign": q_kmeans_assign,
         "semantic_dedup": q_semantic_dedup,
+        "ngram_perplexity": q_ngram_perplexity,
         "range_band": q_range_band,
         "tfidf": q_tfidf,
         "salted_join": q_salted_join,
@@ -2368,10 +2383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the TEN operators NEW
+# Round-4 front-of-window. Priority order: (a) the ELEVEN operators NEW
 # this round (line_dedup, source_cap, gopher_rules, segment_overlap,
 # dup_spans, strip_spans, url_dedup, heavy_hitters, scd2,
-# semantic_dedup)
+# semantic_dedup, ngram_perplexity)
 # plus the four queries whose implementation or oracle changed this
 # round (histogram gained the edge-bin clamp on both engines; bloom_join
 # switched to the native runtime-bloom strategy; kmeans_assign's update
@@ -2382,15 +2397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # scan_filter_project, inner_join, limit_offset, anti_join, semi_join,
 # cross_join, union_sources (trivial single-op plans, green in BOTH
 # r1 and r2) plus frame_sample, audio_features, chained_join_agg,
-# groupby_agg, left_join_default and rollup_agg (displaced by this
-# round's new queries) to round 5, where they plus this round's r3-green remainder
+# groupby_agg, left_join_default, rollup_agg and salted_join (displaced
+# by this round's new queries) to round 5, where they plus this round's r3-green remainder
 # become the stalest cohort. After r4 lands, no non-trivial query's
 # latest driver row is older than two rounds.
 _DRIVER_WINDOW = [
     # (a) new this round
     "line_dedup", "source_cap", "gopher_rules", "segment_overlap",
     "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
-    "semantic_dedup",
+    "semantic_dedup", "ngram_perplexity",
     # (a') changed this round
     "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
     # (b) last checked round 1
@@ -2404,7 +2419,7 @@ _DRIVER_WINDOW = [
     "excess_supply", "click_attribution", "hash_sample",
     "window_frames", "chunk_documents", "decontaminate", "percentiles",
     "funnel", "repetition", "json_extract", "image_features",
-    "break_at", "daily_active", "range_band", "tfidf", "salted_join",
+    "break_at", "daily_active", "range_band", "tfidf",
 ]
 
 
@@ -3038,6 +3053,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_dups,
                    MIN(doc_id) AS keep_id
             FROM canon GROUP BY canonical_url
+        """,
+        "ngram_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i
+                FROM toks WHERE len(t) >= 2
+            ),
+            big AS (
+                SELECT doc_id, t[i - 1] AS prev, t[i] AS cur FROM idx
+            ),
+            cbg AS (SELECT prev, cur, COUNT(*) AS c FROM big GROUP BY 1, 2),
+            cpv AS (SELECT prev, SUM(c) AS cp FROM cbg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT tok) AS vs
+                  FROM (SELECT unnest(t) AS tok FROM toks)),
+            terms AS (
+                SELECT b.doc_id,
+                       CAST(round(ln((c.c + 0.1) / (p.cp + 0.1 * v.vs)), 9)
+                            AS DECIMAL(20,9)) AS lp
+                FROM big b
+                JOIN cbg c USING (prev, cur)
+                JOIN cpv p USING (prev)
+                CROSS JOIN v
+            )
+            SELECT doc_id,
+                   round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6)
+                       AS ppl,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM terms GROUP BY doc_id
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -388,3 +388,41 @@ def test_canonical_url_idempotent(spark):
     bad = twice.filter(
         F.col("u").isNotNull() & (F.col("u") != F.col("u2"))).collect()
     assert bad == []
+
+
+# --- ngram_perplexity -------------------------------------------------------
+
+
+def test_ngram_perplexity_orders_fluent_below_gibberish(spark):
+    from yaetl_spark.operators import ngram_perplexity
+
+    # "the cat sat" phrases repeat across docs -> their bigrams are
+    # probable; doc 4 is one-off gibberish -> improbable bigrams
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "the cat sat on the mat again"),
+            (4, "zx qv wk jh pf bn"),
+            (5, "x"),  # single token: no bigrams, dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_perplexity(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4]["ppl"] > max(got[i]["ppl"] for i in (1, 2, 3))
+    assert got[1]["n_bigrams"] == 5
+
+
+def test_ngram_perplexity_partition_invariant_and_validates(spark):
+    import pytest
+
+    from yaetl_spark.operators import ngram_perplexity
+
+    docs = spark.read.parquet(f"{table_path('documents')}").select(
+        "doc_id", "text").limit(200)
+    a = sorted(map(tuple, ngram_perplexity(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, ngram_perplexity(docs.repartition(11)).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        ngram_perplexity(docs, alpha=0.0)

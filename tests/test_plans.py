@@ -540,3 +540,13 @@ def test_semantic_dedup_pairs_stay_cluster_bucketed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_ngram_perplexity_model_joins_are_vocab_keyed(spark):
+    """The bigram LM score joins the token stream against the count
+    tables on (prev, cur)/prev — vocabulary-keyed equi joins, never a
+    cartesian; V arrives as a literal, not a cross join of the corpus."""
+    plan = plan_of(spark, "ngram_perplexity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # two count tables + final, partial+final

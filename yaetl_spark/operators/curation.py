@@ -40,6 +40,7 @@ __all__ = [
     "frequent_lines",
     "gopher_quality_flags",
     "line_dedup",
+    "ngram_perplexity",
     "strip_duplicate_spans",
     "url_dedup",
 ]
@@ -426,6 +427,98 @@ def url_dedup(
             F.count(F.lit(1)).cast("bigint").alias("n_dups"),
             F.min(id_col).alias("keep_id"),
         )
+    )
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document perplexity under an add-alpha-smoothed bigram model
+    trained on the corpus itself — the CCNet-style LM quality signal
+    (Wenzek et al. 2020 rank documents by LM perplexity; a count-based
+    bigram model is the self-contained analogue): unusually improbable
+    token sequences (gibberish, boilerplate soup) score HIGH, fluent
+    text scores LOW.
+
+    ``P(w|prev) = (c(prev,w) + alpha) / (c(prev) + alpha·V)`` over the
+    corpus bigram counts with vocabulary size ``V``;
+    ``ppl(doc) = exp(-mean ln P)`` over the document's bigram positions.
+    Documents with fewer than 2 tokens drop (no bigrams to score).
+    Returns ``(id_col, ppl, n_bigrams)``.
+
+    Determinism contract: each ln-term is rounded to 9 decimals and
+    summed as DECIMAL(20,9) — an EXACT, order-independent sum — so the
+    result is bit-stable across partitionings and engines (the same
+    absorb-the-ulps pattern as the k-means oracle); only then does the
+    single exp/divide run in float.
+
+    Scale shape (100 TB):
+    - the bigram stream is a narrow array transform + explode (token
+      array bound once);
+    - model training is two partially-aggregated groupBys whose keys are
+      vocabulary-sized (Zipf — orders of magnitude below the stream);
+    - scoring joins the stream against the two count tables on
+      (prev, cur) / prev — vocabulary-keyed shuffles, broadcastable when
+      the model is small;
+    - V rides in as a literal from one count job, never a cross join.
+    """
+    from .text import let_once, tokenize
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed zeros break ln)")
+    toks_df = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+    )
+    vocab = (
+        toks_df.select(F.explode("_t").alias("_tok"))
+        .agg(F.countDistinct("_tok"))
+        .first()[0]
+    )
+
+    def to_bigrams(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(2), n),
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+    bigrams = toks_df.select(
+        F.col(id_col),
+        F.explode(let_once(F.col("_t"), to_bigrams)).alias("_b"),
+    ).select(id_col, F.col("_b.prev").alias("prev"),
+             F.col("_b.cur").alias("cur"))
+    cbg = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("_c"))
+    cpv = cbg.groupBy("prev").agg(F.sum("_c").alias("_cp"))
+    lp = F.round(
+        F.log(
+            (F.col("_c") + F.lit(float(alpha)))
+            / (F.col("_cp") + F.lit(float(alpha) * vocab))
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    scored = (
+        bigrams.join(cbg, ["prev", "cur"])
+        .join(cpv, "prev")
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.exp(
+                -(F.sum("_lp").cast("double") / F.count(F.lit(1)))
+            ),
+            6,
+        ).alias("ppl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
     )
 
 
