@@ -460,3 +460,21 @@ def test_semantic_dedup_partition_invariant(spark):
         corpus.repartition(5), k=3, iters=2, init_ids=[1, 20, 30],
         threshold=0.999).collect())
     assert a == b == [1, 20, 30]
+
+
+def test_heavy_hitters_keeps_exact_threshold_item(spark):
+    from yaetl_spark.operators import heavy_hitters
+
+    # 1000 rows; support 0.05 -> threshold ceil(50) = 50; "edge" sits
+    # EXACTLY on it. Misra-Gries at full support only guarantees
+    # strictly-greater items — the halved candidate pass must keep it.
+    rows = [("big",)] * 700 + [("edge",)] * 50 + [
+        (f"z{i}",) for i in range(250)
+    ]
+    got = {r["value"]: r["n"] for r in heavy_hitters(
+        spark.createDataFrame(rows, "tok string"), "tok",
+        support=0.05).collect()}
+    assert got == {"big": 700, "edge": 50}
+    with pytest.raises(ValueError):
+        heavy_hitters(spark.createDataFrame(rows, "tok string"), "tok",
+                      support=1e-4)

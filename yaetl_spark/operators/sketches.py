@@ -240,9 +240,18 @@ def heavy_hitters(
     """
     if not 0.0 < support < 1.0:
         raise ValueError("support must be in (0, 1)")
+    if support < 2e-4:
+        # freqItems floors its support at 1e-4; below 2e-4 the halved
+        # candidate pass can't keep the no-false-negative guarantee
+        raise ValueError("support must be >= 2e-4 (freqItems floor)")
     c = F.col(col)
     src = df.select(c).filter(c.isNotNull())
-    cands = src.freqItems([col], support).collect()[0][0]
+    # candidate pass at support/2: Misra-Gries only guarantees items with
+    # count STRICTLY GREATER than support*n, so an item sitting exactly
+    # on the ceil(support*total) threshold could be missed at full
+    # support; halving keeps every verified item provably in the list
+    # (count >= ceil(s*n) > s*n/2) at the cost of a 2x candidate bound
+    cands = src.freqItems([col], max(support / 2, 1e-4)).collect()[0][0]
     spark = df.sparkSession
     cand_df = spark.createDataFrame(
         [(v,) for v in cands], schema=src.schema
