@@ -1,0 +1,40 @@
+"""Public plan-diagnostics API (yaetl_spark.plans)."""
+import pytest
+from pyspark.sql import functions as F
+
+from yaetl_spark.plans import assert_scales, plan_summary
+
+from .conftest import table_path
+
+
+def test_plan_summary_counts(spark):
+    li = spark.read.parquet(table_path("lineitem"))
+    orders = spark.read.parquet(table_path("orders"))
+    df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .groupBy("o_orderpriority").count())
+    s = plan_summary(df)
+    assert s.scans == 2
+    assert s.hash_aggregates >= 2
+    assert s.broadcast_hash_joins + s.sort_merge_joins >= 1
+    assert s.cartesian_products == 0
+    assert "shuffles=" in str(s)
+
+
+def test_assert_scales_rejects_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.crossJoin(b)
+    with pytest.raises(ValueError, match="scale gate"):
+        assert_scales(bad, allow_nested_loop=False)
+    ok = a.join(b, a.id == b.id2)
+    s = assert_scales(ok, max_shuffles=4)
+    assert s.cartesian_products == 0
+
+
+def test_assert_scales_python_and_shuffle_limits(spark):
+    df = spark.read.parquet(table_path("region"))
+    s = assert_scales(df.select("r_name"), max_shuffles=0)
+    assert s.shuffles == 0 and s.python_evals == 0
+    shuffly = df.groupBy("r_name").count()
+    with pytest.raises(ValueError, match="shuffles"):
+        assert_scales(shuffly, max_shuffles=0)

@@ -6,6 +6,7 @@ write action per sink.
 
 from .pipeline import BranchPipeline, Pipeline, PipelineError
 from .session import get_spark
+from .plans import assert_scales, plan_summary
 from .operators import (
     Apply,
     Drop,
@@ -43,6 +44,8 @@ from .sources import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "assert_scales",
+    "plan_summary",
     "Pipeline",
     "BranchPipeline",
     "PipelineError",
