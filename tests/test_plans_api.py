@@ -38,3 +38,20 @@ def test_assert_scales_python_and_shuffle_limits(spark):
     shuffly = df.groupBy("r_name").count()
     with pytest.raises(ValueError, match="shuffles"):
         assert_scales(shuffly, max_shuffles=0)
+
+
+def test_pipeline_scale_gate(spark):
+    from yaetl_spark.pipeline import Pipeline
+    from yaetl_spark.sources import ParquetSource
+
+    p = (Pipeline(spark)
+         .from_(ParquetSource(table_path("lineitem")))
+         .transform(lambda df: df.groupBy("l_returnflag").count()))
+    rep = p.run(scale_gate={"max_shuffles": 2})
+    assert rep["status"] == "clean" and "shuffles=" in rep["plan"]
+
+    q = (Pipeline(spark)
+         .from_(ParquetSource(table_path("lineitem")))
+         .transform(lambda df: df.groupBy("l_returnflag").count()))
+    with pytest.raises(ValueError, match="scale gate"):
+        q.run(scale_gate={"max_shuffles": 0})

@@ -210,6 +210,7 @@ class Pipeline:
         count_records: bool = True,
         on_event: Callable[[str, dict], None] | None = None,
         progress_interval: float | None = None,
+        scale_gate: bool | dict[str, Any] | None = None,
     ) -> dict[str, Any]:
         """Execute: one write action per sink (+ branch sinks). Returns the
         stats report. With no sink, runs a noop write so the flow is
@@ -226,6 +227,13 @@ class Pipeline:
         throttling replaces the reference's every-1024-records progressMod:
         records don't tick one at a time in a vectorized engine, task
         completions do.
+
+        ``scale_gate`` pre-flights the physical plan BEFORE any write:
+        ``True`` runs :func:`yaetl_spark.plans.assert_scales` with
+        defaults, a dict passes through as its kwargs (e.g.
+        ``{"max_shuffles": 4, "allow_python": False}``). On failure the
+        flow raises without executing; on success the one-line plan
+        summary lands in the report under ``"plan"``.
         """
         df = self._require_df()
         t0 = time.monotonic()
@@ -245,6 +253,12 @@ class Pipeline:
                 if cut_value is not None:
                     df = brk.truncate(df, cut_value)
                     broke = True
+        plan_info: str | None = None
+        if scale_gate:
+            from .plans import assert_scales
+
+            gate_kwargs = {} if scale_gate is True else dict(scale_gate)
+            plan_info = str(assert_scales(df, **gate_kwargs))
         # break-truncated flows (StopWhen here or in a branch) flush dirty
         status = "dirty" if (
             broke or self._dirty or any(b._dirty for b in self._branches)
@@ -335,6 +349,8 @@ class Pipeline:
         }
         if obs is not None:
             report["num_records"] = obs.get.get("num_records")
+        if plan_info is not None:
+            report["plan"] = plan_info
         for name, o in self._observations:
             report[f"observe_{name}"] = o.get
         emit("flow.success", report=dict(report))
