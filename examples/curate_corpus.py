@@ -2,7 +2,7 @@
 pretraining pipeline runs between raw crawl and tokenizer, in the order
 the published recipes (Gopher, CCNet, RefinedWeb) apply them:
 
-1. quality gate   — Gopher rule battery, keep only ``gopher_pass`` docs
+1. quality gate   — Gopher rule battery + bigram-LM perplexity cut
 2. line dedup     — cut corpus-frequent boilerplate lines from survivors
 3. span dedup     — cut corpus-duplicated token runs (ExactSubstr-style)
 4. exact dedup    — drop full-document duplicates (md5 fingerprint)
@@ -29,8 +29,10 @@ from yaetl_spark.operators import (
     exact_dedup,
     gopher_quality_flags,
     line_dedup,
+    ngram_perplexity,
     strip_duplicate_spans,
 )
+from yaetl_spark.plans import assert_scales
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
@@ -46,6 +48,13 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         )
         .filter(F.col("gopher_pass"))
         .select(*docs.columns)
+    )
+    # LM-perplexity cut: drop the most improbable tail (CCNet-style).
+    # The corpus-trained bigram model keeps this self-contained.
+    ppl = ngram_perplexity(quality.select("doc_id", "text"))
+    cut = ppl.approxQuantile("ppl", [0.98], 0.001)[0]
+    quality = quality.join(
+        ppl.filter(F.col("ppl") <= cut).select("doc_id"), "doc_id", "left_semi"
     )
 
     # 2) corpus-level boilerplate removal. This synthetic corpus is

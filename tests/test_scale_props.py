@@ -263,6 +263,7 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # line_dedup; heavy_hitters/url_dedup/scd2 use only small-int
         # modular arithmetic — all must survive an ANSI session
         "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
+        "semantic_dedup", "ngram_perplexity",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")
