@@ -368,14 +368,22 @@ def semantic_dedup(
     assigned, _ = build_ivf_index(
         df, centroids=cents, vec_col=vec_col, id_col=id_col
     )
+    # norms are projected per ROW before the self-join: computing
+    # cosine_similarity() inline would re-fold each side's norm once per
+    # PAIR (O(pairs·dim) instead of O(rows·dim))
     sides = assigned.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_svec"),
+        norm(F.col(vec_col)).alias("_snorm"),
         "_cell",
     )
     a, b = sides.alias("_a"), sides.alias("_b")
+    denom = F.col("_a._snorm") * F.col("_b._snorm")
     cos = F.round(
-        cosine_similarity(F.col("_a._svec"), F.col("_b._svec")), 6
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_product(F.col("_a._svec"), F.col("_b._svec")) / denom
+        ),
+        6,
     )
     losers = (
         a.join(
