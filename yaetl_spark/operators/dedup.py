@@ -515,9 +515,15 @@ def embedding_dedup_pairs(
     ``brute_force=True`` switches to the exact quadratic join (for tests /
     small dims).
     """
-    from .similarity import cosine_similarity
+    from .similarity import dot_product, norm
 
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm projected per ROW: an inline cosine_similarity() in the pair
+    # select would re-fold each side's norm once per PAIR
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     if brute_force:
         a, b = vecs.alias("a"), vecs.alias("b")
         pairs = a.join(b, F.col("a._id") < F.col("b._id"))
@@ -577,7 +583,10 @@ def embedding_dedup_pairs(
             b,
             (F.col("a._bkt") == F.col("b._bkt")) & (F.col("a._id") < F.col("b._id")),
         )
-    sim = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    denom = F.col("a._n") * F.col("b._n")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col("a._v"), F.col("b._v")) / denom
+    )
     return pairs.select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
