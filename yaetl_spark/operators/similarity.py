@@ -58,7 +58,17 @@ def brute_force_topk(
     """
     q = _vec_lit(query_vec)
     if metric == "cosine":
-        score = cosine_similarity(F.col(vec_col), q)
+        # query norm computed ONCE driver-side — the same left fold +
+        # IEEE sqrt as norm(), bit-identical; an inline
+        # cosine_similarity() would re-fold this constant per row
+        acc = 0.0
+        for x in query_vec:
+            acc += float(x) * float(x)
+        qn = math.sqrt(acc)
+        denom = norm(F.col(vec_col)) * F.lit(qn)
+        score = F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_product(F.col(vec_col), q) / denom
+        )
     elif metric == "dot":
         score = dot_product(F.col(vec_col), q)
     else:
