@@ -12,6 +12,7 @@ from ..operators.similarity import cosine_similarity, dot_product, norm
 from ..operators.text import (
     char_ngrams,
     fingerprint,
+    let_once,
     lang_id,
     punct_ratio,
     quality_score,
@@ -22,6 +23,7 @@ from ..operators.text import (
 
 __all__ = [
     "F",
+    "let_once",
     "cosine_similarity",
     "dot_product",
     "norm",
