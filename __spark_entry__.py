@@ -661,9 +661,10 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL dedup (operators/curation.py): canonicalize messy
-    absolute URLs (case-folded scheme/host, www + default-port strip,
-    tracking params dropped, surviving params sorted, fragment cut,
-    trailing slash trimmed) and group to one row per canonical URL with
+    absolute URLs (case-folded scheme/host, userinfo stripped, www +
+    default-port strip, tracking params dropped, surviving params
+    sorted, fragment cut, trailing slash trimmed) and group to one row
+    per canonical URL with
     the deterministic min-id keeper. URLs are built deterministically
     from (doc_id, source) so both engines canonicalize the same messy
     forms; one shuffle on the canonical string."""
@@ -674,7 +675,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-        F.lit("://WWW."),
+        F.lit("://"),
+        F.when(d % 7 == 0, F.lit("Alice:s3cret@"))
+        .when(d % 7 == 1, F.lit("bob@"))
+        .otherwise(F.lit("")),
+        F.lit("WWW."),
         F.upper(F.col("source")),
         F.lit(".Example.COM"),
         F.when(d % 4 == 0, F.lit(":80"))
@@ -3000,7 +3005,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
                              ELSE 'https' END)
-                       || '://WWW.' || upper(source) || '.Example.COM'
+                       || '://'
+                       || (CASE WHEN doc_id % 7 = 0 THEN 'Alice:s3cret@'
+                                WHEN doc_id % 7 = 1 THEN 'bob@'
+                                ELSE '' END)
+                       || 'WWW.' || upper(source) || '.Example.COM'
                        || (CASE WHEN doc_id % 4 = 0 THEN ':80'
                                 WHEN doc_id % 4 = 1 THEN ':443'
                                 ELSE '' END)
@@ -3018,8 +3027,10 @@ def oracle_sql() -> dict[str, str]:
                        lower(regexp_extract(url,
                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                        regexp_replace(
-                           lower(regexp_extract(url,
-                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                           lower(regexp_replace(
+                               regexp_extract(url,
+                                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                               '^[^/@]*@', '')),
                            '^www\\.', '') AS h1,
                        regexp_replace(
                            regexp_extract(url,

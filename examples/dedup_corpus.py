@@ -18,6 +18,7 @@ from yaetl_spark.operators import (
     minhash_lsh,
     ngram_jaccard_pairs,
 )
+from yaetl_spark.plans import assert_scales
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
@@ -33,9 +34,16 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     pairs = ngram_jaccard_pairs(
         docs, shingle_size=5, threshold=0.2, candidates=candidates)
 
+    # 100×-scale pre-flight: refuse to launch if the candidate or
+    # verify plan picked up a cartesian / nested-loop join (i.e. the
+    # LSH bucketing silently degenerated into all-pairs)
+    assert_scales(candidates)
+    assert_scales(pairs)
+
     # 3) transitive clusters, one canonical keeper each
     clusters = dedup_clusters(pairs)
     kept = drop_duplicate_members(docs, clusters)
+    assert_scales(kept)
     return docs.count(), clusters.count(), kept.count()
 
 

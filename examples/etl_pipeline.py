@@ -30,7 +30,7 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001",
         .transform(Rename({"o_orderkey": "orderkey", "c_name": "customer"}))
         .observe("demo", F.count(F.lit(1)).alias("rows_seen"))
         .to(CsvSink(out, single_file=True))
-        .run()
+        .run(scale_gate={})  # pre-flight with defaults before the write
     )
     return report
 

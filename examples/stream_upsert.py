@@ -27,7 +27,16 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001",
     os.symlink(f"{sf_dir}/events.parquet",
                os.path.join(src, "events.parquet"))
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = static.schema
+    # 100×-scale pre-flight on the BATCH-equivalent plan: a streaming
+    # DataFrame can't be plan-inspected before the query starts, so gate
+    # the same transform chain over a static read of the source — the
+    # micro-batch plan is this plan with the file scan swapped in
+    from yaetl_spark.plans import assert_scales
+
+    assert_scales(
+        ensure_event_time(static).filter(F.col("event_type") == "purchase"))
     target = os.path.join(work, "landed")
     q = (
         StreamPipeline(spark)

@@ -252,3 +252,85 @@ def test_stub_mode_unchanged_and_video_honest(spark):
     assert (r.width, r.height) == (4, 4)  # sha256-derived 4x4 stub shape
     with pytest.raises(Exception, match="ffmpeg|PyAV"):
         sample_frames(df).collect()
+
+
+def test_wav_roundtrip_property():
+    """Property (the WAV analogue of the PNG round-trip test): for
+    arbitrary PCM payloads — 8/16/32-bit widths, 1-3 channels, odd and
+    even frame counts — the stdlib decoder recovers exactly the
+    quantized samples the stdlib ``wave`` writer stored, mono-mixed.
+    The expected array is computed directly from the integer payload
+    (writer-side quantization), independent of ``_decode_wav``'s own
+    arithmetic; when soundfile IS installed, its decode of the same
+    payload is asserted equal too (parity with the preferred path)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    try:
+        import soundfile as sf  # type: ignore[import-not-found]
+    except ImportError:
+        sf = None
+
+    def write_wav(ints: np.ndarray, sr: int, nchan: int, width: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nchan)
+            wf.setsampwidth(width)
+            wf.setframerate(sr)
+            if width == 1:
+                wf.writeframes(ints.astype(np.uint8).tobytes())
+            elif width == 2:
+                wf.writeframes(ints.astype("<i2").tobytes())
+            else:
+                wf.writeframes(ints.astype("<i4").tobytes())
+        return buf.getvalue()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.sampled_from([1, 2, 4]),          # sample width (bytes)
+        st.integers(min_value=1, max_value=3),   # channels
+        st.integers(min_value=1, max_value=33),  # frames (odd AND even)
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(width, nchan, nframes, seed):
+        rng = np.random.RandomState(seed)
+        n = nframes * nchan
+        if width == 1:
+            ints = rng.randint(0, 256, size=n)
+            expected = (ints.astype(np.float64) - 128.0) / 128.0
+        elif width == 2:
+            ints = rng.randint(-32768, 32768, size=n)
+            expected = ints.astype(np.float64) / 32768.0
+        else:
+            ints = rng.randint(-2**31, 2**31, size=n, dtype=np.int64)
+            expected = ints.astype(np.float64) / 2147483648.0
+        expected = expected.reshape(-1, nchan).mean(axis=1)
+        data = write_wav(ints, 8000, nchan, width)
+
+        samples, sr = _decode_wav(data)
+        assert sr == 8000 and len(samples) == nframes
+        np.testing.assert_array_equal(samples, expected)
+
+        if sf is not None:
+            sf_samples, sf_sr = sf.read(io.BytesIO(data), dtype="float64")
+            if sf_samples.ndim > 1:
+                sf_samples = sf_samples.mean(axis=1)
+            assert sf_sr == 8000
+            np.testing.assert_allclose(samples, sf_samples, atol=1e-9)
+
+    check()
+
+
+def test_wav_rejects_unsupported_width():
+    # 3-byte (24-bit) PCM: honest error, not silent garbage
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x00" * 4)
+    with pytest.raises(ValueError, match="width"):
+        _decode_wav(buf.getvalue())

@@ -55,3 +55,39 @@ def test_pipeline_scale_gate(spark):
          .transform(lambda df: df.groupBy("l_returnflag").count()))
     with pytest.raises(ValueError, match="scale gate"):
         q.run(scale_gate={"max_shuffles": 0})
+
+
+def test_pipeline_scale_gate_empty_dict_gates(spark):
+    """scale_gate={} means 'gate with defaults' (identity check, not
+    truthiness) — it must RUN the gate, exactly like True."""
+    from yaetl_spark.pipeline import Pipeline
+    from yaetl_spark.sources import ParquetSource
+
+    b = spark.range(5).withColumnRenamed("id", "id2")
+    p = (Pipeline(spark)
+         .from_(ParquetSource(table_path("region")))
+         .transform(lambda df: df.limit(1).crossJoin(b.limit(1))))
+    with pytest.raises(ValueError, match="scale gate"):
+        p.run(scale_gate={})
+    # and a clean plan with {} still runs + reports the plan line
+    q = (Pipeline(spark)
+         .from_(ParquetSource(table_path("region")))
+         .transform(lambda df: df.select("r_name")))
+    rep = q.run(scale_gate={})
+    assert rep["status"] == "clean" and "shuffles=" in rep["plan"]
+
+
+def test_is_final_plan_flips_after_action(spark):
+    """Pre-execution the adaptive plan is the initial (conservative)
+    view; after an action the SAME DataFrame reports the AQE-final
+    observed plan."""
+    from yaetl_spark.plans import is_final_plan
+
+    df = (spark.read.parquet(table_path("lineitem"))
+          .groupBy("l_returnflag").count())
+    assert not is_final_plan(df)
+    df.collect()
+    assert is_final_plan(df)
+    # plan_summary on the final plan still parses
+    s = plan_summary(df)
+    assert s.hash_aggregates >= 1

@@ -478,3 +478,26 @@ def test_heavy_hitters_keeps_exact_threshold_item(spark):
     with pytest.raises(ValueError):
         heavy_hitters(spark.createDataFrame(rows, "tok string"), "tok",
                       support=1e-4)
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    """A deliberately collapsed fit (k=1: every vector in one cell)
+    must trip the max_cell_rows guard with an actionable error instead
+    of silently running the all-pairs join; a bound that fits passes
+    and leaves the result unchanged."""
+    from yaetl_spark.operators import semantic_dedup
+
+    corpus = _semdd_corpus(spark)  # 6 vectors
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semantic_dedup(
+            corpus, k=1, iters=1, init_ids=[1], threshold=0.999,
+            max_cell_rows=3,
+        )
+    # well-spread fit under the bound: guard passes, result unchanged
+    surv = semantic_dedup(
+        corpus, k=3, iters=2, init_ids=[1, 20, 30], threshold=0.999,
+        max_cell_rows=4,
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 20, 30]
+    with pytest.raises(ValueError, match="max_cell_rows must be"):
+        semantic_dedup(corpus, k=3, threshold=0.999, max_cell_rows=0)

@@ -180,10 +180,15 @@ def duplicate_spans(
 ) -> DataFrame:
     """Corpus-duplicated token spans (ExactSubstr-style dedup, after Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
-    Better"): every maximal run of tokens whose length-``k`` shingles all
-    occur at least ``min_occurrences`` times across the WHOLE corpus.
-    Returns one row per merged span: ``(id_col, span_start, span_end,
-    span_tokens, n_shingles)`` with 1-based inclusive token positions.
+    Better"): every maximal run of tokens in which each token is covered
+    by at least one corpus-hot length-``k`` shingle (one occurring at
+    least ``min_occurrences`` times across the WHOLE corpus). Note the
+    per-token, not per-window, invariant: hot windows that overlap or
+    touch merge into one span even when an interior window of the merged
+    run is itself cold (hot at positions p and p+2 merges across a cold
+    p+1 — gaps-and-islands semantics). Returns one row per merged span:
+    ``(id_col, span_start, span_end, span_tokens, n_shingles)`` with
+    1-based inclusive token positions.
 
     A duplicated region of ``L >= k`` tokens shows up as ``L - k + 1``
     hot shingles at consecutive positions; overlapping/adjacent hot
@@ -352,12 +357,15 @@ def canonical_url(
     strip_www: bool = True,
 ) -> Column:
     """Canonical form of an absolute URL, for web-corpus dedup:
-    lowercase scheme and host, strip a leading ``www.``, strip the
-    scheme's default port (``:80`` http / ``:443`` https), drop the
-    fragment, drop tracking query params (``drop_param_re``, matched
-    against ``name=value``), sort the surviving params, and trim
-    trailing slashes from the path. Returns NULL when the value has no
-    ``scheme://`` prefix (not an absolute URL).
+    lowercase scheme and host, strip any userinfo (``user:pass@`` before
+    the host — credentials never belong in a dedup key, and two fetches
+    of the same resource under different logins are the same document),
+    strip a leading ``www.``, strip the scheme's default port (``:80``
+    http / ``:443`` https), drop the fragment, drop tracking query
+    params (``drop_param_re``, matched against ``name=value``), sort the
+    surviving params, and trim trailing slashes from the path. Returns
+    NULL when the value has no ``scheme://`` prefix (not an absolute
+    URL).
 
     Pure regexp/array expressions — scan-level, whole-stage codegen —
     built only from primitives with identical semantics in DuckDB
@@ -368,8 +376,14 @@ def canonical_url(
     can layer on top when needed).
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # authority = [userinfo@]host[:port]; cut the userinfo BEFORE case
+    # folding so user@host never collides with nor diverges by its case
     host = F.lower(
-        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            r"^[^/@]*@",
+            "",
+        )
     )
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
@@ -435,6 +449,7 @@ def ngram_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.1,
+    persist: bool = False,
 ) -> DataFrame:
     """Per-document perplexity under an add-alpha-smoothed bigram model
     trained on the corpus itself — the CCNet-style LM quality signal
@@ -463,7 +478,19 @@ def ngram_perplexity(
     - scoring joins the stream against the two count tables on
       (prev, cur) / prev — vocabulary-keyed shuffles, broadcastable when
       the model is small;
-    - V rides in as a literal from one count job, never a cross join.
+    - V rides in as a ONE-ROW broadcast hash join on a constant key
+      (attached to the vocabulary-sized ``prev``-count table, never the
+      bigram stream), so the whole operator is a single lazy job — no
+      eager driver action at call time.
+
+    Recompute caveat: the tokenize→bigram lineage feeds the bigram-count
+    branch, the prev-count branch, the vocabulary count, AND the scoring
+    join's probe side. Within the one job, AQE exchange reuse typically
+    collapses the identical count shuffles, but the token scan itself
+    can run up to ~4×. Pass ``persist=True`` to cache the bigram stream
+    (MEMORY_AND_DISK) when the corpus re-read dominates — at 100 TB
+    prefer the recompute (scans are cheap and parallel; caching the full
+    token stream is not) unless the source is remote/expensive.
     """
     from .text import let_once, tokenize
 
@@ -471,11 +498,6 @@ def ngram_perplexity(
         raise ValueError("alpha must be > 0 (unsmoothed zeros break ln)")
     toks_df = df.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("_t")
-    )
-    vocab = (
-        toks_df.select(F.explode("_t").alias("_tok"))
-        .agg(F.countDistinct("_tok"))
-        .first()[0]
     )
 
     def to_bigrams(t: Column) -> Column:
@@ -496,13 +518,39 @@ def ngram_perplexity(
         F.explode(let_once(F.col("_t"), to_bigrams)).alias("_b"),
     ).select(id_col, F.col("_b.prev").alias("prev"),
              F.col("_b.cur").alias("cur"))
+    if persist:
+        from pyspark import StorageLevel
+
+        bigrams = bigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    # V as a 1-row relation: broadcast-hash-joined (constant key) onto
+    # the VOCABULARY-sized prev-count table — 1 row vs |V| rows, never
+    # touching the bigram stream. The key is an always-0 expression
+    # DERIVED from a real column on each side: a literal key would be
+    # constant-folded into `1 = 1` → join condition true → Catalyst
+    # plans BroadcastNestedLoopJoin (and trips assert_scales); a
+    # non-foldable pmod(·, 1) keeps it an equi BroadcastHashJoin.
+    vocab_df = (
+        toks_df.select(F.explode("_t").alias("_tok"))
+        .agg(F.countDistinct("_tok").alias("_vc"))
+        .select(
+            F.col("_vc").cast("double").alias("_v"),
+            F.pmod(F.col("_vc").cast("int"), F.lit(1)).alias("_one"),
+        )
+    )
     cbg = bigrams.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).alias("_c"))
-    cpv = cbg.groupBy("prev").agg(F.sum("_c").alias("_cp"))
+    cpv = (
+        cbg.groupBy("prev").agg(F.sum("_c").alias("_cp"))
+        .withColumn(
+            "_one", F.pmod(F.coalesce(F.length("prev"), F.lit(0)), F.lit(1))
+        )
+        .join(F.broadcast(vocab_df), "_one")
+        .drop("_one")
+    )
     lp = F.round(
         F.log(
             (F.col("_c") + F.lit(float(alpha)))
-            / (F.col("_cp") + F.lit(float(alpha) * vocab))
+            / (F.col("_cp") + F.lit(float(alpha)) * F.col("_v"))
         ),
         9,
     ).cast("decimal(20,9)")

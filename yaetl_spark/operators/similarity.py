@@ -340,6 +340,7 @@ def semantic_dedup(
     threshold: float = 0.99,
     centroids: list[tuple[int, list[float]]] | None = None,
     keep_cols: bool = True,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-level dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -365,6 +366,17 @@ def semantic_dedup(
 
     Pass precomputed ``centroids`` (from :func:`kmeans_fit`) to reuse
     one fit across threshold sweeps.
+
+    ``max_cell_rows`` guards the quadratic: a degenerate fit (bad
+    ``k``, collapsed centroids) can put most vectors in ONE cell and
+    silently reintroduce the all-pairs join the clustering exists to
+    prevent. When set, a cheap count-by-cell job (k rows, one
+    partial-agg shuffle of cluster ids) runs before the pair join and
+    raises ``ValueError`` naming the offending cell and its population
+    — an actionable error instead of an O(n²/k) blowup at 100 TB.
+    Sizing rule: the pair join does ~``rows²/2`` cosine folds per cell,
+    so bound it by what one executor core should absorb (e.g. 100_000
+    rows ≈ 5e9 folds per hot cell).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
@@ -378,6 +390,24 @@ def semantic_dedup(
     assigned, _ = build_ivf_index(
         df, centroids=cents, vec_col=vec_col, id_col=id_col
     )
+    if max_cell_rows is not None:
+        if max_cell_rows < 1:
+            raise ValueError("max_cell_rows must be >= 1")
+        hot = (
+            assigned.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell_rows)
+            .orderBy(F.col("_n").desc())
+            .first()
+        )
+        if hot is not None:
+            raise ValueError(
+                f"semantic_dedup cell {hot['_cell']} holds {hot['_n']} "
+                f"rows (> max_cell_rows={max_cell_rows}): the k-means "
+                "fit is too coarse for a bounded pair join — raise k, "
+                "refit with more iterations/better init_ids, or raise "
+                "max_cell_rows if the quadratic cost is acceptable"
+            )
     # norms are projected per ROW before the self-join: computing
     # cosine_similarity() inline would re-fold each side's norm once per
     # PAIR (O(pairs·dim) instead of O(rows·dim))

@@ -231,7 +231,8 @@ class Pipeline:
         ``scale_gate`` pre-flights the physical plan BEFORE any write:
         ``True`` runs :func:`yaetl_spark.plans.assert_scales` with
         defaults, a dict passes through as its kwargs (e.g.
-        ``{"max_shuffles": 4, "allow_python": False}``). On failure the
+        ``{"max_shuffles": 4, "allow_python": False}``; an empty dict
+        gates with defaults, same as ``True``). On failure the
         flow raises without executing; on success the one-line plan
         summary lands in the report under ``"plan"``.
         """
@@ -254,7 +255,9 @@ class Pipeline:
                     df = brk.truncate(df, cut_value)
                     broke = True
         plan_info: str | None = None
-        if scale_gate:
+        # identity, not truthiness: scale_gate={} means "gate with
+        # defaults", exactly like True — only None/False skip the check
+        if scale_gate is not None and scale_gate is not False:
             from .plans import assert_scales
 
             gate_kwargs = {} if scale_gate is True else dict(scale_gate)

@@ -24,13 +24,37 @@ __all__ = [
     "PlanSummary",
     "assert_scales",
     "executed_plan",
+    "is_final_plan",
     "plan_summary",
 ]
 
 
 def executed_plan(df: DataFrame) -> str:
-    """The executed (physical, post-AQE-prepare) plan as a string."""
+    """The executed (physical, post-AQE-prepare) plan as a string.
+
+    AQE caveat: before the query RUNS, this is the *initial* adaptive
+    plan — at runtime AQE may re-plan (sort-merge → broadcast join
+    conversion, exchange reuse/elimination, skew-join splitting), so the
+    string read pre-execution is a conservative upper bound on shuffles
+    and join costs, which is exactly what a pre-flight gate wants
+    (:func:`assert_scales` can only get *better* at runtime, never
+    worse). To see what actually ran, call this (or
+    :func:`plan_summary`) again on the SAME DataFrame AFTER an action:
+    the AdaptiveSparkPlan node then prints ``isFinalPlan=true`` with the
+    observed final plan.
+    """
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def is_final_plan(df: DataFrame) -> bool:
+    """True when the plan string reflects the observed (post-execution,
+    AQE-final) plan rather than the initial adaptive plan — i.e. the
+    DataFrame has executed and ``AdaptiveSparkPlan isFinalPlan=true``.
+    Also True for non-adaptive plans (nothing left to re-plan)."""
+    plan = executed_plan(df)
+    if "AdaptiveSparkPlan" not in plan:
+        return True
+    return "isFinalPlan=true" in plan
 
 
 @dataclass
@@ -78,6 +102,11 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     strategies, aggregate/window operators, Python evaluation nodes
     (Arrow/pickled UDF stages — the slow path), parquet scans, and the
     ``PushedFilters`` lists that made it into each scan.
+
+    Pre-execution this summarizes the AQE *initial* plan (see
+    :func:`executed_plan` — a conservative pre-flight view); call again
+    after an action, checking :func:`is_final_plan`, for the observed
+    runtime plan.
     """
     plan = executed_plan(df)
     return PlanSummary(
