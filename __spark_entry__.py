@@ -633,6 +633,68 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic filter battery (operators/curation.py, after
+    Raffel et al. 2020 §2.2): terminal-punctuation line ratio, sentence
+    count, words-per-line, lorem-ipsum / brace / javascript markers —
+    each rule an auditable flag plus the conjunction. Pure scan-level
+    expressions (whole-stage codegen, zero shuffles); flags cast to
+    BIGINT for unambiguous cross-engine hashing."""
+    from yaetl_spark.operators import c4_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = c4_quality_flags(
+        docs, min_terminal_punct_ratio=0.5, min_sentences=3,
+        min_words_per_line=3.0,
+    )
+    return out.select(
+        "doc_id", "n_lines", "terminal_ratio", "n_sentences",
+        "words_per_line",
+        F.col("flag_terminal_punct").cast("bigint").alias("flag_terminal_punct"),
+        F.col("flag_sentences").cast("bigint").alias("flag_sentences"),
+        F.col("flag_line_words").cast("bigint").alias("flag_line_words"),
+        F.col("flag_no_lorem").cast("bigint").alias("flag_no_lorem"),
+        F.col("flag_no_braces").cast("bigint").alias("flag_no_braces"),
+        F.col("flag_no_javascript").cast("bigint").alias("flag_no_javascript"),
+        F.col("c4_pass").cast("bigint").alias("c4_pass"),
+    )
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing to target proportions (operators/curation.py):
+    blend three sources at 50/30/20 target weights by deterministic
+    hash downsampling of the largest feasible corpus (T = min n_s/w_s;
+    no upsampling). Everything in-plan: one tiny source-count agg, the
+    feasibility bound attached via a 1-row broadcast hash join
+    (attach_scalars), thresholds broadcast onto the stream as a
+    scan-level hash predicate — the data itself never shuffles."""
+    from yaetl_spark.operators import mix_sources
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_sources(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        source_col="source", key_col="doc_id", buckets=100_000,
+    )
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/curation.py, after Xie
+    et al. 2023): log-likelihood ratio of a target-domain hashed
+    unigram+bigram model (docs from src0/src1) against the raw-corpus
+    model, summed per document as DECIMAL(20,9) rounded terms for
+    bit-stable cross-engine scores. Scale shape: bucket-keyed count
+    shuffles (<= 1024 cells), 1-row broadcast totals, broadcast ratio
+    table against the feature stream, one id-keyed aggregation."""
+    from yaetl_spark.operators import dsir_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_score(
+        docs.select("doc_id", "text"), target.select("doc_id", "text"),
+        buckets=1024, alpha=1.0, use_bigrams=True,
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated token spans (operators/curation.py,
     ExactSubstr-style after Lee et al. 2022): every maximal token run
@@ -2308,6 +2370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "source_cap": q_source_cap,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
+        "mix_sources": q_mix_sources,
+        "dsir": q_dsir,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2388,43 +2453,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-4 front-of-window. Priority order: (a) the ELEVEN operators NEW
-# this round (line_dedup, source_cap, gopher_rules, segment_overlap,
-# dup_spans, strip_spans, url_dedup, heavy_hitters, scd2,
-# semantic_dedup, ngram_perplexity)
-# plus the four queries whose implementation or oracle changed this
-# round (histogram gained the edge-bin clamp on both engines; bloom_join
-# switched to the native runtime-bloom strategy; kmeans_assign's update
-# became posexplode-based; incremental_dedup's bloom_prune temp column
-# was made collision-safe), then (b) the four entries whose last driver
-# row is round 1 (ann_ivf, doc_fingerprint, market_share, media_meta),
-# then (c) 33 of the 45 entries last checked in round 2 — deferring
-# scan_filter_project, inner_join, limit_offset, anti_join, semi_join,
-# cross_join, union_sources (trivial single-op plans, green in BOTH
-# r1 and r2) plus frame_sample, audio_features, chained_join_agg,
-# groupby_agg, left_join_default, rollup_agg and salted_join (displaced
-# by this round's new queries) to round 5, where they plus this round's r3-green remainder
-# become the stalest cohort. After r4 lands, no non-trivial query's
-# latest driver row is older than two rounds.
+# Round-5 front-of-window. Rotation policy (documented since r3): the
+# driver checks the FIRST 50 declared queries each round; we order by
+# (a) new-this-round, (a') implementation-or-oracle changed this round,
+# then oldest driver evidence first, so no query's latest green row ages
+# beyond two rounds. This round: (a) c4_rules, mix_sources, dsir are
+# new; (a') url_dedup (canonical_url now strips authority userinfo and
+# the generator exercises credential variants), ngram_perplexity (V
+# folded into the plan via a 1-row broadcast hash join), semantic_dedup
+# (max_cell_rows guard added — driver path unchanged but re-pin it);
+# (b) the FOURTEEN r2-stale queries the r4 verdict front-loads
+# (anti_join .. union_sources below) — after this round their evidence
+# is fresh; (c) 30 of the 46 entries last checked in round 3,
+# deferring the 16 trivial multi-round-green relational ops (cube_agg,
+# distinct, edit_distance, except, explode_tokens, full_join,
+# grouping_sets, intersect, nation_volume, order_priority,
+# orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
+# window_running_sum) to round 6 as the next stalest cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "line_dedup", "source_cap", "gopher_rules", "segment_overlap",
-    "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
-    "semantic_dedup", "ngram_perplexity",
+    "c4_rules", "mix_sources", "dsir",
     # (a') changed this round
-    "histogram", "bloom_join", "kmeans_assign", "incremental_dedup",
-    # (b) last checked round 1
-    "ann_ivf", "doc_fingerprint", "market_share", "media_meta",
-    # (c) last checked round 2
-    "returned_items", "customer_distribution", "top_supplier",
-    "small_qty_revenue", "large_orders", "prospects",
-    "min_price_supplier", "shipping_priority", "revenue_forecast",
-    "brand_revenue", "waiting_suppliers", "local_volume",
-    "profit_by_nation", "stock_value", "promo_share", "supplier_cnt",
-    "excess_supply", "click_attribution", "hash_sample",
-    "window_frames", "chunk_documents", "decontaminate", "percentiles",
-    "funnel", "repetition", "json_extract", "image_features",
-    "break_at", "daily_active", "range_band", "tfidf",
+    "url_dedup", "ngram_perplexity", "semantic_dedup",
+    # (b) last checked round 2 (the r4 verdict's front-load list)
+    "anti_join", "audio_features", "chained_join_agg", "cross_join",
+    "frame_sample", "groupby_agg", "inner_join", "left_join_default",
+    "limit_offset", "rollup_agg", "salted_join", "scan_filter_project",
+    "semi_join", "union_sources",
+    # (c) last checked round 3 (heaviest / data-pipeline ops first-class)
+    "ann_topk", "asof_join", "cohort_retention", "collect_segments",
+    "dataset_split", "dedup_clusters", "dedup_exact", "embedding_lsh",
+    "embedding_neardup", "events_lag", "events_sessions",
+    "events_sliding", "events_tumbling", "gap_fill", "group_scale",
+    "inverted_index", "keep_latest", "lang_id", "late_lines",
+    "minhash_neardup", "ngram_jaccard", "pack_documents", "part_promo",
+    "profile", "quality_topk", "simhash_dedup", "stratified_sample",
+    "text_stats", "variant_json", "weighted_sample",
 ]
 
 
@@ -2967,6 +3031,130 @@ def oracle_sql() -> dict[str, str]:
                               AND pr <= 0.1 AND kinds >= 1
                              THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
             FROM g
+        """,
+        "c4_rules": f"""
+            WITH lined AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls,
+                       {_TOKN} AS n_tok
+                FROM documents),
+            m AS (
+                SELECT doc_id, text, len(ls) AS n_lines,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ls,
+                                     x -> regexp_matches(x, '[.!?"]$')))
+                                 AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+                       END AS term_ratio,
+                       length(text) - length(
+                           regexp_replace(text, '[.!?]', '', 'g'))
+                           AS n_sent,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE CAST(n_tok AS DOUBLE)
+                                 / CAST(len(ls) AS DOUBLE)
+                       END AS wpl,
+                       len(list_filter(ls,
+                           x -> contains(lower(x), 'javascript'))) > 0
+                           AS has_js,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{{') AS has_brace
+                FROM lined)
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   round(term_ratio, 6) AS terminal_ratio,
+                   CAST(n_sent AS BIGINT) AS n_sentences,
+                   round(wpl, 6) AS words_per_line,
+                   CAST(CASE WHEN term_ratio >= 0.5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS flag_terminal_punct,
+                   CAST(CASE WHEN n_sent >= 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS flag_sentences,
+                   CAST(CASE WHEN wpl >= 3.0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS flag_line_words,
+                   CAST(CASE WHEN has_lorem THEN 0 ELSE 1 END
+                        AS BIGINT) AS flag_no_lorem,
+                   CAST(CASE WHEN has_brace THEN 0 ELSE 1 END
+                        AS BIGINT) AS flag_no_braces,
+                   CAST(CASE WHEN has_js THEN 0 ELSE 1 END
+                        AS BIGINT) AS flag_no_javascript,
+                   CAST(CASE WHEN term_ratio >= 0.5 AND n_sent >= 3
+                              AND wpl >= 3.0 AND NOT has_lorem
+                              AND NOT has_brace AND NOT has_js
+                             THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
+            FROM m
+        """,
+        "mix_sources": """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            counts AS (
+                SELECT source, COUNT(*) AS n,
+                       CASE source WHEN 'src0' THEN 0.5
+                                   WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.2 END AS w
+                FROM d WHERE source IN ('src0', 'src1', 'src2')
+                GROUP BY source),
+            t AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS t FROM counts),
+            thr AS (
+                SELECT source,
+                       CAST(floor(least(1.0, w * t.t / CAST(n AS DOUBLE))
+                                  * 100000) AS BIGINT) AS thr
+                FROM counts, t)
+            SELECT d.doc_id, d.source
+            FROM d JOIN thr USING (source)
+            WHERE (d.doc_id * 2654435761 + 12345) % 100000 < thr.thr
+        """,
+        "dsir": """
+            WITH rt AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+                FROM documents),
+            tt AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+                FROM documents WHERE source IN ('src0', 'src1')),
+            rg AS (
+                SELECT doc_id, unnest(t) AS g FROM rt
+                UNION ALL
+                SELECT doc_id, t[i - 1] || ' ' || t[i] AS g
+                FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i
+                      FROM rt WHERE len(t) >= 2)),
+            tg AS (
+                SELECT doc_id, unnest(t) AS g FROM tt
+                UNION ALL
+                SELECT doc_id, t[i - 1] || ' ' || t[i] AS g
+                FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i
+                      FROM tt WHERE len(t) >= 2)),
+            rb AS (SELECT doc_id,
+                          CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                              % 1024 AS b
+                   FROM rg),
+            tb AS (SELECT CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)
+                              % 1024 AS b
+                   FROM tg),
+            rc AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+            tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+            model AS (
+                SELECT COALESCE(rc.b, tc.b) AS b,
+                       COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+                FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+            tot AS (
+                SELECT (SELECT CAST(SUM(ct) AS DOUBLE) FROM model) AS ttot,
+                       (SELECT CAST(SUM(cr) AS DOUBLE) FROM model) AS rtot),
+            ratios AS (
+                SELECT b,
+                       CAST(round(ln((ct + 1.0) / (ttot + 1024.0))
+                                  - ln((cr + 1.0) / (rtot + 1024.0)), 9)
+                            AS DECIMAL(20,9)) AS lr
+                FROM model, tot)
+            SELECT rb.doc_id,
+                   round(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_logratio,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats
+            FROM rb JOIN ratios USING (b)
+            GROUP BY rb.doc_id
         """,
         "dup_spans": _dup_spans_sql(k=8) + """
             SELECT doc_id,

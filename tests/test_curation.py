@@ -8,6 +8,7 @@ and the determinism contract of ``cap_per_group``.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from yaetl_spark.operators import (
@@ -474,3 +475,106 @@ def test_ngram_perplexity_is_lazy_single_plan(spark):
     assert_scales(out)  # defaults reject cartesian/nested-loop
     # and it still computes (values pinned by the oracle suite)
     assert out.count() == 50
+
+
+# --- c4_quality_flags / mix_sources / dsir_score ----------------------------
+
+
+def test_c4_quality_flags_rules(spark):
+    from yaetl_spark.operators import c4_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "Good line one here.\nGood line two as well!\nA third one?"),
+            (2, "lorem ipsum dolor sit. Filler text ahoy. Nothing real!"),
+            (3, "code = { not prose }. Two more. Sentences here."),
+            (4, "Please enable javascript now. Thanks a lot. Bye bye!"),
+            (5, "bare line no punct\nanother bare\nthird"),
+            (6, ""),  # empty: no lines, ratios 0, fails line flags
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_quality_flags(df).collect()}
+    assert got[1]["c4_pass"] and got[1]["terminal_ratio"] == 1.0
+    assert not got[2]["flag_no_lorem"] and not got[2]["c4_pass"]
+    assert not got[3]["flag_no_braces"]
+    assert not got[4]["flag_no_javascript"]
+    assert not got[5]["flag_terminal_punct"] and got[5]["n_sentences"] == 0
+    assert got[6]["n_lines"] == 0 and got[6]["terminal_ratio"] == 0.0
+    assert not got[6]["c4_pass"]
+
+
+def test_mix_sources_hits_target_proportions(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import mix_sources
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = mix_sources(df, {"s0": 0.5, "s1": 0.3, "s2": 0.2})
+    by = {r["source"]: r["count"]
+          for r in out.groupBy("source").count().collect()}
+    # 1000 rows/source; s0 binds at w=0.5 -> T=2000 -> targets 1000/600/400;
+    # hash granularity keeps us within ~2% of the target counts
+    assert by["s0"] == 1000  # keep-all source is exact
+    assert abs(by["s1"] - 600) <= 25 and abs(by["s2"] - 400) <= 25
+    # deterministic: same rows on a different partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mix_sources(
+            df.repartition(7), {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+        ).collect()
+    )
+    assert a == b
+    # unlisted sources drop
+    assert "s2" not in {
+        r["source"]
+        for r in mix_sources(df, {"s0": 0.5, "s1": 0.5})
+        .select("source").distinct().collect()
+    }
+    with pytest.raises(ValueError):
+        mix_sources(df, {})
+    with pytest.raises(ValueError):
+        mix_sources(df, {"s0": 0.0})
+
+
+def test_dsir_score_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import dsir_score
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows += [(100 + i, "zzz qqq xxx www vvv uuu ttt sss") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 10)
+    got = {r["doc_id"]: r["dsir_logratio"]
+           for r in dsir_score(df, target).collect()}
+    assert min(got[i] for i in range(10)) > max(got[100 + i] for i in range(10))
+    # partition invariance (decimal term sum is order-independent)
+    a = sorted(map(tuple, dsir_score(df.repartition(1), target).collect()))
+    b = sorted(map(tuple, dsir_score(df.repartition(13), target).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        dsir_score(df, target, alpha=0.0)
+    with pytest.raises(ValueError):
+        dsir_score(df, target, buckets=1)
+
+
+def test_attach_scalars_is_bhj_and_lazy(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import attach_scalars
+    from yaetl_spark.plans import executed_plan
+
+    df = spark.range(100).select(F.col("id"))
+    total = df.agg(F.sum("id").alias("grand_total"))
+    out = attach_scalars(df, total, "id")
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert len(rows) == 100 and all(r["grand_total"] == 4950 for r in rows)

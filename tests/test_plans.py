@@ -550,3 +550,41 @@ def test_ngram_perplexity_model_joins_are_vocab_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # two count tables + final, partial+final
+
+
+def test_c4_rules_is_pure_scan(spark):
+    """The C4 rule battery must stay a zero-shuffle scan-level
+    projection — no hash/range exchange, no Python, no joins (the
+    source's round-robin small-file repartition is not the operator's)."""
+    plan = plan_of(spark, "c4_rules")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_mix_sources_stream_never_shuffles(spark):
+    """mix_sources: the document stream reaches the output through
+    broadcast joins + a scan-level hash filter only; the only exchanges
+    in the plan belong to the tiny source-count aggregation, and the
+    scalar attach stays a BroadcastHashJoin (never nested-loop)."""
+    plan = plan_of(spark, "mix_sources")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # counts agg: one hashpartitioning exchange on source (plus AQE
+    # bookkeeping); the stream side itself contributes none
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("BroadcastHashJoin") >= 2  # feasibility + thresholds
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_score: bucket-keyed shuffles only, scalar totals attach as
+    broadcast hash joins (no BNLJ/cartesian), ratio table broadcasts
+    onto the feature stream, zero Python stages."""
+    plan = plan_of(spark, "dsir")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 totals + ratio table

@@ -26,6 +26,7 @@ identical semantics in DuckDB so every operator is oracle-checkable.
 from __future__ import annotations
 
 import re
+from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,12 +35,16 @@ from .sampling import hash_bucket, hash_bucket_str
 from .text import LANG_MARKERS, punct_ratio, token_count
 
 __all__ = [
+    "attach_scalars",
+    "c4_quality_flags",
     "canonical_url",
     "cap_per_group",
+    "dsir_score",
     "duplicate_spans",
     "frequent_lines",
     "gopher_quality_flags",
     "line_dedup",
+    "mix_sources",
     "ngram_perplexity",
     "strip_duplicate_spans",
     "url_dedup",
@@ -663,5 +668,307 @@ def gopher_quality_flags(
         .withColumn(
             "gopher_pass",
             flag_tokens & flag_word_len & flag_punct & flag_stop,
+        )
+    )
+
+
+def _zero_key(c: Column) -> Column:
+    """Always-0 join key DERIVED from a real column. A literal key would
+    be constant-folded into a ``true`` join condition and planned as
+    BroadcastNestedLoopJoin; a non-foldable pmod(·, 1) keeps the join an
+    equi BroadcastHashJoin (see :func:`attach_scalars`)."""
+    return F.pmod(
+        F.coalesce(F.length(c.cast("string")), F.lit(0)), F.lit(1)
+    )
+
+
+def attach_scalars(
+    df: DataFrame, scalars: DataFrame, anchor: Column | str
+) -> DataFrame:
+    """Attach every column of a ONE-ROW DataFrame (typically a global
+    aggregate — a corpus total, a vocabulary size, a feasibility bound)
+    to every row of ``df``, entirely IN-PLAN: no driver action, no
+    literal round-trip, no job at call time.
+
+    Implemented as a broadcast hash join on an always-0 key computed
+    from ``anchor`` (a non-null-heavy column of ``df``) on one side and
+    from the scalar row itself on the other — 1 row broadcast against
+    the stream, and never a BroadcastNestedLoopJoin (a plain
+    ``crossJoin`` would plan one and trip ``assert_scales``).
+
+    The join is inner: if ``scalars`` evaluates to ZERO rows (e.g. an
+    aggregate over an empty corpus with no grand-total row) the result
+    is empty. Global aggregates without GROUP BY always yield exactly
+    one row, so the standard uses are safe.
+    """
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    sc = scalars.withColumn("_zk", _zero_key(F.col(scalars.columns[0])))
+    return (
+        df.withColumn("_zk", _zero_key(a))
+        .join(F.broadcast(sc), "_zk")
+        .drop("_zk")
+    )
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_terminal_punct_ratio: float = 0.5,
+    min_sentences: int = 3,
+    min_words_per_line: float = 3.0,
+) -> DataFrame:
+    """C4-style heuristic filter battery (Raffel et al. 2020, §2.2 —
+    the cleaning rules behind the C4 corpus), document-level, each rule
+    as its own boolean column plus the conjunction ``c4_pass`` so drop
+    rates stay auditable per rule (same contract as
+    :func:`gopher_quality_flags`):
+
+    - ``flag_terminal_punct`` — at least ``min_terminal_punct_ratio`` of
+      the document's non-empty lines end in a terminal punctuation mark
+      (``. ! ? "``); C4 drops non-terminated lines outright, the
+      document-level ratio keeps the signal while staying one-row-per-doc
+    - ``flag_sentences``      — at least ``min_sentences`` sentence
+      enders (``.!?`` occurrences) in the document
+    - ``flag_line_words``     — mean words per non-empty line at least
+      ``min_words_per_line`` (C4 drops lines with <3 words)
+    - ``flag_no_lorem``       — no ``lorem ipsum`` placeholder text
+    - ``flag_no_braces``      — no ``{`` (code, JSON, templating)
+    - ``flag_no_javascript``  — no line mentioning ``javascript`` (the
+      "enable javascript" boilerplate signal)
+
+    Adds ``n_lines``, ``terminal_ratio``, ``n_sentences``,
+    ``words_per_line`` (ratios rounded to 6) alongside the flags. Pure
+    scan-level expressions — whole-stage codegen, no shuffle, no Python;
+    DuckDB-identical primitives only, so the battery is oracle-checkable.
+    An empty/whitespace document has no lines: both ratios define to 0
+    and the line-based flags fail.
+    """
+    t = F.col(text_col)
+    # project the trimmed-nonempty line array ONCE, derive everything
+    # from the bound column, then drop it — each withColumn re-deriving
+    # split+trim+filter would re-evaluate the split per flag
+    staged = df.withColumn(
+        "_lines",
+        F.filter(
+            F.transform(F.split(t, "\n"), F.trim),
+            lambda line: line != "",
+        ),
+    )
+    ls = F.col("_lines")
+    n_lines = F.size(ls)
+    n_term = F.size(F.filter(ls, lambda li: li.rlike('[.!?"]$')))
+    term_ratio = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        n_term.cast("double") / n_lines.cast("double")
+    )
+    wpl = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        token_count(t).cast("double") / n_lines.cast("double")
+    )
+    has_js = F.exists(ls, lambda li: F.lower(li).contains("javascript"))
+    n_sent = F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
+    flag_term = term_ratio >= F.lit(float(min_terminal_punct_ratio))
+    flag_sent = n_sent >= F.lit(int(min_sentences))
+    flag_words = wpl >= F.lit(float(min_words_per_line))
+    flag_lorem = ~F.lower(t).contains("lorem ipsum")
+    flag_braces = ~t.contains("{")
+    flag_js = ~has_js
+    return (
+        staged.withColumn("n_lines", n_lines.cast("bigint"))
+        .withColumn("terminal_ratio", F.round(term_ratio, 6))
+        .withColumn("n_sentences", n_sent.cast("bigint"))
+        .withColumn("words_per_line", F.round(wpl, 6))
+        .withColumn("flag_terminal_punct", flag_term)
+        .withColumn("flag_sentences", flag_sent)
+        .withColumn("flag_line_words", flag_words)
+        .withColumn("flag_no_lorem", flag_lorem)
+        .withColumn("flag_no_braces", flag_braces)
+        .withColumn("flag_no_javascript", flag_js)
+        .withColumn(
+            "c4_pass",
+            flag_term & flag_sent & flag_words & flag_lorem & flag_braces
+            & flag_js,
+        )
+        .drop("_lines")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 100_000,
+    string_key: bool = False,
+) -> DataFrame:
+    """Blend a multi-source corpus to TARGET mixture proportions by
+    deterministic downsampling — the "dataset mixing" step every
+    pretraining recipe runs (The Pile, LLaMA, Dolma publish exactly such
+    weight tables): given ``weights`` mapping a source value to its
+    target share, keep the LARGEST corpus achievable with those exact
+    proportions without upsampling any source.
+
+    The feasible total is bound by the scarcest source relative to its
+    weight: ``T = min_s(n_s / w_s)`` (weights normalized to sum 1); each
+    source then keeps ``w_s · T`` rows via the engine's deterministic
+    hash sampling (:func:`~yaetl_spark.operators.sampling.hash_bucket`),
+    so reruns, engines, and partitionings all select the SAME rows.
+    Sources absent from ``weights`` are dropped (weight 0). Achieved
+    proportions are exact up to hash-bucket granularity (~1/buckets
+    relative error) — hash sampling trades exact counts for
+    partition-independence, the right trade for training data.
+
+    Entirely in-plan — no driver action: per-source counts are one tiny
+    groupBy (|sources| rows), the feasibility bound attaches back via
+    :func:`attach_scalars` (1-row broadcast hash join), the per-source
+    keep-thresholds broadcast onto the stream, and the final predicate
+    is a scan-level hash compare. Shuffle cost at 100 TB: ONE partial
+    count aggregation over source keys; the data stream itself never
+    shuffles.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be > 0 (omit a source to drop it)")
+    total_w = float(sum(weights.values()))
+    s = F.col(source_col)
+    w_expr = None
+    for val, w in weights.items():
+        wn = F.lit(float(w) / total_w)
+        w_expr = (
+            F.when(s == F.lit(val), wn)
+            if w_expr is None
+            else w_expr.when(s == F.lit(val), wn)
+        )
+    counts = (
+        df.filter(s.isin(*weights.keys()))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w_expr)
+    )
+    feasible = counts.select(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    )
+    thresholds = attach_scalars(counts, feasible, source_col).select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("_w") * F.col("_t") / F.col("_n").cast("double"),
+            )
+            * F.lit(int(buckets))
+        ).cast("bigint").alias("_thr"),
+    )
+    b = (hash_bucket_str if string_key else hash_bucket)(key_col, buckets)
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .filter(b < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of a TARGET-domain hashed
+    n-gram model against the RAW-corpus model —
+    ``score(doc) = Σ_g log(p_target(h(g)) / p_raw(h(g)))`` over the
+    document's unigrams (+ bigrams with ``use_bigrams``), features
+    hashed into ``buckets`` cells, both models add-``alpha`` smoothed.
+    High scores read "looks like the target domain"; importance
+    resampling then keeps raw docs with probability ∝ exp(score).
+    Returns ``(id_col, dsir_logratio, n_feats)`` — documents with zero
+    tokens have no features and drop.
+
+    Determinism contract: features hash via md5 (engine-portable), each
+    log term is rounded to 9 decimals and summed as DECIMAL(20,9) — an
+    exact, order-independent sum — so scores are bit-stable across
+    partitionings and engines; the final round(·, 6) happens after the
+    exact sum.
+
+    Scale shape (100 TB):
+    - the feature stream is a narrow tokenize → unigram+bigram explode
+      (token array bound once per side);
+    - BOTH models are ≤ ``buckets``-row count tables (fixed-width
+      integer keys, map-side combine) — the shuffles are bucket-keyed,
+      never token-keyed, and the smoothed-total scalars attach via
+      1-row broadcast hash joins (:func:`attach_scalars`), no driver
+      action anywhere;
+    - scoring broadcasts the ≤ ``buckets``-row log-ratio table against
+      the raw feature stream, then one id-keyed aggregation.
+    """
+    from .text import tokenize
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed zeros break log)")
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+        )
+        grams = toks.select(
+            F.col(id_col),
+            F.explode(
+                F.concat(
+                    F.col("_t"),
+                    F.when(
+                        F.size("_t") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(2), F.size("_t")),
+                            lambda i: F.concat(
+                                F.element_at(F.col("_t"), i - 1),
+                                F.lit(" "),
+                                F.element_at(F.col("_t"), i),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+                if use_bigrams
+                else F.col("_t")
+            ).alias("_g"),
+        )
+        return grams.select(
+            F.col(id_col), hash_bucket_str(F.col("_g"), buckets).alias("_b")
+        )
+
+    raw_feats = feats(df)
+    t_counts = feats(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct"))
+    r_counts = raw_feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"))
+    t_total = t_counts.select(F.sum("_ct").cast("double").alias("_tt"))
+    r_total = r_counts.select(F.sum("_cr").cast("double").alias("_tr"))
+    model = (
+        t_counts.join(r_counts, "_b", "full_outer")
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+    )
+    model = attach_scalars(model, t_total, "_b")
+    model = attach_scalars(model, r_total, "_b")
+    a = F.lit(float(alpha))
+    ak = F.lit(float(alpha) * buckets)
+    lr = F.round(
+        F.log((F.col("_ct") + a) / (F.col("_tt") + ak))
+        - F.log((F.col("_cr") + a) / (F.col("_tr") + ak)),
+        9,
+    ).cast("decimal(20,9)")
+    ratios = model.select("_b", lr.alias("_lr"))
+    return (
+        raw_feats.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_lr").cast("double"), 6).alias("dsir_logratio"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         )
     )
