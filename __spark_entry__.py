@@ -665,8 +665,8 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     blend three sources at 50/30/20 target weights by deterministic
     hash downsampling of the largest feasible corpus (T = min n_s/w_s;
     no upsampling). Everything in-plan: one tiny source-count agg, the
-    feasibility bound attached via a 1-row broadcast hash join
-    (attach_scalars), thresholds broadcast onto the stream as a
+    feasibility bound computed by a single-partition window over that
+    |sources|-row table, thresholds broadcast onto the stream as a
     scan-level hash predicate — the data itself never shuffles."""
     from yaetl_spark.operators import mix_sources
 
@@ -683,8 +683,10 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram+bigram model (docs from src0/src1) against the raw-corpus
     model, summed per document as DECIMAL(20,9) rounded terms for
     bit-stable cross-engine scores. Scale shape: bucket-keyed count
-    shuffles (<= 1024 cells), 1-row broadcast totals, broadcast ratio
-    table against the feature stream, one id-keyed aggregation."""
+    shuffles (<= 1024 cells), totals via a single-partition window over
+    the bounded model table (each corpus tokenized once per count),
+    broadcast ratio table against the feature stream, one id-keyed
+    aggregation."""
     from yaetl_spark.operators import dsir_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")

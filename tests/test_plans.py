@@ -572,19 +572,24 @@ def test_mix_sources_stream_never_shuffles(spark):
     plan = plan_of(spark, "mix_sources")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # counts agg: one hashpartitioning exchange on source (plus AQE
-    # bookkeeping); the stream side itself contributes none
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert plan.count("BroadcastHashJoin") >= 2  # feasibility + thresholds
+    # ONE hashpartitioning exchange: the |sources|-row count agg (the
+    # feasibility bound is a window over it, not a second aggregation —
+    # the corpus scan behind the counts must appear exactly once)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") >= 1  # thresholds onto stream
+    assert plan.count("FileScan") == 2  # stream + one counts scan
 
 
 def test_dsir_plan_shape(spark):
-    """dsir_score: bucket-keyed shuffles only, scalar totals attach as
-    broadcast hash joins (no BNLJ/cartesian), ratio table broadcasts
-    onto the feature stream, zero Python stages."""
+    """dsir_score: bucket-keyed shuffles only, corpus totals via a
+    window over the bounded model table (each corpus tokenized exactly
+    once per count — 3 FileScans total: target counts, raw counts, raw
+    feature stream), ratio table broadcasts onto the feature stream,
+    zero Python stages, no BNLJ/cartesian."""
     plan = plan_of(spark, "dsir")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # 2 totals + ratio table
+    assert plan.count("BroadcastHashJoin") >= 1  # ratio table onto stream
+    assert plan.count("FileScan") == 3

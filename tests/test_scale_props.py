@@ -264,6 +264,9 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # modular arithmetic — all must survive an ANSI session
         "dup_spans", "strip_spans", "url_dedup", "heavy_hitters", "scd2",
         "semantic_dedup", "ngram_perplexity",
+        # round-5 additions: mix_sources keys on the Knuth product,
+        # dsir hashes md5 buckets, c4_rules is pure string arithmetic
+        "c4_rules", "mix_sources", "dsir",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")

@@ -28,7 +28,7 @@ from __future__ import annotations
 import re
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import hash_bucket, hash_bucket_str
@@ -817,8 +817,9 @@ def mix_sources(
     partition-independence, the right trade for training data.
 
     Entirely in-plan — no driver action: per-source counts are one tiny
-    groupBy (|sources| rows), the feasibility bound attaches back via
-    :func:`attach_scalars` (1-row broadcast hash join), the per-source
+    groupBy (|sources| rows), the feasibility bound rides a
+    single-partition window over that bounded counts table (so the
+    corpus scan behind the counts runs exactly once), the per-source
     keep-thresholds broadcast onto the stream, and the final predicate
     is a scan-level hash compare. Shuffle cost at 100 TB: ONE partial
     count aggregation over source keys; the data stream itself never
@@ -844,15 +845,20 @@ def mix_sources(
         .agg(F.count(F.lit(1)).alias("_n"))
         .withColumn("_w", w_expr)
     )
-    feasible = counts.select(
-        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
-    )
-    thresholds = attach_scalars(counts, feasible, source_col).select(
+    # the feasibility bound T = min(n_s/w_s) rides a single-partition
+    # window over the COUNTS table — bounded at |sources| rows by
+    # construction, so the single partition is safe, and the counts
+    # lineage (a corpus scan) executes exactly once; attach_scalars
+    # would re-derive the aggregate from scratch for the scalar side
+    feasible = F.min(
+        F.col("_n").cast("double") / F.col("_w")
+    ).over(Window.partitionBy())
+    thresholds = counts.select(
         source_col,
         F.floor(
             F.least(
                 F.lit(1.0),
-                F.col("_w") * F.col("_t") / F.col("_n").cast("double"),
+                F.col("_w") * feasible / F.col("_n").cast("double"),
             )
             * F.lit(int(buckets))
         ).cast("bigint").alias("_thr"),
@@ -897,9 +903,10 @@ def dsir_score(
       (token array bound once per side);
     - BOTH models are ≤ ``buckets``-row count tables (fixed-width
       integer keys, map-side combine) — the shuffles are bucket-keyed,
-      never token-keyed, and the smoothed-total scalars attach via
-      1-row broadcast hash joins (:func:`attach_scalars`), no driver
-      action anywhere;
+      never token-keyed, and the smoothed totals ride a
+      single-partition window over the bounded model table (each corpus
+      is tokenized exactly once for its counts), no driver action
+      anywhere;
     - scoring broadcasts the ≤ ``buckets``-row log-ratio table against
       the raw feature stream, then one id-keyed aggregation.
     """
@@ -944,8 +951,6 @@ def dsir_score(
         F.count(F.lit(1)).alias("_ct"))
     r_counts = raw_feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"))
-    t_total = t_counts.select(F.sum("_ct").cast("double").alias("_tt"))
-    r_total = r_counts.select(F.sum("_cr").cast("double").alias("_tr"))
     model = (
         t_counts.join(r_counts, "_b", "full_outer")
         .select(
@@ -954,8 +959,15 @@ def dsir_score(
             F.coalesce("_cr", F.lit(0)).alias("_cr"),
         )
     )
-    model = attach_scalars(model, t_total, "_b")
-    model = attach_scalars(model, r_total, "_b")
+    # corpus totals ride a single-partition window over the MODEL table
+    # (bounded at `buckets` rows), so each corpus is tokenized exactly
+    # once for its count table — attach_scalars here would re-run the
+    # whole count lineage (an extra corpus scan per total) just to
+    # produce the 1-row side
+    w_all = Window.partitionBy()
+    model = model.withColumn(
+        "_tt", F.sum("_ct").over(w_all).cast("double")
+    ).withColumn("_tr", F.sum("_cr").over(w_all).cast("double"))
     a = F.lit(float(alpha))
     ak = F.lit(float(alpha) * buckets)
     lr = F.round(
