@@ -2,11 +2,11 @@
 pretraining pipeline runs between raw crawl and tokenizer, in the order
 the published recipes (Gopher, CCNet, RefinedWeb) apply them:
 
-1. quality gate   — Gopher rule battery + bigram-LM perplexity cut
+1. quality gate   — Gopher + C4 rule batteries + bigram-LM perplexity cut
 2. line dedup     — cut corpus-frequent boilerplate lines from survivors
 3. span dedup     — cut corpus-duplicated token runs (ExactSubstr-style)
 4. exact dedup    — drop full-document duplicates (md5 fingerprint)
-5. source caps    — no source/domain may dominate the mixture
+5. source mixing  — per-source caps, then blend to target weights
 6. dataset split  — deterministic train/val/test assignment
 
 Every stage is shuffle-frugal (see each operator's docstring for the
@@ -24,11 +24,13 @@ from pyspark.sql import functions as F
 
 from yaetl_spark import get_spark
 from yaetl_spark.operators import (
+    c4_quality_flags,
     cap_per_group,
     dataset_split,
     exact_dedup,
     gopher_quality_flags,
     line_dedup,
+    mix_sources,
     ngram_perplexity,
     strip_duplicate_spans,
 )
@@ -39,7 +41,8 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_raw = docs.count()
 
-    # 1) quality gate: scan-level rule battery, filter on the conjunction
+    # 1) quality gate: Gopher + C4 rule batteries, both pure scan-level
+    #    expressions — the two filters fuse into ONE scan pass
     quality = (
         gopher_quality_flags(
             docs, min_tokens=5, max_tokens=10_000,
@@ -47,6 +50,17 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
             max_punct_ratio=0.25, min_stopword_kinds=0,
         )
         .filter(F.col("gopher_pass"))
+        .select(*docs.columns)
+    )
+    quality = (
+        c4_quality_flags(
+            quality, min_terminal_punct_ratio=0.0, min_sentences=0,
+            min_words_per_line=1.0,
+        )
+        .filter(
+            F.col("flag_no_lorem") & F.col("flag_no_braces")
+            & F.col("flag_no_javascript")
+        )
         .select(*docs.columns)
     )
     # LM-perplexity cut: drop the most improbable tail (CCNet-style).
@@ -86,8 +100,16 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     keepers = exact_dedup(despanned, text_col="text", id_col="doc_id")
     uniq = despanned.join(keepers, "doc_id", "left_semi")
 
-    # 5) per-source quota: deterministic, hash-ranked
+    # 5) source mixing: first a hard per-source cap (no domain may
+    #    dominate), then blend three named sources to 50/30/20 target
+    #    weights — the largest feasible corpus at those proportions,
+    #    deterministic hash sampling, the stream never shuffles
     capped = cap_per_group(uniq, "source", "doc_id", n=20)
+    capped = capped.filter(
+        ~F.col("source").isin("src0", "src1", "src2")
+    ).unionByName(
+        mix_sources(capped, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    )
 
     # 6) stable train/val/test split
     final = dataset_split(capped, "doc_id", weights=(0.9, 0.05, 0.05))
