@@ -697,6 +697,32 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (operators/joins.py fuzzy_join): match
+    two deterministic views of each document — chars 1-40 vs chars 5-44
+    — by 5-gram set Jaccard, best match per left row. Entity-resolution
+    shape: gram-blocked candidates (never all-pairs), intersection
+    counted directly on the blocking join, one pair-keyed aggregation,
+    per-left-row top-1 window. 95% of rows resolve to themselves; the
+    rest hit an exact-duplicate text with a smaller id (deterministic
+    tie-break sim DESC, rid ASC)."""
+    from yaetl_spark.operators import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    left = docs.select(
+        F.col("doc_id").alias("lid"),
+        F.substring("text", 1, 40).alias("lname"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.substring("text", 5, 40).alias("rname"),
+    )
+    return fuzzy_join(
+        left, right, "lname", "rname", "lid", "rid",
+        ngram=5, min_sim=0.3, keep="best",
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated token spans (operators/curation.py,
     ExactSubstr-style after Lee et al. 2022): every maximal token run
@@ -2375,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "mix_sources": q_mix_sources,
         "dsir": q_dsir,
+        "fuzzy_match": q_fuzzy_match,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2459,8 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver checks the FIRST 50 declared queries each round; we order by
 # (a) new-this-round, (a') implementation-or-oracle changed this round,
 # then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) c4_rules, mix_sources, dsir are
-# new; (a') url_dedup (canonical_url now strips authority userinfo and
+# beyond two rounds. This round: (a) c4_rules, mix_sources, dsir, and
+# fuzzy_match are new; (a') url_dedup (canonical_url now strips authority userinfo and
 # the generator exercises credential variants), ngram_perplexity (V
 # folded into the plan via a 1-row broadcast hash join), semantic_dedup
 # (max_cell_rows guard added — driver path unchanged but re-pin it);
@@ -2471,10 +2498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # distinct, edit_distance, except, explode_tokens, full_join,
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
-# window_running_sum) to round 6 as the next stalest cohort.
+# window_running_sum) plus weighted_sample (displaced by fuzzy_match;
+# its sibling samplers dataset_split/stratified_sample stay in-window)
+# to round 6 as the next stalest cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "c4_rules", "mix_sources", "dsir",
+    "c4_rules", "mix_sources", "dsir", "fuzzy_match",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2490,7 +2519,7 @@ _DRIVER_WINDOW = [
     "inverted_index", "keep_latest", "lang_id", "late_lines",
     "minhash_neardup", "ngram_jaccard", "pack_documents", "part_promo",
     "profile", "quality_topk", "simhash_dedup", "stratified_sample",
-    "text_stats", "variant_json", "weighted_sample",
+    "text_stats", "variant_json",
 ]
 
 
@@ -3085,6 +3114,48 @@ def oracle_sql() -> dict[str, str]:
                               AND NOT has_brace AND NOT has_js
                              THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
             FROM m
+        """,
+        "fuzzy_match": """
+            WITH l AS (
+                SELECT doc_id AS lid,
+                       lower(trim(regexp_replace(substring(text, 1, 40),
+                                                 '\\s+', ' ', 'g'))) AS s
+                FROM documents),
+            r AS (
+                SELECT doc_id AS rid,
+                       lower(trim(regexp_replace(substring(text, 5, 40),
+                                                 '\\s+', ' ', 'g'))) AS s
+                FROM documents),
+            lsets AS (
+                SELECT lid, list_distinct(
+                    [s[i:i+4] FOR i IN
+                     range(1, greatest(length(s) - 4, 0) + 1)]) AS gs
+                FROM l),
+            rsets AS (
+                SELECT rid, list_distinct(
+                    [s[i:i+4] FOR i IN
+                     range(1, greatest(length(s) - 4, 0) + 1)]) AS gs
+                FROM r),
+            lg AS (SELECT lid, len(gs) AS na, unnest(gs) AS g
+                   FROM lsets WHERE len(gs) > 0),
+            rg AS (SELECT rid, len(gs) AS nb, unnest(gs) AS g
+                   FROM rsets WHERE len(gs) > 0),
+            pairs AS (
+                SELECT lid, rid, COUNT(*) AS inter,
+                       ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb
+                FROM lg JOIN rg USING (g)
+                GROUP BY lid, rid),
+            scored AS (
+                SELECT lid, rid,
+                       round(CAST(inter AS DOUBLE)
+                             / CAST(na + nb - inter AS DOUBLE), 6) AS sim,
+                       CAST(inter AS BIGINT) AS n_shared_grams
+                FROM pairs)
+            SELECT lid, rid, sim, n_shared_grams FROM (
+                SELECT lid, rid, sim, n_shared_grams,
+                       row_number() OVER (PARTITION BY lid
+                                          ORDER BY sim DESC, rid ASC) AS rn
+                FROM scored WHERE sim >= 0.3) WHERE rn = 1
         """,
         "mix_sources": """
             WITH d AS (SELECT doc_id, source FROM documents),

@@ -578,3 +578,27 @@ def test_attach_scalars_is_bhj_and_lazy(spark):
     assert "BroadcastHashJoin" in plan
     rows = out.collect()
     assert len(rows) == 100 and all(r["grand_total"] == 4950 for r in rows)
+
+
+def test_ngram_perplexity_persist_matches_default(spark):
+    """persist=True only caches the bigram lineage — results identical."""
+    from yaetl_spark.operators import ngram_perplexity
+
+    docs = spark.read.parquet(f"{table_path('documents')}").select(
+        "doc_id", "text").limit(100)
+    a = sorted(map(tuple, ngram_perplexity(docs).collect()))
+    b = sorted(map(tuple, ngram_perplexity(docs, persist=True).collect()))
+    assert a == b
+
+
+def test_attach_scalars_empty_scalars_empties_result(spark):
+    """Documented contract: the attach join is inner, so a ZERO-row
+    scalars frame empties the output (global aggregates always yield
+    one row; this pins the edge for filtered scalar frames)."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import attach_scalars
+
+    df = spark.range(10)
+    none = df.agg(F.sum("id").alias("s")).filter(F.col("s") < 0)
+    assert attach_scalars(df, none, "id").count() == 0

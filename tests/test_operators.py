@@ -383,3 +383,99 @@ def test_tfidf_scores_and_topk(spark):
     top1 = tfidf(df, top_k_per_doc=1).collect()
     assert {(r["doc_id"], r["token"]) for r in top1} == {
         (1, "apple"), (2, "cherry"), (3, "durian")}
+
+
+# --- fuzzy_join -------------------------------------------------------------
+
+
+def test_fuzzy_join_matches_and_best(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Acme Corporation"), (2, "Globex  industries"), (3, "zz")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "acme corp"),
+            (11, "ACME CORPORATION"),
+            (12, "globex industries inc"),
+            (13, "unrelated widgets"),
+        ],
+        "rid long, name string",
+    )
+    best = {
+        r["lid"]: (r["rid"], r["sim"])
+        for r in fuzzy_join(
+            left, right, "name", "name", "lid", "rid",
+            ngram=3, min_sim=0.3, keep="best",
+        ).collect()
+    }
+    # exact normalized match wins with sim 1.0
+    assert best[1][0] == 11 and best[1][1] == 1.0
+    assert best[2][0] == 12
+    assert 3 not in best  # "zz" too short for 3-grams -> no gram set
+    # keep="all" returns every pair over the threshold
+    allp = fuzzy_join(
+        left, right, "name", "name", "lid", "rid",
+        ngram=3, min_sim=0.3, keep="all",
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in allp} >= {(1, 10), (1, 11), (2, 12)}
+    with pytest.raises(ValueError):
+        fuzzy_join(left, right, "name", "name", "lid", "rid", keep="top")
+    with pytest.raises(ValueError):
+        fuzzy_join(left, right, "name", "name", "id", "id")
+    with pytest.raises(ValueError):
+        fuzzy_join(left, right, "name", "name", "lid", "rid", min_sim=0.0)
+
+
+def test_fuzzy_join_jaccard_exact_value(spark):
+    from yaetl_spark.operators import fuzzy_join
+
+    # "abcd" -> {abc, bcd}; "bcde" -> {bcd, cde}: inter=1, union=3
+    left = spark.createDataFrame([(1, "abcd")], "lid long, s string")
+    right = spark.createDataFrame([(2, "bcde")], "rid long, s string")
+    rows = fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.1
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["sim"] == round(1 / 3, 6)
+    assert rows[0]["n_shared_grams"] == 1
+
+
+def test_fuzzy_join_gram_df_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import fuzzy_join
+
+    # 30 right rows all share the stop-gram region "aaaa"; two rows carry
+    # a distinctive tail. Without pruning the left probe matches all 30;
+    # with max_gram_df=5 the "aaaa"-grams drop and only the distinctive
+    # tail pairs survive, with Jaccard over the PRUNED sets.
+    right = spark.createDataFrame(
+        [(i, "aaaaaaaa common") for i in range(30)]
+        + [(100, "xyzqw tail"), (101, "xyzqw tail")],
+        "rid long, s string",
+    )
+    left = spark.createDataFrame([(1, "xyzqw tail")], "lid long, s string")
+    unpruned = fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.99,
+        keep="all",
+    )
+    pruned = fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.99,
+        keep="all", max_gram_df=5,
+    )
+    assert {r["rid"] for r in unpruned.collect()} == {100, 101}
+    assert {r["rid"] for r in pruned.collect()} == {100, 101}
+    # and partition invariance of the whole operator
+    a = sorted(map(tuple, fuzzy_join(
+        left, right.repartition(1), "s", "s", "lid", "rid",
+        ngram=3, min_sim=0.2, keep="all").collect()))
+    b = sorted(map(tuple, fuzzy_join(
+        left, right.repartition(7), "s", "s", "lid", "rid",
+        ngram=3, min_sim=0.2, keep="all").collect()))
+    assert a == b

@@ -593,3 +593,15 @@ def test_dsir_plan_shape(spark):
         assert node not in plan
     assert plan.count("BroadcastHashJoin") >= 1  # ratio table onto stream
     assert plan.count("FileScan") == 3
+
+
+def test_fuzzy_match_plan_shape(spark):
+    """fuzzy_join: gram-blocked candidates, never an all-pairs compare —
+    no cartesian/nested-loop node; one pair aggregation plus the top-1
+    window; zero Python stages."""
+    plan = plan_of(spark, "fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "Window" in plan  # keep="best" top-1

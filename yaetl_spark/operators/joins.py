@@ -326,3 +326,118 @@ def range_join(
         & (F.col(left_value) < F.col(right_hi))
     )
     return refined.drop("__bucket")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+    ngram: int = 3,
+    min_sim: float = 0.5,
+    keep: str = "best",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Approximate string join (entity resolution / record linkage):
+    match rows whose strings share enough character ``ngram``-grams —
+    Jaccard similarity of the two DISTINCT-gram sets at least
+    ``min_sim``. Returns ``(left_id, right_id, sim, n_shared_grams)``
+    with ``sim`` rounded to 6 (engine-portable compare).
+
+    The entire verify step falls out of the blocking join: gram sets
+    are deduplicated per row BEFORE exploding, so each (left, right,
+    gram) candidate row appears exactly once and the intersection size
+    is a plain COUNT per pair; each gram row carries its row's set size,
+    so ``|A∪B| = na + nb - inter`` needs no join-back. One gram-keyed
+    equi join + one pair-keyed aggregation — never an all-pairs compare.
+
+    ``keep="best"`` returns the top match per left row (highest ``sim``,
+    ties to the smallest ``right_id``); ``keep="all"`` returns every
+    pair at or above the threshold.
+
+    ``max_gram_df`` is the 100 TB lever: grams occurring in more than
+    ``max_gram_df`` RIGHT rows are stop-grams (" th", "er ", ...) whose
+    df² candidate fan-out dominates the join; with it set, both sides
+    drop those grams and per-row set sizes are recounted, so the
+    similarity is the exact Jaccard of the PRUNED gram sets —
+    deterministic and engine-reproducible, same df-pruning move as the
+    inverted index. Self-join note: pass pre-aliased id columns with
+    different names and filter ``left_id < right_id`` downstream to
+    halve the pair space.
+    """
+    from pyspark.sql import Window
+
+    from .text import char_ngrams
+
+    if keep not in ("best", "all"):
+        raise ValueError("keep must be 'best' or 'all'")
+    if not 0.0 < min_sim <= 1.0:
+        raise ValueError("min_sim must be in (0, 1]")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id must differ (alias before joining; "
+            "output carries both)"
+        )
+
+    def gram_stream(df: DataFrame, col: str, id_: str, size_name: str,
+                    gram_name: str) -> DataFrame:
+        sets = df.select(
+            F.col(id_),
+            F.array_distinct(char_ngrams(F.col(col), ngram)).alias("_gs"),
+        ).filter(F.size("_gs") > 0)
+        return sets.select(
+            F.col(id_),
+            F.size("_gs").alias(size_name),
+            F.explode("_gs").alias(gram_name),
+        )
+
+    lg = gram_stream(left, left_col, left_id, "_na", "_g")
+    rg = gram_stream(right, right_col, right_id, "_nb", "_g")
+    if max_gram_df is not None:
+        if max_gram_df < 1:
+            raise ValueError("max_gram_df must be >= 1")
+        hot = (
+            rg.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("_g")
+        )
+        lg = lg.join(hot, "_g", "left_anti")
+        rg = rg.join(hot, "_g", "left_anti")
+        # set sizes must describe the PRUNED sets or Jaccard breaks
+        lg = lg.withColumn(
+            "_na", F.count(F.lit(1)).over(Window.partitionBy(left_id))
+        )
+        rg = rg.withColumn(
+            "_nb", F.count(F.lit(1)).over(Window.partitionBy(right_id))
+        )
+    pairs = (
+        lg.join(rg, "_g")
+        .groupBy(left_id, right_id)
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.any_value("_na").alias("_va"),
+            F.any_value("_nb").alias("_vb"),
+        )
+    )
+    sim = F.round(
+        F.col("_inter").cast("double")
+        / (F.col("_va") + F.col("_vb") - F.col("_inter")).cast("double"),
+        6,
+    )
+    scored = pairs.select(
+        left_id, right_id, sim.alias("sim"),
+        F.col("_inter").cast("bigint").alias("n_shared_grams"),
+    ).filter(F.col("sim") >= F.lit(float(min_sim)))
+    if keep == "all":
+        return scored
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("sim").desc(), F.col(right_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
