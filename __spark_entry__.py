@@ -697,6 +697,29 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the per-user page-transition
+    graph: consecutive events of a user (ordered by ts, event_id) yield
+    a directed edge between their props.k values — a ~100-node
+    clickstream navigation graph with parallel-edge weights. Three
+    power iterations, damping 0.85, dangling mass redistributed;
+    decimal term sums keep ranks bit-stable across engines. Ranks sum
+    to 1 over the node set."""
+    from pyspark.sql import Window
+
+    from yaetl_spark.operators import pagerank
+
+    ev = _events(spark, sf_dir, heavy=True)
+    k = F.from_json(F.col("props"), "k bigint").getField("k")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", k.alias("_k"))
+        .withColumn("_prev", F.lag("_k").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    return pagerank(trans, src="_prev", dst="_k", iters=3, damping=0.85)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string join (operators/joins.py fuzzy_join): match
     two deterministic views of each document — chars 1-40 vs chars 5-44
@@ -2402,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "dsir": q_dsir,
         "fuzzy_match": q_fuzzy_match,
+        "pagerank": q_pagerank,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2498,12 +2522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # distinct, edit_distance, except, explode_tokens, full_join,
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
-# window_running_sum) plus weighted_sample (displaced by fuzzy_match;
-# its sibling samplers dataset_split/stratified_sample stay in-window)
-# to round 6 as the next stalest cohort.
+# window_running_sum) plus weighted_sample and variant_json (displaced
+# by fuzzy_match/pagerank; sibling queries dataset_split/
+# stratified_sample/json_extract stay in-window or are r4-green) to
+# round 6 as the next stalest cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "c4_rules", "mix_sources", "dsir", "fuzzy_match",
+    "c4_rules", "mix_sources", "dsir", "fuzzy_match", "pagerank",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2519,7 +2544,7 @@ _DRIVER_WINDOW = [
     "inverted_index", "keep_latest", "lang_id", "late_lines",
     "minhash_neardup", "ngram_jaccard", "pack_documents", "part_promo",
     "profile", "quality_topk", "simhash_dedup", "stratified_sample",
-    "text_stats", "variant_json",
+    "text_stats",
 ]
 
 
@@ -2558,6 +2583,61 @@ _TOKN = (
     f"ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1 END"
 )
 _PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _pagerank_sql(iters: int, damping: float) -> str:
+    """Unrolled power-iteration PageRank oracle over the events
+    transition graph — same shape as the unrolled-Lloyd's k-means
+    oracle: each iteration is a CTE pair (dangling mass, contributions)
+    feeding the next rank table, with the identical round-to-9 /
+    DECIMAL(20,9) term sums and the identical update expression
+    ``(1-d)/n + d*(contrib + dang/n)`` the Spark operator uses."""
+    d = repr(float(damping))
+    parts = [f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events),
+        trans AS (
+            SELECT user_id, k,
+                   lag(k) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+            FROM ev),
+        e AS (
+            SELECT prev AS s, k AS dd, COUNT(*) AS w
+            FROM trans WHERE prev IS NOT NULL AND k IS NOT NULL
+            GROUP BY prev, k),
+        outw AS (SELECT s, SUM(w) AS ow FROM e GROUP BY s),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION ALL SELECT dd FROM e)),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+        dang{i} AS (
+            SELECT CAST(COALESCE(SUM(CAST(round(r.rank, 9)
+                                          AS DECIMAL(20,9))), 0)
+                        AS DOUBLE) AS dang
+            FROM r{i} r LEFT JOIN outw o ON r.node = o.s
+            WHERE o.s IS NULL),
+        c{i} AS (
+            SELECT e.dd AS node,
+                   CAST(SUM(CAST(round(r.rank * e.w / o.ow, 9)
+                                 AS DECIMAL(20,9))) AS DOUBLE) AS c
+            FROM e JOIN r{i} r ON e.s = r.node JOIN outw o ON e.s = o.s
+            GROUP BY e.dd),
+        r{i + 1} AS (
+            SELECT nd.node,
+                   (1.0 - {d}) / nn.n
+                   + {d} * (COALESCE(c.c, 0.0) + dang{i}.dang / nn.n)
+                       AS rank
+            FROM nodes nd
+            LEFT JOIN c{i} c ON nd.node = c.node
+            CROSS JOIN nn CROSS JOIN dang{i})""")
+    parts.append(f"""
+        SELECT node, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
 
 
 def _dup_spans_sql(k: int) -> str:
@@ -3115,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
             FROM m
         """,
+        "pagerank": _pagerank_sql(iters=3, damping=0.85),
         "fuzzy_match": """
             WITH l AS (
                 SELECT doc_id AS lid,

@@ -209,3 +209,56 @@ def test_keep_latest_tiebreak_and_invariance(spark):
     got2 = {r.k: r.v for r in keep_latest(
         df.repartition(5), "k", "ts", tiebreak="v").collect()}
     assert got == got2
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_known_graph_and_mass(spark):
+    import pytest
+
+    from yaetl_spark.operators import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=20).collect()}
+    # ranks are a probability distribution over the node set
+    assert round(sum(got.values()), 5) == 1.0
+    # node 3 has two in-links (from 1 and 2) -> highest rank
+    assert got[3] == max(got.values())
+    # 1 and 4 are symmetric receivers (each gets half of 3's rank plus
+    # the dangling share from 4)
+    assert got[1] == got[4]
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+
+
+def test_pagerank_parallel_edges_weigh(spark):
+    from yaetl_spark.operators import pagerank
+
+    # 1 -> 2 twice, 1 -> 3 once: 2 must outrank 3
+    single = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long")
+    doubled = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long")
+    s = {r["node"]: r["rank"] for r in pagerank(single, iters=10).collect()}
+    d = {r["node"]: r["rank"] for r in pagerank(doubled, iters=10).collect()}
+    assert s[2] == s[3]
+    assert d[2] > d[3]
+
+
+def test_pagerank_partition_invariant_and_dangling_only(spark):
+    from yaetl_spark.operators import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(60)], "src long, dst long")
+    a = sorted(map(tuple, pagerank(edges.repartition(1), iters=5).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(9), iters=5).collect()))
+    assert a == b
+    # a pure sink graph (all mass dangles) stays uniform
+    sink = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(sink, iters=4).collect()}
+    assert round(sum(got.values()), 5) == 1.0
+    assert got[2] > got[1] == got[3]

@@ -605,3 +605,14 @@ def test_fuzzy_match_plan_shape(spark):
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
     assert "Window" in plan  # keep="best" top-1
+
+
+def test_pagerank_loop_artifacts_bounded(spark):
+    """pagerank: the per-iteration plan (after lineage truncation) is
+    one rank⋈edge join + dst-keyed agg + the 1-row dangling broadcast —
+    no cartesian/nested-loop, no Python stages."""
+    plan = plan_of(spark, "pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan

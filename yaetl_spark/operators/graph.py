@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "drop_duplicate_members"]
+__all__ = ["connected_components", "dedup_clusters", "drop_duplicate_members",
+           "pagerank"]
 
 
 def connected_components(
@@ -204,3 +205,122 @@ def drop_duplicate_members(
     planner correctly falls back to a shuffled anti join."""
     losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """PageRank over a directed multigraph (Page et al. 1999), with
+    proper dangling-node mass redistribution, run for a FIXED ``iters``
+    power iterations so the result is a deterministic function of the
+    graph — reproducible across engines, partitionings, and reruns
+    (fixed iteration count is what makes the operator oracle-checkable,
+    same contract as the unrolled-Lloyd's k-means). Returns
+    ``(node, rank)`` with ranks rounded to 6; ranks sum to 1.
+
+    Update rule per iteration, mirrored exactly by the DuckDB oracle::
+
+        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)·w(u,v)/out(u) + D/N)
+
+    where ``w`` is edge multiplicity (parallel edges weigh), ``out(u)``
+    the weighted out-degree, and ``D`` the summed rank of dangling
+    nodes (no out-edges). Contribution and dangling sums round each
+    term to 9 decimals and accumulate as DECIMAL(20,9) — exact,
+    order-independent — so the scores are bit-stable (the same
+    absorb-the-ulps pattern as ngram_perplexity/dsir_score).
+
+    Scale shape (100 TB / web-graph):
+    - edges pre-aggregate to ``(src, dst, w)`` once — the per-iteration
+      work is ONE rank⋈edge equi join (shuffle on src) plus one
+      dst-keyed partial-agg sum; ranks are two columns per node, the
+      raw input never re-enters the loop;
+    - the dangling mass is a 1-row aggregate attached in-plan via a
+      broadcast hash join (:func:`~yaetl_spark.operators.curation.attach_scalars`)
+      — no driver round-trip per iteration;
+    - lineage is truncated every iteration (localCheckpoint, or
+      reliable ``checkpoint()`` under ``checkpoint_dir=`` to survive
+      executor loss — same strategy as :func:`connected_components`);
+      one count job fixes ``N`` up front.
+    """
+    from .curation import attach_scalars
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if checkpoint_dir is not None:
+        sc = edges.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = _truncate(
+        edges.select(
+            F.col(src).cast("long").alias("_s"),
+            F.col(dst).cast("long").alias("_d"),
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .groupBy("_s", "_d")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    nodes = _truncate(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    init = 1.0 / n
+    dec = "decimal(20,9)"
+
+    ranks = nodes.withColumn("rank", F.lit(init))
+    for _ in range(iters):
+        dang = (
+            ranks.join(outw, ranks["node"] == outw["_s"], "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank"), 9).cast(dec)),
+                    F.lit(0).cast(dec),
+                ).cast("double").alias("_dang")
+            )
+        )
+        contribs = (
+            e.join(ranks, e["_s"] == ranks["node"])
+            .join(outw, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.round(
+                    F.col("rank") * F.col("_w") / F.col("_ow"), 9
+                ).cast(dec).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("double").alias("_contrib"))
+        )
+        ranks = _truncate(
+            attach_scalars(
+                nodes.join(contribs, "node", "left"), dang, "node"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
