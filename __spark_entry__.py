@@ -697,6 +697,34 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (operators/stats.py) of four
+    lineitem measures in ONE aggregation pass — moment sums as
+    order-independent DECIMAL(38,9) accumulations, float formula only
+    on the aggregated scalars, so the matrix is bit-stable across
+    engines. One scan, map-side partial agg, 1-row moment table."""
+    from yaetl_spark.operators import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (operators/stats.py): fit
+    extendedprice = intercept + slope*quantity per return flag from the
+    moment sums — slope/intercept/r2, no ML library, no iteration.
+    Same decimal determinism contract as q_corr_matrix; shuffles only
+    the 3-row moment table on the group key."""
+    from yaetl_spark.operators import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
+    return grouped_ols(
+        li, y="l_extendedprice", x="l_quantity", by=["l_returnflag"]
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) over the per-user page-transition
     graph: consecutive events of a user (ordered by ts, event_id) yield
@@ -2426,6 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "fuzzy_match": q_fuzzy_match,
         "pagerank": q_pagerank,
+        "corr_matrix": q_corr_matrix,
+        "trend_fit": q_trend_fit,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2522,13 +2552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # distinct, edit_distance, except, explode_tokens, full_join,
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
-# window_running_sum) plus weighted_sample and variant_json (displaced
-# by fuzzy_match/pagerank; sibling queries dataset_split/
-# stratified_sample/json_extract stay in-window or are r4-green) to
-# round 6 as the next stalest cohort.
+# window_running_sum) plus weighted_sample, variant_json, part_promo,
+# and quality_topk (displaced by the SEVEN new round-5 queries; sibling
+# queries dataset_split/stratified_sample/json_extract/promo_share/topk
+# stay in-window or are r4-green) to round 6 as the next stalest
+# cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
     "c4_rules", "mix_sources", "dsir", "fuzzy_match", "pagerank",
+    "corr_matrix", "trend_fit",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2542,9 +2574,8 @@ _DRIVER_WINDOW = [
     "embedding_neardup", "events_lag", "events_sessions",
     "events_sliding", "events_tumbling", "gap_fill", "group_scale",
     "inverted_index", "keep_latest", "lang_id", "late_lines",
-    "minhash_neardup", "ngram_jaccard", "pack_documents", "part_promo",
-    "profile", "quality_topk", "simhash_dedup", "stratified_sample",
-    "text_stats",
+    "minhash_neardup", "ngram_jaccard", "pack_documents",
+    "profile", "simhash_dedup", "stratified_sample", "text_stats",
 ]
 
 
@@ -3196,6 +3227,86 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "corr_matrix": """
+            WITH clean AS (
+                SELECT l_quantity AS q, l_extendedprice AS e,
+                       l_discount AS d, l_tax AS t
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            m AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(round(q, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sq,
+                       CAST(SUM(CAST(round(e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS se,
+                       CAST(SUM(CAST(round(d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sd,
+                       CAST(SUM(CAST(round(t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS st,
+                       CAST(SUM(CAST(round(q * q, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sqq,
+                       CAST(SUM(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS see,
+                       CAST(SUM(CAST(round(d * d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sdd,
+                       CAST(SUM(CAST(round(t * t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS stt,
+                       CAST(SUM(CAST(round(q * e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sqe,
+                       CAST(SUM(CAST(round(q * d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sqd,
+                       CAST(SUM(CAST(round(q * t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sqt,
+                       CAST(SUM(CAST(round(e * d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sed,
+                       CAST(SUM(CAST(round(e * t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS set_,
+                       CAST(SUM(CAST(round(d * t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sdt
+                FROM clean)
+            SELECT col_a, col_b,
+                   CASE WHEN (n * ssa - sa * sa) > 0
+                         AND (n * ssb - sb * sb) > 0
+                        THEN round((n * sp - sa * sb)
+                                   / sqrt((n * ssa - sa * sa)
+                                          * (n * ssb - sb * sb)), 6)
+                   END AS corr,
+                   CAST(n AS BIGINT) AS n
+            FROM (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                       n, sq AS sa, se AS sb, sqq AS ssa, see AS ssb,
+                       sqe AS sp FROM m
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       n, sq, sd, sqq, sdd, sqd FROM m
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       n, sq, st, sqq, stt, sqt FROM m
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       n, se, sd, see, sdd, sed FROM m
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       n, se, st, see, stt, set_ FROM m
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       n, sd, st, sdd, stt, sdt FROM m)
+        """,
+        "trend_fit": """
+            WITH clean AS (
+                SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL),
+            m AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+                FROM clean GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx), 6) END AS slope,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN round((sy - ((n * sxy - sx * sy)
+                                          / (n * sxx - sx * sx)) * sx)
+                                   / n, 6) END AS intercept,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)), 6)
+                   END AS r2
+            FROM m
+        """,
         "fuzzy_match": """
             WITH l AS (
                 SELECT doc_id AS lid,

@@ -1,0 +1,98 @@
+"""Single-pass statistics (operators/stats.py): correlation matrix and
+grouped closed-form OLS — values pinned against numpy, partition
+invariance (the decimal moment-sum contract), and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yaetl_spark.operators import correlation_matrix, grouped_ols
+
+from .conftest import table_path
+
+
+def _np_corr(xs, ys):
+    return float(np.corrcoef(xs, ys)[0, 1])
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    x = rng.uniform(0, 10, 400)
+    y = 3.0 * x + rng.uniform(0, 4, 400)   # strongly correlated
+    z = rng.uniform(0, 1, 400)             # independent
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert got[("x", "y")] == pytest.approx(_np_corr(x, y), abs=1e-5)
+    assert got[("x", "z")] == pytest.approx(_np_corr(x, z), abs=1e-5)
+    # constant column -> NULL corr, and listwise NULL handling
+    df2 = df.withColumn("c", F.lit(1.0))
+    r = {
+        (q["col_a"], q["col_b"]): q["corr"]
+        for q in correlation_matrix(df2, ["x", "c"]).collect()
+    }
+    assert r[("x", "c")] is None
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x", "x"])
+
+
+def test_grouped_ols_recovers_known_line(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, (slope, icpt) in {"a": (2.5, 10.0), "b": (-1.0, 3.0)}.items():
+        xs = rng.uniform(0, 20, 300)
+        for xv in xs:
+            rows.append((g, float(xv), float(slope * xv + icpt)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in grouped_ols(df, "y", "x", by=["g"]).collect()}
+    assert got["a"]["slope"] == pytest.approx(2.5, abs=1e-4)
+    assert got["a"]["intercept"] == pytest.approx(10.0, abs=1e-3)
+    assert got["a"]["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert got["b"]["slope"] == pytest.approx(-1.0, abs=1e-4)
+    # ungrouped form returns one row
+    one = grouped_ols(df.filter(F.col("g") == "a"), "y", "x").collect()
+    assert len(one) == 1 and one[0]["n"] == 300
+    # zero-variance x -> NULL fit
+    flat = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 5.0)], "g string, x double, y double")
+    r = grouped_ols(flat, "y", "x", by=["g"]).collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_stats_partition_invariant(spark):
+    li = spark.read.parquet(table_path("lineitem"))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    a = sorted(map(tuple, correlation_matrix(li.repartition(1), cols).collect()))
+    b = sorted(map(tuple, correlation_matrix(li.repartition(13), cols).collect()))
+    assert a == b
+    c = sorted(map(tuple, grouped_ols(
+        li.repartition(1), "l_extendedprice", "l_quantity",
+        by=["l_returnflag"]).collect()))
+    d = sorted(map(tuple, grouped_ols(
+        li.repartition(13), "l_extendedprice", "l_quantity",
+        by=["l_returnflag"]).collect()))
+    assert c == d
+
+
+def test_stats_single_pass_plan(spark):
+    li = spark.read.parquet(table_path("lineitem"))
+    plan = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # one aggregation (partial + final), one single-partition exchange,
+    # exactly one scan — the whole matrix is one pass
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    plan2 = grouped_ols(
+        li, "l_extendedprice", "l_quantity", by=["l_returnflag"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("FileScan") == 1
+    assert plan2.count("Exchange hashpartitioning") == 1  # group keys only
