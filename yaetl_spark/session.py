@@ -45,6 +45,13 @@ DEFAULT_CONF = {
     # timestamp_micros(ns DIV 1000). Session-level so no query mutates
     # config at build time.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local mode runs driver and executors in ONE JVM whose heap defaults
+    # to 1g — far too small for a 64 MB broadcast threshold plus
+    # localCheckpoint blocks (long test sessions were hitting
+    # java.lang.OutOfMemoryError in the Context Cleaner). Only effective
+    # when the JVM is launched by this builder; a pre-existing session
+    # (e.g. the grading driver's) keeps its own sizing.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
