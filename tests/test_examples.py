@@ -50,3 +50,17 @@ def test_curate_corpus_example(spark, sf_dir):
     # split assignment covers every kept doc
     assert sum(splits.values()) == capped
     assert set(splits) <= {"train", "val", "test"}
+
+
+def test_analyze_events_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import analyze_events
+    finally:
+        sys.path.pop(0)
+    pages, fits, strongest = analyze_events.main(spark, sf_dir)
+    assert len(pages) == 5
+    # pagerank scores are a probability mass -> each in (0, 1)
+    assert all(0 < r["rank"] < 1 for r in pages)
+    assert set(fits) == {"A", "N", "R"}
+    assert strongest["corr"] is not None and abs(strongest["corr"]) <= 1.0
