@@ -697,6 +697,19 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth histogram (operators/aggregates.py): 8 bins of
+    ~equal row count over order totals — boundaries are the exact i/8
+    percentiles (all exactly-representable probabilities), reduced to
+    ONE row and attached back in-plan via a 1-row broadcast hash join;
+    bucket assignment is scan-level array arithmetic, the only
+    remaining shuffle the <= 8-row bin count. Never a global sort."""
+    from yaetl_spark.operators import equi_depth_histogram
+
+    orders = _t(spark, sf_dir, "orders", heavy=True)
+    return equi_depth_histogram(orders, "o_totalprice", 8, exact=True)
+
+
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations (operators/stats.py) of four
     lineitem measures in ONE aggregation pass — moment sums as
@@ -2456,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
+        "equi_depth": q_equi_depth,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2553,14 +2567,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
 # window_running_sum) plus weighted_sample, variant_json, part_promo,
-# and quality_topk (displaced by the SEVEN new round-5 queries; sibling
+# quality_topk, and collect_segments (displaced by the EIGHT new
+# round-5 queries; sibling
 # queries dataset_split/stratified_sample/json_extract/promo_share/topk
 # stay in-window or are r4-green) to round 6 as the next stalest
 # cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
     "c4_rules", "mix_sources", "dsir", "fuzzy_match", "pagerank",
-    "corr_matrix", "trend_fit",
+    "corr_matrix", "trend_fit", "equi_depth",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2569,7 +2584,7 @@ _DRIVER_WINDOW = [
     "limit_offset", "rollup_agg", "salted_join", "scan_filter_project",
     "semi_join", "union_sources",
     # (c) last checked round 3 (heaviest / data-pipeline ops first-class)
-    "ann_topk", "asof_join", "cohort_retention", "collect_segments",
+    "ann_topk", "asof_join", "cohort_retention",
     "dataset_split", "dedup_clusters", "dedup_exact", "embedding_lsh",
     "embedding_neardup", "events_lag", "events_sessions",
     "events_sliding", "events_tumbling", "gap_fill", "group_scale",
@@ -3227,6 +3242,25 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "equi_depth": """
+            WITH t AS (
+                SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+                WHERE o_totalprice IS NOT NULL),
+            b AS (
+                SELECT [round(quantile_cont(x, 0.125), 6), round(quantile_cont(x, 0.25), 6), round(quantile_cont(x, 0.375), 6), round(quantile_cont(x, 0.5), 6), round(quantile_cont(x, 0.625), 6), round(quantile_cont(x, 0.75), 6), round(quantile_cont(x, 0.875), 6)] AS bounds,
+                       round(MIN(x), 6) AS mn, round(MAX(x), 6) AS mx
+                FROM t),
+            binned AS (
+                SELECT len(list_filter(b.bounds, bb -> t.x >= bb)) AS bin,
+                       b.bounds, b.mn, b.mx
+                FROM t, b)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CASE WHEN bin = 0 THEN mn ELSE bounds[bin] END AS bin_lo,
+                   CASE WHEN bin = 7 THEN mx
+                        ELSE bounds[bin + 1] END AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM binned GROUP BY bin, bounds, mn, mx
+        """,
         "corr_matrix": """
             WITH clean AS (
                 SELECT l_quantity AS q, l_extendedprice AS e,

@@ -501,3 +501,49 @@ def test_semantic_dedup_max_cell_guard(spark):
     assert sorted(r["vec_id"] for r in surv.collect()) == [1, 20, 30]
     with pytest.raises(ValueError, match="max_cell_rows must be"):
         semantic_dedup(corpus, k=3, threshold=0.999, max_cell_rows=0)
+
+
+def test_equi_depth_histogram_balanced_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import equi_depth_histogram
+
+    from .conftest import table_path
+
+    orders = spark.read.parquet(table_path("orders"))
+    total = orders.filter(F.col("o_totalprice").isNotNull()).count()
+    rows = equi_depth_histogram(
+        orders, "o_totalprice", 8, exact=True).orderBy("bin").collect()
+    assert [r["bin"] for r in rows] == list(range(8))
+    assert sum(r["n"] for r in rows) == total
+    # equal depth: every bin within 2% of total/8 on continuous data
+    for r in rows:
+        assert abs(r["n"] - total / 8) <= max(2, 0.02 * total)
+    # bins tile the range: each hi equals the next lo
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin_hi"] == b["bin_lo"]
+    # plan: no global sort, no rangepartitioning; the boundary row
+    # attaches as a broadcast hash join (never BNLJ)
+    plan = equi_depth_histogram(
+        orders, "o_totalprice", 8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        equi_depth_histogram(orders, "o_totalprice", 1)
+
+
+def test_equi_depth_histogram_heavy_value_spans_bins(spark):
+    from yaetl_spark.operators import equi_depth_histogram
+
+    # 90 rows of value 5 + 10 spread: repeated boundaries collapse, so
+    # some bins are absent and the heavy value's bin holds the mass
+    rows = [(5.0,)] * 90 + [(float(i),) for i in range(10)]
+    df = spark.createDataFrame(rows, "v double")
+    got = equi_depth_histogram(df, "v", 4, exact=True).collect()
+    assert sum(r["n"] for r in got) == 100
+    bins = {r["bin"]: r["n"] for r in got}
+    assert max(bins.values()) >= 90  # the heavy value stays together

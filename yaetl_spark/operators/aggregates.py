@@ -249,3 +249,73 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
         for c in cols
     ])
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equal-DEPTH histogram (≈ same row count per bin), the
+    data-distribution view equal-width bins can't give on skewed
+    columns: bin boundaries are the ``i/nbins`` percentiles, bucket
+    assignment is scan-level arithmetic against the boundary array.
+    Returns ``(bin, bin_lo, bin_hi, n)`` — ``bin_lo``/``bin_hi`` are
+    the column min / the next boundary (max for the last bin), rounded
+    to ``round_to``; empty bins are absent (possible only when a
+    boundary value repeats, i.e. a heavy value spans bins).
+
+    TWO passes, never a global sort: pass 1 reduces to ONE row of
+    boundaries + min/max (``percentile_approx`` sketches by default —
+    map-side mergeable, constant-size shuffle; ``exact=True`` switches
+    to the sort-based ``percentile`` aggregate for oracle runs); the
+    boundary row then rides back onto the stream in-plan via
+    :func:`~yaetl_spark.operators.curation.attach_scalars` (1-row
+    broadcast hash join — no driver round-trip), bucket =
+    ``size(filter(bounds, b -> x >= b))`` is pure scan arithmetic, and
+    the only remaining shuffle is the ≤ nbins-row bin count. Boundaries
+    are rounded to ``round_to`` BEFORE the compare so the bin decision
+    is reproducible across engines.
+    """
+    from .curation import attach_scalars
+
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    fn = "percentile" if exact else "percentile_approx"
+    x = F.col(col).cast("double")
+    bound_exprs = []
+    for i in range(1, nbins):
+        p = i / nbins
+        expr = (
+            f"{fn}({col}, {p!r})" if exact
+            else f"{fn}({col}, {p!r}, {accuracy})"
+        )
+        bound_exprs.append(
+            F.round(F.expr(expr), round_to).cast("double")
+        )
+    bounds_row = df.agg(
+        F.array(*bound_exprs).alias("_bounds"),
+        F.round(F.min(x), round_to).alias("_mn"),
+        F.round(F.max(x), round_to).alias("_mx"),
+    )
+    tagged = attach_scalars(df.filter(x.isNotNull()), bounds_row, col)
+    bin_ = F.size(F.filter(F.col("_bounds"), lambda b: x >= b))
+    return (
+        tagged.groupBy(
+            bin_.alias("bin"), F.col("_bounds"), F.col("_mn"), F.col("_mx")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.when(F.col("bin") == 0, F.col("_mn"))
+            .otherwise(F.element_at("_bounds", F.col("bin")))
+            .alias("bin_lo"),
+            F.when(F.col("bin") == nbins - 1, F.col("_mx"))
+            .otherwise(F.element_at("_bounds", F.col("bin") + 1))
+            .alias("bin_hi"),
+            "n",
+        )
+    )
