@@ -697,6 +697,23 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/stats.py): part pairs
+    co-ordered in at least 2 orders, with support / directional
+    confidence / lift. Pair generation is a self-join on the ORDER key
+    (quadratic only within a basket), item totals broadcast onto the
+    pair table, basket count attached as a 1-row broadcast — all
+    integer counts, exactly reproducible."""
+    from yaetl_spark.operators import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem", heavy=True).select(
+        "l_orderkey", "l_partkey")
+    return frequent_itemsets(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_pair_count=2,
+    )
+
+
 def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-depth histogram (operators/aggregates.py): 8 bins of
     ~equal row count over order totals — boundaries are the exact i/8
@@ -2470,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
         "equi_depth": q_equi_depth,
+        "basket_rules": q_basket_rules,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2567,15 +2585,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
 # window_running_sum) plus weighted_sample, variant_json, part_promo,
-# quality_topk, and collect_segments (displaced by the EIGHT new
-# round-5 queries; sibling
+# quality_topk, collect_segments, and ann_topk (displaced by the NINE
+# new round-5 queries; ann_ivf covers the ANN family in r4-green form;
+# sibling
 # queries dataset_split/stratified_sample/json_extract/promo_share/topk
 # stay in-window or are r4-green) to round 6 as the next stalest
 # cohort.
 _DRIVER_WINDOW = [
     # (a) new this round
     "c4_rules", "mix_sources", "dsir", "fuzzy_match", "pagerank",
-    "corr_matrix", "trend_fit", "equi_depth",
+    "corr_matrix", "trend_fit", "equi_depth", "basket_rules",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2584,7 +2603,7 @@ _DRIVER_WINDOW = [
     "limit_offset", "rollup_agg", "salted_join", "scan_filter_project",
     "semi_join", "union_sources",
     # (c) last checked round 3 (heaviest / data-pipeline ops first-class)
-    "ann_topk", "asof_join", "cohort_retention",
+    "asof_join", "cohort_retention",
     "dataset_split", "dedup_clusters", "dedup_exact", "embedding_lsh",
     "embedding_neardup", "events_lag", "events_sessions",
     "events_sliding", "events_tumbling", "gap_fill", "group_scale",
@@ -3242,6 +3261,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "basket_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            nb AS (SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS nb FROM b),
+            itn AS (SELECT it, COUNT(*) AS n FROM b GROUP BY it),
+            p AS (
+                SELECT a.it AS item_a, bb.it AS item_b,
+                       COUNT(*) AS pair_n
+                FROM b a JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+                GROUP BY a.it, bb.it HAVING COUNT(*) >= 2)
+            SELECT item_a, item_b,
+                   CAST(pair_n AS BIGINT) AS pair_n,
+                   round(pair_n / nb.nb, 6) AS support,
+                   round(pair_n / na.n, 6) AS conf_ab,
+                   round(pair_n / nbi.n, 6) AS conf_ba,
+                   round(pair_n * nb.nb / (na.n * nbi.n), 6) AS lift
+            FROM p
+            CROSS JOIN nb
+            JOIN itn na ON p.item_a = na.it
+            JOIN itn nbi ON p.item_b = nbi.it
+        """,
         "equi_depth": """
             WITH t AS (
                 SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders

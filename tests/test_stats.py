@@ -96,3 +96,49 @@ def test_stats_single_pass_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("FileScan") == 1
     assert plan2.count("Exchange hashpartitioning") == 1  # group keys only
+
+
+def test_frequent_itemsets_textbook_values(spark):
+    from yaetl_spark.operators import frequent_itemsets
+
+    df = spark.createDataFrame(
+        [(1, "bread"), (1, "butter"), (1, "milk"),
+         (2, "bread"), (2, "butter"),
+         (3, "bread"), (3, "milk"),
+         (4, "beer"), (4, "chips"),
+         (5, "beer"), (5, "chips"), (5, "bread"),
+         (5, "bread")],  # duplicate line: must not inflate counts
+        "basket long, item string",
+    )
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in frequent_itemsets(df, "basket", "item",
+                                   min_pair_count=2).collect()
+    }
+    bc = got[("beer", "chips")]
+    assert bc["pair_n"] == 2 and bc["support"] == 0.4
+    assert bc["conf_ab"] == 1.0 and bc["conf_ba"] == 1.0
+    assert bc["lift"] == 2.5  # 0.4 / (0.4 * 0.4)
+    bb = got[("bread", "butter")]
+    assert bb["conf_ab"] == 0.5 and bb["conf_ba"] == 1.0  # bread in 4/5
+    assert bb["lift"] == 1.25
+    # min_support filter
+    none = frequent_itemsets(df, "basket", "item", min_pair_count=2,
+                             min_support=0.5).collect()
+    assert none == []
+    with pytest.raises(ValueError):
+        frequent_itemsets(df, "basket", "item", min_pair_count=0)
+    with pytest.raises(ValueError):
+        frequent_itemsets(df, "basket", "item", min_support=1.5)
+
+
+def test_frequent_itemsets_partition_invariant(spark):
+    from yaetl_spark.operators import frequent_itemsets
+
+    li = spark.read.parquet(table_path("lineitem")).select(
+        "l_orderkey", "l_partkey")
+    a = sorted(map(tuple, frequent_itemsets(
+        li.repartition(1), "l_orderkey", "l_partkey").collect()))
+    b = sorted(map(tuple, frequent_itemsets(
+        li.repartition(11), "l_orderkey", "l_partkey").collect()))
+    assert a == b and len(a) > 0

@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["correlation_matrix", "grouped_ols"]
+__all__ = ["correlation_matrix", "frequent_itemsets", "grouped_ols"]
 
 _DEC = "decimal(38,9)"
 
@@ -147,3 +147,90 @@ def grouped_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Association-rule mining over baskets — the 2-itemset level of
+    market-basket analysis (Agrawal & Srikant 1994's support/confidence
+    framework): for every unordered item pair co-occurring in at least
+    ``min_pair_count`` baskets and at support ≥ ``min_support``,
+
+    - ``support``  = P(a, b)        — co-occurrence share of baskets
+    - ``conf_ab``  = P(b | a), ``conf_ba`` = P(a | b)
+    - ``lift``     = P(a, b) / (P(a) · P(b)) — >1 means genuinely
+      associated, not just individually popular
+
+    Returns ``(item_a, item_b, pair_n, support, conf_ab, conf_ba,
+    lift)`` with ``item_a < item_b`` and ratios rounded to 6. All
+    counts are integers, so the result is exactly reproducible.
+
+    Scale shape (100 TB):
+    - baskets deduplicate to distinct (basket, item) first — one
+      shuffle with map-side combine — so quantities never inflate
+      counts;
+    - the pair generation is a self-join ON THE BASKET KEY: quadratic
+      only within a basket (bounded by basket size — cap upstream if
+      baskets can be pathological), never across the catalog;
+    - item totals and the basket count are tiny aggregates; the basket
+      count rides in via a 1-row broadcast hash join
+      (:func:`~yaetl_spark.operators.curation.attach_scalars`) and the
+      item totals join onto the pair table (planner-broadcastable when
+      the catalog fits).
+    """
+    from .curation import attach_scalars
+
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    if not 0.0 <= min_support <= 1.0:
+        raise ValueError("min_support must be in [0, 1]")
+    baskets = (
+        df.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
+        .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
+        .distinct()
+    )
+    nb_row = baskets.agg(
+        F.countDistinct("_bk").cast("double").alias("_nb"))
+    item_n = baskets.groupBy("_it").agg(F.count(F.lit(1)).alias("_in"))
+    a, b = baskets.alias("_a"), baskets.alias("_b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("_a._bk") == F.col("_b._bk"))
+            & (F.col("_a._it") < F.col("_b._it")),
+        )
+        .groupBy(
+            F.col("_a._it").alias("item_a"), F.col("_b._it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    enriched = (
+        attach_scalars(pairs, nb_row, "item_a")
+        .join(item_n.withColumnRenamed("_in", "_na"),
+              F.col("item_a") == F.col("_it")).drop("_it")
+        .join(item_n.withColumnRenamed("_in", "_nb_item"),
+              F.col("item_b") == F.col("_it")).drop("_it")
+    )
+    support = F.col("pair_n") / F.col("_nb")
+    out = enriched.select(
+        "item_a", "item_b",
+        F.col("pair_n").cast("bigint").alias("pair_n"),
+        F.round(support, 6).alias("support"),
+        F.round(F.col("pair_n") / F.col("_na"), 6).alias("conf_ab"),
+        F.round(F.col("pair_n") / F.col("_nb_item"), 6).alias("conf_ba"),
+        F.round(
+            F.col("pair_n") * F.col("_nb") / (F.col("_na") * F.col("_nb_item")),
+            6,
+        ).alias("lift"),
+    )
+    if min_support > 0.0:
+        out = out.filter(F.col("support") >= F.lit(float(min_support)))
+    return out
