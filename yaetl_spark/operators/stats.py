@@ -171,17 +171,17 @@ def frequent_itemsets(
     counts are integers, so the result is exactly reproducible.
 
     Scale shape (100 TB):
-    - baskets deduplicate to distinct (basket, item) first — one
-      shuffle with map-side combine — so quantities never inflate
-      counts;
-    - the pair generation is a self-join ON THE BASKET KEY: quadratic
-      only within a basket (bounded by basket size — cap upstream if
-      baskets can be pathological), never across the catalog;
-    - item totals and the basket count are tiny aggregates; the basket
-      count rides in via a 1-row broadcast hash join
-      (:func:`~yaetl_spark.operators.curation.attach_scalars`) and the
-      item totals join onto the pair table (planner-broadcastable when
-      the catalog fits).
+    - the raw stream shuffles ONCE, on the basket key, into a
+      deduplicated sorted item array per basket (``collect_set`` —
+      state bounded by basket size; cap pathological baskets upstream);
+    - pair expansion is scan-level array arithmetic over that grouped
+      frame (never a second shuffle of the stream, never a self-join —
+      quadratic only within a basket);
+    - item totals explode from the SAME grouped frame; together with
+      the pair counts, every downstream shuffle is over the bounded
+      pair/item vocabulary, and the basket count rides in via a 1-row
+      broadcast hash join
+      (:func:`~yaetl_spark.operators.curation.attach_scalars`).
     """
     from .curation import attach_scalars
 
@@ -189,25 +189,39 @@ def frequent_itemsets(
         raise ValueError("min_pair_count must be >= 1")
     if not 0.0 <= min_support <= 1.0:
         raise ValueError("min_support must be in [0, 1]")
-    baskets = (
+    grouped = (
         df.select(
             F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
         )
         .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
-        .distinct()
+        .groupBy("_bk")
+        .agg(F.array_sort(F.collect_set("_it")).alias("_items"))
     )
-    nb_row = baskets.agg(
-        F.countDistinct("_bk").cast("double").alias("_nb"))
-    item_n = baskets.groupBy("_it").agg(F.count(F.lit(1)).alias("_in"))
-    a, b = baskets.alias("_a"), baskets.alias("_b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("_a._bk") == F.col("_b._bk"))
-            & (F.col("_a._it") < F.col("_b._it")),
+    nb_row = grouped.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+    item_n = (
+        grouped.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_in"))
+    )
+    m = F.size("_items")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.element_at(F.col("_items"), i).alias("item_a"),
+                    F.element_at(F.col("_items"), j).alias("item_b"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        grouped.filter(m >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
         .groupBy(
-            F.col("_a._it").alias("item_a"), F.col("_b._it").alias("item_b")
+            F.col("_p.item_a").alias("item_a"),
+            F.col("_p.item_b").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_count)
