@@ -697,6 +697,30 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/stats.py): order
+    totals of open ('O') vs fulfilled ('F') orders — one conditional-
+    aggregation pass over moment sums, 1-row result with the t
+    statistic and Welch-Satterthwaite dof. Decimal moment sums keep the
+    statistic bit-stable across engines."""
+    from yaetl_spark.operators import welch_t
+
+    orders = _t(spark, sf_dir, "orders", heavy=True)
+    return welch_t(orders, "o_totalprice", "o_orderstatus", "O", "F")
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/stats.py):
+    return flag x line status contingency over lineitem — one cell
+    count aggregation, window totals over the bounded cell table,
+    missing-cell mass added in closed form (no dense cross join).
+    Decimal per-cell term sums for engine determinism."""
+    from yaetl_spark.operators import chi_square
+
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
+    return chi_square(li, "l_returnflag", "l_linestatus")
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/stats.py): part pairs
     co-ordered in at least 2 orders, with support / directional
@@ -2488,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_fit": q_trend_fit,
         "equi_depth": q_equi_depth,
         "basket_rules": q_basket_rules,
+        "ab_test": q_ab_test,
+        "chi_square": q_chi_square,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "url_dedup": q_url_dedup,
@@ -2585,8 +2611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # grouping_sets, intersect, nation_volume, order_priority,
 # orders_by_month, pivot_counts, topk, unpivot_measures, window_rank,
 # window_running_sum) plus weighted_sample, variant_json, part_promo,
-# quality_topk, collect_segments, and ann_topk (displaced by the NINE
-# new round-5 queries; ann_ivf covers the ANN family in r4-green form;
+# quality_topk, collect_segments, ann_topk, events_lag, and keep_latest
+# (displaced by the ELEVEN new round-5 queries; ann_ivf covers the ANN
+# family in r4-green form, events_sessions/sliding/tumbling keep the
+# events family in-window, dedup_exact covers keep_latest's family;
 # sibling
 # queries dataset_split/stratified_sample/json_extract/promo_share/topk
 # stay in-window or are r4-green) to round 6 as the next stalest
@@ -2595,6 +2623,7 @@ _DRIVER_WINDOW = [
     # (a) new this round
     "c4_rules", "mix_sources", "dsir", "fuzzy_match", "pagerank",
     "corr_matrix", "trend_fit", "equi_depth", "basket_rules",
+    "ab_test", "chi_square",
     # (a') changed this round
     "url_dedup", "ngram_perplexity", "semantic_dedup",
     # (b) last checked round 2 (the r4 verdict's front-load list)
@@ -2605,9 +2634,9 @@ _DRIVER_WINDOW = [
     # (c) last checked round 3 (heaviest / data-pipeline ops first-class)
     "asof_join", "cohort_retention",
     "dataset_split", "dedup_clusters", "dedup_exact", "embedding_lsh",
-    "embedding_neardup", "events_lag", "events_sessions",
+    "embedding_neardup", "events_sessions",
     "events_sliding", "events_tumbling", "gap_fill", "group_scale",
-    "inverted_index", "keep_latest", "lang_id", "late_lines",
+    "inverted_index", "lang_id", "late_lines",
     "minhash_neardup", "ngram_jaccard", "pack_documents",
     "profile", "simhash_dedup", "stratified_sample", "text_stats",
 ]
@@ -3261,6 +3290,85 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "pagerank": _pagerank_sql(iters=3, damping=0.85),
+        "ab_test": """
+            WITH m AS (
+                SELECT
+                    CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                         AS DOUBLE) AS na,
+                    CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                         AS DOUBLE) AS nb,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(round(o_totalprice, 9)
+                                       AS DECIMAL(38,9))
+                             ELSE CAST(0 AS DECIMAL(38,9)) END)
+                         AS DOUBLE) AS sa,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(round(o_totalprice, 9)
+                                       AS DECIMAL(38,9))
+                             ELSE CAST(0 AS DECIMAL(38,9)) END)
+                         AS DOUBLE) AS sb,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(round(o_totalprice * o_totalprice, 9)
+                                       AS DECIMAL(38,9))
+                             ELSE CAST(0 AS DECIMAL(38,9)) END)
+                         AS DOUBLE) AS ssa,
+                    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(round(o_totalprice * o_totalprice, 9)
+                                       AS DECIMAL(38,9))
+                             ELSE CAST(0 AS DECIMAL(38,9)) END)
+                         AS DOUBLE) AS ssb
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderstatus IN ('O', 'F')),
+            d AS (
+                SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                       (ssa - sa * sa / na) / (na - 1) AS va,
+                       (ssb - sb * sb / nb) / (nb - 1) AS vb
+                FROM m),
+            e AS (SELECT *, va / na + vb / nb AS se2 FROM d)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a,
+                   round(mb, 6) AS mean_b,
+                   round(ma - mb, 6) AS mean_diff,
+                   CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                        THEN round((ma - mb) / sqrt(se2), 6) END AS t_stat,
+                   CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                        THEN round(se2 * se2
+                                   / ((va / na) * (va / na) / (na - 1)
+                                      + (vb / nb) * (vb / nb) / (nb - 1)),
+                                   6) END AS dof
+            FROM e
+        """,
+        "chi_square": """
+            WITH cells AS (
+                SELECT l_returnflag AS a, l_linestatus AS b,
+                       COUNT(*) AS o
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+                GROUP BY 1, 2),
+            w AS (
+                SELECT a, b, o,
+                       SUM(o) OVER (PARTITION BY a) AS ra,
+                       SUM(o) OVER (PARTITION BY b) AS cb,
+                       SUM(o) OVER () AS n
+                FROM cells),
+            t AS (
+                SELECT a, b, o, n,
+                       CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS e
+                FROM w)
+            SELECT round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 9)
+                                       AS DECIMAL(38,9))) AS DOUBLE)
+                         + (CAST(ANY_VALUE(n) AS DOUBLE)
+                            - CAST(SUM(CAST(round(e, 9) AS DECIMAL(38,9)))
+                                   AS DOUBLE)), 6) AS chi2,
+                   CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                        AS BIGINT) AS dof,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM t
+        """,
         "basket_rules": """
             WITH b AS (
                 SELECT DISTINCT l_orderkey AS bk, l_partkey AS it

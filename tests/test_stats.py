@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from yaetl_spark.operators import correlation_matrix, grouped_ols
+from yaetl_spark.operators import (chi_square, correlation_matrix,
+                                   grouped_ols, welch_t)
 
 from .conftest import table_path
 
@@ -142,3 +143,62 @@ def test_frequent_itemsets_partition_invariant(spark):
     b = sorted(map(tuple, frequent_itemsets(
         li.repartition(11), "l_orderkey", "l_partkey").collect()))
     assert a == b and len(a) > 0
+
+
+def test_welch_t_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    a = rng.normal(5.0, 1.0, 250)
+    b = rng.normal(5.4, 2.0, 180)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_t(df, "v", "g", "a", "b").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    dof = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                      + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert r["n_a"] == 250 and r["n_b"] == 180
+    assert r["t_stat"] == pytest.approx(t, abs=1e-4)
+    assert r["dof"] == pytest.approx(dof, abs=1e-2)
+    # degenerate group -> NULL statistic
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double")
+    r2 = welch_t(tiny, "v", "g", "a", "b").collect()[0]
+    assert r2["t_stat"] is None and r2["dof"] is None
+
+
+def test_chi_square_2x2_textbook_and_zero_cell(spark):
+    data = ([("x", "p")] * 20 + [("x", "q")] * 30
+            + [("y", "p")] * 40 + [("y", "q")] * 10)
+    df = spark.createDataFrame(data, "a string, b string")
+    r = chi_square(df, "a", "b").collect()[0]
+    # 2x2 closed form: n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    assert r["chi2"] == pytest.approx(100 * (20 * 10 - 30 * 40) ** 2
+                                      / (50 * 50 * 60 * 40), abs=1e-5)
+    assert r["dof"] == 1 and r["n"] == 100 and r["n_cells"] == 4
+    # an unobserved cell: its expected mass enters via the closed form
+    data2 = [("x", "p")] * 10 + [("x", "q")] * 10 + [("y", "p")] * 10
+    df2 = spark.createDataFrame(data2, "a string, b string")
+    r2 = chi_square(df2, "a", "b").collect()[0]
+    # manual: totals rx=20 ry=10 cp=20 cq=10 n=30
+    import itertools
+    exp = {("x", "p"): 20 * 20 / 30, ("x", "q"): 20 * 10 / 30,
+           ("y", "p"): 10 * 20 / 30, ("y", "q"): 10 * 10 / 30}
+    obs = {("x", "p"): 10, ("x", "q"): 10, ("y", "p"): 10, ("y", "q"): 0}
+    manual = sum((obs[c] - exp[c]) ** 2 / exp[c]
+                 for c in itertools.product("xy", "pq"))
+    assert r2["chi2"] == pytest.approx(manual, abs=1e-5)
+    assert r2["n_cells"] == 3  # only observed cells materialize
+
+
+def test_welch_chi_partition_invariant(spark):
+    orders = spark.read.parquet(table_path("orders"))
+    a = welch_t(orders.repartition(1), "o_totalprice",
+                "o_orderstatus", "O", "F").collect()
+    b = welch_t(orders.repartition(9), "o_totalprice",
+                "o_orderstatus", "O", "F").collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    li = spark.read.parquet(table_path("lineitem"))
+    c = chi_square(li.repartition(1), "l_returnflag", "l_linestatus").collect()
+    d = chi_square(li.repartition(9), "l_returnflag", "l_linestatus").collect()
+    assert list(map(tuple, c)) == list(map(tuple, d))

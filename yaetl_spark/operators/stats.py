@@ -23,7 +23,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["correlation_matrix", "frequent_itemsets", "grouped_ols"]
+__all__ = ["chi_square", "correlation_matrix", "frequent_itemsets",
+           "grouped_ols", "welch_t"]
 
 _DEC = "decimal(38,9)"
 
@@ -248,3 +249,134 @@ def frequent_itemsets(
     if min_support > 0.0:
         out = out.filter(F.col("support") >= F.lit(float(min_support)))
     return out
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups (Welch 1947)
+    — the A/B-test primitive — computed from moment sums in ONE
+    conditional-aggregation pass (no pivot, no second scan)::
+
+        t   = (mean_a − mean_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        dof = (s²_a/n_a + s²_b/n_b)² /
+              ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    with ``s²`` the sample variance ``(Σx² − (Σx)²/n)/(n−1)``. Returns
+    ONE row ``(n_a, n_b, mean_a, mean_b, mean_diff, t_stat, dof)``,
+    statistics rounded to 6, ``t_stat``/``dof`` NULL when either group
+    has fewer than 2 rows or zero variance. The statistic is left for
+    the caller to convert to a p-value (Student-t CDFs are not
+    engine-portable primitives; the statistic itself is deterministic).
+
+    Deterministic DECIMAL(38,9) moment sums (module docstring); scale
+    shape: one scan, map-side partial aggregation, a 1-row result.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+
+    def cond_sum(cond: Column, expr: Column) -> Column:
+        return F.sum(
+            F.when(cond, F.round(expr, 9).cast(_DEC)).otherwise(
+                F.lit(0).cast(_DEC)
+            )
+        ).cast("double")
+
+    m = df.filter(x.isNotNull() & (in_a | in_b)).agg(
+        F.count(F.when(in_a, 1)).cast("double").alias("_na"),
+        F.count(F.when(in_b, 1)).cast("double").alias("_nb"),
+        cond_sum(in_a, x).alias("_sa"),
+        cond_sum(in_b, x).alias("_sb"),
+        cond_sum(in_a, x * x).alias("_ssa"),
+        cond_sum(in_b, x * x).alias("_ssb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma, mb = F.col("_sa") / na, F.col("_sb") / nb
+    va = (F.col("_ssa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+    vb = (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        se2 * se2
+        / (
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)
+        ),
+    )
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two CATEGORICAL
+    columns: ``chi2 = Σ_cells (observed − expected)² / expected`` with
+    ``expected = row_total · col_total / n``. Returns ONE row
+    ``(chi2, dof, n, n_cells)`` — ``dof = (|A|−1)(|B|−1)``, ``chi2``
+    rounded to 6. NULL rows in either column drop.
+
+    Only OBSERVED cells contribute to the sum — algebraically the
+    missing-cell terms are pure ``expected`` mass, which this
+    implementation adds back in closed form (Σ expected over all cells
+    = n, so ``chi2 = Σ_observed (o−e)²/e + (n − Σ_observed e)``) —
+    no dense cell cross join ever materializes.
+
+    Scale shape: one count aggregation over the (a, b) cells (map-side
+    combine), then window sums over the BOUNDED cell table (categorical
+    contract — cardinalities are small; a high-cardinality pair makes
+    the cell table itself the cost). Per-cell terms round to 9 and sum
+    as DECIMAL(38,9) for engine determinism.
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    w_all = Window.partitionBy()
+    cells = (
+        cells.withColumn("_ra", F.sum("_o").over(Window.partitionBy("_a")))
+        .withColumn("_cb", F.sum("_o").over(Window.partitionBy("_b")))
+        .withColumn("_n", F.sum("_o").over(w_all))
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    return cells.agg(
+        F.round(
+            F.sum(F.round(term, 9).cast(_DEC)).cast("double")
+            + (
+                F.any_value("_n").cast("double")
+                - F.sum(F.round(e, 9).cast(_DEC)).cast("double")
+            ),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("_a") - 1) * (F.countDistinct("_b") - 1)
+        ).cast("bigint").alias("dof"),
+        F.any_value("_n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
