@@ -724,10 +724,12 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/stats.py): part pairs
     co-ordered in at least 2 orders, with support / directional
-    confidence / lift. Pair generation is a self-join on the ORDER key
-    (quadratic only within a basket), item totals broadcast onto the
-    pair table, basket count attached as a 1-row broadcast — all
-    integer counts, exactly reproducible."""
+    confidence / lift. The stream shuffles ONCE on the order key into a
+    sorted distinct-item array per basket; pair generation is scan-level
+    array expansion over that grouped frame (quadratic only within a
+    basket, never a stream self-join — e634844), item totals explode
+    from the same grouped frame, basket count attached as a 1-row
+    broadcast — all integer counts, exactly reproducible."""
     from yaetl_spark.operators import frequent_itemsets
 
     li = _t(spark, sf_dir, "lineitem", heavy=True).select(

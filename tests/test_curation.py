@@ -602,3 +602,41 @@ def test_attach_scalars_empty_scalars_empties_result(spark):
     df = spark.range(10)
     none = df.agg(F.sum("id").alias("s")).filter(F.col("s") < 0)
     assert attach_scalars(df, none, "id").count() == 0
+
+
+def test_mix_sources_weights_are_relative_and_absent_source_empties(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import mix_sources
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    # weights are relative: {5,3,2} selects the SAME rows as {.5,.3,.2}
+    a = sorted(r["doc_id"] for r in
+               mix_sources(df, {"s0": 0.5, "s1": 0.3, "s2": 0.2}).collect())
+    b = sorted(r["doc_id"] for r in
+               mix_sources(df, {"s0": 5.0, "s1": 3.0, "s2": 2.0}).collect())
+    assert a == b and len(a) > 0
+    # a weighted source with ZERO rows forces T=0 -> empty result, not a
+    # silently mis-proportioned mixture (e.g. a misspelled source name)
+    assert mix_sources(
+        df, {"s0": 0.5, "s1": 0.3, "nope": 0.2}).count() == 0
+
+
+def test_ngram_perplexity_persist_exposes_unpersist_handle(spark):
+    from yaetl_spark.operators import ngram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the rug")],
+        ["doc_id", "text"],
+    )
+    out = ngram_perplexity(df, persist=True)
+    assert out.count() == 2
+    handle = out.persisted_bigrams
+    assert handle.storageLevel.useMemory  # cached while result in use
+    handle.unpersist(blocking=True)
+    assert not handle.storageLevel.useMemory
+    # non-persist path has no handle
+    assert not hasattr(ngram_perplexity(df), "persisted_bigrams")

@@ -202,3 +202,62 @@ def test_welch_chi_partition_invariant(spark):
     c = chi_square(li.repartition(1), "l_returnflag", "l_linestatus").collect()
     d = chi_square(li.repartition(9), "l_returnflag", "l_linestatus").collect()
     assert list(map(tuple, c)) == list(map(tuple, d))
+
+
+def test_frequent_itemsets_max_basket_items_guard(spark):
+    from yaetl_spark.operators import frequent_itemsets
+
+    rows = [("mega", f"i{i}") for i in range(50)]
+    rows += [("b1", "a"), ("b1", "b"), ("b2", "a"), ("b2", "b")]
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    with pytest.raises(ValueError, match="mega.*50 distinct items"):
+        frequent_itemsets(df, "bk", "it", min_pair_count=1,
+                          max_basket_items=10)
+    # at-the-bound basket passes, values unchanged vs unguarded
+    got = sorted(
+        map(tuple, frequent_itemsets(df, "bk", "it", min_pair_count=1,
+                                     max_basket_items=50).collect()))
+    ref = sorted(
+        map(tuple, frequent_itemsets(df, "bk", "it",
+                                     min_pair_count=1).collect()))
+    assert got == ref and len(got) > 0
+    with pytest.raises(ValueError, match="max_basket_items"):
+        frequent_itemsets(df, "bk", "it", max_basket_items=0)
+
+
+def test_pvalue_helpers_match_published_tables():
+    """Fixtures from the classical t / chi-square tables plus the
+    closed forms at dof 1 and 2 (Cauchy tail; exp(-x/2); erfc)."""
+    import math
+
+    from yaetl_spark.operators import chi_square_pvalue, welch_t_pvalue
+
+    # two-sided t: critical values at alpha = 0.05
+    assert welch_t_pvalue(2.228, 10) == pytest.approx(0.05, abs=5e-4)
+    assert welch_t_pvalue(12.706, 1) == pytest.approx(0.05, abs=5e-4)
+    assert welch_t_pvalue(1.96, 1e6) == pytest.approx(0.05, abs=5e-4)
+    # dof=1 is Cauchy: P(|T|>=1) = 0.5 exactly
+    assert welch_t_pvalue(1.0, 1) == pytest.approx(0.5, abs=1e-9)
+    assert welch_t_pvalue(0.0, 5) == 1.0
+    assert welch_t_pvalue(-2.228, 10) == welch_t_pvalue(2.228, 10)
+    # fractional (Welch-Satterthwaite) dof interpolates sanely
+    assert (welch_t_pvalue(2.0, 10)
+            < welch_t_pvalue(2.0, 10.5)
+            < welch_t_pvalue(2.0, 11)) is False  # p decreases with dof
+    assert (welch_t_pvalue(2.0, 11)
+            < welch_t_pvalue(2.0, 10.5)
+            < welch_t_pvalue(2.0, 10))
+    # chi-square closed forms: dof=2 -> exp(-x/2); dof=1 -> erfc
+    for x in (0.5, 2.0, 5.991, 20.0):
+        assert chi_square_pvalue(x, 2) == pytest.approx(
+            math.exp(-x / 2), rel=1e-9)
+        assert chi_square_pvalue(x, 1) == pytest.approx(
+            math.erfc(math.sqrt(x / 2)), rel=1e-9)
+    # table criticals
+    assert chi_square_pvalue(16.919, 9) == pytest.approx(0.05, abs=5e-4)
+    assert chi_square_pvalue(124.342, 100) == pytest.approx(0.05, abs=5e-4)
+    assert chi_square_pvalue(0.0, 3) == 1.0
+    with pytest.raises(ValueError):
+        welch_t_pvalue(1.0, 0)
+    with pytest.raises(ValueError):
+        chi_square_pvalue(1.0, 0)

@@ -496,6 +496,12 @@ def ngram_perplexity(
     (MEMORY_AND_DISK) when the corpus re-read dominates — at 100 TB
     prefer the recompute (scans are cheap and parallel; caching the full
     token stream is not) unless the source is remote/expensive.
+
+    With ``persist=True`` the cached bigram handle is exposed on the
+    result as ``result.persisted_bigrams`` — call
+    ``result.persisted_bigrams.unpersist()`` once the result has been
+    consumed, or the MEMORY_AND_DISK blocks live for the session (the
+    operator cannot know when the lazily-evaluated result is done).
     """
     from .text import let_once, tokenize
 
@@ -564,7 +570,7 @@ def ngram_perplexity(
         .join(cpv, "prev")
         .select(F.col(id_col), lp.alias("_lp"))
     )
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.round(
             F.exp(
                 -(F.sum("_lp").cast("double") / F.count(F.lit(1)))
@@ -573,6 +579,13 @@ def ngram_perplexity(
         ).alias("ppl"),
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
     )
+    if persist:
+        # expose the cached handle so the CALLER can unpersist after the
+        # result is consumed — the lazily-evaluated result gives the
+        # operator no completion point to hook, and a leaked
+        # MEMORY_AND_DISK bigram stream is session-lifetime storage
+        out.persisted_bigrams = bigrams
+    return out
 
 
 def cap_per_group(
@@ -807,14 +820,27 @@ def mix_sources(
     proportions without upsampling any source.
 
     The feasible total is bound by the scarcest source relative to its
-    weight: ``T = min_s(n_s / w_s)`` (weights normalized to sum 1); each
-    source then keeps ``w_s · T`` rows via the engine's deterministic
-    hash sampling (:func:`~yaetl_spark.operators.sampling.hash_bucket`),
-    so reruns, engines, and partitionings all select the SAME rows.
+    weight: ``T = min_s(n_s / w_s)``; each source then keeps
+    ``w_s · T`` rows via the engine's deterministic hash sampling
+    (:func:`~yaetl_spark.operators.sampling.hash_bucket`), so reruns,
+    engines, and partitionings all select the SAME rows. Weights are
+    RELATIVE — the keep fraction ``w_s · min_u(n_u/w_u) / n_s`` is
+    invariant under scaling all weights by a common factor, so the raw
+    literals are used UNNORMALIZED. (Normalizing on one engine only can
+    flip ``floor(threshold)`` by one bucket at the ulp; keeping the
+    arithmetic term-for-term identical to a SQL oracle written with the
+    same literals makes the threshold bit-stable across engines.)
     Sources absent from ``weights`` are dropped (weight 0). Achieved
     proportions are exact up to hash-bucket granularity (~1/buckets
     relative error) — hash sampling trades exact counts for
     partition-independence, the right trade for training data.
+
+    A source NAMED in ``weights`` but holding ZERO rows forces
+    ``T = 0`` and the result is EMPTY: the largest corpus achievable at
+    the exact target proportions without upsampling an absent source is
+    the empty corpus. (A silent drop-through would hand back a
+    plausible mixture with the wrong proportions — e.g. on a misspelled
+    source name — so emptiness is the honest, loudly-visible answer.)
 
     Entirely in-plan — no driver action: per-source counts are one tiny
     groupBy (|sources| rows), the feasibility bound rides a
@@ -829,21 +855,21 @@ def mix_sources(
         raise ValueError("weights must name at least one source")
     if any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be > 0 (omit a source to drop it)")
-    total_w = float(sum(weights.values()))
     s = F.col(source_col)
-    w_expr = None
-    for val, w in weights.items():
-        wn = F.lit(float(w) / total_w)
-        w_expr = (
-            F.when(s == F.lit(val), wn)
-            if w_expr is None
-            else w_expr.when(s == F.lit(val), wn)
-        )
+    # the weight table as literal ROWS (not a CASE expression): right-
+    # joining the observed counts onto it keeps a weighted source with
+    # zero rows VISIBLE with _n = 0, which drives T = min(n_s/w_s) to 0
+    # and the output to empty — see the docstring contract. |weights|
+    # rows, driver-local literals, no job.
+    wt = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], [source_col, "_w"]
+    )
     counts = (
         df.filter(s.isin(*weights.keys()))
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn("_w", w_expr)
+        .join(wt, source_col, "right")
+        .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
     )
     # the feasibility bound T = min(n_s/w_s) rides a single-partition
     # window over the COUNTS table — bounded at |sources| rows by

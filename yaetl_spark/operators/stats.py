@@ -23,8 +23,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chi_square", "correlation_matrix", "frequent_itemsets",
-           "grouped_ols", "welch_t"]
+__all__ = ["chi_square", "chi_square_pvalue", "correlation_matrix",
+           "frequent_itemsets", "grouped_ols", "welch_t",
+           "welch_t_pvalue"]
 
 _DEC = "decimal(38,9)"
 
@@ -156,6 +157,7 @@ def frequent_itemsets(
     item_col: str,
     min_pair_count: int = 2,
     min_support: float = 0.0,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """Association-rule mining over baskets — the 2-itemset level of
     market-basket analysis (Agrawal & Srikant 1994's support/confidence
@@ -174,7 +176,19 @@ def frequent_itemsets(
     Scale shape (100 TB):
     - the raw stream shuffles ONCE, on the basket key, into a
       deduplicated sorted item array per basket (``collect_set`` —
-      state bounded by basket size; cap pathological baskets upstream);
+      state bounded by basket size);
+    - ``max_basket_items`` guards the within-basket quadratic (the same
+      degenerate-blowup class :func:`~yaetl_spark.operators.similarity.
+      semantic_dedup` guards with ``max_cell_rows``): a pathological
+      mega-basket — one customer key holding a large slice of the
+      stream — makes pair expansion O(m²) rows for that basket alone.
+      When set, a cheap size-by-basket pre-check (one partial-agg
+      shuffle of basket keys, the same shuffle shape the main pass
+      runs) raises ``ValueError`` naming the offending basket and its
+      item count — an actionable error instead of a silent executor
+      blowup. Sizing rule: a basket of ``m`` items emits ``m·(m-1)/2``
+      pair rows, so bound by what one task should absorb (e.g. 10_000
+      items ≈ 5e7 pair rows for that basket);
     - pair expansion is scan-level array arithmetic over that grouped
       frame (never a second shuffle of the stream, never a self-join —
       quadratic only within a basket);
@@ -198,6 +212,25 @@ def frequent_itemsets(
         .groupBy("_bk")
         .agg(F.array_sort(F.collect_set("_it")).alias("_items"))
     )
+    if max_basket_items is not None:
+        if max_basket_items < 1:
+            raise ValueError("max_basket_items must be >= 1")
+        hot = (
+            grouped.select("_bk", F.size("_items").alias("_m"))
+            .filter(F.col("_m") > max_basket_items)
+            .orderBy(F.col("_m").desc())
+            .first()
+        )
+        if hot is not None:
+            raise ValueError(
+                f"frequent_itemsets basket {hot['_bk']!r} holds "
+                f"{hot['_m']} distinct items (> max_basket_items="
+                f"{max_basket_items}): pair expansion is quadratic "
+                "within a basket — split or drop the mega-basket "
+                "upstream, or raise max_basket_items if the "
+                f"~{hot['_m'] * (hot['_m'] - 1) // 2} pair rows are "
+                "acceptable"
+            )
     nb_row = grouped.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
     item_n = (
         grouped.select(F.explode("_items").alias("_it"))
@@ -380,3 +413,133 @@ def chi_square(
         F.any_value("_n").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+# --- driver-side p-value helpers --------------------------------------------
+#
+# welch_t / chi_square return deterministic STATISTICS (t_stat + dof,
+# chi2 + dof) because CDF evaluation has no place in an oracle-checked
+# plan (engines disagree at the ulp on transcendental folds). These two
+# helpers close the A/B-testing workflow driver-side: plain-Python
+# special functions implemented from the classical continued-fraction /
+# series forms (Abramowitz & Stegun §6.5, §26.5; DLMF 8.9, 8.11.4) —
+# deterministic, dependency-free, accurate to ~1e-10 over the useful
+# range, unit-tested against published table fixtures.
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta
+    (A&S 26.5.8, evaluated with Lentz's method)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h
+
+
+def _reg_inc_beta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b), continued-fraction form
+    with the standard symmetry switch at the convergence boundary."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def welch_t_pvalue(t_stat: float, dof: float) -> float:
+    """Two-sided p-value for a t statistic at (possibly fractional,
+    Welch–Satterthwaite) ``dof``: ``P(|T| >= |t|) = I_x(dof/2, 1/2)``
+    with ``x = dof / (dof + t²)``. Feed it ``welch_t``'s ``t_stat`` /
+    ``dof`` columns. Pure driver-side math — the oracle-checked plan
+    stays CDF-free by design."""
+    if dof <= 0:
+        raise ValueError("dof must be > 0")
+    t = float(t_stat)
+    x = dof / (dof + t * t)
+    return _reg_inc_beta(dof / 2.0, 0.5, x)
+
+
+def chi_square_pvalue(stat: float, dof: float) -> float:
+    """Upper-tail p-value ``P(X >= stat)`` for a chi-square statistic:
+    the regularized upper incomplete gamma ``Q(dof/2, stat/2)`` — lower
+    series below the ``s + 1`` boundary, continued fraction above
+    (A&S 6.5.29 / 6.5.31). Feed it ``chi_square``'s ``chi2`` / ``dof``
+    columns."""
+    import math
+
+    if dof <= 0:
+        raise ValueError("dof must be > 0")
+    x = float(stat) / 2.0
+    s = float(dof) / 2.0
+    if x <= 0.0:
+        return 1.0
+    if x < s + 1.0:
+        # lower series for P(s, x), then Q = 1 - P
+        term = 1.0 / s
+        total = term
+        sn = s
+        for _ in range(1000):
+            sn += 1.0
+            term *= x / sn
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q(s, x) (Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - s
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 1000):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    q = h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+    return max(0.0, min(1.0, q))
