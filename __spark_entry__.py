@@ -830,6 +830,32 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join's 100 TB lever under oracle check: same two document
+    views as q_fuzzy_match, but with ``max_gram_df=50`` — grams present
+    in more than 50 RIGHT rows are stop-grams (at sf0.01 that prunes
+    ~76 hot grams like ' vect'/'query' whose df² candidate fan-out
+    dominates the blocking join). Both sides drop them via a gram-keyed
+    anti join and per-row set sizes are recounted, so the score is the
+    exact Jaccard of the PRUNED gram sets — deterministic, and the
+    oracle replicates the pruned-set algebra term for term."""
+    from yaetl_spark.operators import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    left = docs.select(
+        F.col("doc_id").alias("lid"),
+        F.substring("text", 1, 40).alias("lname"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("rid"),
+        F.substring("text", 5, 40).alias("rname"),
+    )
+    return fuzzy_join(
+        left, right, "lname", "rname", "lid", "rid",
+        ngram=5, min_sim=0.3, keep="best", max_gram_df=50,
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated token spans (operators/curation.py,
     ExactSubstr-style after Lee et al. 2022): every maximal token run
@@ -2509,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "dsir": q_dsir,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_match_pruned": q_fuzzy_match_pruned,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
@@ -3518,6 +3545,57 @@ def oracle_sql() -> dict[str, str]:
                    FROM lsets WHERE len(gs) > 0),
             rg AS (SELECT rid, len(gs) AS nb, unnest(gs) AS g
                    FROM rsets WHERE len(gs) > 0),
+            pairs AS (
+                SELECT lid, rid, COUNT(*) AS inter,
+                       ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb
+                FROM lg JOIN rg USING (g)
+                GROUP BY lid, rid),
+            scored AS (
+                SELECT lid, rid,
+                       round(CAST(inter AS DOUBLE)
+                             / CAST(na + nb - inter AS DOUBLE), 6) AS sim,
+                       CAST(inter AS BIGINT) AS n_shared_grams
+                FROM pairs)
+            SELECT lid, rid, sim, n_shared_grams FROM (
+                SELECT lid, rid, sim, n_shared_grams,
+                       row_number() OVER (PARTITION BY lid
+                                          ORDER BY sim DESC, rid ASC) AS rn
+                FROM scored WHERE sim >= 0.3) WHERE rn = 1
+        """,
+        "fuzzy_match_pruned": """
+            WITH l AS (
+                SELECT doc_id AS lid,
+                       lower(trim(regexp_replace(substring(text, 1, 40),
+                                                 '\\s+', ' ', 'g'))) AS s
+                FROM documents),
+            r AS (
+                SELECT doc_id AS rid,
+                       lower(trim(regexp_replace(substring(text, 5, 40),
+                                                 '\\s+', ' ', 'g'))) AS s
+                FROM documents),
+            lsets AS (
+                SELECT lid, list_distinct(
+                    [s[i:i+4] FOR i IN
+                     range(1, greatest(length(s) - 4, 0) + 1)]) AS gs
+                FROM l),
+            rsets AS (
+                SELECT rid, list_distinct(
+                    [s[i:i+4] FOR i IN
+                     range(1, greatest(length(s) - 4, 0) + 1)]) AS gs
+                FROM r),
+            lg0 AS (SELECT lid, unnest(gs) AS g
+                    FROM lsets WHERE len(gs) > 0),
+            rg0 AS (SELECT rid, unnest(gs) AS g
+                    FROM rsets WHERE len(gs) > 0),
+            hot AS (SELECT g FROM rg0 GROUP BY g HAVING COUNT(*) > 50),
+            lg AS (
+                SELECT lid,
+                       COUNT(*) OVER (PARTITION BY lid) AS na, g
+                FROM lg0 ANTI JOIN hot USING (g)),
+            rg AS (
+                SELECT rid,
+                       COUNT(*) OVER (PARTITION BY rid) AS nb, g
+                FROM rg0 ANTI JOIN hot USING (g)),
             pairs AS (
                 SELECT lid, rid, COUNT(*) AS inter,
                        ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb

@@ -616,3 +616,17 @@ def test_pagerank_loop_artifacts_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_fuzzy_match_pruned_anti_join_prune(spark):
+    """fuzzy_join(max_gram_df=...): the stop-gram prune must appear as
+    gram-keyed LEFT ANTI joins on BOTH gram streams (the df² fan-out
+    lever), with the recounted set sizes as per-row windows — still no
+    cartesian/nested-loop and zero Python stages."""
+    plan = plan_of(spark, "fuzzy_match_pruned")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert plan.count("LeftAnti") >= 2  # both sides drop stop-grams
+    assert "Window" in plan  # size recount + keep="best" top-1
