@@ -479,3 +479,81 @@ def test_fuzzy_join_gram_df_pruning(spark):
         left, right.repartition(7), "s", "s", "lid", "rid",
         ngram=3, min_sim=0.2, keep="all").collect()))
     assert a == b
+
+
+# --- bm25_topk --------------------------------------------------------------
+
+
+def test_bm25_topk_ranks_by_relevance(spark):
+    from yaetl_spark.operators import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),          # heavy on query terms
+            (2, "spark join"),                      # both terms, short
+            (3, "spark filler filler filler filler filler filler"),
+            (4, "nothing relevant here at all"),
+            (5, "join"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_topk(df, ["spark", "join"], top=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert set(ids) == {1, 2, 3, 5}  # doc 4 matches nothing
+    assert ids[0] in (1, 2)  # both-term docs outrank single-term docs
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["n_terms_matched"] == 2
+    assert by_id[5]["n_terms_matched"] == 1
+    # tf saturation: doc 3's lone 'spark' in a LONG doc scores below
+    # doc 5's lone 'join' in a one-word doc (length normalization)
+    assert by_id[3]["bm25"] < by_id[5]["bm25"]
+    # deterministic across partitionings
+    a = [tuple(r) for r in got]
+    b = [tuple(r) for r in
+         bm25_topk(df.repartition(7), ["spark", "join"], top=10).collect()]
+    assert a == b
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["a", "a"])
+    # top cut is TakeOrderedAndProject, not a global sort
+    plan = bm25_topk(df, ["spark"], top=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- pii_flags --------------------------------------------------------------
+
+
+def test_pii_flags_counts_and_masks(spark):
+    from yaetl_spark.operators import pii_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and c@y.org, ip 10.0.0.1, call 555-123-4567"),
+            (2, "ssn 123-45-6789 hides here"),
+            (3, "clean text, no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pii_flags(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 1, 1)
+    assert got[1]["pii_total"] == 4
+    assert got[2]["n_ssn"] == 1 and got[2]["pii_total"] == 1
+    assert got[3]["pii_total"] == 0 and got[3]["masked_text"] == df.collect()[2]["text"]
+    m = got[1]["masked_text"]
+    assert "[EMAIL]" in m and "[IPV4]" in m and "[PHONE]" in m
+    assert "a.b@x.io" not in m and "10.0.0.1" not in m
+    assert got[2]["masked_text"] == "ssn [SSN] hides here"
+    # mask=False drops the text column; kinds subset honored
+    cols = pii_flags(df, mask=False, kinds=["email"]).columns
+    assert cols == ["doc_id", "n_email", "pii_total"]
+    with pytest.raises(ValueError):
+        pii_flags(df, kinds=["dna"])
+    # pure scan: no exchange, no python
+    plan = pii_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -547,3 +547,35 @@ def test_equi_depth_histogram_heavy_value_spans_bins(spark):
     assert sum(r["n"] for r in got) == 100
     bins = {r["bin"]: r["n"] for r in got}
     assert max(bins.values()) >= 90  # the heavy value stays together
+
+
+def test_equi_width_histogram_exact_bounds_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import equi_width_histogram
+
+    df = spark.range(100).select((F.col("id")).cast("double").alias("v"))
+    rows = {r["bin"]: r for r in
+            equi_width_histogram(df, "v", 4).collect()}
+    # [0, 99] in 4 bins of width 24.75; ids 0..24 -> bin 0 (25 rows),
+    # 25..49 -> bin 1, 50..74 -> bin 2, 75..99 -> bin 3 (max lands last)
+    assert [rows[i]["n"] for i in range(4)] == [25, 25, 25, 25]
+    assert rows[0]["bin_lo"] == 0.0 and rows[3]["bin_hi"] == 99.0
+    assert rows[1]["bin_lo"] == 24.75
+    # degenerate: constant column -> everything in bin 0
+    const = spark.range(10).select(F.lit(5.0).alias("v"))
+    got = equi_width_histogram(const, "v", 4).collect()
+    assert len(got) == 1 and got[0]["bin"] == 0 and got[0]["n"] == 10
+    # partition invariance + plan: in-plan scalar attach, no BNLJ
+    a = sorted(map(tuple, equi_width_histogram(df, "v", 7).collect()))
+    b = sorted(map(tuple,
+                   equi_width_histogram(df.repartition(5), "v", 7).collect()))
+    assert a == b
+    plan = equi_width_histogram(df, "v", 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    import pytest
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", 0)

@@ -261,3 +261,68 @@ def test_pvalue_helpers_match_published_tables():
         welch_t_pvalue(1.0, 0)
     with pytest.raises(ValueError):
         chi_square_pvalue(1.0, 0)
+
+
+def test_robust_outliers_flags_planted_outliers(spark):
+    from yaetl_spark.operators import robust_outliers
+
+    # group g: tight cluster around 10 plus two wild points;
+    # group h: constant (MAD = 0 -> undefined, NULL outputs)
+    rows = ([("g", 10.0 + i * 0.1) for i in range(-5, 6)]
+            + [("g", 1000.0), ("g", -1000.0)]
+            + [("h", 7.0)] * 5)
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    got = {r["grp"]: r for r in
+           robust_outliers(df, "v", by=["grp"], exact=True).collect()}
+    g = got["g"]
+    assert g["n"] == 13 and g["median"] == 10.0
+    assert g["n_outliers"] == 2 and g["outlier_share"] == pytest.approx(
+        2 / 13, abs=1e-6)
+    h = got["h"]
+    assert h["mad"] == 0.0
+    assert h["n_outliers"] is None and h["outlier_share"] is None
+    # global (no groups) goes through the in-plan scalar attach
+    glob = robust_outliers(df.filter(F.col("grp") == "g"), "v",
+                           exact=True).collect()
+    assert glob[0]["n_outliers"] == 2
+    # partition invariance
+    a = sorted(map(tuple, robust_outliers(
+        df, "v", by=["grp"], exact=True).collect()))
+    b = sorted(map(tuple, robust_outliers(
+        df.repartition(7), "v", by=["grp"], exact=True).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        robust_outliers(df, "v", z=0)
+
+
+def test_robust_outliers_plan_never_shuffles_stream_wide(spark):
+    from yaetl_spark.operators import robust_outliers
+
+    li = spark.read.parquet(table_path("lineitem"))
+    df = robust_outliers(li, "l_extendedprice", by=["l_returnflag"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # stat tables come back broadcast: the stream itself is never
+    # hash-exchanged on the group key for the joins (aggregations
+    # exchange only their |groups|-row partials)
+    assert plan.count("BroadcastHashJoin") >= 2
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_key_skew_profile_known_distribution(spark):
+    from yaetl_spark.operators import key_skew_profile
+
+    # 4 keys: 1, 2, 3, 94 rows -> max 94, top share 0.94
+    rows = ([("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 94)
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_profile(df, ["k"], exact=True).first()
+    assert r["n_rows"] == 100 and r["n_keys"] == 4
+    assert r["max_rows"] == 94 and r["top_key_share"] == 0.94
+    assert r["p50_rows"] == 2.5  # interpolated median of [1,2,3,94]
+    a = key_skew_profile(df, ["k"], exact=True).collect()
+    b = key_skew_profile(df.repartition(7), ["k"], exact=True).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
+    with pytest.raises(ValueError):
+        key_skew_profile(df, [])

@@ -319,3 +319,68 @@ def equi_depth_histogram(
             "n",
         )
     )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equal-WIDTH histogram: ``nbins`` buckets of identical span over
+    ``[min, max]`` — the profiling companion to
+    :func:`equi_depth_histogram` (depth answers "where are the rows",
+    width answers "what does the value range look like"). Returns
+    ``(bin, bin_lo, bin_hi, n)``; empty bins are absent (join a
+    ``sequence(0, nbins-1)`` spine downstream for dense output); a
+    degenerate column (``min == max``) lands every row in bin 0.
+
+    TWO passes, no sort anywhere: pass 1 reduces the scan to ONE
+    min/max row (map-side combine, constant shuffle); the row rides
+    back in-plan via
+    :func:`~yaetl_spark.operators.curation.attach_scalars` (1-row
+    broadcast hash join, no driver round-trip); bucket assignment is
+    the scan-level expression
+    ``least(nbins-1, floor((x - min) / width))``; the only remaining
+    shuffle is the ≤ nbins-row bin count. min/max are rounded to
+    ``round_to`` BEFORE the width divide, so the bin decision — and
+    therefore the hash-compared result — is reproducible across
+    engines (same absorb-the-ulps move as the equi-depth boundaries).
+    """
+    from .curation import attach_scalars
+
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    x = F.col(col).cast("double")
+    mm_row = df.agg(
+        F.round(F.min(x), round_to).alias("_mn"),
+        F.round(F.max(x), round_to).alias("_mx"),
+    )
+    tagged = attach_scalars(df.filter(x.isNotNull()), mm_row, col)
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))
+    bin_ = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((x - F.col("_mn")) / width).cast("int"),
+        )
+    )
+    return (
+        tagged.groupBy(bin_.alias("bin"), F.col("_mn"), F.col("_mx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(
+                F.col("_mn")
+                + F.col("bin") * (F.col("_mx") - F.col("_mn"))
+                / F.lit(float(nbins)),
+                round_to,
+            ).alias("bin_lo"),
+            F.round(
+                F.col("_mn")
+                + (F.col("bin") + 1) * (F.col("_mx") - F.col("_mn"))
+                / F.lit(float(nbins)),
+                round_to,
+            ).alias("bin_hi"),
+            "n",
+        )
+    )

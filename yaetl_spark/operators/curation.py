@@ -804,6 +804,61 @@ def c4_quality_flags(
     )
 
 
+def pii_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask: bool = True,
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    """Auditable PII scrubbing pass — the redaction step every
+    public-corpus recipe runs before training (the BigScience/ROOTS and
+    Dolma pipelines regex-mask exactly these classes): per-kind match
+    COUNTS plus (with ``mask=True``) the redacted text, as a
+    DataFrame-level, oracle-checkable wrapper around the same
+    :data:`~yaetl_spark.operators.text._PII_PATTERNS` the Column-level
+    :func:`~yaetl_spark.operators.text.redact_pii` applies.
+
+    Returns ``(id_col, n_<kind>…, pii_total[, masked_text])`` —
+    default kinds ``email, ipv4, ssn, phone``. Counts are taken on the
+    ORIGINAL text per kind independently; masking chains the
+    replacements in ``kinds`` order (email first, so an IPv4-shaped
+    substring inside an email can't survive as a second hit). The
+    patterns are deliberately the common Java-regex/RE2 subset — no
+    lookaround, no backrefs — so the operator is engine-portable; like
+    every published regex pass it trades recall for auditability
+    (obfuscated PII needs an NER model upstream).
+
+    Scale shape (100 TB): pure scan-level regexp expressions — zero
+    shuffles, zero joins, zero Python; whole-stage codegen end to end.
+    """
+    from .text import _PII_PATTERNS, redact_pii
+
+    kinds = list(kinds) if kinds is not None else list(_PII_PATTERNS)
+    unknown = [k for k in kinds if k not in _PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}; "
+                         f"available: {list(_PII_PATTERNS)}")
+    if not kinds:
+        raise ValueError("kinds must name at least one pattern")
+    t = F.col(text_col)
+    counts = {
+        k: F.size(
+            F.regexp_extract_all(t, F.lit(_PII_PATTERNS[k]), F.lit(0))
+        )
+        for k in kinds
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    cols = [F.col(id_col)]
+    cols += [c.cast("bigint").alias(f"n_{k}") for k, c in counts.items()]
+    cols.append(total.cast("bigint").alias("pii_total"))
+    if mask:
+        cols.append(redact_pii(t, kinds=kinds).alias("masked_text"))
+    return df.select(*cols)
+
+
 def mix_sources(
     df: DataFrame,
     weights: Mapping[str, float],

@@ -1,0 +1,171 @@
+"""Event-sequence analytics — funnels and path mining over an event
+stream.
+
+Beyond-reference capability layer (the reference has no event or
+sequence surface at all — SURVEY.md §2.9/§2.11 list the absences we
+fill Spark-side): the two sequence questions every product-analytics
+store (and every behavioral-data curation pass) asks of a
+``(user, ts, type)`` stream:
+
+- :func:`funnel_steps` — ordered-conversion funnel: how many users
+  performed step 1, THEN step 2, THEN step 3 … in temporal order.
+- :func:`event_paths` — frequent path mining: the most common length-n
+  event-type sequences users actually walk.
+
+Both are pure Column expressions + relational ops (JVM-side,
+whole-stage codegen; no Python UDFs), built only from primitives with
+identical semantics in DuckDB so each operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["event_paths", "funnel_steps"]
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-conversion funnel: for each prefix of ``steps``, count
+    the users who performed those event types IN TEMPORAL ORDER
+    (greedy earliest matching — take the first step-1 event, then the
+    first step-2 event strictly after it in ``(ts, order_col)`` order,
+    and so on; greedy matching reaches a prefix iff ANY ordered
+    subsequence does, so the counts are the classic funnel semantics).
+    Repeating a type in ``steps`` (view → view → purchase) is allowed
+    and means "at least twice, in order".
+
+    Returns one row per step: ``(step, step_name, users,
+    conv_from_prev, conv_from_first)`` — ``step`` 1-based, rates
+    rounded to 6, NULL ``conv_from_prev`` on step 1 and whenever the
+    previous step had zero users. Steps no user reached still appear
+    with ``users = 0``.
+
+    Scale shape (100 TB):
+    - the stream is filtered to the |steps| event types BEFORE the
+      shuffle (scan-level ``isin`` — on a 100 TB firehose the funnel
+      types are typically a small fraction);
+    - ONE user-keyed shuffle into a sorted per-user event array
+      (``collect_list`` state bounded by funnel events per user), then
+      the greedy match is a scan-level ``aggregate`` fold over that
+      array — no joins, no per-step passes;
+    - everything after is arithmetic over the ≤ |steps|-row count
+      table (a single-partition window over k rows).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    k = len(steps)
+    sess = df.sparkSession
+    # event-type -> FIRST step index demanding it is not enough when a
+    # type repeats; the fold below matches against the step the user is
+    # currently AT, so carry the full per-step type array instead
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (
+        df.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("tb"),
+                F.col(type_col).alias("t"),
+            ).alias("_e"),
+        )
+    )
+    grouped = ev.groupBy("_u").agg(
+        F.array_sort(F.collect_list("_e")).alias("_es")
+    )
+    # greedy fold: acc = number of steps completed so far; an event
+    # advances acc iff its type is the one step acc+1 demands
+    stage = F.aggregate(
+        "_es",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(k))
+            & (e.getField("t") == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_stage = (
+        grouped.select(stage.alias("_stage"))
+        .filter(F.col("_stage") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("_stage"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("_users"))
+    )
+    spine = sess.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step", "step_name"]
+    )
+    w = Window.orderBy("step")
+    dense = (
+        spine.join(per_stage, "step", "left")
+        .withColumn("_users", F.coalesce(F.col("_users"), F.lit(0)))
+        .withColumn("_prev", F.lag("_users").over(w))
+        .withColumn("_first", F.first("_users").over(w))
+    )
+    return dense.select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        F.col("_users").cast("bigint").alias("users"),
+        F.when(
+            F.col("_prev") > 0,
+            F.round(F.col("_users") / F.col("_prev"), 6),
+        ).alias("conv_from_prev"),
+        F.when(
+            F.col("_first") > 0,
+            F.round(F.col("_users") / F.col("_first"), 6),
+        ).alias("conv_from_first"),
+    )
+
+
+def event_paths(
+    df: DataFrame,
+    n: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent path mining: the ``top`` most common length-``n``
+    event-type sequences (consecutive events of one user in
+    ``(ts, order_col)`` order), as ``sep``-joined path strings —
+    "view>click>purchase". Returns ``(path, n_occurrences)`` ordered
+    by ``(n_occurrences DESC, path ASC)`` — a total order, so the
+    top-``top`` cut is deterministic and engine-reproducible.
+
+    Scale shape (100 TB): ONE user-keyed shuffle (the sort window —
+    state per user, not per corpus), ``n-1`` scan-level ``lead``
+    columns over it, then a path-keyed partial aggregation whose key
+    space is |event types|^n (tiny vs the stream); the top cut is
+    TakeOrderedAndProject, never a global sort materialization.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    leads = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = (
+        df.select(F.concat_ws(sep, *leads).alias("path"),
+                  leads[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())  # drop truncated tails
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        paths.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(top)
+    )

@@ -415,6 +415,130 @@ def chi_square(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    z: float = 3.5,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust alternative
+    to mean±k·σ (one mega-outlier inflates σ enough to hide itself;
+    the median absolute deviation doesn't move). A row is an outlier
+    when its modified z-score ``0.6745·(x − median)/MAD`` exceeds ``z``
+    in magnitude (Iglewicz & Hoaglin 1993's recommended 3.5 default).
+
+    Returns one row per group: ``(by…, n, median, mad, n_outliers,
+    outlier_share)`` — median/MAD rounded to 6 BEFORE the z compare
+    (the bit-stability move: the flag decision, not just the reported
+    stats, is reproducible across engines), share rounded to 6. A
+    zero-MAD group (> half the values identical) reports NULL
+    ``n_outliers``/``outlier_share`` — the statistic is undefined
+    there, and silently flagging every non-modal value would be worse.
+
+    Scale shape (100 TB): two aggregation passes are inherent (MAD
+    needs the median first); each reduces to a |groups|-row table that
+    joins back broadcast-size, so the stream shuffles ZERO times —
+    only the two bounded stat tables move. ``percentile_approx``
+    sketches by default (mergeable, constant-size); ``exact=True``
+    switches to the sort-based ``percentile`` for oracle runs.
+    """
+    by = list(by)
+    if z <= 0:
+        raise ValueError("z must be > 0")
+    from .curation import attach_scalars
+
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
+    x = F.col(value_col).cast("double")
+    clean = df.dropna(subset=[value_col])
+    g1 = clean.groupBy(*by).agg(
+        F.round(F.expr(f"{fn}({value_col}, 0.5{acc})"), 6).alias("_med")
+    )
+    # grouped: broadcast the |groups|-row stat table; global: 1-row
+    # in-plan attach (a crossJoin would plan BroadcastNestedLoopJoin)
+    devs = (
+        clean.join(F.broadcast(g1), by) if by
+        else attach_scalars(clean, g1, value_col)
+    )
+    g2 = devs.groupBy(*by).agg(
+        F.any_value("_med").alias("_med"),
+        F.round(
+            F.expr(
+                f"{fn}(abs(cast({value_col} as double) - _med), 0.5{acc})"
+            ),
+            6,
+        ).alias("_mad"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    flagged = (
+        clean.join(F.broadcast(g2), by) if by
+        else attach_scalars(clean, g2, value_col)
+    )
+    mz = F.round(
+        F.lit(0.6745) * (x - F.col("_med")) / F.col("_mad"), 6
+    )
+    out = flagged.groupBy(*by).agg(
+        F.any_value("_n").cast("bigint").alias("n"),
+        F.any_value("_med").alias("median"),
+        F.any_value("_mad").alias("mad"),
+        F.sum(
+            F.when(F.abs(mz) > F.lit(float(z)), 1).otherwise(0)
+        ).cast("bigint").alias("_nout"),
+    )
+    defined = F.col("mad") > 0
+    return out.select(
+        *by,
+        "n", "median", "mad",
+        F.when(defined, F.col("_nout")).alias("n_outliers"),
+        F.when(
+            defined, F.round(F.col("_nout") / F.col("n"), 6)
+        ).alias("outlier_share"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the profiling query to
+    run BEFORE committing a 100 TB shuffle to a key: the distribution
+    of rows per key value, reduced to one row: ``(n_rows, n_keys,
+    max_rows, p50_rows, p90_rows, p99_rows, top_key_share)``.
+    ``top_key_share`` (heaviest key's fraction of the stream, rounded
+    to 6) is the salting signal: ≳ 1/shuffle-partitions means the hot
+    key alone fills a partition and the plain hash join stalls on one
+    task — reach for :func:`~yaetl_spark.operators.joins.salted_join`
+    or AQE skew handling.
+
+    Scale shape: one partial-aggregated count per key (the same
+    shuffle the real query would run, so the diagnostic costs what it
+    measures), then the |keys|-row count table reduces to ONE row —
+    percentiles over counts-per-key, never over the stream.
+    ``percentile_approx`` by default; ``exact=True`` for oracle runs.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {accuracy}"
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return counts.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("_n").cast("bigint").alias("max_rows"),
+        F.round(F.expr(f"{fn}(_n, 0.5{acc})"), 6).alias("p50_rows"),
+        F.round(F.expr(f"{fn}(_n, 0.9{acc})"), 6).alias("p90_rows"),
+        F.round(F.expr(f"{fn}(_n, 0.99{acc})"), 6).alias("p99_rows"),
+        F.round(
+            F.max("_n").cast("double") / F.sum("_n").cast("double"), 6
+        ).alias("top_key_share"),
+    )
+
+
 # --- driver-side p-value helpers --------------------------------------------
 #
 # welch_t / chi_square return deterministic STATISTICS (t_stat + dof,

@@ -393,6 +393,98 @@ def inverted_index(
     return idx
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 10,
+) -> DataFrame:
+    """BM25-ranked retrieval (Robertson & Walker's Okapi weighting, the
+    Lucene-default ``1 +`` idf form so scores stay positive): the
+    ``top`` documents for a bag of ``query_terms``, scored
+
+    ``Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+        · tf · (k1 + 1) / (tf + k1·(1 − b + b·dl/avgdl))``
+
+    over the corpus the call sees. Returns ``(id_col, bm25,
+    n_terms_matched)`` ordered by ``(bm25 DESC, id ASC)`` — a total
+    order, so the cut is deterministic. Per-term contributions are
+    rounded to 9 and summed as DECIMAL(20,9) (order-independent), the
+    final score rounded to 6 — bit-stable across engines.
+
+    Scale shape (100 TB):
+    - the token stream is filtered to the |query| terms BEFORE its
+      one (doc, term) shuffle — the match stream, not the corpus,
+      pays the aggregation;
+    - document length/avgdl reduce to a 1-row scalar that rides onto
+      the ≤ |query|-row df table via
+      :func:`~yaetl_spark.operators.curation.attach_scalars`, and that
+      enriched term table BROADCASTS onto the match stream;
+    - the top cut is ``orderBy().limit()`` — Catalyst plans
+      TakeOrderedAndProject (per-partition heaps + driver merge of
+      ``top`` rows), never a global sort materialization.
+    """
+    from .curation import attach_scalars
+
+    terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must name at least one term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("duplicate query terms")
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (F.sum(F.size("_t")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("_avgdl"),
+    )
+    matches = (
+        toks.select(
+            F.col(id_col),
+            F.size("_t").cast("double").alias("_dl"),
+            F.explode("_t").alias("_term"),
+        )
+        .filter(F.col("_term").isin(terms))
+        .groupBy(id_col, "_term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_tf"),
+            F.any_value("_dl").alias("_dl"),
+        )
+    )
+    dfreq = matches.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    enriched = attach_scalars(dfreq, totals, "_term")
+    idf = F.log(
+        1.0 + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (
+        F.col("_tf") * (F.lit(float(k1)) + 1.0)
+        / (F.col("_tf")
+           + F.lit(float(k1))
+           * (1.0 - F.lit(float(b))
+              + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")))
+    )
+    contrib = F.round(idf * tf_part, 9).cast("decimal(20,9)")
+    scored = (
+        matches.join(F.broadcast(enriched), "_term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    ).limit(top)
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
