@@ -64,3 +64,21 @@ def test_analyze_events_example(spark, sf_dir):
     assert all(0 < r["rank"] < 1 for r in pages)
     assert set(fits) == {"A", "N", "R"}
     assert strongest["corr"] is not None and abs(strongest["corr"]) <= 1.0
+
+
+def test_behavior_search_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import behavior_search
+    finally:
+        sys.path.pop(0)
+    steps, top_paths, shares, skew, top_docs = behavior_search.main(
+        spark, sf_dir)
+    assert [s[0] for s in steps] == ["view", "click", "purchase"]
+    users = [s[1] for s in steps]
+    assert users[0] >= users[1] >= users[2]  # funnels only narrow
+    assert len(top_paths) == 3 and all(n >= 1 for _, n in top_paths)
+    assert set(shares)  # one entry per observed event type
+    assert skew["max_rows"] >= 1 and 0 < skew["top_key_share"] <= 1
+    assert len(top_docs) == 3
+    assert top_docs[0][1] >= top_docs[1][1] >= top_docs[2][1]
