@@ -2771,11 +2771,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # heaviest of the 47 queries last checked in round 4 — pulled forward
 # so round 7's mandatory r4 refresh shrinks to 31 slots (47 won't fit
 # in one 50-query window alongside r7's own new/changed block). The 31
-# deferred r4 entries (funnel, break_at, histogram, percentiles, the
-# TPC-H relational battery, ann_ivf, media_meta, doc_fingerprint,
-# audio/frame siblings already re-pinned in r5, etc.) are round 7's
-# front-load list; everything checked in r5 stays within policy through
-# round 7.
+# deferred r4 entries are round 7's front-load list, verbatim:
+# ann_ivf, brand_revenue, break_at, click_attribution,
+# customer_distribution, daily_active, doc_fingerprint, excess_supply,
+# funnel, hash_sample, histogram, json_extract, large_orders,
+# local_volume, market_share, media_meta, min_price_supplier,
+# percentiles, profit_by_nation, promo_share, prospects, range_band,
+# repetition, returned_items, revenue_forecast, shipping_priority,
+# small_qty_revenue, stock_value, supplier_cnt, top_supplier,
+# waiting_suppliers. Everything checked in r5 stays within policy
+# through round 7.
 _DRIVER_WINDOW = [
     # (a) new this round
     "fuzzy_match_pruned", "funnel_steps", "event_paths", "bm25_topk",

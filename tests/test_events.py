@@ -126,3 +126,16 @@ def test_event_sequence_plans_stay_native(spark):
     plan = event_paths(ev, n=2, top=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_max_events_per_user_guard(spark):
+    ev = _fixture(spark)
+    with pytest.raises(ValueError, match="funnel-type events"):
+        funnel_steps(ev, ["a", "b", "c"], max_events_per_user=2)
+    # at-the-bound passes with values unchanged vs unguarded
+    got = sorted(map(tuple, funnel_steps(
+        ev, ["a", "b", "c"], max_events_per_user=3).collect()))
+    ref = sorted(map(tuple, funnel_steps(ev, ["a", "b", "c"]).collect()))
+    assert got == ref
+    with pytest.raises(ValueError):
+        funnel_steps(ev, ["a"], max_events_per_user=0)

@@ -34,6 +34,7 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     order_col: str = "event_id",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered-conversion funnel: for each prefix of ``steps``, count
     the users who performed those event types IN TEMPORAL ORDER
@@ -59,7 +60,15 @@ def funnel_steps(
       the greedy match is a scan-level ``aggregate`` fold over that
       array — no joins, no per-step passes;
     - everything after is arithmetic over the ≤ |steps|-row count
-      table (a single-partition window over k rows).
+      table (a single-partition window over k rows);
+    - ``max_events_per_user`` guards the per-user array state (the
+      same mega-key discipline as ``semantic_dedup.max_cell_rows`` and
+      ``frequent_itemsets.max_basket_items``): a bot user holding a
+      large slice of the stream materializes its whole filtered event
+      list in ONE aggregation task. When set, a cheap count-by-user
+      pre-check (the same user-keyed shuffle shape the main pass runs)
+      raises ``ValueError`` naming the offending user and its event
+      count instead of an executor OOM at 100 TB.
     """
     steps = list(steps)
     if not steps:
@@ -81,6 +90,25 @@ def funnel_steps(
             ).alias("_e"),
         )
     )
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1")
+        hot = (
+            ev.groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_events_per_user)
+            .orderBy(F.col("_n").desc())
+            .first()
+        )
+        if hot is not None:
+            raise ValueError(
+                f"funnel_steps user {hot['_u']!r} holds {hot['_n']} "
+                f"funnel-type events (> max_events_per_user="
+                f"{max_events_per_user}): the per-user event array "
+                "would materialize in one task — drop or segment the "
+                "mega-user upstream, or raise max_events_per_user if "
+                "the state is acceptable"
+            )
     grouped = ev.groupBy("_u").agg(
         F.array_sort(F.collect_list("_e")).alias("_es")
     )
