@@ -618,15 +618,20 @@ def test_pagerank_loop_artifacts_bounded(spark):
         assert node not in plan
 
 
-def test_fuzzy_match_pruned_anti_join_prune(spark):
-    """fuzzy_join(max_gram_df=...): the stop-gram prune must appear as
-    gram-keyed LEFT ANTI joins on BOTH gram streams (the df² fan-out
-    lever), with the recounted set sizes as per-row windows — still no
-    cartesian/nested-loop and zero Python stages."""
+def test_fuzzy_match_pruned_broadcast_prune(spark):
+    """fuzzy_join(max_gram_df=...): the stop-gram prune must be
+    SCAN-LEVEL — the hot-gram list rides 1-row broadcast hash joins
+    (attach_scalars) and the sets are cut with array_except before
+    exploding, so there are NO anti joins and NO per-row recount
+    windows; still no cartesian/nested-loop and zero Python stages."""
     plan = plan_of(spark, "fuzzy_match_pruned")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
-    assert plan.count("LeftAnti") >= 2  # both sides drop stop-grams
-    assert "Window" in plan  # size recount + keep="best" top-1
+    assert "LeftAnti" not in plan  # prune is array_except, not anti join
+    assert "array_except" in plan
+    assert "BroadcastHashJoin" in plan  # the 1-row hot-gram attach
+    # the only Window left is keep="best" top-1 — the per-row
+    # size-recount windows are gone from the pruned plan
+    assert plan.count("Window [") == 1

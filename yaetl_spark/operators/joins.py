@@ -339,6 +339,7 @@ def fuzzy_join(
     min_sim: float = 0.5,
     keep: str = "best",
     max_gram_df: int | None = None,
+    max_hot_grams: int = 100_000,
 ) -> DataFrame:
     """Approximate string join (entity resolution / record linkage):
     match rows whose strings share enough character ``ngram``-grams —
@@ -363,9 +364,22 @@ def fuzzy_join(
     drop those grams and per-row set sizes are recounted, so the
     similarity is the exact Jaccard of the PRUNED gram sets —
     deterministic and engine-reproducible, same df-pruning move as the
-    inverted index. Self-join note: pass pre-aliased id columns with
-    different names and filter ``left_id < right_id`` downstream to
-    halve the pair space.
+    inverted index.
+
+    The prune itself is SCAN-LEVEL: the hot-gram list rides a 1-row
+    broadcast (:func:`~yaetl_spark.operators.curation.attach_scalars`)
+    and each row's set is cut with ``array_except`` BEFORE exploding,
+    so pruning adds zero shuffles to the stream — the only new shuffle
+    is the bounded gram-df count itself. That is safe because the
+    distinct char-``ngram`` space is capped by ``charset**ngram``
+    (tens of thousands for the default ``ngram=3``) and Zipf keeps the
+    over-threshold subset tiny; ``max_hot_grams`` is the explicit
+    in-plan ceiling — the job fails with a clear message instead of
+    silently broadcasting an unexpectedly huge stop-gram list.
+
+    Self-join note: pass pre-aliased id columns with different names
+    and filter ``left_id < right_id`` downstream to halve the pair
+    space.
     """
     from pyspark.sql import Window
 
@@ -381,38 +395,67 @@ def fuzzy_join(
             "output carries both)"
         )
 
-    def gram_stream(df: DataFrame, col: str, id_: str, size_name: str,
-                    gram_name: str) -> DataFrame:
-        sets = df.select(
+    def gram_sets(df: DataFrame, col: str, id_: str) -> DataFrame:
+        return df.select(
             F.col(id_),
             F.array_distinct(char_ngrams(F.col(col), ngram)).alias("_gs"),
         ).filter(F.size("_gs") > 0)
+
+    def explode_stream(sets: DataFrame, id_: str, size_name: str,
+                       gram_name: str) -> DataFrame:
         return sets.select(
             F.col(id_),
             F.size("_gs").alias(size_name),
             F.explode("_gs").alias(gram_name),
         )
 
-    lg = gram_stream(left, left_col, left_id, "_na", "_g")
-    rg = gram_stream(right, right_col, right_id, "_nb", "_g")
+    ls = gram_sets(left, left_col, left_id)
+    rs = gram_sets(right, right_col, right_id)
     if max_gram_df is not None:
         if max_gram_df < 1:
             raise ValueError("max_gram_df must be >= 1")
-        hot = (
-            rg.groupBy("_g")
+        from .curation import attach_scalars
+
+        # df per gram over RIGHT rows (per-row sets are already
+        # distinct, so COUNT is the document frequency); the whole
+        # stop-gram list then collapses to ONE row that broadcasts
+        # onto both streams — the prune costs one bounded gram-keyed
+        # aggregation and nothing else.
+        hot_row = (
+            explode_stream(rs, right_id, "_nb", "_g")
+            .groupBy("_g")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_gram_df)
-            .select("_g")
+            .agg(
+                F.coalesce(F.collect_list("_g"), F.array()).alias("_hot"),
+                F.count(F.lit(1)).alias("_n_hot"),
+            )
         )
-        lg = lg.join(hot, "_g", "left_anti")
-        rg = rg.join(hot, "_g", "left_anti")
-        # set sizes must describe the PRUNED sets or Jaccard breaks
-        lg = lg.withColumn(
-            "_na", F.count(F.lit(1)).over(Window.partitionBy(left_id))
-        )
-        rg = rg.withColumn(
-            "_nb", F.count(F.lit(1)).over(Window.partitionBy(right_id))
-        )
+
+        def prune(sets: DataFrame, id_: str) -> DataFrame:
+            # raise_error only evaluates when the ceiling is breached;
+            # _n_hot is non-foldable so the guard survives optimization
+            hot_arr = F.when(
+                F.col("_n_hot") <= F.lit(int(max_hot_grams)), F.col("_hot")
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("fuzzy_join: stop-gram list has "),
+                    F.col("_n_hot").cast("string"),
+                    F.lit(f" grams (> max_hot_grams={max_hot_grams}); "
+                          "raise max_gram_df or max_hot_grams"),
+                ))
+            )
+            return (
+                attach_scalars(sets, hot_row, id_)
+                .withColumn("_gs", F.array_except("_gs", hot_arr))
+                .drop("_hot", "_n_hot")
+                .filter(F.size("_gs") > 0)
+            )
+
+        ls = prune(ls, left_id)
+        rs = prune(rs, right_id)
+    lg = explode_stream(ls, left_id, "_na", "_g")
+    rg = explode_stream(rs, right_id, "_nb", "_g")
     pairs = (
         lg.join(rg, "_g")
         .groupBy(left_id, right_id)
