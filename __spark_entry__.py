@@ -835,10 +835,12 @@ def q_fuzzy_match_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     views as q_fuzzy_match, but with ``max_gram_df=50`` — grams present
     in more than 50 RIGHT rows are stop-grams (at sf0.01 that prunes
     ~76 hot grams like ' vect'/'query' whose df² candidate fan-out
-    dominates the blocking join). Both sides drop them via a gram-keyed
-    anti join and per-row set sizes are recounted, so the score is the
-    exact Jaccard of the PRUNED gram sets — deterministic, and the
-    oracle replicates the pruned-set algebra term for term."""
+    dominates the blocking join). The stop-gram list rides a 1-row
+    broadcast onto both sides and each row's set is cut with
+    array_except before exploding (scan-level — the prune adds zero
+    stream shuffles), so the score is the exact Jaccard of the PRUNED
+    gram sets — deterministic, and the oracle replicates the
+    pruned-set algebra term for term."""
     from yaetl_spark.operators import fuzzy_join
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
