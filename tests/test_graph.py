@@ -262,3 +262,55 @@ def test_pagerank_partition_invariant_and_dangling_only(spark):
     got = {r["node"]: r["rank"] for r in pagerank(sink, iters=4).collect()}
     assert round(sum(got.values()), 5) == 1.0
     assert got[2] > got[1] == got[3]
+
+
+def test_ewma_matches_pandas_recurrence(spark):
+    import pandas as pd
+
+    from yaetl_spark.operators import ewma
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("a", 4, 40.0),
+        ("b", 1, 5.0),
+        ("c", 2, 7.0), ("c", 1, 3.0),  # out of order in the input
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["k"]: (r["n_points"], r["ewma"])
+           for r in ewma(df, "v", "t", ["k"], alpha=0.5).collect()}
+    # pandas adjust=False is the same seeded recurrence
+    for k, vals in (("a", [10.0, 20.0, 0.0, 40.0]), ("b", [5.0]),
+                    ("c", [3.0, 7.0])):
+        want = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean().iloc[-1]
+        assert got[k] == (len(vals), pytest.approx(want, abs=1e-6))
+
+
+def test_ewma_guards_and_in_plan_max_points(spark):
+    from yaetl_spark.operators import ewma
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)], "k string, t int, v double"
+    )
+    with pytest.raises(ValueError, match="at least one key"):
+        ewma(df, "v", "t", [])
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "v", "t", ["k"], alpha=0.0)
+    # at-the-bound passes; one over raises in-plan naming the key
+    ok = ewma(df, "v", "t", ["k"], max_points=5).collect()
+    assert ok[0]["n_points"] == 5
+    with pytest.raises(Exception, match="ewma: key \\(a\\) holds 5"):
+        ewma(df, "v", "t", ["k"], max_points=4).collect()
+
+
+def test_ewma_plan_one_shuffle_no_python(spark):
+    from yaetl_spark.operators import ewma
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)], "k string, t int, v double"
+    )
+    plan = ewma(df, "v", "t", ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    # exactly one key-partitioned exchange feeds the array aggregation
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -326,3 +326,62 @@ def test_key_skew_profile_known_distribution(spark):
     assert list(map(tuple, a)) == list(map(tuple, b))
     with pytest.raises(ValueError):
         key_skew_profile(df, [])
+
+
+def test_distribution_shift_identical_and_shifted(spark):
+    from yaetl_spark.operators import distribution_shift
+
+    rng = np.random.RandomState(11)
+    base = rng.uniform(0, 100, 600)
+    same = spark.createDataFrame([(float(v),) for v in base], "x double")
+    row = distribution_shift(same, same, "x", buckets=10).collect()[0]
+    # identical snapshots: all divergences exactly 0
+    assert row["psi"] == 0.0 and row["kl_ref_cur"] == 0.0 and row["js"] == 0.0
+    assert row["n_ref"] == row["n_cur"] == 600
+
+    shifted = spark.createDataFrame(
+        [(float(v + 60),) for v in base], "x double"
+    )
+    r2 = distribution_shift(same, shifted, "x", buckets=10).collect()[0]
+    # a 60-point shift of a [0,100] uniform is a loud drift: PSI well
+    # over the 0.25 "shifted" alarm, JS bounded by ln(2)
+    assert r2["psi"] > 0.25
+    assert r2["kl_ref_cur"] > 0.0
+    assert 0.0 < r2["js"] <= 0.6931472
+    # detail rows: probabilities are per-side normalized before smoothing
+    det = distribution_shift(same, shifted, "x", buckets=10, detail=True)
+    rows = det.collect()
+    assert abs(sum(r["p_ref"] for r in rows) - 1.0) < 1e-6
+    # out-of-range current values clamp into the top reference bucket
+    top = {r["bucket"]: r for r in rows}[9]
+    assert top["n_cur"] > top["n_ref"]
+
+
+def test_distribution_shift_validates_and_degenerate(spark):
+    from yaetl_spark.operators import distribution_shift
+
+    df = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    with pytest.raises(ValueError, match="buckets"):
+        distribution_shift(df, df, "x", buckets=1)
+    with pytest.raises(ValueError, match="smooth"):
+        distribution_shift(df, df, "x", smooth=0.0)
+    # degenerate reference (min == max): everything lands in bucket 0
+    row = distribution_shift(df, df, "x", buckets=4).collect()[0]
+    assert row["psi"] == 0.0 and row["n_ref"] == 2
+
+
+def test_distribution_shift_plan_stream_never_shuffles(spark):
+    """Each snapshot reduces to a bucket-count aggregation: no exchange
+    keyed by anything wider than the <=buckets-row bucket tables, no
+    cartesian, no Python stages."""
+    from yaetl_spark.operators import distribution_shift
+
+    li = spark.read.parquet(table_path("lineitem"))
+    plan = distribution_shift(
+        li.filter("l_orderkey % 2 = 0"), li.filter("l_orderkey % 2 = 1"),
+        "l_extendedprice", buckets=8,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -24,8 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["chi_square", "chi_square_pvalue", "correlation_matrix",
-           "frequent_itemsets", "grouped_ols", "welch_t",
-           "welch_t_pvalue"]
+           "distribution_shift", "frequent_itemsets", "grouped_ols",
+           "welch_t", "welch_t_pvalue"]
 
 _DEC = "decimal(38,9)"
 
@@ -536,6 +536,132 @@ def key_skew_profile(
         F.round(
             F.max("_n").cast("double") / F.sum("_n").cast("double"), 6
         ).alias("top_key_share"),
+    )
+
+
+def distribution_shift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    smooth: float = 1e-6,
+    detail: bool = False,
+) -> DataFrame:
+    """Data-drift check between two snapshots of a numeric column —
+    the monitoring query every long-running ingestion pipeline needs:
+    has ``current``'s distribution moved away from ``reference``'s?
+    Returns the three standard divergences over an equi-width
+    bucketing: PSI (population stability index, the industry drift
+    alarm — ≥0.1 "investigate", ≥0.25 "shifted"), KL(ref‖cur), and
+    the symmetric, bounded Jensen-Shannon divergence.
+
+    Buckets come from the REFERENCE side's min/max (``buckets``
+    equi-width cells; values outside clamp into the edge cells, so a
+    current snapshot that drifted beyond the reference range lands in
+    the boundary buckets and registers loudly). Each side's bucket
+    probability is smoothed as ``max(p, smooth)`` before the log terms
+    (the standard PSI zero-cell fix), so every term is finite and the
+    comparison is defined even for buckets one side never hits.
+
+    ``detail=False`` (default): ONE summary row ``(n_ref, n_cur, psi,
+    kl_ref_cur, js)``. ``detail=True``: one row per bucket
+    ``(bucket, n_ref, n_cur, p_ref, p_cur, psi_term)`` for the
+    which-bucket-moved drill-down. All probabilities and divergence
+    terms rounded to 9 before the DECIMAL(38,9) term sum, final
+    statistics rounded to 6 — the repo's absorb-the-ulps pattern, so
+    the numbers hash-match a SQL oracle computing the same algebra.
+
+    Scale shape (100 TB): each snapshot is ONE partial-aggregated
+    bucket count (≤ ``buckets`` rows out of the scan — the stream
+    itself never shuffles); the reference min/max rides a 1-row
+    in-plan broadcast (:func:`~yaetl_spark.operators.curation.
+    attach_scalars`) onto both streams; everything after joins and
+    folds ≤ ``buckets``-row tables.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if not 0.0 < smooth < 1.0:
+        raise ValueError("smooth must be in (0, 1)")
+    from pyspark.sql import Window
+
+    from .curation import attach_scalars
+
+    k = int(buckets)
+    ref = reference.dropna(subset=[value_col])
+    cur = current.dropna(subset=[value_col])
+    bounds = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+
+    def bucketed(df: DataFrame, n_name: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        w = (F.col("_mx") - F.col("_mn")) / F.lit(float(k))
+        # degenerate reference (mn == mx) puts everything in bucket 0
+        b = F.when(
+            F.col("_mx") <= F.col("_mn"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(k - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((x - F.col("_mn")) / w).cast("int"),
+                ),
+            )
+        )
+        return (
+            attach_scalars(df, bounds, value_col)
+            .select(b.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    rb = bucketed(ref, "_nr")
+    cb = bucketed(cur, "_nc")
+    both = (
+        rb.join(cb, "_b", "full")
+        .select(
+            F.col("_b"),
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+    )
+    # totals ride a window over the ≤2k-row bucket table (bounded by
+    # construction, so the single partition is safe) — the snapshot
+    # scans behind the counts run exactly once
+    w_all = Window.partitionBy()
+    tr = F.sum("_nr").over(w_all)
+    tc = F.sum("_nc").over(w_all)
+    eps = F.lit(float(smooth))
+    p = F.greatest(F.col("_nr").cast("double") / tr.cast("double"), eps)
+    q = F.greatest(F.col("_nc").cast("double") / tc.cast("double"), eps)
+    m = (p + q) / F.lit(2.0)
+    terms = both.select(
+        F.col("_b").cast("int").alias("bucket"),
+        F.col("_nr").cast("bigint").alias("n_ref"),
+        F.col("_nc").cast("bigint").alias("n_cur"),
+        tr.cast("bigint").alias("_tr"),
+        tc.cast("bigint").alias("_tc"),
+        F.round(p, 9).alias("p_ref"),
+        F.round(q, 9).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        F.round(p * F.log(p / q), 9).alias("_kl_term"),
+        F.round(
+            F.lit(0.5) * p * F.log(p / m)
+            + F.lit(0.5) * q * F.log(q / m),
+            9,
+        ).alias("_js_term"),
+    )
+    if detail:
+        return terms.select(
+            "bucket", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term"
+        )
+    return terms.agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.round(_dsum(F.col("psi_term")), 6).alias("psi"),
+        F.round(_dsum(F.col("_kl_term")), 6).alias("kl_ref_cur"),
+        F.round(_dsum(F.col("_js_term")), 6).alias("js"),
     )
 
 

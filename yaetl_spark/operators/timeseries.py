@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["date_spine", "gap_fill", "cohort_retention"]
+__all__ = ["date_spine", "ewma", "gap_fill", "cohort_retention"]
 
 
 def date_spine(
@@ -119,4 +119,87 @@ def cohort_retention(
         active.join(first, "_u")
         .groupBy(F.col("_cohort").alias("cohort"), offset.alias("offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    order_col: str | None = None,
+    max_points: int | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the standard
+    smoother for per-entity metric streams (user engagement, sensor
+    drift, queue depth): ``s_i = α·x_i + (1−α)·s_{i−1}`` folded over
+    each key's time-ordered values, seeded with the first value.
+    Returns one row per key: ``(by…, n_points, ewma)`` with ``ewma``
+    the final smoothed level, rounded to 6.
+
+    The fold is a scan-level ``aggregate`` over the key's sorted value
+    array — the SAME left-to-right IEEE double sequence a SQL engine's
+    ``list_reduce`` runs, so the result is bit-reproducible across
+    engines (ties broken by ``order_col`` so the order itself is
+    deterministic too; ``order_col`` defaults to ``ts_col``).
+
+    Scale shape (100 TB): ONE key-partitioned shuffle into per-key
+    arrays, then pure expression work — no joins, no Python, no
+    iteration. The per-key array is the bounded state: ``max_points``
+    is the mega-key guard (same discipline as ``semantic_dedup.
+    max_cell_rows`` / ``funnel_steps.max_events_per_user``), enforced
+    IN-PLAN — a key holding more than ``max_points`` values fails the
+    job naming the key instead of OOMing an executor task.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError(
+            "by must name at least one key column (for a single global "
+            "series, add a constant key)"
+        )
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if max_points is not None and max_points < 1:
+        raise ValueError("max_points must be >= 1")
+    ordc = order_col or ts_col
+    clean = df.dropna(subset=[value_col, ts_col])
+    grouped = clean.groupBy(*by).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("_t"),
+                    F.col(ordc).alias("_o"),
+                    F.col(value_col).cast("double").alias("_v"),
+                )
+            )
+        ).alias("_pts")
+    )
+    vals = F.transform(F.col("_pts"), lambda s: s["_v"])
+    a = F.lit(float(alpha))
+    one_minus = F.lit(1.0) - F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + one_minus * acc,
+    )
+    if max_points is not None:
+        key_str = F.concat_ws(
+            ",", *[F.col(c).cast("string") for c in by]
+        )
+        folded = F.when(
+            F.size("_pts") <= F.lit(int(max_points)), folded
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit("ewma: key ("), key_str,
+                F.lit(") holds "), F.size("_pts").cast("string"),
+                F.lit(f" points (> max_points={max_points}); the "
+                      "per-key array would materialize in one task — "
+                      "segment or downsample the mega-key upstream"),
+            ))
+        )
+    return grouped.select(
+        *by,
+        F.size("_pts").cast("bigint").alias("n_points"),
+        F.round(folded, 6).alias("ewma"),
     )
