@@ -462,3 +462,51 @@ def test_pipeline_grouped_map_to_clustered_sink(spark, tmp_path):
     batch = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     assert back.count() == batch.count()
     assert back.filter(F.col("rel") < 0).count() == 0
+
+
+def test_qualify_reject_to_quarantine(spark):
+    """reject_to captures exactly the rows the keep filter drops (false
+    AND null-condition rows), writes them through the normal sink/flush
+    protocol, and reports num_rejected."""
+    statuses: list[str] = []
+    kept = CollectSink()
+    rejected = CollectSink(on_flush=statuses.append)
+    src = MemorySource(
+        [(1, 10.0), (2, None), (3, 3.0), (4, 99.0)], "id int, v double"
+    )
+    report = (
+        Pipeline(spark)
+        .from_(src)
+        .qualify(F.col("v") > 5, reject_to=rejected)
+        .to(kept)
+        .run()
+    )
+    assert report["status"] == "clean"
+    assert sorted(r["id"] for r in kept.rows) == [1, 4]
+    # v=3.0 fails the predicate; v=NULL evaluates to NULL — both rejected
+    assert sorted(r["id"] for r in rejected.rows) == [2, 3]
+    assert report["num_records"] == 2
+    assert report["num_rejected"] == 2
+    assert statuses == ["clean"]
+
+
+def test_qualify_reject_to_without_root_sink(spark):
+    """Rejects-only flows still exercise the kept frame (noop write) so
+    num_records resolves."""
+    rejected = CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(1,), (2,), (3,)], "id int"))
+        .qualify("id < 3", reject_to=rejected)
+        .run()
+    )
+    assert report["num_records"] == 2
+    assert report["num_rejected"] == 1
+    assert [r["id"] for r in rejected.rows] == [3]
+
+
+def test_qualify_reject_to_rejects_flow_interrupts(spark):
+    rejected = CollectSink()
+    p = Pipeline(spark).from_(MemorySource([(1,)], "id int"))
+    with pytest.raises(PipelineError, match="truncate the flow"):
+        p.qualify(StopWhen(max_records=1), reject_to=rejected)

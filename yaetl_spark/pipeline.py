@@ -75,6 +75,9 @@ class Pipeline:
         # break actually fired) and branch-declared root-targeted breaks
         self._break_obs: list[Observation] = []
         self._root_breaks: list[tuple[int, Any]] = []
+        # qualify(reject_to=...) capture: (rejected frame, sink) pairs,
+        # written + flushed alongside the regular sink chains at run()
+        self._reject_chains: list[tuple[DataFrame, Sink]] = []
 
     # -- grammar --------------------------------------------------------------
     def _require_df(self) -> DataFrame:
@@ -115,11 +118,63 @@ class Pipeline:
         self._observations.append((name, obs))
         return self
 
-    def qualify(self, condition: Qualifier | Column | str | Callable) -> "Pipeline":
+    def qualify(
+        self,
+        condition: Qualifier | Column | str | Callable,
+        reject_to: Sink | None = None,
+    ) -> "Pipeline":
+        """Keep rows satisfying ``condition``. With ``reject_to``, the
+        rows this stage DROPS (condition false or NULL) are captured as
+        a side stream and written to the given sink at :meth:`run` —
+        the quarantine / dead-letter pattern the reference's skip-style
+        qualifiers silently discard
+        (``src/Qualifiers/QualifierAbstract.php:61-81`` drops the
+        record and moves on; here the drop is observable). The reject
+        sink participates in the normal flush protocol and the run
+        report gains ``num_rejected``.
+
+        ``reject_to`` needs a condition-expressible predicate (Column /
+        SQL string / ``df -> Column`` callable / :class:`Predicate`);
+        flow interrupts (:class:`StopWhen` / :class:`BreakAt`) truncate
+        the stream rather than reject rows, and opaque qualifiers don't
+        expose a negatable condition — both raise. Scale note: the
+        reject stream re-runs the upstream lineage up to this stage
+        (same cost model as a branch over an unpersisted mid-chain
+        frame); rejects captured here do not see a run-time
+        root-targeted break's truncation.
+        """
         from .operators.qualifiers import BreakAt, StopWhen
 
         df = self._require_df()
         self._counters["num_qualify"] += 1
+        if reject_to is not None:
+            if isinstance(condition, (StopWhen, BreakAt)):
+                raise PipelineError(
+                    "reject_to only applies to row-wise keep/skip "
+                    "conditions; StopWhen/BreakAt truncate the flow "
+                    "instead of rejecting individual rows"
+                )
+            if isinstance(condition, Predicate):
+                raw = condition.condition
+                cond = F.expr(raw) if isinstance(raw, str) else raw
+            elif isinstance(condition, Qualifier):
+                raise PipelineError(
+                    "reject_to needs a condition-expressible qualifier "
+                    "(Column / SQL string / callable / Predicate) — "
+                    f"{type(condition).__name__} does not expose a "
+                    "negatable condition"
+                )
+            elif callable(condition) and not isinstance(condition, Column):
+                cond = condition(df)
+            else:
+                cond = F.expr(condition) if isinstance(condition, str) else condition
+            # filter(cond) keeps TRUE rows; the complement (FALSE or
+            # NULL) is exactly what this captures
+            self._reject_chains.append(
+                (df.filter(~cond | cond.isNull()), reject_to)
+            )
+            self._df = df.filter(cond)
+            return self
         if isinstance(condition, StopWhen):
             self._dirty = True
             self._df = condition.apply(df)
@@ -296,7 +351,19 @@ class Pipeline:
                 chains.append((list(child._sinks), child._apply_to(df)))
                 n_branch_sinks += len(child._sinks)
 
-        n_actions = len(self._sinks) + n_branch_sinks + (0 if chains else 1)
+        # reject side-streams: independent lineage (captured pre-filter at
+        # their qualify stage), so they neither consume nor justify the
+        # shared-upstream persist below
+        root_actions = len(self._sinks) + n_branch_sinks
+        reject_obs: list[Observation] = []
+        for i, (rej_df, rej_sink) in enumerate(self._reject_chains):
+            r_obs = Observation(f"_reject_{i}")
+            chains.append((
+                [rej_sink],
+                rej_df.observe(r_obs, F.count(F.lit(1)).alias("n")),
+            ))
+            reject_obs.append(r_obs)
+        n_actions = root_actions + (0 if root_actions else 1)
         persisted = False
         if n_actions > 1:
             # shared upstream: extract once, fan out (README.md:219-246)
@@ -304,7 +371,7 @@ class Pipeline:
             persisted = True
         all_sinks: list[Sink] = []
         try:
-            if not chains:
+            if not root_actions:
                 from .sinks.base import NoOpSink
 
                 NoOpSink().write(df)
@@ -352,6 +419,10 @@ class Pipeline:
         }
         if obs is not None:
             report["num_records"] = obs.get.get("num_records")
+        if reject_obs:
+            report["num_rejected"] = sum(
+                o.get.get("n") or 0 for o in reject_obs
+            )
         if plan_info is not None:
             report["plan"] = plan_info
         for name, o in self._observations:
