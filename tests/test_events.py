@@ -130,8 +130,9 @@ def test_event_sequence_plans_stay_native(spark):
 
 def test_funnel_max_events_per_user_guard(spark):
     ev = _fixture(spark)
-    with pytest.raises(ValueError, match="funnel-type events"):
-        funnel_steps(ev, ["a", "b", "c"], max_events_per_user=2)
+    # in-plan guard: raises at execution, naming the user and count
+    with pytest.raises(Exception, match="funnel-type events"):
+        funnel_steps(ev, ["a", "b", "c"], max_events_per_user=2).collect()
     # at-the-bound passes with values unchanged vs unguarded
     got = sorted(map(tuple, funnel_steps(
         ev, ["a", "b", "c"], max_events_per_user=3).collect()))

@@ -210,9 +210,10 @@ def test_frequent_itemsets_max_basket_items_guard(spark):
     rows = [("mega", f"i{i}") for i in range(50)]
     rows += [("b1", "a"), ("b1", "b"), ("b2", "a"), ("b2", "b")]
     df = spark.createDataFrame(rows, ["bk", "it"])
-    with pytest.raises(ValueError, match="mega.*50 distinct items"):
+    # in-plan guard: raises at execution, naming the basket and size
+    with pytest.raises(Exception, match="mega holds 50 distinct items"):
         frequent_itemsets(df, "bk", "it", min_pair_count=1,
-                          max_basket_items=10)
+                          max_basket_items=10).collect()
     # at-the-bound basket passes, values unchanged vs unguarded
     got = sorted(
         map(tuple, frequent_itemsets(df, "bk", "it", min_pair_count=1,

@@ -65,10 +65,14 @@ def funnel_steps(
       same mega-key discipline as ``semantic_dedup.max_cell_rows`` and
       ``frequent_itemsets.max_basket_items``): a bot user holding a
       large slice of the stream materializes its whole filtered event
-      list in ONE aggregation task. When set, a cheap count-by-user
-      pre-check (the same user-keyed shuffle shape the main pass runs)
-      raises ``ValueError`` naming the offending user and its event
-      count instead of an executor OOM at 100 TB.
+      list in ONE aggregation task. The guard is IN-PLAN
+      (``raise_error`` on the oversized array, naming the user and its
+      event count) — it costs nothing when the data is clean, where an
+      eager pre-check would double the user-keyed shuffle at 100 TB.
+      It bounds the downstream fold; a user too large to even
+      materialize its event array still fails in the aggregation
+      itself — profile with ``key_skew_profile`` first when bots may
+      hold executor-memory-scale event counts.
     """
     steps = list(steps)
     if not steps:
@@ -90,28 +94,27 @@ def funnel_steps(
             ).alias("_e"),
         )
     )
-    if max_events_per_user is not None:
-        if max_events_per_user < 1:
-            raise ValueError("max_events_per_user must be >= 1")
-        hot = (
-            ev.groupBy("_u")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_events_per_user)
-            .orderBy(F.col("_n").desc())
-            .first()
-        )
-        if hot is not None:
-            raise ValueError(
-                f"funnel_steps user {hot['_u']!r} holds {hot['_n']} "
-                f"funnel-type events (> max_events_per_user="
-                f"{max_events_per_user}): the per-user event array "
-                "would materialize in one task — drop or segment the "
-                "mega-user upstream, or raise max_events_per_user if "
-                "the state is acceptable"
-            )
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
     grouped = ev.groupBy("_u").agg(
         F.array_sort(F.collect_list("_e")).alias("_es")
     )
+    if max_events_per_user is not None:
+        grouped = grouped.withColumn(
+            "_es",
+            F.when(
+                F.size("_es") <= F.lit(int(max_events_per_user)),
+                F.col("_es"),
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("funnel_steps user "), F.col("_u").cast("string"),
+                F.lit(" holds "), F.size("_es").cast("string"),
+                F.lit(f" funnel-type events (> max_events_per_user="
+                      f"{max_events_per_user}): the per-user event "
+                      "array would materialize in one task — drop or "
+                      "segment the mega-user upstream, or raise "
+                      "max_events_per_user if the state is acceptable"),
+            ))),
+        )
     # greedy fold: acc = number of steps completed so far; an event
     # advances acc iff its type is the one step acc+1 demands
     stage = F.aggregate(

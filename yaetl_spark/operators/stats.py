@@ -182,13 +182,16 @@ def frequent_itemsets(
       semantic_dedup` guards with ``max_cell_rows``): a pathological
       mega-basket — one customer key holding a large slice of the
       stream — makes pair expansion O(m²) rows for that basket alone.
-      When set, a cheap size-by-basket pre-check (one partial-agg
-      shuffle of basket keys, the same shuffle shape the main pass
-      runs) raises ``ValueError`` naming the offending basket and its
-      item count — an actionable error instead of a silent executor
-      blowup. Sizing rule: a basket of ``m`` items emits ``m·(m-1)/2``
-      pair rows, so bound by what one task should absorb (e.g. 10_000
-      items ≈ 5e7 pair rows for that basket);
+      The guard is IN-PLAN (``raise_error`` on the oversized item
+      array, naming the basket and its item count) — zero cost on
+      clean data, where an eager pre-check would run the basket
+      shuffle twice. It fires before any pair expands; a basket too
+      large to even materialize its item set still fails in the
+      aggregation itself — profile with ``key_skew_profile`` first
+      when keys may hold executor-memory-scale item counts. Sizing
+      rule: a basket of ``m`` items emits ``m·(m-1)/2`` pair rows, so
+      bound by what one task should absorb (e.g. 10_000 items ≈ 5e7
+      pair rows for that basket);
     - pair expansion is scan-level array arithmetic over that grouped
       frame (never a second shuffle of the stream, never a self-join —
       quadratic only within a basket);
@@ -215,22 +218,22 @@ def frequent_itemsets(
     if max_basket_items is not None:
         if max_basket_items < 1:
             raise ValueError("max_basket_items must be >= 1")
-        hot = (
-            grouped.select("_bk", F.size("_items").alias("_m"))
-            .filter(F.col("_m") > max_basket_items)
-            .orderBy(F.col("_m").desc())
-            .first()
+        grouped = grouped.withColumn(
+            "_items",
+            F.when(
+                F.size("_items") <= F.lit(int(max_basket_items)),
+                F.col("_items"),
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("frequent_itemsets basket "),
+                F.col("_bk").cast("string"),
+                F.lit(" holds "), F.size("_items").cast("string"),
+                F.lit(f" distinct items (> max_basket_items="
+                      f"{max_basket_items}): pair expansion is "
+                      "quadratic within a basket — split or drop the "
+                      "mega-basket upstream, or raise max_basket_items "
+                      "if the cost is acceptable"),
+            ))),
         )
-        if hot is not None:
-            raise ValueError(
-                f"frequent_itemsets basket {hot['_bk']!r} holds "
-                f"{hot['_m']} distinct items (> max_basket_items="
-                f"{max_basket_items}): pair expansion is quadratic "
-                "within a basket — split or drop the mega-basket "
-                "upstream, or raise max_basket_items if the "
-                f"~{hot['_m'] * (hot['_m'] - 1) // 2} pair rows are "
-                "acceptable"
-            )
     nb_row = grouped.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
     item_n = (
         grouped.select(F.explode("_items").alias("_it"))

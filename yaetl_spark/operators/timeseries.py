@@ -150,7 +150,11 @@ def ewma(
     is the mega-key guard (same discipline as ``semantic_dedup.
     max_cell_rows`` / ``funnel_steps.max_events_per_user``), enforced
     IN-PLAN — a key holding more than ``max_points`` values fails the
-    job naming the key instead of OOMing an executor task.
+    job naming the key, at zero cost on clean data. It bounds the
+    downstream fold; a key too large to even materialize its array
+    still fails in the aggregation itself — profile with
+    ``key_skew_profile`` first when keys may hold
+    executor-memory-scale point counts.
     """
     by = list(by)
     if not by:
