@@ -1002,6 +1002,23 @@ def q_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/stats.py categorical_shift):
+    PSI / KL / JS over per-source document frequencies between the two
+    corpus halves, with top_k=2 so the smallest source exercises the
+    deterministic __other__ lump (top-k by reference count, ties by
+    value; __null__ would keep its own cell). Each snapshot is one
+    count-by-category aggregation — the streams never shuffle."""
+    from yaetl_spark.operators import categorical_shift
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_shift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "source", top_k=2, detail=True,
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (operators/timeseries.py ewma): one user-keyed shuffle into
@@ -2704,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "key_skew": q_key_skew,
         "distribution_shift": q_distribution_shift,
+        "categorical_shift": q_categorical_shift,
         "ewma": q_ewma,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
@@ -2816,10 +2834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # percentiles, profit_by_nation, promo_share, prospects, range_band,
 # repetition, returned_items, revenue_forecast, shipping_priority,
 # small_qty_revenue, stock_value, supplier_cnt, top_supplier,
-# waiting_suppliers — PLUS the two queries added late in round 6 with
-# no driver row yet (distribution_shift, ewma; local-oracle-green at
-# sf0.01 this round), i.e. 33 mandatory r7 slots. Everything checked
-# in r5 stays within policy through round 7.
+# waiting_suppliers — PLUS the three queries added late in round 6
+# with no driver row yet (distribution_shift, categorical_shift, ewma;
+# all local-oracle-green at sf0.01 this round), i.e. 34 mandatory r7
+# slots. Everything checked in r5 stays within policy through round 7.
 _DRIVER_WINDOW = [
     # (a) new this round
     "fuzzy_match_pruned", "funnel_steps", "event_paths", "bm25_topk",
@@ -4058,6 +4076,42 @@ def oracle_sql() -> dict[str, str]:
                        + 0.5 * q * LN(q / ((p + q) / 2.0)), 9)
                                        AS DECIMAL(38,9))) AS DOUBLE), 6)
                        AS js
+            FROM t
+        """,
+        "categorical_shift": """
+            WITH ref AS (SELECT COALESCE(CAST(source AS VARCHAR), '__null__')
+                             AS c FROM documents WHERE doc_id % 2 = 0),
+            cur AS (SELECT COALESCE(CAST(source AS VARCHAR), '__null__') AS c
+                    FROM documents WHERE doc_id % 2 = 1),
+            rc AS (SELECT c, COUNT(*) AS nr FROM ref GROUP BY c),
+            cc AS (SELECT c, COUNT(*) AS nc FROM cur GROUP BY c),
+            top AS (SELECT c FROM (
+                        SELECT c, ROW_NUMBER() OVER (
+                            ORDER BY nr DESC, c ASC) AS rk FROM rc)
+                    WHERE rk <= 2),
+            rl AS (SELECT CASE WHEN c IN (SELECT c FROM top)
+                               OR c = '__null__' THEN c
+                               ELSE '__other__' END AS c,
+                          SUM(nr) AS nr
+                   FROM rc GROUP BY 1),
+            cl AS (SELECT CASE WHEN c IN (SELECT c FROM top)
+                               OR c = '__null__' THEN c
+                               ELSE '__other__' END AS c,
+                          SUM(nc) AS nc
+                   FROM cc GROUP BY 1),
+            j AS (SELECT COALESCE(rl.c, cl.c) AS c,
+                         COALESCE(nr, 0) AS nr, COALESCE(nc, 0) AS nc
+                  FROM rl FULL JOIN cl ON rl.c = cl.c),
+            t AS (SELECT c, nr, nc,
+                         GREATEST(CAST(nr AS DOUBLE) / SUM(nr) OVER (),
+                                  0.000001) AS p,
+                         GREATEST(CAST(nc AS DOUBLE) / SUM(nc) OVER (),
+                                  0.000001) AS q
+                  FROM j)
+            SELECT c AS category,
+                   CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+                   ROUND(p, 9) AS p_ref, ROUND(q, 9) AS p_cur,
+                   ROUND((p - q) * LN(p / q), 9) AS psi_term
             FROM t
         """,
         "ewma": """

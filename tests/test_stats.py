@@ -386,3 +386,41 @@ def test_distribution_shift_plan_stream_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_categorical_shift_lumping_null_and_novel(spark):
+    from yaetl_spark.operators import categorical_shift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "v string"
+    )
+    # identical snapshots: zero drift regardless of lumping
+    r0 = categorical_shift(ref, ref, "v", top_k=2).collect()[0]
+    assert r0["psi"] == 0.0 and r0["js"] == 0.0
+
+    # current introduces a NOVEL category (not in ref) and NULLs; with
+    # top_k=2 the kept cells are a,b — c, the novelty, and nothing else
+    # stay distinguishable only via __other__ / __null__
+    cur = spark.createDataFrame(
+        [("a",)] * 2 + [("zzz-new",)] * 6 + [(None,)] * 2, "v string"
+    )
+    det = {r["category"]: r for r in categorical_shift(
+        ref, cur, "v", top_k=2, detail=True).collect()}
+    assert set(det) == {"a", "b", "__other__", "__null__"}
+    assert det["__other__"]["n_cur"] == 6    # the novel category
+    assert det["__other__"]["n_ref"] == 1    # ref's own lumped tail (c)
+    assert det["__null__"]["n_cur"] == 2
+    summary = categorical_shift(ref, cur, "v", top_k=2).collect()[0]
+    assert summary["psi"] > 0.25             # loud drift
+    assert summary["n_ref"] == 10 and summary["n_cur"] == 10
+
+    # top-k ties break by category value: b and c tied at 1 -> b kept
+    ref2 = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 1 + [("c",)] * 1, "v string"
+    )
+    det2 = {r["category"] for r in categorical_shift(
+        ref2, ref2, "v", top_k=2, detail=True).collect()}
+    assert det2 == {"a", "b", "__other__"}
+
+    with pytest.raises(ValueError, match="top_k"):
+        categorical_shift(ref, ref, "v", top_k=0)

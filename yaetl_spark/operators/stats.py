@@ -23,9 +23,10 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chi_square", "chi_square_pvalue", "correlation_matrix",
-           "distribution_shift", "frequent_itemsets", "grouped_ols",
-           "welch_t", "welch_t_pvalue"]
+__all__ = ["categorical_shift", "chi_square", "chi_square_pvalue",
+           "correlation_matrix", "distribution_shift",
+           "frequent_itemsets", "grouped_ols", "welch_t",
+           "welch_t_pvalue"]
 
 _DEC = "decimal(38,9)"
 
@@ -658,6 +659,130 @@ def distribution_shift(
     if detail:
         return terms.select(
             "bucket", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term"
+        )
+    return terms.agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.round(_dsum(F.col("psi_term")), 6).alias("psi"),
+        F.round(_dsum(F.col("_kl_term")), 6).alias("kl_ref_cur"),
+        F.round(_dsum(F.col("_js_term")), 6).alias("js"),
+    )
+
+
+def categorical_shift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    top_k: int = 50,
+    smooth: float = 1e-6,
+    detail: bool = False,
+) -> DataFrame:
+    """:func:`distribution_shift` for CATEGORICAL columns (source tags,
+    language codes, event types): PSI / KL(ref‖cur) / Jensen-Shannon
+    over per-category frequencies instead of numeric buckets.
+
+    The category table is bounded deterministically: the ``top_k``
+    reference categories by reference count (ties broken by category
+    value) keep their own cells; everything else — including
+    categories the reference never saw — lumps into ``__other__``.
+    That keeps the compared table at ``top_k + 1`` rows no matter how
+    wild the current snapshot's value space is, and makes novel
+    categories register as ``__other__`` growth. NULL category counts
+    as the literal ``__null__`` cell and ALWAYS keeps its own cell,
+    never lumping into ``__other__`` (a source suddenly emitting NULL
+    tags IS drift, and it should say so by name). Same ``max(p, smooth)`` zero-cell smoothing,
+    rounding, and DECIMAL term-sum discipline as the numeric variant.
+
+    ``detail=False``: ONE row ``(n_ref, n_cur, psi, kl_ref_cur, js)``;
+    ``detail=True``: per-category ``(category, n_ref, n_cur, p_ref,
+    p_cur, psi_term)``.
+
+    Scale shape (100 TB): each snapshot is ONE count-by-category
+    aggregation (map-side combinable — the stream never shuffles, only
+    the |categories|-row count tables move); the top-k membership is a
+    window over the reference count table, broadcast back onto both
+    count tables; everything downstream folds ``top_k + 1`` rows.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if not 0.0 < smooth < 1.0:
+        raise ValueError("smooth must be in (0, 1)")
+    from pyspark.sql import Window
+
+    k = int(top_k)
+    cat = F.coalesce(F.col(value_col).cast("string"), F.lit("__null__"))
+
+    def counts(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.select(cat.alias("_c"))
+            .groupBy("_c")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    rc = counts(reference, "_nr")
+    cc = counts(current, "_nc")
+    top = (
+        rc.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_nr").desc(), F.col("_c").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .select("_c")
+    )
+
+    def lumped(tbl: DataFrame, n_name: str) -> DataFrame:
+        return (
+            tbl.join(F.broadcast(top.withColumn("_keep", F.lit(True))),
+                     "_c", "left")
+            .select(
+                # __null__ always keeps its own cell (it is a diagnostic,
+                # not a tail category), whether or not it made the top-k
+                F.when(
+                    F.col("_keep") | (F.col("_c") == "__null__"),
+                    F.col("_c"),
+                ).otherwise(F.lit("__other__")).alias("_c"),
+                F.col(n_name),
+            )
+            .groupBy("_c")
+            .agg(F.sum(n_name).alias(n_name))
+        )
+
+    both = (
+        lumped(rc, "_nr").join(lumped(cc, "_nc"), "_c", "full")
+        .select(
+            F.col("_c"),
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tr = F.sum("_nr").over(w_all)
+    tc = F.sum("_nc").over(w_all)
+    eps = F.lit(float(smooth))
+    p = F.greatest(F.col("_nr").cast("double") / tr.cast("double"), eps)
+    q = F.greatest(F.col("_nc").cast("double") / tc.cast("double"), eps)
+    m = (p + q) / F.lit(2.0)
+    terms = both.select(
+        F.col("_c").alias("category"),
+        F.col("_nr").cast("bigint").alias("n_ref"),
+        F.col("_nc").cast("bigint").alias("n_cur"),
+        F.round(p, 9).alias("p_ref"),
+        F.round(q, 9).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        F.round(p * F.log(p / q), 9).alias("_kl_term"),
+        F.round(
+            F.lit(0.5) * p * F.log(p / m)
+            + F.lit(0.5) * q * F.log(q / m),
+            9,
+        ).alias("_js_term"),
+    )
+    if detail:
+        return terms.select(
+            "category", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term"
         )
     return terms.agg(
         F.sum("n_ref").cast("bigint").alias("n_ref"),
