@@ -19,7 +19,14 @@ Run: ``python examples/behavior_search.py [sf_dir]``
 
 from __future__ import annotations
 
+import os
 import sys
+
+# allow `python examples/<name>.py` straight from a checkout: put the
+# repo root (the package's parent) on sys.path before importing it
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 from pyspark.sql import functions as F
 

@@ -1,0 +1,84 @@
+"""Ingestion monitoring — the round-6 data-quality surface in one
+runnable flow, the checks a long-running corpus pipeline runs on every
+new snapshot before letting it into the training mix:
+
+1. quarantine      — `qualify(reject_to=)` routes documents failing a
+   minimum-length gate to a dead-letter sink instead of silently
+   dropping them; the run report carries `num_rejected`
+2. numeric drift   — `distribution_shift` PSI/KL/JS of document length
+   between the corpus halves (stand-in for last-batch vs this-batch)
+3. category drift  — `categorical_shift` over the source tags, with
+   the deterministic top-k + `__other__` lump
+4. engagement EWMA — per-user smoothed event values via the scan-level
+   array fold (bit-matched to SQL `list_reduce`)
+
+Everything is deterministic and pre-flighted with the 100×-scale plan
+gate. Run: ``python examples/monitor_ingest.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# allow `python examples/<name>.py` straight from a checkout: put the
+# repo root (the package's parent) on sys.path before importing it
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F
+
+from yaetl_spark import CollectSink, ParquetSource, Pipeline, get_spark
+from yaetl_spark.operators import (categorical_shift, distribution_shift,
+                                   ewma)
+from yaetl_spark.plans import assert_scales
+from yaetl_spark.session import ensure_event_time
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = ensure_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    # 1) quarantine short documents instead of silently dropping them
+    quarantine = CollectSink()
+    kept = CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(ParquetSource(f"{sf_dir}/documents.parquet"))
+        .qualify(F.col("n_chars") >= 100, reject_to=quarantine)
+        .to(kept)
+        .run(scale_gate=True)
+    )
+
+    # 2) numeric drift between the corpus halves
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    num_drift_df = distribution_shift(ref, cur, "n_chars", buckets=8)
+    assert_scales(num_drift_df)
+    num_drift = num_drift_df.collect()[0]
+
+    # 3) category drift over the source tags
+    cat_drift_df = categorical_shift(ref, cur, "source", top_k=2)
+    assert_scales(cat_drift_df)
+    cat_drift = cat_drift_df.collect()[0]
+
+    # 4) per-user engagement smoothing (guarded against bot mega-users)
+    smooth_df = ewma(ev, "value", "ts", ["user_id"], alpha=0.3,
+                     order_col="event_id", max_points=1_000_000)
+    assert_scales(smooth_df, max_shuffles=2)
+    smoothed = smooth_df.orderBy(F.col("ewma").desc()).limit(5).collect()
+
+    return report, quarantine, num_drift, cat_drift, smoothed
+
+
+if __name__ == "__main__":
+    spark = get_spark(app_name="monitor-example", shuffle_partitions=8)
+    report, quarantine, num_drift, cat_drift, smoothed = main(
+        spark, *(sys.argv[1:2]))
+    print("kept:", report["num_records"],
+          "quarantined:", report["num_rejected"])
+    print("length drift:", {k: num_drift[k] for k in ("psi", "kl_ref_cur", "js")})
+    print("source drift:", {k: cat_drift[k] for k in ("psi", "kl_ref_cur", "js")})
+    print("hottest users:",
+          [(r["user_id"], r["ewma"]) for r in smoothed])

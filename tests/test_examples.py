@@ -82,3 +82,24 @@ def test_behavior_search_example(spark, sf_dir):
     assert skew["max_rows"] >= 1 and 0 < skew["top_key_share"] <= 1
     assert len(top_docs) == 3
     assert top_docs[0][1] >= top_docs[1][1] >= top_docs[2][1]
+
+
+def test_monitor_ingest_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import monitor_ingest
+    finally:
+        sys.path.pop(0)
+    report, quarantine, num_drift, cat_drift, smoothed = monitor_ingest.main(
+        spark, sf_dir)
+    assert report["status"] == "clean"
+    assert report["num_records"] + report["num_rejected"] > 0
+    assert len(quarantine.rows or []) == report["num_rejected"]
+    # tiny-SF halves are sampling-noisy, so assert structure not level:
+    # PSI/KL finite and non-negative, JS within its ln(2) bound
+    assert num_drift["psi"] >= 0.0 and cat_drift["psi"] >= 0.0
+    assert num_drift["kl_ref_cur"] is not None
+    assert 0.0 <= num_drift["js"] <= 0.6931472
+    assert 0.0 <= cat_drift["js"] <= 0.6931472
+    assert len(smoothed) == 5
+    assert all(r["n_points"] >= 1 for r in smoothed)
