@@ -580,7 +580,10 @@ def distribution_shift(
     itself never shuffles); the reference min/max rides a 1-row
     in-plan broadcast (:func:`~yaetl_spark.operators.curation.
     attach_scalars`) onto both streams; everything after joins and
-    folds ≤ ``buckets``-row tables.
+    folds ≤ ``buckets``-row tables. The bounds lineage re-scans the
+    reference column once per attach (column-pruned — only
+    ``value_col`` is read); cache/persist the reference projection
+    first if scans rather than shuffles dominate your cluster.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
