@@ -1019,6 +1019,36 @@ def q_categorical_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/joins.py table_diff): orders
+    vs a deterministically perturbed next version (every 97th key
+    removed, every 13th surviving key's total bumped, every 89th key
+    re-added under a shifted id) — added/removed/changed/unchanged
+    counts from ONE full outer join on the key plus scan-level
+    null-safe CASE arithmetic; the summary reduces map-side to a
+    single row."""
+    from yaetl_spark.operators import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cur = (
+        o.filter(k % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 13 == 0, F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(k % 89 == 0)
+            .withColumn("o_orderkey", k + F.lit(10_000_000))
+        )
+    )
+    return table_diff(
+        o, cur, ["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (operators/timeseries.py ewma): one user-keyed shuffle into
@@ -2722,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "distribution_shift": q_distribution_shift,
         "categorical_shift": q_categorical_shift,
+        "table_diff": q_table_diff,
         "ewma": q_ewma,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
@@ -2834,10 +2865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # percentiles, profit_by_nation, promo_share, prospects, range_band,
 # repetition, returned_items, revenue_forecast, shipping_priority,
 # small_qty_revenue, stock_value, supplier_cnt, top_supplier,
-# waiting_suppliers — PLUS the three queries added late in round 6
-# with no driver row yet (distribution_shift, categorical_shift, ewma;
-# all local-oracle-green at sf0.01 this round), i.e. 34 mandatory r7
-# slots. Everything checked in r5 stays within policy through round 7.
+# waiting_suppliers — PLUS the four queries added late in round 6
+# with no driver row yet (distribution_shift, categorical_shift,
+# table_diff, ewma; all local-oracle-green at sf0.01 this round), i.e.
+# 35 mandatory r7 slots. Everything checked in r5 stays within policy
+# through round 7.
 _DRIVER_WINDOW = [
     # (a) new this round
     "fuzzy_match_pruned", "funnel_steps", "event_paths", "bm25_topk",
@@ -4113,6 +4145,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p, 9) AS p_ref, ROUND(q, 9) AS p_cur,
                    ROUND((p - q) * LN(p / q), 9) AS psi_term
             FROM t
+        """,
+        "table_diff": """
+            WITH cur AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN o_totalprice + 1.0::DOUBLE
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 89 = 0),
+            j AS (SELECT r.o_orderkey AS rk, c.o_orderkey AS ck,
+                         r.o_totalprice AS rtp, c.o_totalprice AS ctp,
+                         r.o_orderstatus AS rst, c.o_orderstatus AS cst
+                  FROM orders r FULL JOIN cur c
+                    ON r.o_orderkey = c.o_orderkey)
+            SELECT CAST(COUNT(rk) AS BIGINT) AS n_ref,
+                   CAST(COUNT(ck) AS BIGINT) AS n_cur,
+                   CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN rk IS NOT NULL AND ck IS NOT NULL
+                                 AND ((rtp IS DISTINCT FROM ctp)
+                                      OR (rst IS DISTINCT FROM cst))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN rk IS NOT NULL AND ck IS NOT NULL
+                                 AND NOT ((rtp IS DISTINCT FROM ctp)
+                                          OR (rst IS DISTINCT FROM cst))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM j
         """,
         "ewma": """
             SELECT user_id, CAST(len(lst) AS BIGINT) AS n_points,

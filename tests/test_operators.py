@@ -557,3 +557,53 @@ def test_pii_flags_counts_and_masks(spark):
     assert "Exchange" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_table_diff_summary_and_detail(spark):
+    from yaetl_spark.operators import table_diff
+
+    ref = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id int, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 20.0),        # changed: s
+         (3, "c", 30.0),        # changed: v (NULL -> value IS a change)
+         (5, "e", 50.0)],       # added; id=4 removed
+        "id int, s string, v double",
+    )
+    row = table_diff(ref, cur, ["id"]).collect()[0]
+    assert (row["n_ref"], row["n_cur"]) == (4, 4)
+    assert (row["n_added"], row["n_removed"]) == (1, 1)
+    assert (row["n_changed"], row["n_unchanged"]) == (2, 1)
+
+    det = {r["id"]: r for r in table_diff(
+        ref, cur, ["id"], detail=True).collect()}
+    assert set(det) == {2, 3, 4, 5}       # unchanged id=1 omitted
+    assert det[2]["change_type"] == "changed" and det[2]["changed_cols"] == "s"
+    assert det[3]["changed_cols"] == "v"  # null-safe compare
+    assert det[4]["change_type"] == "removed" and det[4]["changed_cols"] == ""
+    assert det[5]["change_type"] == "added"
+
+    # explicit compare_cols restrict the changed test
+    only_v = table_diff(ref, cur, ["id"], compare_cols=["v"]).collect()[0]
+    assert only_v["n_changed"] == 1 and only_v["n_unchanged"] == 2
+
+    with pytest.raises(ValueError, match="key_cols"):
+        table_diff(ref, cur, [])
+    with pytest.raises(ValueError, match="overlap"):
+        table_diff(ref, cur, ["id"], compare_cols=["id"])
+
+
+def test_table_diff_plan_one_join_no_python(spark):
+    from yaetl_spark.operators import table_diff
+
+    ref = spark.range(1000).withColumn("v", F.col("id") * 2)
+    cur = spark.range(500, 1500).withColumn("v", F.col("id") * 2 + 1)
+    plan = table_diff(ref, cur, ["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1

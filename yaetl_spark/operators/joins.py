@@ -484,3 +484,102 @@ def fuzzy_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def table_diff(
+    reference: DataFrame,
+    current: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    detail: bool = False,
+) -> DataFrame:
+    """Snapshot reconciliation — the audit every incremental pipeline
+    runs before publishing a new table version: which keys were ADDED,
+    REMOVED, or CHANGED between ``reference`` (yesterday's snapshot)
+    and ``current`` (today's)?
+
+    ``compare_cols`` defaults to every non-key column the two frames
+    share (in the reference's column order). Per-column comparison is
+    NULL-SAFE (``IS DISTINCT FROM`` semantics: NULL → NULL is
+    unchanged, NULL → value is a change). Keys are assumed unique per
+    side (this is a keyed-snapshot audit, not a bag diff — duplicate
+    keys multiply through the join and inflate the counts).
+
+    ``detail=False`` (default): ONE summary row ``(n_ref, n_cur,
+    n_added, n_removed, n_changed, n_unchanged)``. ``detail=True``:
+    one row per non-identical key — ``(key…, change_type,
+    changed_cols)`` with ``change_type`` in added/removed/changed and
+    ``changed_cols`` the comma-joined changed column names in
+    ``compare_cols`` order (empty for added/removed); unchanged rows
+    are omitted because at scale they are almost all of the table.
+
+    Scale shape (100 TB): ONE full outer sort-merge join on the key —
+    each side shuffles exactly once on the columns it would shuffle on
+    anyway — then pure scan-level CASE arithmetic; the summary reduces
+    map-side to one row. No Python, no windows, no second pass.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must name at least one column")
+    if compare_cols is None:
+        shared = set(reference.columns) & set(current.columns)
+        compare_cols = [c for c in reference.columns
+                        if c in shared and c not in keys]
+    cols = list(compare_cols)
+    overlap = set(cols) & set(keys)
+    if overlap:
+        raise ValueError(f"compare_cols overlap key_cols: {sorted(overlap)}")
+
+    ref = reference.select(
+        *keys, F.lit(1).alias("_inr"),
+        *[F.col(c).alias(f"_r_{c}") for c in cols],
+    )
+    cur = current.select(
+        *keys, F.lit(1).alias("_inc"),
+        *[F.col(c).alias(f"_c_{c}") for c in cols],
+    )
+    j = ref.join(cur, keys, "full")
+    diffs = [
+        ~F.col(f"_r_{c}").eqNullSafe(F.col(f"_c_{c}")) for c in cols
+    ]
+    any_diff = F.lit(False)
+    for d in diffs:
+        any_diff = any_diff | d
+    change = (
+        F.when(F.col("_inr").isNull(), F.lit("added"))
+        .when(F.col("_inc").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    if detail:
+        changed_cols = F.concat_ws(
+            ",",
+            *[
+                F.when(
+                    (F.col("_inr").isNotNull() & F.col("_inc").isNotNull())
+                    & d,
+                    F.lit(c),
+                )
+                for c, d in zip(cols, diffs)
+            ],
+        ) if cols else F.lit("")
+        return (
+            j.select(
+                *keys,
+                change.alias("change_type"),
+                changed_cols.alias("changed_cols"),
+            )
+            .filter(F.col("change_type") != "unchanged")
+        )
+    return j.agg(
+        F.sum(F.coalesce("_inr", F.lit(0))).cast("bigint").alias("n_ref"),
+        F.sum(F.coalesce("_inc", F.lit(0))).cast("bigint").alias("n_cur"),
+        F.sum(F.when(change == "added", 1).otherwise(0))
+        .cast("bigint").alias("n_added"),
+        F.sum(F.when(change == "removed", 1).otherwise(0))
+        .cast("bigint").alias("n_removed"),
+        F.sum(F.when(change == "changed", 1).otherwise(0))
+        .cast("bigint").alias("n_changed"),
+        F.sum(F.when(change == "unchanged", 1).otherwise(0))
+        .cast("bigint").alias("n_unchanged"),
+    )
