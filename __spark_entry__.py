@@ -812,7 +812,9 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted directly on the blocking join, one pair-keyed aggregation,
     per-left-row top-1 window. 95% of rows resolve to themselves; the
     rest hit an exact-duplicate text with a smaller id (deterministic
-    tie-break sim DESC, rid ASC)."""
+    tie-break sim DESC, rid ASC). ``max_gram_df=None`` pins the
+    UNPRUNED form — the oracle-contrast for q_fuzzy_match_pruned;
+    the operator's production default is the auto df-prune."""
     from yaetl_spark.operators import fuzzy_join
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -826,7 +828,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fuzzy_join(
         left, right, "lname", "rname", "lid", "rid",
-        ngram=5, min_sim=0.3, keep="best",
+        ngram=5, min_sim=0.3, keep="best", max_gram_df=None,
     )
 
 
@@ -2841,54 +2843,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-6 front-of-window. Rotation policy (documented since r3): the
+# Round-7 front-of-window. Rotation policy (documented since r3): the
 # driver checks the FIRST 50 declared queries each round; we order by
 # (a) new-this-round, (a') implementation-or-oracle changed this round,
 # then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) EIGHT new queries —
-# fuzzy_match_pruned (the r5 verdict's max_gram_df ask) plus the
-# event-sequence / retrieval / profiling batch (funnel_steps,
-# event_paths, bm25_topk, pii_scan, equi_width, robust_outliers,
-# key_skew); (a') mix_sources (weights now used RAW/unnormalized and a
-# weighted-but-absent source forces T=0 via the literal weight table)
-# and basket_rules (frequent_itemsets grew the max_basket_items guard —
-# driver path unchanged but re-pin it); (b) ALL 24 queries last checked
-# in round 3 (the r5 verdict's front-load list, verbatim); (c) the 16
-# heaviest of the 47 queries last checked in round 4 — pulled forward
-# so round 7's mandatory r4 refresh shrinks to 31 slots (47 won't fit
-# in one 50-query window alongside r7's own new/changed block). The 31
-# deferred r4 entries are round 7's front-load list, verbatim:
-# ann_ivf, brand_revenue, break_at, click_attribution,
-# customer_distribution, daily_active, doc_fingerprint, excess_supply,
-# funnel, hash_sample, histogram, json_extract, large_orders,
-# local_volume, market_share, media_meta, min_price_supplier,
-# percentiles, profit_by_nation, promo_share, prospects, range_band,
-# repetition, returned_items, revenue_forecast, shipping_priority,
-# small_qty_revenue, stock_value, supplier_cnt, top_supplier,
-# waiting_suppliers — PLUS the four queries added late in round 6
-# with no driver row yet (distribution_shift, categorical_shift,
-# table_diff, ewma; all local-oracle-green at sf0.01 this round), i.e.
-# 35 mandatory r7 slots. Everything checked in r5 stays within policy
-# through round 7.
+# beyond two rounds. This round: (a') SEVEN changed queries —
+# equi_width (bucket index now clamped at BOTH ends + oracle mirrored:
+# a rounded-up min could previously emit a spurious bin -1),
+# pii_scan (NULL text coalesced to '' so counts are 0, never -1),
+# event_paths (NULL event_type rows excluded BEFORE windowing + oracle
+# mirrored: concat_ws used to silently collapse (a,NULL,b) into 'a>b'),
+# robust_outliers (value_col backtick-quoted inside expr strings),
+# distribution_shift (tag-and-union restructure: ONE bounds lineage,
+# ONE conditional-sum groupBy, no full-outer join — plan pinned in
+# tests/test_plans.py and PLANS.md), fuzzy_match (now explicitly
+# max_gram_df=None — the unpruned oracle-contrast; the operator's
+# default became the in-plan 'auto' df-prune) and fuzzy_match_pruned
+# (same signature change, explicit int threshold — result identical,
+# re-pinned out of caution); then (b) the 35 mandatory r7 slots
+# pre-committed in the r6 window comment: the FOUR queries added late
+# in r6 with no driver row yet (distribution_shift — also in (a') —
+# categorical_shift, table_diff, ewma) plus the 31 deferred
+# round-4-stale entries, verbatim. 7 + 3 + 31 = 41 slots; the
+# remaining 9 are r7's new-query budget (appended in (a) order as they
+# land). Everything checked in r5/r6 stays within the 2-round evidence
+# policy through round 8.
 _DRIVER_WINDOW = [
-    # (a) new this round
-    "fuzzy_match_pruned", "funnel_steps", "event_paths", "bm25_topk",
-    "pii_scan", "equi_width", "robust_outliers", "key_skew",
     # (a') changed this round
-    "mix_sources", "basket_rules",
-    # (b) last checked round 3 (complete cohort, per the r5 verdict)
-    "ann_topk", "collect_segments", "cube_agg", "distinct",
-    "edit_distance", "events_lag", "except", "explode_tokens",
-    "full_join", "grouping_sets", "intersect", "keep_latest",
-    "nation_volume", "order_priority", "orders_by_month", "part_promo",
-    "pivot_counts", "quality_topk", "topk", "unpivot_measures",
-    "variant_json", "weighted_sample", "window_rank",
-    "window_running_sum",
-    # (c) last checked round 4 — heaviest / data-pipeline ops first
-    "kmeans_assign", "incremental_dedup", "bloom_join", "decontaminate",
-    "dup_spans", "strip_spans", "line_dedup", "source_cap",
-    "gopher_rules", "segment_overlap", "heavy_hitters", "tfidf",
-    "chunk_documents", "image_features", "scd2", "window_frames",
+    "equi_width", "pii_scan", "event_paths", "robust_outliers",
+    "distribution_shift", "fuzzy_match", "fuzzy_match_pruned",
+    # (b) never driver-checked (added late in r6)
+    "categorical_shift", "table_diff", "ewma",
+    # (b) last checked round 4 (deferred cohort, per the r6 comment)
+    "ann_ivf", "brand_revenue", "break_at", "click_attribution",
+    "customer_distribution", "daily_active", "doc_fingerprint",
+    "excess_supply", "funnel", "hash_sample", "histogram",
+    "json_extract", "large_orders", "local_volume", "market_share",
+    "media_meta", "min_price_supplier", "percentiles",
+    "profit_by_nation", "promo_share", "prospects", "range_band",
+    "repetition", "returned_items", "revenue_forecast",
+    "shipping_priority", "small_qty_revenue", "stock_value",
+    "supplier_cnt", "top_supplier", "waiting_suppliers",
 ]
 
 
@@ -3890,7 +3885,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type AS t,
                        lead(event_type, 1) OVER w AS t1,
                        lead(event_type, 2) OVER w AS t2
-                FROM events
+                FROM events WHERE event_type IS NOT NULL
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT t || '>' || t1 || '>' || t2 AS path,
                    CAST(COUNT(*) AS BIGINT) AS n_occurrences
@@ -3942,7 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": f"""
             WITH aug AS (
                 SELECT doc_id,
-                       substring(text, 1, 30)
+                       substring(COALESCE(text, ''), 1, 30)
                        || CASE WHEN doc_id % 3 <> 0
                                THEN ' mail u' || CAST(doc_id AS VARCHAR)
                                     || '@ex' || CAST(doc_id % 7 AS VARCHAR)
@@ -4007,9 +4002,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t),
             b AS (
                 SELECT CASE WHEN mm.mx = mm.mn THEN 0
-                            ELSE least(7, CAST(floor(
+                            ELSE least(7, greatest(0, CAST(floor(
                                 (t.x - mm.mn) / ((mm.mx - mm.mn) / 8.0))
-                                AS INTEGER)) END AS bin,
+                                AS INTEGER))) END AS bin,
                        mm.mn, mm.mx
                 FROM t, mm)
             SELECT CAST(bin AS BIGINT) AS bin,

@@ -632,11 +632,22 @@ def test_ngram_perplexity_persist_exposes_unpersist_handle(spark):
         [(1, "the cat sat on the mat"), (2, "the cat sat on the rug")],
         ["doc_id", "text"],
     )
+    def cached_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        }
+
+    before = cached_ids()
     out = ngram_perplexity(df, persist=True)
     assert out.count() == 2
     handle = out.persisted_bigrams
     assert handle.storageLevel.useMemory  # cached while result in use
     handle.unpersist(blocking=True)
     assert not handle.storageLevel.useMemory
+    # no NEW lingering RDD blocks after release — the r5-advice leak
+    # stays closed (delta-based: other fixtures may legitimately cache)
+    assert cached_ids() - before == set()
     # non-persist path has no handle
     assert not hasattr(ngram_perplexity(df), "persisted_bigrams")

@@ -481,6 +481,42 @@ def test_fuzzy_join_gram_df_pruning(spark):
     assert a == b
 
 
+def test_fuzzy_join_auto_prune_default(spark):
+    """max_gram_df defaults to "auto": threshold
+    greatest(auto_min_df, ceil(auto_frac * n_right)) computed IN-PLAN —
+    provably a no-op below auto_min_df right rows (default == unpruned
+    there), and an actual df-prune when the knobs bring the threshold
+    under a hot gram's df."""
+    import pytest
+
+    from yaetl_spark.operators import fuzzy_join
+
+    right = spark.createDataFrame(
+        [(i, "aaaaaaaa common") for i in range(30)]
+        + [(100, "xyzqw tail"), (101, "xyzqw tail")],
+        "rid long, s string",
+    )
+    left = spark.createDataFrame(
+        [(1, "xyzqw tail"), (2, "aaaaaaaa common")], "lid long, s string"
+    )
+    auto = sorted(map(tuple, fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.2,
+        keep="all").collect()))
+    off = sorted(map(tuple, fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.2,
+        keep="all", max_gram_df=None).collect()))
+    assert auto == off and len(auto) > 0  # 32 rows << auto_min_df
+    # knobs low enough to bite: the 30-row "aaa" grams (df=30) prune out
+    bitten = fuzzy_join(
+        left, right, "s", "s", "lid", "rid", ngram=3, min_sim=0.2,
+        keep="all", auto_min_df=5, auto_frac=0.01,
+    )
+    assert {r["rid"] for r in bitten.collect() if r["lid"] == 2} == set()
+    assert {r["rid"] for r in bitten.collect() if r["lid"] == 1} == {100, 101}
+    with pytest.raises(ValueError):
+        fuzzy_join(left, right, "s", "s", "lid", "rid", max_gram_df="anything")
+
+
 # --- bm25_topk --------------------------------------------------------------
 
 

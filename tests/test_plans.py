@@ -635,3 +635,18 @@ def test_fuzzy_match_pruned_broadcast_prune(spark):
     # the only Window left is keep="best" top-1 — the per-row
     # size-recount windows are gone from the pruned plan
     assert plan.count("Window [") == 1
+
+
+def test_distribution_shift_single_bounds_lineage(spark):
+    """distribution_shift: the r7 tag-and-union shape — the reference
+    min/max aggregate appears EXACTLY once (r6 executed it once per
+    attach), the per-side counts come from one conditional-sum groupBy
+    (no per-side aggregate + full-outer join), and the bounds ride a
+    1-row BroadcastHashJoin, never a nested loop."""
+    plan = plan_of(spark, "distribution_shift")
+    assert plan.count("partial_min") == 1  # ONE bounds lineage
+    assert "Union" in plan                 # tagged snapshots, one stream
+    assert "FullOuter" not in plan         # counts from conditional sums
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan     # the 1-row bounds attach

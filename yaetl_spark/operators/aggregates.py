@@ -358,10 +358,16 @@ def equi_width_histogram(
     )
     tagged = attach_scalars(df.filter(x.isNotNull()), mm_row, col)
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(nbins))
+    # clamp BOTH ends: _mn/_mx are rounded, so a true min that rounds UP
+    # would otherwise index floor(negative/width) = -1, and a true max
+    # that rounds DOWN would index nbins — both violate 0..nbins-1
     bin_ = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
         F.least(
             F.lit(nbins - 1),
-            F.floor((x - F.col("_mn")) / width).cast("int"),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.col("_mn")) / width).cast("int"),
+            ),
         )
     )
     return (

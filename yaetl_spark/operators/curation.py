@@ -841,7 +841,9 @@ def pii_flags(
                          f"available: {list(_PII_PATTERNS)}")
     if not kinds:
         raise ValueError("kinds must name at least one pattern")
-    t = F.col(text_col)
+    # NULL text must count as zero matches, not -1 per kind: with
+    # ansi=false, size(regexp_extract_all(NULL, ...)) yields -1
+    t = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         k: F.size(
             F.regexp_extract_all(t, F.lit(_PII_PATTERNS[k]), F.lit(0))

@@ -175,6 +175,12 @@ def event_paths(
     by ``(n_occurrences DESC, path ASC)`` — a total order, so the
     top-``top`` cut is deterministic and engine-reproducible.
 
+    Rows with NULL ``type_col`` are excluded BEFORE windowing: a NULL
+    step inside a window would otherwise be silently skipped by
+    ``concat_ws`` and the (a, NULL, b) window would collide with a
+    genuine shorter 'a>b' path. Exclusion means sequences are over the
+    user's non-null events, in order.
+
     Scale shape (100 TB): ONE user-keyed shuffle (the sort window —
     state per user, not per corpus), ``n-1`` scan-level ``lead``
     columns over it, then a path-keyed partial aggregation whose key
@@ -190,7 +196,8 @@ def event_paths(
         F.lead(type_col, i).over(w) for i in range(1, n)
     ]
     paths = (
-        df.select(F.concat_ws(sep, *leads).alias("path"),
+        df.filter(F.col(type_col).isNotNull())
+        .select(F.concat_ws(sep, *leads).alias("path"),
                   leads[-1].alias("_last"))
         .filter(F.col("_last").isNotNull())  # drop truncated tails
         .groupBy("path")

@@ -338,8 +338,10 @@ def fuzzy_join(
     ngram: int = 3,
     min_sim: float = 0.5,
     keep: str = "best",
-    max_gram_df: int | None = None,
+    max_gram_df: int | str | None = "auto",
     max_hot_grams: int = 100_000,
+    auto_min_df: int = 1_000,
+    auto_frac: float = 0.01,
 ) -> DataFrame:
     """Approximate string join (entity resolution / record linkage):
     match rows whose strings share enough character ``ngram``-grams —
@@ -365,6 +367,18 @@ def fuzzy_join(
     similarity is the exact Jaccard of the PRUNED gram sets —
     deterministic and engine-reproducible, same df-pruning move as the
     inverted index.
+
+    The prune is ON BY DEFAULT (``max_gram_df="auto"``): the threshold
+    is ``greatest(auto_min_df, ceil(auto_frac · n_right_rows))``,
+    computed IN-PLAN from a 1-row right-count aggregate — no driver
+    action, and at small scale (``n_right ≤ auto_min_df/auto_frac``
+    rows) it provably prunes nothing, so results equal the unpruned
+    join there. At production scale a gram shared by > 1% of a
+    billion-row side contributes ≥ 10¹⁴ candidate pairs on its own —
+    exactly the fan-out the default exists to cut. Pass an int to pin
+    the threshold (oracle-reproducible), or ``None`` to disable for
+    small-data contrast runs; production ``keep="all"`` extractions
+    should never run with ``None``.
 
     The prune itself is SCAN-LEVEL: the hot-gram list rides a 1-row
     broadcast (:func:`~yaetl_spark.operators.curation.attach_scalars`)
@@ -412,7 +426,10 @@ def fuzzy_join(
     ls = gram_sets(left, left_col, left_id)
     rs = gram_sets(right, right_col, right_id)
     if max_gram_df is not None:
-        if max_gram_df < 1:
+        auto = max_gram_df == "auto"
+        if isinstance(max_gram_df, str) and not auto:
+            raise ValueError("max_gram_df must be an int, 'auto' or None")
+        if not auto and max_gram_df < 1:
             raise ValueError("max_gram_df must be >= 1")
         from .curation import attach_scalars
 
@@ -421,11 +438,27 @@ def fuzzy_join(
         # stop-gram list then collapses to ONE row that broadcasts
         # onto both streams — the prune costs one bounded gram-keyed
         # aggregation and nothing else.
-        hot_row = (
+        gram_df = (
             explode_stream(rs, right_id, "_nb", "_g")
             .groupBy("_g")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
+        )
+        if auto:
+            # threshold from the right row count, attached IN-PLAN as a
+            # 1-row broadcast — no driver action at call time
+            nr_row = rs.agg(F.count(F.lit(1)).alias("_nr"))
+            thresh = F.greatest(
+                F.lit(int(auto_min_df)).cast("bigint"),
+                F.ceil(F.lit(float(auto_frac)) * F.col("_nr")),
+            )
+            hot_src = (
+                attach_scalars(gram_df, nr_row, "_g")
+                .filter(F.col("_df") > thresh)
+            )
+        else:
+            hot_src = gram_df.filter(F.col("_df") > int(max_gram_df))
+        hot_row = (
+            hot_src
             .agg(
                 F.coalesce(F.collect_list("_g"), F.array()).alias("_hot"),
                 F.count(F.lit(1)).alias("_n_hot"),

@@ -457,8 +457,12 @@ def robust_outliers(
     acc = "" if exact else f", {accuracy}"
     x = F.col(value_col).cast("double")
     clean = df.dropna(subset=[value_col])
+    # backtick-quote the identifier inside expr strings: unlike the
+    # F.col paths, a raw f-string interpolation would mis-parse names
+    # with spaces/dots/hyphens
+    vq = "`" + value_col.replace("`", "``") + "`"
     g1 = clean.groupBy(*by).agg(
-        F.round(F.expr(f"{fn}({value_col}, 0.5{acc})"), 6).alias("_med")
+        F.round(F.expr(f"{fn}({vq}, 0.5{acc})"), 6).alias("_med")
     )
     # grouped: broadcast the |groups|-row stat table; global: 1-row
     # in-plan attach (a crossJoin would plan BroadcastNestedLoopJoin)
@@ -470,7 +474,7 @@ def robust_outliers(
         F.any_value("_med").alias("_med"),
         F.round(
             F.expr(
-                f"{fn}(abs(cast({value_col} as double) - _med), 0.5{acc})"
+                f"{fn}(abs(cast({vq} as double) - _med), 0.5{acc})"
             ),
             6,
         ).alias("_mad"),
@@ -575,15 +579,17 @@ def distribution_shift(
     statistics rounded to 6 — the repo's absorb-the-ulps pattern, so
     the numbers hash-match a SQL oracle computing the same algebra.
 
-    Scale shape (100 TB): each snapshot is ONE partial-aggregated
-    bucket count (≤ ``buckets`` rows out of the scan — the stream
-    itself never shuffles); the reference min/max rides a 1-row
-    in-plan broadcast (:func:`~yaetl_spark.operators.curation.
-    attach_scalars`) onto both streams; everything after joins and
-    folds ≤ ``buckets``-row tables. The bounds lineage re-scans the
-    reference column once per attach (column-pruned — only
-    ``value_col`` is read); cache/persist the reference projection
-    first if scans rather than shuffles dominate your cluster.
+    Scale shape (100 TB): the two snapshots are TAGGED and unioned, so
+    the reference min/max rides ONE 1-row in-plan broadcast
+    (:func:`~yaetl_spark.operators.curation.attach_scalars`) onto the
+    single combined stream — the bounds lineage executes once, and the
+    per-side bucket counts fall out of one partial-aggregated groupBy
+    (conditional sums, no per-side aggregate + full-outer join);
+    everything after folds ≤ ``buckets``-row tables. Total reference
+    scans: exactly two (the bounds aggregate + the bucketing pass),
+    both column-pruned to ``value_col``; cache/persist the reference
+    projection first if scans rather than shuffles dominate your
+    cluster.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
@@ -601,36 +607,38 @@ def distribution_shift(
         F.max(F.col(value_col).cast("double")).alias("_mx"),
     )
 
-    def bucketed(df: DataFrame, n_name: str) -> DataFrame:
-        x = F.col(value_col).cast("double")
-        w = (F.col("_mx") - F.col("_mn")) / F.lit(float(k))
-        # degenerate reference (mn == mx) puts everything in bucket 0
-        b = F.when(
-            F.col("_mx") <= F.col("_mn"), F.lit(0)
-        ).otherwise(
-            F.least(
-                F.lit(k - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((x - F.col("_mn")) / w).cast("int"),
-                ),
-            )
+    # tag-and-union the snapshots: ONE bounds attach, ONE groupBy with
+    # conditional per-side sums — no per-side aggregate + full-outer join
+    tagged = ref.select(
+        F.col(value_col).cast("double").alias("_x"),
+        F.lit(1).alias("_is_ref"),
+    ).unionByName(
+        cur.select(
+            F.col(value_col).cast("double").alias("_x"),
+            F.lit(0).alias("_is_ref"),
         )
-        return (
-            attach_scalars(df, bounds, value_col)
-            .select(b.alias("_b"))
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias(n_name))
+    )
+    x = F.col("_x")
+    w = (F.col("_mx") - F.col("_mn")) / F.lit(float(k))
+    # degenerate reference (mn == mx) puts everything in bucket 0
+    b = F.when(
+        F.col("_mx") <= F.col("_mn"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(k - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.col("_mn")) / w).cast("int"),
+            ),
         )
-
-    rb = bucketed(ref, "_nr")
-    cb = bucketed(cur, "_nc")
+    )
     both = (
-        rb.join(cb, "_b", "full")
-        .select(
-            F.col("_b"),
-            F.coalesce("_nr", F.lit(0)).alias("_nr"),
-            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        attach_scalars(tagged, bounds, "_x")
+        .select(b.alias("_b"), F.col("_is_ref"))
+        .groupBy("_b")
+        .agg(
+            F.sum("_is_ref").alias("_nr"),
+            F.sum(F.lit(1) - F.col("_is_ref")).alias("_nc"),
         )
     )
     # totals ride a window over the ≤2k-row bucket table (bounded by
