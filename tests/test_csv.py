@@ -110,3 +110,48 @@ def test_csv_single_file_append_and_modes(spark, tmp_path):
     CsvSink(out, single_file=True, mode="ignore").write(df1)  # no-op
     assert sorted(tuple(r) for r in CsvSource(out).read(spark).collect()) == [
         ("a", "1"), ("b", "2")]
+
+
+UTF_VARIANTS = [
+    ("utf16le.csv", "utf-16-le", b"\xff\xfe"),
+    ("utf16be.csv", "utf-16-be", b"\xfe\xff"),
+    ("utf32le.csv", "utf-32-le", b"\xff\xfe\x00\x00"),
+    ("utf32be.csv", "utf-32-be", b"\x00\x00\xfe\xff"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,codec,bom", UTF_VARIANTS, ids=lambda v: v if isinstance(v, str) else "")
+def test_csv_bom_encoding_autodetect(spark, tmp_path, name, codec, bom):
+    """encoding='auto' (the default) detects UTF-16/32 LE+BE from the
+    BOM (FileHandlerTrait.php:26-61 parity) — same 5 unicode records,
+    BOM consumed, no stray U+FEFF in the first header field."""
+    path = os.path.join(str(tmp_path), name)
+    lines = [",".join(HEADER)]
+    for row in ROWS:
+        cells = []
+        for cell in row:
+            if any(ch in cell for ch in (",", '"', "\n")):
+                cells.append('"' + cell.replace('"', '""') + '"')
+            else:
+                cells.append(cell)
+        lines.append(",".join(cells))
+    payload = "\n".join(lines) + "\n"
+    with open(path, "wb") as fh:
+        fh.write(bom + payload.encode(codec))
+    df = CsvSource(path).read(spark)
+    assert df.columns == HEADER  # BOM must not leak into the header
+    assert sorted(tuple(r) for r in df.collect()) == sorted(ROWS)
+
+
+def test_csv_utf16_roundtrip(spark, tmp_path):
+    """Sink writes UTF-16LE + BOM; the source's BOM sniff reads it back
+    with zero hints (FIXTURES.md §2 round-trip requirement)."""
+    df = spark.createDataFrame(ROWS, ", ".join(f"{c} string" for c in HEADER))
+    out = os.path.join(str(tmp_path), "rt16.csv")
+    CsvSink(out, single_file=True, bom=True, encoding="UTF-16LE").write(df)
+    with open(out, "rb") as fh:
+        assert fh.read(2) == b"\xff\xfe"
+    back = CsvSource(out).read(spark)
+    assert back.columns == HEADER
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)

@@ -510,3 +510,50 @@ def test_qualify_reject_to_rejects_flow_interrupts(spark):
     p = Pipeline(spark).from_(MemorySource([(1,)], "id int"))
     with pytest.raises(PipelineError, match="truncate the flow"):
         p.qualify(StopWhen(max_records=1), reject_to=rejected)
+
+
+def test_count_stages_per_node_record_counters(spark):
+    """Pipeline(count_stages=True): per-node record counts, the
+    reference's per-node num_exec/num_iterate matrix
+    (src/YaEtl.php:38-53, tests/QualifierTest.php:292-296) — every
+    grammar stage reports the records leaving it, each sink the records
+    loaded, and the `records` dict speaks the reference RECORD-counter
+    vocabulary alongside the top-level node-CALL counters."""
+    src = MemorySource([(i, i % 5) for i in range(100)], "id long, k long")
+    sink_a, sink_b = CollectSink(), CollectSink()
+    report = (
+        Pipeline(spark, count_stages=True)
+        .from_(src)
+        .qualify(F.col("k") < 3)              # 100 -> 60
+        .transform(Rename({"k": "kk"}))       # 60 -> 60
+        .to(sink_a)
+        .to(sink_b)
+        .run()
+    )
+    assert report["status"] == "clean"
+    # per-node matrix: records leaving each stage, records per load
+    assert report["stage_records"] == {
+        "extract_0": 100,
+        "qualify_1": 60,
+        "transform_2": 60,
+        "load_0": 60,
+        "load_1": 60,
+    }
+    # reference RECORD vocabulary (records), node CALL counts top-level
+    assert report["records"] == {
+        "num_extract": 100,
+        "num_join": 0,
+        "num_qualify": 60,
+        "num_transform": 60,
+        "num_load": 120,
+    }
+    assert report["num_from"] == 1 and report["num_to"] == 2
+    assert len(sink_a.rows) == 60 and len(sink_b.rows) == 60
+    # default stays observation-free: no stage keys in the report
+    plain = (
+        Pipeline(spark)
+        .from_(MemorySource([(1,)], "id long"))
+        .to(CollectSink())
+        .run()
+    )
+    assert "stage_records" not in plain and "records" not in plain

@@ -48,12 +48,38 @@ class PipelineError(Exception):
 
 
 class Pipeline:
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        count_stages: bool = False,
+    ):
+        """``count_stages=True`` weaves one free ``observe`` counter into
+        the lineage after EVERY grammar stage (from_/join/qualify/
+        transform) plus one per sink write, and the :meth:`run` report
+        gains ``stage_records`` (per-node record counts, the reference's
+        per-node ``num_exec``/``num_iterate`` matrix —
+        ``src/YaEtl.php:38-53``, ``tests/QualifierTest.php:292-296``)
+        and ``records`` (the reference counter vocabulary:
+        ``num_extract``/``num_join``/``num_qualify``/``num_transform``/
+        ``num_load`` as RECORD totals, node-call counts stay top-level).
+
+        The flag lives on the constructor, not ``run()``, because the
+        counters must be woven into the lineage as it is composed.
+        Scale trade (why opt-in): each counter is a ``CollectMetrics``
+        node computed during the normal write pass — no second pass over
+        the data — but the optimizer will not push filters across one
+        (the count must see the rows at that point), so stage-accurate
+        counting pins the plan shape. Leave it off for production plans;
+        turn it on to debug where records disappear. Root-flow stages
+        only; branch lineages report their grammar-call counters.
+        """
         if spark is None:
             from .session import get_spark
 
             spark = get_spark()
         self.spark = spark
+        self._count_stages = bool(count_stages)
+        self._stage_obs: list[tuple[str, Observation]] = []
         self._df: DataFrame | None = None
         self._sinks: list[Sink] = []
         self._branches: list["Pipeline"] = []
@@ -80,6 +106,17 @@ class Pipeline:
         self._reject_chains: list[tuple[DataFrame, Sink]] = []
 
     # -- grammar --------------------------------------------------------------
+    def _observe_stage(self, kind: str) -> None:
+        """With count_stages on, count the records leaving the stage just
+        composed — a CollectMetrics node evaluated during the write pass
+        (never a separate job)."""
+        if not self._count_stages or self._df is None:
+            return
+        name = f"{kind}_{len(self._stage_obs)}"
+        obs = Observation(f"_stage_{name}")
+        self._df = self._df.observe(obs, F.count(F.lit(1)).alias("n"))
+        self._stage_obs.append((name, obs))
+
     def _require_df(self) -> DataFrame:
         if self._df is None:
             raise PipelineError("call from_() before adding downstream nodes")
@@ -109,6 +146,7 @@ class Pipeline:
             self._df = self._df.unionByName(df, allowMissingColumns=True)
         else:
             self._df = self._df.crossJoin(df)
+        self._observe_stage("extract")
         return self
 
     def observe(self, name: str, *exprs: Column) -> "Pipeline":
@@ -174,6 +212,7 @@ class Pipeline:
                 (df.filter(~cond | cond.isNull()), reject_to)
             )
             self._df = df.filter(cond)
+            self._observe_stage("qualify")
             return self
         if isinstance(condition, StopWhen):
             self._dirty = True
@@ -194,6 +233,7 @@ class Pipeline:
             self._df = df.filter(condition(df))
         else:
             self._df = Predicate(condition).apply(df)
+        self._observe_stage("qualify")
         return self
 
     def transform(
@@ -203,6 +243,7 @@ class Pipeline:
         self._counters["num_transform"] += 1
         t = transformer if isinstance(transformer, Transformer) else Apply(transformer)
         self._df = t.apply(df)
+        self._observe_stage("transform")
         return self
 
     def join(
@@ -216,6 +257,7 @@ class Pipeline:
         self._counters["num_join"] += 1
         right = self._coerce_source(source)
         self._df = _join(df, right, on, how=how, broadcast=broadcast)
+        self._observe_stage("join")
         return self
 
     def left_join(self, source, on, default_record=None, **kw) -> "Pipeline":
@@ -364,6 +406,7 @@ class Pipeline:
             ))
             reject_obs.append(r_obs)
         n_actions = root_actions + (0 if root_actions else 1)
+        load_obs: list[tuple[str, Observation]] = []
         persisted = False
         if n_actions > 1:
             # shared upstream: extract once, fan out (README.md:219-246)
@@ -384,6 +427,12 @@ class Pipeline:
                 cur = chain_df
                 for sink in sinks:
                     all_sinks.append(sink)
+                    if self._count_stages:
+                        lname = f"load_{len(load_obs)}"
+                        lo = Observation(f"_stage_{lname}")
+                        cur = cur.observe(
+                            lo, F.count(F.lit(1)).alias("n"))
+                        load_obs.append((lname, lo))
                     ret = sink.write(cur)
                     if sink.returning and ret is not None:
                         cur = ret
@@ -425,6 +474,21 @@ class Pipeline:
             )
         if plan_info is not None:
             report["plan"] = plan_info
+        if self._stage_obs or load_obs:
+            # per-node record counts + the reference's RECORD-counter
+            # vocabulary (num_extract/num_join/num_qualify/num_transform/
+            # num_load, YaEtl.php:38-53); node-CALL counts stay top-level
+            stage_records: dict[str, Any] = {}
+            totals = {k: 0 for k in (
+                "num_extract", "num_join", "num_qualify",
+                "num_transform", "num_load")}
+            for name, o in self._stage_obs + load_obs:
+                n = o.get.get("n")
+                stage_records[name] = n
+                if n is not None:
+                    totals[f"num_{name.rsplit('_', 1)[0]}"] += n
+            report["stage_records"] = stage_records
+            report["records"] = totals
         for name, o in self._observations:
             report[f"observe_{name}"] = o.get
         emit("flow.success", report=dict(report))

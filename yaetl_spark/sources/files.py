@@ -51,20 +51,62 @@ class OrcSource(Source):
         return df
 
 
-def _sniff_sep_line(path: str, encoding: str) -> str | None:
-    """Return the separator from an Excel ``sep=X`` first line, if present."""
-    candidates = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+# longest-first so the UTF-32 BOMs win over their UTF-16 prefixes; the
+# endianness-agnostic Java charset names ("UTF-16"/"UTF-32") are
+# deliberate — they CONSUME the BOM while decoding, so the first field
+# never carries a stray U+FEFF (reference: fab2s/OpinHelpers Bom via
+# src/Traits/FileHandlerTrait.php:26-61)
+_BOM_ENCODINGS: tuple[tuple[bytes, str], ...] = (
+    (b"\xff\xfe\x00\x00", "UTF-32"),  # UTF-32LE
+    (b"\x00\x00\xfe\xff", "UTF-32"),  # UTF-32BE
+    (b"\xff\xfe", "UTF-16"),          # UTF-16LE
+    (b"\xfe\xff", "UTF-16"),          # UTF-16BE
+    (b"\xef\xbb\xbf", "UTF-8"),
+)
+
+
+def _first_file(path: str) -> str | None:
+    """Resolve a path/glob/dir to its first regular file (driver-side,
+    O(1) I/O — same resolution the sep sniffer uses)."""
+    candidates = (
+        sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    )
     for p in candidates:
         if os.path.isdir(p):
             inner = sorted(_glob.glob(os.path.join(p, "*")))
             p = next((i for i in inner if os.path.isfile(i)), None)
             if p is None:
                 continue
+        return p
+    return None
+
+
+def _sniff_bom_encoding(path: str) -> str | None:
+    """Detect the file encoding from its BOM (UTF-8/16/32, either
+    endianness) — FileHandlerTrait parity. Returns None when no BOM."""
+    p = _first_file(path)
+    if p is None:
+        return None
+    try:
+        with open(p, "rb") as fh:
+            head = fh.read(4)
+    except OSError:
+        return None
+    for bom, enc in _BOM_ENCODINGS:
+        if head.startswith(bom):
+            return enc
+    return None
+
+
+def _sniff_sep_line(path: str, encoding: str) -> str | None:
+    """Return the separator from an Excel ``sep=X`` first line, if present."""
+    p = _first_file(path)
+    if p is not None:
         try:
             with open(p, "rb") as fh:
                 head = fh.read(64)
         except OSError:
-            continue
+            return None
         # strip BOMs before sniffing
         for bom in (b"\xef\xbb\xbf", b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff",
                     b"\xff\xfe", b"\xfe\xff"):
@@ -110,9 +152,15 @@ class CsvSource(Source):
     """CSV scan with reference-parity options.
 
     ``sep='auto'`` sniffs an Excel ``sep=`` preamble line (and skips it);
-    ``multiLine=True`` keeps embedded newlines inside quoted fields safe —
-    note multiLine disables intra-file split parallelism, so leave it off
-    for huge machine-written CSVs that never embed newlines.
+    ``encoding='auto'`` (the default) sniffs the encoding from the file
+    BOM — UTF-8 / UTF-16 LE+BE / UTF-32 LE+BE, reference
+    ``src/Traits/FileHandlerTrait.php:26-61`` — falling back to UTF-8
+    when no BOM is present (a no-behavior-change default: BOM-less files
+    read exactly as before). ``multiLine=True`` keeps embedded newlines
+    inside quoted fields safe — note multiLine disables intra-file split
+    parallelism, so leave it off for huge machine-written CSVs that
+    never embed newlines (and note non-UTF-8 encodings NEED multiLine,
+    or an explicit lineSep, for Spark to split records correctly).
     """
 
     def __init__(
@@ -122,7 +170,7 @@ class CsvSource(Source):
         sep: str = ",",
         quote: str = '"',
         escape: str = '"',
-        encoding: str = "UTF-8",
+        encoding: str = "auto",
         multi_line: bool = True,
         schema: str | None = None,
         infer_schema: bool = False,
@@ -144,8 +192,11 @@ class CsvSource(Source):
     def load(self, spark: SparkSession) -> DataFrame:
         sep = self.sep
         path = self.path
+        encoding = self.encoding
+        if encoding == "auto":
+            encoding = _sniff_bom_encoding(self.path) or "UTF-8"
         if sep == "auto":
-            sniffed = _sniff_sep_line(self.path, self.encoding)
+            sniffed = _sniff_sep_line(self.path, encoding)
             sep = sniffed or ","
             if sniffed is not None:
                 # Strip the Excel preamble line up front so header parsing
@@ -153,13 +204,13 @@ class CsvSource(Source):
                 # inherently small, single-file artifacts — so a driver-side
                 # rewrite is appropriate; bulk machine-written CSV never
                 # carries a preamble and never enters this path.
-                path = _strip_preamble_copy(self.path, self.encoding)
+                path = _strip_preamble_copy(self.path, encoding)
         reader = (
             spark.read.option("header", self.header)
             .option("sep", sep)
             .option("quote", self.quote)
             .option("escape", self.escape)
-            .option("encoding", self.encoding)
+            .option("encoding", encoding)
             .option("multiLine", self.multi_line)
             .option("mode", "PERMISSIVE")
             .option("ignoreTrailingWhiteSpace", False)
