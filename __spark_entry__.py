@@ -910,13 +910,17 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from doc_id (each class on its own doc_id residue, some
     docs clean) and the operator must count and redact exactly those.
     Pure scan-level regexp expressions — the oracle replicates the
-    fixture and the Java-regex/RE2-common-subset patterns verbatim."""
+    fixture and the Java-regex/RE2-common-subset patterns verbatim.
+    NULL text is coalesced to '' at the SAME point the oracle does
+    (inside the substring), so planted PII survives a NULL corpus
+    text on both sides — F.concat null-propagates, so an uncoalesced
+    NULL here would zero every planted count engine-side only."""
     from yaetl_spark.operators import pii_flags
 
     d = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     aug = F.concat(
-        F.substring("text", 1, 30),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 30),
         F.when(
             d % 3 != 0,
             F.concat(F.lit(" mail u"), s(d), F.lit("@ex"),

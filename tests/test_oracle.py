@@ -40,3 +40,41 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_pii_scan_null_text_parity(spark, tmp_path):
+    """Adversarial NULL-text fixture for q_pii_scan: the corpus shipped
+    with zero NULL texts, which hid an engine/oracle divergence (ADVICE
+    r7: F.concat null-propagates, the oracle coalesces). Both sides must
+    coalesce at the SAME point — inside the substring — so planted PII
+    survives NULL text identically. This test plants NULLs so the case
+    can never go latent again."""
+    import duckdb
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    nulled = src.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text")),
+    )
+    d = str(tmp_path / "nullsf")
+    nulled.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    res = compare(
+        QUERIES["pii_scan"](spark, d),
+        con.sql(ORACLES["pii_scan"]).df(),
+    )
+    con.close()
+    assert res["count_match"] and res["schema_match"], res
+    assert res["value_match"], str(res)[:2000]
+    # and the engine really does count planted PII on NULL-text docs
+    got = QUERIES["pii_scan"](spark, d)
+    n = got.filter("doc_id % 2 = 0 AND doc_id % 3 <> 0 AND n_email = 1").count()
+    assert n > 0

@@ -557,3 +557,87 @@ def test_count_stages_per_node_record_counters(spark):
         .run()
     )
     assert "stage_records" not in plain and "records" not in plain
+
+
+def test_count_stages_per_extractor_on_multi_from(spark):
+    """num_extract counts records PER EXTRACTOR: the counter is observed
+    on each incoming source frame BEFORE union/crossJoin combination
+    (reference per-extractor record counts, YaEtl.php:38-53) — not on
+    the combined stream, which would double-count the upstream."""
+    a = MemorySource([(i,) for i in range(100)], "id long")
+    b = MemorySource([(i,) for i in range(50)], "id long")
+    report = (
+        Pipeline(spark, count_stages=True)
+        .from_(a)
+        .from_(b, aggregate_with=True)      # union: 100 + 50 = 150 out
+        .to(CollectSink())
+        .run()
+    )
+    assert report["stage_records"]["extract_0"] == 100
+    assert report["stage_records"]["extract_1"] == 50
+    assert report["records"]["num_extract"] == 150  # NOT 100 + 150
+    assert report["records"]["num_load"] == 150
+
+
+def test_count_stages_inside_branches(spark):
+    """BranchPipeline(count_stages=True): per-node record counts inside
+    branch lineages, surfaced by the parent run() under b{i}_-prefixed
+    stage names and rolled into the records totals (the reference counts
+    per-node inside branches too, tests/QualifierTest.php:904-908)."""
+    src = MemorySource([(i, i % 4) for i in range(80)], "id long, k long")
+    evens, all_sink = CollectSink(), CollectSink()
+    child = (
+        BranchPipeline(spark, count_stages=True)
+        .qualify(F.col("k") == 0)            # 80 -> 20
+        .transform(Rename({"k": "kk"}))      # 20 -> 20
+        .to(evens)
+    )
+    report = (
+        Pipeline(spark, count_stages=True)
+        .from_(src)
+        .to(all_sink)
+        .branch(child)
+        .run()
+    )
+    assert report["stage_records"]["extract_0"] == 80
+    assert report["stage_records"]["b0_qualify_0"] == 20
+    assert report["stage_records"]["b0_transform_1"] == 20
+    # branch stages roll into the reference RECORD totals
+    assert report["records"]["num_qualify"] == 20
+    assert report["records"]["num_transform"] == 20
+    assert report["records"]["num_load"] == 80 + 20
+    assert len(evens.rows) == 20 and len(all_sink.rows) == 80
+
+
+def test_count_stages_run_is_single_shot(spark):
+    """Observations capture only their first action, so a second run()
+    would silently report the first run's counters — it raises."""
+    p = (
+        Pipeline(spark, count_stages=True)
+        .from_(MemorySource([(1,), (2,)], "id long"))
+        .to(CollectSink())
+    )
+    first = p.run()
+    assert first["stage_records"]["extract_0"] == 2
+    with pytest.raises(PipelineError, match="single-shot"):
+        p.run()
+    # without stage counters, run() stays re-runnable
+    q = Pipeline(spark).from_(MemorySource([(1,)], "id long"))
+    assert q.run()["num_records"] == 1
+    assert q.run()["num_records"] == 1
+
+
+def test_count_stages_reject_sink_not_in_num_load(spark):
+    """qualify(reject_to=...) quarantine writes are reported as
+    num_rejected, not silently folded into num_load."""
+    rejected, kept = CollectSink(), CollectSink()
+    report = (
+        Pipeline(spark, count_stages=True)
+        .from_(MemorySource([(i,) for i in range(10)], "id long"))
+        .qualify("id < 7", reject_to=rejected)
+        .to(kept)
+        .run()
+    )
+    assert report["num_rejected"] == 3
+    assert report["records"]["num_load"] == 7
+    assert len(rejected.rows) == 3 and len(kept.rows) == 7

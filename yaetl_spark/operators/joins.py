@@ -371,9 +371,15 @@ def fuzzy_join(
     The prune is ON BY DEFAULT (``max_gram_df="auto"``): the threshold
     is ``greatest(auto_min_df, ceil(auto_frac · n_right_rows))``,
     computed IN-PLAN from a 1-row right-count aggregate — no driver
-    action, and at small scale (``n_right ≤ auto_min_df/auto_frac``
-    rows) it provably prunes nothing, so results equal the unpruned
-    join there. At production scale a gram shared by > 1% of a
+    action. Because the threshold floors at ``auto_min_df``, the auto
+    prune provably prunes nothing only while every gram's right-side
+    df stays at or below ``auto_min_df`` — guaranteed when
+    ``n_right ≤ auto_min_df`` rows; above that, any gram with
+    df > ``auto_min_df`` IS pruned and similarities may differ from
+    the unpruned join (the default changed from ``None`` to ``"auto"``
+    in round 7 — callers with 10³–10⁵ right rows who need unpruned
+    parity must pass ``None`` explicitly). At production scale a gram
+    shared by > 1% of a
     billion-row side contributes ≥ 10¹⁴ candidate pairs on its own —
     exactly the fan-out the default exists to cut. Pass an int to pin
     the threshold (oracle-reproducible), or ``None`` to disable for

@@ -70,8 +70,22 @@ class Pipeline:
         the data — but the optimizer will not push filters across one
         (the count must see the rows at that point), so stage-accurate
         counting pins the plan shape. Leave it off for production plans;
-        turn it on to debug where records disappear. Root-flow stages
-        only; branch lineages report their grammar-call counters.
+        turn it on to debug where records disappear. Branch lineages
+        built as ``BranchPipeline(count_stages=True)`` report their own
+        ``stage_records`` too (reference counts per-node inside branches,
+        ``tests/QualifierTest.php:904-908``), surfaced in the parent
+        report under ``b{i}_``-prefixed names.
+
+        With ``count_stages`` on, :meth:`run` is SINGLE-SHOT per
+        composed Pipeline: a PySpark ``Observation`` captures only its
+        first action, so a second ``run()`` would silently report the
+        first run's counters — it raises instead. Recompose (or leave
+        counting off) to re-run.
+
+        ``num_extract`` counts records PER EXTRACTOR (observed on each
+        incoming source frame BEFORE union/crossJoin combination), the
+        reference's per-extractor record semantics; every other stage
+        counter observes the records LEAVING that stage.
         """
         if spark is None:
             from .session import get_spark
@@ -79,7 +93,10 @@ class Pipeline:
             spark = get_spark()
         self.spark = spark
         self._count_stages = bool(count_stages)
-        self._stage_obs: list[tuple[str, Observation]] = []
+        self._ran = False
+        # (name, kind, observation): kind keys the records-total bucket,
+        # name is the per-stage report key
+        self._stage_obs: list[tuple[str, str, Observation]] = []
         self._df: DataFrame | None = None
         self._sinks: list[Sink] = []
         self._branches: list["Pipeline"] = []
@@ -115,7 +132,7 @@ class Pipeline:
         name = f"{kind}_{len(self._stage_obs)}"
         obs = Observation(f"_stage_{name}")
         self._df = self._df.observe(obs, F.count(F.lit(1)).alias("n"))
-        self._stage_obs.append((name, obs))
+        self._stage_obs.append((name, kind, obs))
 
     def _require_df(self) -> DataFrame:
         if self._df is None:
@@ -140,13 +157,21 @@ class Pipeline:
         per upstream record, ``README.md:140-168`` — SURVEY.md §2.7)."""
         df = self._coerce_source(source)
         self._counters["num_from"] += 1
+        if self._count_stages:
+            # observe the INCOMING source frame before it is combined so
+            # num_extract counts per-extractor records (the reference's
+            # per-extractor semantics, YaEtl.php:38-53) — observing after
+            # a union/crossJoin would double-count the upstream stream
+            name = f"extract_{len(self._stage_obs)}"
+            obs = Observation(f"_stage_{name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            self._stage_obs.append((name, "extract", obs))
         if self._df is None:
             self._df = df
         elif aggregate_with:
             self._df = self._df.unionByName(df, allowMissingColumns=True)
         else:
             self._df = self._df.crossJoin(df)
-        self._observe_stage("extract")
         return self
 
     def observe(self, name: str, *exprs: Column) -> "Pipeline":
@@ -334,6 +359,18 @@ class Pipeline:
         summary lands in the report under ``"plan"``.
         """
         df = self._require_df()
+        if self._ran and (
+            self._count_stages
+            or any(b._count_stages for b in self._branches)
+        ):
+            # Observations capture only their FIRST action; a second run
+            # would silently report the first run's stage_records
+            raise PipelineError(
+                "run() is single-shot when count_stages=True (PySpark "
+                "Observations capture only their first action); recompose "
+                "the pipeline to run again with stage counters"
+            )
+        self._ran = True
         t0 = time.monotonic()
         # root-targeted breaks declared inside branches (BreakAt
         # target="root"): compute each cut eagerly (one-row job over the
@@ -346,6 +383,8 @@ class Pipeline:
             for prefix_len, brk in child._root_breaks:
                 trig_df = df
                 for op in (child._ops or [])[:prefix_len]:
+                    if getattr(op, "_stage_obs", False):
+                        continue  # see _observe_stage_op: attach-once
                     trig_df = op(trig_df)
                 cut_value = brk.cut(trig_df)
                 if cut_value is not None:
@@ -382,16 +421,18 @@ class Pipeline:
         # frame, each branch's over its own lineage; within a chain a
         # returning sink's output feeds the next sink (docs/citizens.md:
         # 465-496 chained loaders)
-        chains: list[tuple[list[Sink], DataFrame]] = []
+        chains: list[tuple[list[Sink], DataFrame, bool]] = []
         if self._sinks:
-            chains.append((list(self._sinks), df))
+            chains.append((list(self._sinks), df, False))
         n_branch_sinks = 0
+        executed_branches: list["Pipeline"] = []
         for child in self._branches:
             if child._df is not None:
                 raise PipelineError("branch pipelines must not call from_()")
             if child._sinks:
-                chains.append((list(child._sinks), child._apply_to(df)))
+                chains.append((list(child._sinks), child._apply_to(df), False))
                 n_branch_sinks += len(child._sinks)
+                executed_branches.append(child)
 
         # reject side-streams: independent lineage (captured pre-filter at
         # their qualify stage), so they neither consume nor justify the
@@ -403,10 +444,11 @@ class Pipeline:
             chains.append((
                 [rej_sink],
                 rej_df.observe(r_obs, F.count(F.lit(1)).alias("n")),
+                True,
             ))
             reject_obs.append(r_obs)
         n_actions = root_actions + (0 if root_actions else 1)
-        load_obs: list[tuple[str, Observation]] = []
+        load_obs: list[tuple[str, str, Observation]] = []
         persisted = False
         if n_actions > 1:
             # shared upstream: extract once, fan out (README.md:219-246)
@@ -423,16 +465,18 @@ class Pipeline:
             # at flush time (LoaderAbstract.php:61-87). force_flush sinks
             # flush right after their own write (YaEtl.php:148-153);
             # everyone else defers to the root flush in `finally`.
-            for sinks, chain_df in chains:
+            for sinks, chain_df, is_reject in chains:
                 cur = chain_df
                 for sink in sinks:
                     all_sinks.append(sink)
-                    if self._count_stages:
+                    # reject sinks stay out of num_load — their row count
+                    # is already reported as num_rejected
+                    if self._count_stages and not is_reject:
                         lname = f"load_{len(load_obs)}"
                         lo = Observation(f"_stage_{lname}")
                         cur = cur.observe(
                             lo, F.count(F.lit(1)).alias("n"))
-                        load_obs.append((lname, lo))
+                        load_obs.append((lname, "load", lo))
                     ret = sink.write(cur)
                     if sink.returning and ret is not None:
                         cur = ret
@@ -474,19 +518,31 @@ class Pipeline:
             )
         if plan_info is not None:
             report["plan"] = plan_info
-        if self._stage_obs or load_obs:
+        branch_obs: list[tuple[str, str, Observation]] = []
+        for i, child in enumerate(self._branches):
+            # only branches whose chain actually ran have computed
+            # observations (an attached-but-unexecuted one blocks on get)
+            if child in executed_branches:
+                branch_obs.extend(
+                    (f"b{i}_{name}", kind, o)
+                    for name, kind, o in child._stage_obs
+                )
+        if self._stage_obs or load_obs or branch_obs:
             # per-node record counts + the reference's RECORD-counter
             # vocabulary (num_extract/num_join/num_qualify/num_transform/
-            # num_load, YaEtl.php:38-53); node-CALL counts stay top-level
+            # num_load, YaEtl.php:38-53); node-CALL counts stay top-level.
+            # Branch stages land with a b{i}_ prefix and roll into the
+            # same totals (QualifierTest.php:904-908 counts inside
+            # branches too).
             stage_records: dict[str, Any] = {}
             totals = {k: 0 for k in (
                 "num_extract", "num_join", "num_qualify",
                 "num_transform", "num_load")}
-            for name, o in self._stage_obs + load_obs:
+            for name, kind, o in self._stage_obs + load_obs + branch_obs:
                 n = o.get.get("n")
                 stage_records[name] = n
                 if n is not None:
-                    totals[f"num_{name.rsplit('_', 1)[0]}"] += n
+                    totals[f"num_{kind}"] += n
             report["stage_records"] = stage_records
             report["records"] = totals
         for name, o in self._observations:
@@ -553,12 +609,41 @@ class BranchPipeline(Pipeline):
     """Sourceless pipeline whose grammar records deferred ops; used with
     ``parent.branch(child)`` for fan-out over a shared cached upstream."""
 
-    def __init__(self, spark: SparkSession | None = None):
-        super().__init__(spark)
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        count_stages: bool = False,
+    ):
+        """``count_stages=True`` weaves a record counter after every
+        deferred grammar op, reported by the PARENT run() under
+        ``b{i}_``-prefixed stage names (reference counts per-node inside
+        branches, ``tests/QualifierTest.php:904-908``). The branch's
+        counters only materialize if the branch has a sink (otherwise
+        its lineage never runs)."""
+        super().__init__(spark, count_stages=count_stages)
         self._ops = []
 
     def _require_df(self) -> DataFrame:  # grammar guard not applicable
         raise PipelineError("BranchPipeline composes lazily; no df until run")
+
+    def _observe_stage_op(self, kind: str) -> None:
+        """Deferred-op twin of :meth:`Pipeline._observe_stage`: the
+        Observation is created now (stable report name), attached when
+        the op list is replayed onto the shared upstream at run()."""
+        if not self._count_stages:
+            return
+        name = f"{kind}_{len(self._stage_obs)}"
+        obs = Observation(f"_stage_br_{id(self)}_{name}")
+        self._stage_obs.append((name, kind, obs))
+
+        def op(df: DataFrame, _o=obs) -> DataFrame:
+            return df.observe(_o, F.count(F.lit(1)).alias("n"))
+
+        # marker lets the root-break trigger replay skip this op: an
+        # Observation attaches once, and the eager trigger job must not
+        # consume (or mis-capture) the branch's stage counters
+        op._stage_obs = True  # type: ignore[attr-defined]
+        self._ops.append(op)
 
     def from_(self, *a, **kw):
         raise PipelineError("branch pipelines must not call from_()")
@@ -592,12 +677,19 @@ class BranchPipeline(Pipeline):
             self._ops.append(lambda df: df.filter(condition(df)))
         else:
             self._ops.append(Predicate(condition).apply)
+        # root-targeted breaks add no local op (the truncation happens on
+        # the shared root flow), so there is no local stream to count
+        if not (
+            isinstance(condition, BreakAt) and condition.target == "root"
+        ):
+            self._observe_stage_op("qualify")
         return self
 
     def transform(self, transformer) -> "BranchPipeline":
         self._counters["num_transform"] += 1
         t = transformer if isinstance(transformer, Transformer) else Apply(transformer)
         self._ops.append(t.apply)
+        self._observe_stage_op("transform")
         return self
 
     def join(self, source, on, how: str = "inner", broadcast: bool = False):
@@ -608,6 +700,7 @@ class BranchPipeline(Pipeline):
             return _join(df, right, on, how=how, broadcast=broadcast)
 
         self._ops.append(op)
+        self._observe_stage_op("join")
         return self
 
     def limit(self, n: int) -> "BranchPipeline":
