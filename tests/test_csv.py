@@ -155,3 +155,71 @@ def test_csv_utf16_roundtrip(spark, tmp_path):
     back = CsvSource(out).read(spark)
     assert back.columns == HEADER
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_sniffers_skip_unreadable_candidates(tmp_path):
+    """BOM/sep sniffing degrades past an unreadable first glob candidate
+    to the next file (the pre-r7 try-next behavior, ADVICE r7)."""
+    import os
+
+    from yaetl_spark.sources.files import (
+        _sniff_bom_encoding,
+        _sniff_sep_line,
+    )
+
+    # first candidate unreadable: dangling symlink raises OSError on open
+    # (chmod tricks don't work under root)
+    os.symlink(str(tmp_path / "missing"), str(tmp_path / "a.csv"))
+    b = tmp_path / "b.csv"
+    b.write_bytes("sep=;\nx;y\n1;2\n".encode("utf-16"))
+    pattern = str(tmp_path / "*.csv")
+    assert _sniff_bom_encoding(pattern) == "UTF-16"
+    assert _sniff_sep_line(pattern, "UTF-16") == ";"
+
+
+def test_bom_sniff_warns_on_non_local_path():
+    """encoding='auto' cannot open s3a:// driver-side: it must WARN and
+    fall back to UTF-8, never silently (round-7 verdict item 6)."""
+    import warnings as w
+
+    from yaetl_spark.sources.files import _sniff_bom_encoding
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert _sniff_bom_encoding("s3a://bucket/data/*.csv") is None
+    assert any("cannot BOM-sniff non-local" in str(c.message) for c in caught)
+
+
+def test_bom_sniff_warns_on_mixed_encodings(tmp_path):
+    """A glob whose files carry different BOMs warns before using the
+    first file's encoding."""
+    import warnings as w
+
+    from yaetl_spark.sources.files import _sniff_bom_encoding
+
+    (tmp_path / "a.csv").write_bytes("x,y\n1,2\n".encode("utf-8-sig"))
+    (tmp_path / "b.csv").write_bytes("x,y\n1,2\n".encode("utf-16"))
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        enc = _sniff_bom_encoding(str(tmp_path / "*.csv"))
+    assert enc == "UTF-8"  # first file's answer
+    assert any("mixed BOMs" in str(c.message) for c in caught)
+
+
+@pytest.mark.parametrize("codec", ["utf-16", "utf-16-be", "utf-32"])
+def test_csv_sep_preamble_stripped_in_wide_encodings(spark, tmp_path, codec):
+    """Excel sep= preamble + UTF-16/32: the preamble strip must be
+    encoding-aware (multi-byte 'sep=' and newline), or the preamble
+    line survives and eats the header row."""
+    from yaetl_spark import CsvSource
+
+    p = tmp_path / f"wide_{codec}.csv"
+    text = "sep=;\nid;name\n1;alpha\n2;beta\n"
+    bom = "" if codec == "utf-16-be" else "﻿"
+    payload = text.encode(codec) if codec != "utf-16-be" \
+        else ("﻿" + text).encode(codec)
+    p.write_bytes(payload)
+    rows = sorted(
+        tuple(r) for r in CsvSource(str(p), sep="auto").read(spark).collect()
+    )
+    assert rows == [("1", "alpha"), ("2", "beta")], rows

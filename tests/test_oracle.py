@@ -78,3 +78,35 @@ def test_pii_scan_null_text_parity(spark, tmp_path):
     got = QUERIES["pii_scan"](spark, d)
     n = got.filter("doc_id % 2 = 0 AND doc_id % 3 <> 0 AND n_email = 1").count()
     assert n > 0
+
+
+def test_equi_width_clamp_parity_on_rounding_min(spark, tmp_path):
+    """Adversarial fixture for the r7 equi_width clamp: a true min that
+    ROUNDS UP at round_to=6 makes (x - _mn) negative for the min row, so
+    an unclamped floor() emits bin -1. Both the engine operator and the
+    driver's DuckDB oracle carry the clamp — this runs them on the same
+    fixture so neither side can silently drop it."""
+    import duckdb
+
+    # min 1.0000009 rounds UP to 1.000001; max 9.0000001 rounds DOWN to 9
+    vals = [1.0000009, 9.0000001] + [1.0 + i for i in range(2, 8)]
+    spark.createDataFrame(
+        [(float(v),) for v in vals], "o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    res = compare(
+        QUERIES["equi_width"](spark, str(tmp_path)),
+        con.sql(ORACLES["equi_width"]).df(),
+    )
+    con.close()
+    assert res["count_match"] and res["schema_match"], res
+    assert res["value_match"], str(res)[:2000]
+    rows = QUERIES["equi_width"](spark, str(tmp_path)).collect()
+    bins = {r["bin"] for r in rows}
+    assert min(bins) >= 0 and max(bins) <= 7, bins  # clamped to 0..nbins-1
+    assert sum(r["n"] for r in rows) == len(vals)

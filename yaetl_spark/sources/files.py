@@ -14,7 +14,10 @@ non-empty line per record.
 from __future__ import annotations
 
 import glob as _glob
+import itertools as _it
 import os
+import re as _re
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,81 +68,148 @@ _BOM_ENCODINGS: tuple[tuple[bytes, str], ...] = (
 )
 
 
-def _first_file(path: str) -> str | None:
-    """Resolve a path/glob/dir to its first regular file (driver-side,
-    O(1) I/O — same resolution the sep sniffer uses)."""
+def _is_local_path(path: str) -> bool:
+    """True when the path resolves on the driver's local filesystem —
+    bare paths and ``file:`` URIs; ``s3a://``/``hdfs://``/… are not."""
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    return m is None or m.group(1) == "file"
+
+
+def _candidate_files(path: str):
+    """Yield the regular files a path/glob/dir resolves to (driver-side,
+    lazy — callers stop at the first READABLE file, so sniffers degrade
+    past an unreadable first candidate instead of giving up)."""
     candidates = (
         sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     )
     for p in candidates:
         if os.path.isdir(p):
             inner = sorted(_glob.glob(os.path.join(p, "*")))
-            p = next((i for i in inner if os.path.isfile(i)), None)
-            if p is None:
-                continue
-        return p
-    return None
+            yield from (i for i in inner if os.path.isfile(i))
+        else:
+            yield p
+
+
+def _first_file(path: str) -> str | None:
+    """Resolve a path/glob/dir to its first regular file (driver-side,
+    O(1) I/O — same resolution the sep sniffer uses)."""
+    return next(_candidate_files(path), None)
+
+
+# bounded driver-side I/O: how many glob candidates the BOM sniffer will
+# open looking for a readable file / checking encoding agreement
+_SNIFF_MAX_FILES = 8
 
 
 def _sniff_bom_encoding(path: str) -> str | None:
     """Detect the file encoding from its BOM (UTF-8/16/32, either
-    endianness) — FileHandlerTrait parity. Returns None when no BOM."""
-    p = _first_file(path)
-    if p is None:
+    endianness) — FileHandlerTrait parity. Returns None when no BOM.
+
+    Driver-side ``open()`` only works for local paths; for object-store
+    URIs (``s3a://``…) sniffing is impossible here, so this WARNS and
+    returns None (UTF-8 fallback) instead of failing silently — pass an
+    explicit ``encoding=`` for remote data. Unreadable candidates are
+    skipped (try-next, like the sep sniffer always did); the first
+    ``_SNIFF_MAX_FILES`` candidates are checked for BOM agreement and a
+    mixed-encoding glob warns before using the first file's answer."""
+    if not _is_local_path(path):
+        warnings.warn(
+            f"encoding='auto' cannot BOM-sniff non-local path {path!r}; "
+            "falling back to UTF-8 — pass an explicit encoding= for "
+            "object-store data",
+            stacklevel=3,
+        )
         return None
-    try:
-        with open(p, "rb") as fh:
-            head = fh.read(4)
-    except OSError:
+    seen: list[str | None] = []
+    for p in _it.islice(_candidate_files(path), _SNIFF_MAX_FILES):
+        try:
+            with open(p, "rb") as fh:
+                head = fh.read(4)
+        except OSError:
+            continue  # unreadable candidate: try the next one
+        seen.append(next(
+            (enc for bom, enc in _BOM_ENCODINGS if head.startswith(bom)),
+            None,
+        ))
+    if not seen:
         return None
-    for bom, enc in _BOM_ENCODINGS:
-        if head.startswith(bom):
-            return enc
-    return None
+    if len(set(seen)) > 1:
+        warnings.warn(
+            f"encoding='auto' found mixed BOMs across files of {path!r} "
+            f"({sorted({str(s) for s in seen})}); using the first file's "
+            f"({seen[0] or 'UTF-8'}) — split the inputs or pass encoding=",
+            stacklevel=3,
+        )
+    return seen[0]
 
 
 def _sniff_sep_line(path: str, encoding: str) -> str | None:
-    """Return the separator from an Excel ``sep=X`` first line, if present."""
-    p = _first_file(path)
-    if p is not None:
+    """Return the separator from an Excel ``sep=X`` first line, if present.
+    Unreadable candidates are skipped (try-next); non-local paths can't be
+    sniffed driver-side and return None."""
+    if not _is_local_path(path):
+        return None
+    for p in _candidate_files(path):
         try:
             with open(p, "rb") as fh:
                 head = fh.read(64)
         except OSError:
-            return None
-        # strip BOMs before sniffing
-        for bom in (b"\xef\xbb\xbf", b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff",
-                    b"\xff\xfe", b"\xfe\xff"):
+            continue  # unreadable candidate: try the next one
+        # strip the BOM before sniffing — and decode the REMAINDER with
+        # the BOM's exact-endianness codec: a stripped-BOM "UTF-16"
+        # decode would assume LE and turn a BE file into garbage
+        codec = encoding
+        for bom, c in _BOM_CODECS:
             if head.startswith(bom):
                 head = head[len(bom):]
+                codec = c
                 break
         try:
-            text = head.decode(encoding, errors="ignore")
+            text = head.decode(codec, errors="ignore")
         except LookupError:
             text = head.decode("utf-8", errors="ignore")
-        first = text.splitlines()[0] if text.splitlines() else ""
+        # a doubled BOM (writer added U+FEFF to already-BOM'd output)
+        # survives decode as a leading char — drop it
+        first = text.splitlines()[0].lstrip("\ufeff") if text.splitlines() else ""
         if first.lower().startswith("sep=") and len(first) >= 5:
             return first[4]
         return None
     return None
 
 
+# BOM → exact-endianness codec, longest BOM first (the UTF-32LE BOM
+# starts with the UTF-16LE one)
+_BOM_CODECS: tuple[tuple[bytes, str], ...] = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+    (b"\xef\xbb\xbf", "utf-8"),
+)
+
+
 def _strip_preamble_copy(path: str, encoding: str) -> str:
     """Copy an Excel ``sep=``-preamble CSV to a temp file without the
-    preamble line (BOM preserved). Returns the temp path."""
+    preamble line (BOM preserved). Returns the temp path.
+
+    The strip is ENCODING-AWARE: in UTF-16/32 files ``sep=`` and the
+    newline are multi-byte sequences, so a byte-wise ``find(b"\\n")``
+    would cut mid-codepoint and leave the preamble in place (the header
+    row then parses as ``sep=;``). The BOM pins the exact codec; BOM-less
+    files keep the ASCII-compatible byte-wise path."""
     import tempfile
 
-    boms = (b"\xef\xbb\xbf", b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff",
-            b"\xff\xfe", b"\xfe\xff")
     raw = open(path, "rb").read()
-    bom = b""
-    for b in boms:
+    bom, codec = b"", "utf-8"
+    for b, c in _BOM_CODECS:
         if raw.startswith(b):
-            bom, raw = b, raw[len(b):]
+            bom, codec, raw = b, c, raw[len(b):]
             break
-    nl = raw.find(b"\n")
-    if nl >= 0 and raw[:4].lower() == b"sep=":
-        raw = raw[nl + 1:]
+    nl_b = "\n".encode(codec)
+    sep_b = "sep=".encode(codec)
+    nl = raw.find(nl_b)
+    if nl >= 0 and raw[: len(sep_b)].lower() == sep_b:
+        raw = raw[nl + len(nl_b):]
     tmp = tempfile.NamedTemporaryFile(
         suffix=".csv", prefix="yaetl_sep_", delete=False
     )
