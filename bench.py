@@ -75,8 +75,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     timings_cold: dict[str, float] = {}
+    contrast: dict[str, float] = {}
+    # deliberately-unscalable oracle-contrast queries (e.g. the unpruned
+    # fuzzy_match) stay OUT of the headline wall — it measures production
+    # plans only — but are still timed into BENCH_DETAIL.json
+    contrast_names = getattr(entry_mod, "BENCH_CONTRAST", frozenset())
     queries = entry_mod.queries()
     for name, fn in sorted(queries.items()):
+        if name in contrast_names:
+            continue
         t0 = time.monotonic()
         materialize(fn(spark, SF_DIR))
         timings_cold[name] = round(time.monotonic() - t0, 3)
@@ -87,6 +94,13 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+    for name in sorted(contrast_names & set(queries)):
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            materialize(queries[name](spark, SF_DIR))
+            runs.append(time.monotonic() - t0)
+        contrast[name] = round(statistics.median(runs), 3)
 
     # passthrough anchor: full lineitem scan + noop (BASELINE.md anchor).
     # Median of 3 — a single run right after ~600 query executions sits
@@ -123,6 +137,13 @@ def main() -> None:
         "passthrough_rows_per_sec": passthrough_rps,
         "lineitem_rows": n_rows,
         "cpus": int(CPUS),
+        "contrast_queries": contrast,
+        "contrast_note": (
+            "oracle-contrast queries (deliberately unpruned/unscalable "
+            "by design, e.g. fuzzy_match with max_gram_df=None) — timed "
+            "here, excluded from the headline wall which measures "
+            "production plans only"
+        ),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -25,7 +25,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["date_spine", "ewma", "gap_fill", "cohort_retention"]
+__all__ = [
+    "changepoints", "cohort_retention", "date_spine", "ewma",
+    "gap_fill", "seasonal_decompose",
+]
 
 
 def date_spine(
@@ -206,4 +209,251 @@ def ewma(
         *by,
         F.size("_pts").cast("bigint").alias("n_points"),
         F.round(folded, 6).alias("ewma"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    index_col: str,
+    by: list[str],
+    period: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Additive seasonal decomposition of a regular per-key series:
+    ``value = trend + seasonal + residual`` (Cleveland et al.'s STL
+    shape, simplified to the classic one-pass moving-average variant —
+    the drift-monitoring primitive for per-source ingest volumes at
+    100 TB: a residual spike is an anomaly AFTER seasonality is
+    explained away, so weekly rhythm stops masking real shifts).
+
+    Inputs: ``index_col`` is an integer period index (0, 1, 2, … — e.g.
+    ``datediff(day, start)``), unique per key, regular step. ``period``
+    is the seasonal cycle length in steps (7 for weekly-on-daily).
+    Returns one row per input row:
+    ``(by…, index, value, trend, seasonal, residual)``.
+
+    - ``trend``: centered simple moving average over ``2·(period//2)+1``
+      rows, emitted only where the full window exists (series edges are
+      NULL — the honest classic behavior, no half-window bias).
+    - ``seasonal``: per (key, ``index mod period``) mean of the
+      detrended values, centered by subtracting the key's mean
+      detrended value (row-weighted centering — equals the classic
+      sum-to-zero-over-a-cycle centering on balanced series, and is
+      expressible without a second pass).
+    - ``residual = value − trend − seasonal`` where both exist.
+
+    Determinism: every mean is a DECIMAL(38,9) term sum divided by an
+    exact count (the module-wide engine-parity pattern), and
+    trend/seasonal/residual are rounded to ``round_to`` so the compared
+    values are bit-stable across engines.
+
+    Scale shape (100 TB): pure window math, ZERO joins — one shuffle on
+    the series key (ordered window for the trend + full-partition window
+    for centering share the exchange), one on (key, phase). Per-key
+    state is the running window, never a materialized array; a mega-key
+    serializes its own sort but cannot OOM. Phases ride the same rows —
+    the (key, phase) partition count is bounded by keys × period.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError(
+            "by must name at least one key column (for a single global "
+            "series, add a constant key)"
+        )
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    full = 2 * half + 1
+    dec = "decimal(38,9)"
+    idx = F.col(index_col).cast("long")
+    val = F.col(value_col).cast("double")
+    clean = df.dropna(subset=[value_col, index_col]).select(
+        *by, idx.alias(index_col), val.alias(value_col)
+    )
+    w_tr = (
+        Window.partitionBy(*by)
+        .orderBy(index_col)
+        .rowsBetween(-half, half)
+    )
+    n_win = F.count(F.lit(1)).over(w_tr)
+    trend = F.when(
+        n_win == full,
+        F.round(
+            F.sum(F.round(F.col(value_col), 9).cast(dec)).over(w_tr)
+            .cast("double") / F.lit(float(full)),
+            round_to,
+        ),
+    )
+    with_tr = clean.select(
+        *by, index_col, value_col,
+        trend.alias("trend"),
+        F.pmod(F.col(index_col), F.lit(period)).alias("_phase"),
+    ).withColumn(
+        "_detr", F.round(F.col(value_col) - F.col("trend"), 9)
+    )
+    w_ph = Window.partitionBy(*by, "_phase")
+    w_key = Window.partitionBy(*by)
+    phase_mean = (
+        F.sum(F.col("_detr").cast(dec)).over(w_ph).cast("double")
+        / F.count("_detr").over(w_ph)
+    )
+    key_mean = (
+        F.sum(F.col("_detr").cast(dec)).over(w_key).cast("double")
+        / F.count("_detr").over(w_key)
+    )
+    seasonal = F.round(phase_mean - key_mean, round_to)
+    return (
+        with_tr.withColumn("seasonal", seasonal)
+        .select(
+            *by,
+            index_col,
+            F.col(value_col).alias("value"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col(value_col) - F.col("trend") - F.col("seasonal"),
+                round_to,
+            ).alias("residual"),
+        )
+    )
+
+
+def changepoints(
+    df: DataFrame,
+    value_col: str,
+    index_col: str,
+    by: list[str],
+    threshold: float = 3.0,
+    min_segment: int = 2,
+    round_to: int = 6,
+    max_points: int | None = None,
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per key — depth-1
+    binary segmentation with the standardized two-sample CUSUM statistic
+    (Page '54 / Scott & Knott '74 lineage): for every admissible split
+    ``i`` of the key's ordered series, score
+    ``sqrt(i·(n−i)/n) · |mean(x₁…xᵢ) − mean(xᵢ₊₁…xₙ)|`` and keep the
+    argmax. ``is_change`` flags scores above ``threshold · sd`` (sample
+    stddev of the whole series) — the z-like decision rule. The
+    monitoring companion to :func:`seasonal_decompose`: run it over
+    residuals (or raw daily aggregates) to catch level shifts in ingest
+    volume / quality metrics that EWMA smoothing would lag on.
+
+    Returns ONE row per key:
+    ``(by…, n_points, cp_index, score, mean_before, mean_after, sd,
+    is_change)`` — ``cp_index`` is the LAST index of the left segment;
+    keys with fewer than ``2·min_segment`` points are absent (no
+    admissible split). Ties (equal rounded score) break to the smallest
+    split index, so the answer is deterministic.
+
+    Determinism: prefix sums and moment sums accumulate as
+    DECIMAL(38,9) rounded terms (exact, order-independent — a windowed
+    float sum would depend on each engine's segment-tree order); means,
+    the score, and ``sd`` derive from those via single IEEE float ops
+    and round to ``round_to`` BEFORE the argmax and the threshold
+    compare, so the pick itself is engine-stable.
+
+    Scale shape (100 TB): every candidate split is evaluated from ONE
+    ordered prefix-sum window — O(n) per key, no self-join over splits,
+    no Python. One shuffle total: the ordered window, the full-partition
+    moment window, and the final argmax row_number all share the
+    key-hash exchange. Per-key state is O(1) running sums (windows
+    stream; nothing collects an array); ``max_points`` is the in-plan
+    mega-key guard — a key holding more points fails the job naming the
+    key instead of silently serializing one giant task.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError(
+            "by must name at least one key column (for a single global "
+            "series, add a constant key)"
+        )
+    if min_segment < 1:
+        raise ValueError("min_segment must be >= 1")
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
+    if max_points is not None and max_points < 2 * min_segment:
+        raise ValueError("max_points must be >= 2*min_segment")
+    dec = "decimal(38,9)"
+    val = F.col(value_col).cast("double")
+    clean = df.dropna(subset=[value_col, index_col]).select(
+        *by, F.col(index_col).alias("_idx"), val.alias("_v")
+    )
+    w_ord = (
+        Window.partitionBy(*by)
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy(*by).orderBy("_idx")
+    w_all = Window.partitionBy(*by)
+    staged = clean.select(
+        *by, "_idx",
+        F.row_number().over(w_seq).alias("_i"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).over(w_ord).alias("_cum"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.sum(F.round(F.col("_v"), 9).cast(dec)).over(w_all).alias("_tot"),
+        F.sum(F.round(F.col("_v") * F.col("_v"), 9).cast(dec))
+        .over(w_all).alias("_sxx"),
+    )
+    if max_points is not None:
+        key_str = F.concat_ws(
+            ",", *[F.col(c).cast("string") for c in by]
+        )
+        staged = staged.withColumn(
+            "_n",
+            F.when(
+                F.col("_n") <= F.lit(int(max_points)), F.col("_n")
+            ).otherwise(F.raise_error(F.concat(
+                F.lit("changepoints: key ("), key_str,
+                F.lit(") holds "), F.col("_n").cast("string"),
+                F.lit(f" points (> max_points={max_points}); segment or "
+                      "downsample the mega-key upstream"),
+            ))),
+        )
+    i_d = F.col("_i").cast("double")
+    n_d = F.col("_n").cast("double")
+    mean_l = F.col("_cum").cast("double") / i_d
+    mean_r = (
+        (F.col("_tot") - F.col("_cum")).cast("double") / (n_d - i_d)
+    )
+    score = F.round(
+        F.sqrt(i_d * (n_d - i_d) / n_d) * F.abs(mean_l - mean_r),
+        round_to,
+    )
+    # sample stddev from exact moment sums (never a windowed float sum)
+    var = (
+        (n_d * F.col("_sxx").cast("double")
+         - F.col("_tot").cast("double") * F.col("_tot").cast("double"))
+        / (n_d * (n_d - F.lit(1.0)))
+    )
+    sd = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to)
+    splits = staged.filter(
+        (F.col("_i") >= F.lit(int(min_segment)))
+        & (F.col("_n") - F.col("_i") >= F.lit(int(min_segment)))
+    ).select(
+        *by, "_idx", "_i", "_n",
+        score.alias("_score"),
+        F.round(mean_l, round_to).alias("_ml"),
+        F.round(mean_r, round_to).alias("_mr"),
+        sd.alias("_sd"),
+    )
+    w_best = Window.partitionBy(*by).orderBy(
+        F.col("_score").desc(), F.col("_i").asc()
+    )
+    return (
+        splits.withColumn("_rk", F.row_number().over(w_best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *by,
+            F.col("_n").cast("bigint").alias("n_points"),
+            F.col("_idx").alias("cp_index"),
+            F.col("_score").alias("score"),
+            F.col("_ml").alias("mean_before"),
+            F.col("_mr").alias("mean_after"),
+            F.col("_sd").alias("sd"),
+            (F.col("_score") > F.round(
+                F.lit(float(threshold)) * F.col("_sd"), round_to
+            )).alias("is_change"),
+        )
     )
