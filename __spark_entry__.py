@@ -1150,6 +1150,59 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume autocorrelation at lags 1..10
+    (operators/timeseries.py autocorrelation): the Box-Jenkins sample
+    ACF — period detection before hard-coding seasonal_decompose's
+    period. Numerator/denominator expand to DECIMAL(38,9) rounded-term
+    sums (exact, order-independent); ONE key shuffle serves the lag
+    window and the per-key aggregation, lags explode in-plan from the
+    |keys|-row aggregate."""
+    from yaetl_spark.operators import autocorrelation
+
+    return autocorrelation(
+        _daily_counts(spark, sf_dir), "v", "day_idx",
+        ["event_type"], max_lag=10,
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous days AFTER seasonality is explained away — the
+    composition the decomposition exists for: seasonal_decompose's
+    residuals, z-scored against each type's residual sd (exact
+    DECIMAL(38,9) moment sums over the residual stream), days with
+    rounded |z| > 2 flagged. The residual window rides the SAME
+    event_type partitioning the decomposition already established —
+    no new exchange over the decompose plan."""
+    from pyspark.sql.window import Window
+
+    from yaetl_spark.operators import seasonal_decompose
+
+    dec = seasonal_decompose(
+        _daily_counts(spark, sf_dir), "v", "day_idx",
+        ["event_type"], period=7,
+    )
+    r = dec.filter(F.col("residual").isNotNull())
+    w = Window.partitionBy("event_type")
+    d38 = "decimal(38,9)"
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sr = F.sum(F.round(F.col("residual"), 9).cast(d38)).over(w) \
+        .cast("double")
+    srr = F.sum(
+        F.round(F.col("residual") * F.col("residual"), 9).cast(d38)
+    ).over(w).cast("double")
+    var = (n * srr - sr * sr) / (n * (n - F.lit(1.0)))
+    sd = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    z = F.when(sd > 0, F.round(F.abs(F.col("residual")) / sd, 6))
+    return (
+        r.select(
+            "event_type", "day_idx", "value", "residual",
+            z.alias("z"), sd.alias("resid_sd"),
+        )
+        .filter(F.col("z") > 2.0)
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated token spans (operators/curation.py,
     ExactSubstr-style after Lee et al. 2022): every maximal token run
@@ -2843,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "seasonal_decompose": q_seasonal_decompose,
         "changepoint": q_changepoint,
+        "autocorrelation": q_autocorrelation,
+        "seasonal_anomaly": q_seasonal_anomaly,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
@@ -2934,9 +2989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver checks the FIRST 50 declared queries each round; we order by
 # (a) new-this-round, (a') implementation-or-oracle changed this round,
 # then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) TWO new queries —
+# beyond two rounds. This round: (a) FOUR new queries —
 # seasonal_decompose (weekly additive decomposition of per-type daily
-# event volume) and changepoint (depth-1 CUSUM mean-shift per type);
+# event volume), changepoint (depth-1 CUSUM mean-shift per type),
+# autocorrelation (Box-Jenkins ACF at lags 1..10 — period detection)
+# and seasonal_anomaly (residual z-flags after decomposition, the
+# composition the decomposition exists for);
 # (a') ONE changed query — pii_scan (NULL text now coalesced INSIDE the
 # substring, matching the oracle's coalesce point, so planted PII
 # survives NULL corpus text on both sides; previously F.concat
@@ -2945,13 +3003,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # test_pii_scan_null_text_parity); then (b) the 43 queries whose
 # latest driver evidence is round 5 — the full r5 cohort, verbatim from
 # the r7 verdict item 1 — which MUST head this window or their green
-# rows age past the 2-round evidence policy. 2 + 1 + 43 = 46 slots;
-# the remaining 4 are r8's further new-query budget (appended in (a)
+# rows age past the 2-round evidence policy. 4 + 1 + 43 = 48 slots;
+# the remaining 2 are r8's further new-query budget (appended in (a)
 # order as they land). Everything checked in r6/r7 stays within policy
 # through round 9.
 _DRIVER_WINDOW = [
     # (a) new this round
-    "seasonal_decompose", "changepoint",
+    "seasonal_decompose", "changepoint", "autocorrelation",
+    "seasonal_anomaly",
     # (a') changed this round
     "pii_scan",
     # (b) last checked round 5 (the full r5-stale cohort)
@@ -2967,6 +3026,60 @@ _DRIVER_WINDOW = [
     "semantic_dedup", "semi_join", "simhash_dedup", "stratified_sample",
     "text_stats", "trend_fit", "union_sources", "url_dedup",
 ]
+
+
+_DAILY_COUNTS_SQL = """
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+           CAST(COUNT(*) AS DOUBLE) AS v
+    FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2"""
+
+
+def _acf_sql(max_lag: int = 10) -> str:
+    """Generate the DuckDB mirror of q_autocorrelation for lags
+    1..max_lag: the same per-lag DECIMAL(38,9) term sums and the same
+    IEEE recombination order the Spark operator uses."""
+    d = "DECIMAL(38,9)"
+    lag_cols = ",\n               ".join(
+        f"LAG(v, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    agg_cols = []
+    for k in range(1, max_lag + 1):
+        agg_cols.append(f"""COUNT(l{k}) AS n{k},
+               CAST(SUM(CAST(ROUND(v * l{k}, 9) AS {d})) AS DOUBLE)
+                   AS sxy{k},
+               CAST(SUM(CASE WHEN l{k} IS NOT NULL
+                        THEN CAST(ROUND(v, 9) AS {d}) END) AS DOUBLE)
+                   AS sxt{k},
+               CAST(SUM(CAST(ROUND(l{k}, 9) AS {d})) AS DOUBLE)
+                   AS sxl{k}""")
+    per_lag = "\n        UNION ALL\n".join(f"""
+        SELECT event_type, {k} AS lag, CAST(n{k} AS BIGINT) AS n_pairs,
+               CASE WHEN (sxx - sx * sx / n) > 0 AND n{k} > 0 THEN
+                   ROUND((sxy{k} - (sx / n) * (sxt{k} + sxl{k})
+                          + n{k} * (sx / n) * (sx / n))
+                         / (sxx - sx * sx / n), 6)
+               END AS acf
+        FROM g""" for k in range(1, max_lag + 1))
+    return f"""
+        WITH daily AS ({_DAILY_COUNTS_SQL}),
+        lagged AS (
+            SELECT event_type, v,
+               {lag_cols}
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+        g AS (
+            SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(v, 9) AS {d})) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(v * v, 9) AS {d})) AS DOUBLE) AS sxx,
+               {",".join(agg_cols)}
+            FROM lagged GROUP BY event_type)
+        SELECT * FROM ({per_lag})
+        WHERE n_pairs > 0
+    """
 
 
 def _lang_id_sql() -> str:
@@ -4355,6 +4468,57 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY score DESC, i ASC) AS rk
                   FROM scored)
             WHERE rk = 1
+        """,
+        "autocorrelation": _acf_sql(10),
+        "seasonal_anomaly": f"""
+            WITH daily AS ({_DAILY_COUNTS_SQL}),
+            tr AS (
+                SELECT event_type, day_idx, v,
+                       CASE WHEN COUNT(*) OVER w7 = 7 THEN
+                           ROUND(CAST(SUM(CAST(ROUND(v, 9)
+                                     AS DECIMAL(38,9))) OVER w7 AS DOUBLE)
+                                 / 7.0, 6)
+                       END AS trend
+                FROM daily
+                WINDOW w7 AS (PARTITION BY event_type ORDER BY day_idx
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            detr AS (
+                SELECT *, ((day_idx % 7) + 7) % 7 AS phase,
+                       ROUND(v - trend, 9) AS d
+                FROM tr),
+            fin AS (
+                SELECT event_type, day_idx, v, trend,
+                       ROUND(CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wp
+                                  AS DOUBLE) / COUNT(d) OVER wp
+                             - CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wk
+                                    AS DOUBLE) / COUNT(d) OVER wk,
+                             6) AS seasonal
+                FROM detr
+                WINDOW wp AS (PARTITION BY event_type, phase),
+                       wk AS (PARTITION BY event_type)),
+            res AS (
+                SELECT event_type, day_idx, v AS value,
+                       ROUND(v - trend - seasonal, 6) AS residual
+                FROM fin
+                WHERE trend IS NOT NULL AND seasonal IS NOT NULL),
+            zed AS (
+                SELECT event_type, day_idx, value, residual,
+                       COUNT(*) OVER wk AS n,
+                       CAST(SUM(CAST(ROUND(residual, 9)
+                                AS DECIMAL(38,9))) OVER wk AS DOUBLE) AS sr,
+                       CAST(SUM(CAST(ROUND(residual * residual, 9)
+                                AS DECIMAL(38,9))) OVER wk AS DOUBLE) AS srr
+                FROM res
+                WINDOW wk AS (PARTITION BY event_type))
+            SELECT event_type, day_idx, value, residual,
+                   ROUND(abs(residual) / resid_sd, 6) AS z, resid_sd
+            FROM (SELECT *,
+                      ROUND(sqrt(greatest(
+                          (n * srr - sr * sr) / (n * (n - 1.0)),
+                          0.0)), 6) AS resid_sd
+                  FROM zed)
+            WHERE resid_sd > 0
+                  AND ROUND(abs(residual) / resid_sd, 6) > 2.0
         """,
         "mix_sources": """
             WITH d AS (SELECT doc_id, source FROM documents),

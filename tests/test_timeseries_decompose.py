@@ -162,3 +162,66 @@ def test_decompose_plans_one_exchange_no_python(spark, op):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_autocorrelation_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    n, period = 70, 7
+    vals = 3 * np.sin(2 * np.pi * np.arange(n) / period)
+    vals = vals + rng.normal(0, 0.5, n)
+    from yaetl_spark.operators import autocorrelation
+
+    got = {
+        r["lag"]: (r["acf"], r["n_pairs"])
+        for r in autocorrelation(
+            _series_df(spark, vals), "v", "idx", ["k"], 10
+        ).collect()
+    }
+    assert set(got) == set(range(1, 11))
+    xbar = vals.mean()
+    denom = ((vals - xbar) ** 2).sum()
+    for k in (1, 3, 7, 10):
+        num = ((vals[k:] - xbar) * (vals[:-k] - xbar)).sum()
+        assert got[k][0] == pytest.approx(num / denom, abs=2e-6)
+        assert got[k][1] == n - k
+    # seasonal series: the ACF peak over lags >= 2 sits at the period
+    assert max((L for L in got if L >= 2), key=lambda L: got[L][0]) == period
+
+
+def test_autocorrelation_edges(spark):
+    from yaetl_spark.operators import autocorrelation
+
+    # constant series: zero variance -> acf NULL, pairs still counted
+    flat = autocorrelation(
+        _series_df(spark, [2.0] * 6), "v", "idx", ["k"], 2
+    ).collect()
+    assert {r["lag"]: r["acf"] for r in flat} == {1: None, 2: None}
+    # series shorter than max_lag: impossible lags absent (no pairs)
+    short = autocorrelation(
+        _series_df(spark, [1.0, 2.0, 3.0]), "v", "idx", ["k"], 5
+    ).collect()
+    assert sorted(r["lag"] for r in short) == [1, 2]
+    with pytest.raises(ValueError, match="max_lag"):
+        autocorrelation(_series_df(spark, [1.0]), "v", "idx", ["k"], 0)
+    with pytest.raises(ValueError, match="at least one key"):
+        autocorrelation(_series_df(spark, [1.0]), "v", "idx", [], 2)
+    # partition invariance
+    vals = np.arange(40) % 5 + 0.25 * np.arange(40)
+    df = _series_df(spark, vals)
+    a = sorted(map(tuple, autocorrelation(
+        df.repartition(1), "v", "idx", ["k"], 6).collect()))
+    b = sorted(map(tuple, autocorrelation(
+        df.repartition(8), "v", "idx", ["k"], 6).collect()))
+    assert a == b
+
+
+def test_autocorrelation_plan_one_exchange_no_python(spark):
+    from yaetl_spark.operators import autocorrelation
+
+    df = _series_df(spark, range(50))
+    plan = autocorrelation(df, "v", "idx", ["k"], 5)._jdf \
+        .queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
-    "changepoints", "cohort_retention", "date_spine", "ewma",
-    "gap_fill", "seasonal_decompose",
+    "autocorrelation", "changepoints", "cohort_retention",
+    "date_spine", "ewma", "gap_fill", "seasonal_decompose",
 ]
 
 
@@ -455,5 +455,104 @@ def changepoints(
             (F.col("_score") > F.round(
                 F.lit(float(threshold)) * F.col("_sd"), round_to
             )).alias("is_change"),
+        )
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    index_col: str,
+    by: list[str],
+    max_lag: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key sample autocorrelation at lags ``1..max_lag`` — the
+    Box-Jenkins estimator ``r_ℓ = Σ(x_t−x̄)(x_{t−ℓ}−x̄) / Σ(x_t−x̄)²``
+    (global key mean/variance in the denominator, summation over the
+    ``n−ℓ`` valid pairs). The period-detection companion to
+    :func:`seasonal_decompose`: a spike at lag 7 on daily data says
+    "weekly" before you hard-code ``period=7``. Returns one row per
+    (key, lag): ``(by…, lag, n_pairs, acf)``; ``acf`` is NULL for a
+    zero-variance series and lags with no valid pair are absent.
+
+    Determinism: the numerator expands to
+    ``Σx_t·x_{t−ℓ} − x̄·(Σx_t + Σx_{t−ℓ}) + n_ℓ·x̄²`` so every Σ is a
+    DECIMAL(38,9) rounded-term sum (exact, order-independent); the
+    float recombination is a fixed IEEE sequence and ``acf`` rounds to
+    ``round_to`` — engine- and partitioning-stable.
+
+    Scale shape (100 TB): ONE key shuffle — the ordered lag window and
+    the per-key aggregation share the exchange; ``max_lag`` lag columns
+    ride the same rows (keep it tens, not thousands — each lag is one
+    column and three sums); the per-(key, lag) recombination happens on
+    the |keys|-row aggregate, exploded in-plan. No joins, no Python, no
+    per-key arrays.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError(
+            "by must name at least one key column (for a single global "
+            "series, add a constant key)"
+        )
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    dec = "decimal(38,9)"
+
+    def dsum(c: Column) -> Column:
+        return F.sum(F.round(c, 9).cast(dec)).cast("double")
+
+    val = F.col(value_col).cast("double")
+    clean = df.dropna(subset=[value_col, index_col]).select(
+        *by, F.col(index_col).alias("_idx"), val.alias("_x")
+    )
+    w_seq = Window.partitionBy(*by).orderBy("_idx")
+    lag_cols = [
+        F.lag("_x", k).over(w_seq).alias(f"_l{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    staged = clean.select(*by, "_x", *lag_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        dsum(F.col("_x")).alias("_sx"),
+        dsum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs.extend([
+            F.count(lk).alias(f"_n{k}"),
+            dsum(F.col("_x") * lk).alias(f"_sxy{k}"),
+            dsum(F.when(lk.isNotNull(), F.col("_x"))).alias(f"_sxt{k}"),
+            dsum(lk).alias(f"_sxl{k}"),
+        ])
+    g = staged.groupBy(*by).agg(*aggs)
+    n_d = F.col("_n").cast("double")
+    mean = F.col("_sx") / n_d
+    denom = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n_d
+    per_lag = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"_n{k}").cast("bigint").alias("n_pairs"),
+            F.when(
+                (denom > 0) & (F.col(f"_n{k}") > 0),
+                F.round(
+                    (F.col(f"_sxy{k}")
+                     - mean * (F.col(f"_sxt{k}") + F.col(f"_sxl{k}"))
+                     + F.col(f"_n{k}").cast("double") * mean * mean)
+                    / denom,
+                    round_to,
+                ),
+            ).alias("acf"),
+        )
+        for k in range(1, max_lag + 1)
+    ])
+    return (
+        g.select(*by, F.explode(per_lag).alias("_e"))
+        .filter(F.col("_e.n_pairs") > 0)
+        .select(
+            *by,
+            F.col("_e.lag").alias("lag"),
+            F.col("_e.n_pairs").alias("n_pairs"),
+            F.col("_e.acf").alias("acf"),
         )
     )
