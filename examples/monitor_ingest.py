@@ -11,6 +11,10 @@ new snapshot before letting it into the training mix:
    the deterministic top-k + `__other__` lump
 4. engagement EWMA — per-user smoothed event values via the scan-level
    array fold (bit-matched to SQL `list_reduce`)
+5. seasonality     — `autocorrelation` detects the weekly period,
+   `seasonal_decompose` splits daily volume into trend + seasonal +
+   residual, `changepoints` flags the most likely mean-shift day —
+   anomalies judged AFTER the weekly rhythm is explained away
 
 Everything is deterministic and pre-flighted with the 100×-scale plan
 gate. Run: ``python examples/monitor_ingest.py [sf_dir]``
@@ -30,8 +34,9 @@ if _ROOT not in sys.path:
 from pyspark.sql import functions as F
 
 from yaetl_spark import CollectSink, ParquetSource, Pipeline, get_spark
-from yaetl_spark.operators import (categorical_shift, distribution_shift,
-                                   ewma)
+from yaetl_spark.operators import (autocorrelation, categorical_shift,
+                                   changepoints, distribution_shift,
+                                   ewma, seasonal_decompose)
 from yaetl_spark.plans import assert_scales
 from yaetl_spark.session import ensure_event_time
 
@@ -69,16 +74,54 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     assert_scales(smooth_df, max_shuffles=2)
     smoothed = smooth_df.orderBy(F.col("ewma").desc()).limit(5).collect()
 
-    return report, quarantine, num_drift, cat_drift, smoothed
+    # 5) seasonality-aware volume monitoring: ACF finds the period,
+    # decomposition explains it away, changepoints flag level shifts
+    daily = (
+        ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("_day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(
+            "event_type",
+            F.datediff("_day", F.lit("2024-01-01").cast("date"))
+            .alias("day_idx"),
+            "v",
+        )
+    )
+    acf_df = autocorrelation(daily, "v", "day_idx", ["event_type"], 10)
+    assert_scales(acf_df, max_shuffles=2)
+    acf_peak = (
+        acf_df.filter(F.col("lag") >= 2)
+        .orderBy(F.col("acf").desc()).limit(1).collect()
+    )
+    dec = seasonal_decompose(daily, "v", "day_idx", ["event_type"], 7)
+    assert_scales(dec, max_shuffles=2)
+    worst_resid = (
+        dec.filter(F.col("residual").isNotNull())
+        .orderBy(F.abs(F.col("residual")).desc()).limit(3).collect()
+    )
+    cp_df = changepoints(daily, "v", "day_idx", ["event_type"],
+                         threshold=1.5, max_points=100_000)
+    assert_scales(cp_df, max_shuffles=2)
+    shifts = cp_df.filter("is_change").collect()
+
+    return (report, quarantine, num_drift, cat_drift, smoothed,
+            acf_peak, worst_resid, shifts)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="monitor-example", shuffle_partitions=8)
-    report, quarantine, num_drift, cat_drift, smoothed = main(
-        spark, *(sys.argv[1:2]))
+    (report, quarantine, num_drift, cat_drift, smoothed,
+     acf_peak, worst_resid, shifts) = main(spark, *(sys.argv[1:2]))
     print("kept:", report["num_records"],
           "quarantined:", report["num_rejected"])
     print("length drift:", {k: num_drift[k] for k in ("psi", "kl_ref_cur", "js")})
     print("source drift:", {k: cat_drift[k] for k in ("psi", "kl_ref_cur", "js")})
     print("hottest users:",
           [(r["user_id"], r["ewma"]) for r in smoothed])
+    print("dominant period:",
+          [(r["event_type"], r["lag"], r["acf"]) for r in acf_peak])
+    print("largest residuals:",
+          [(r["event_type"], r["day_idx"], r["residual"])
+           for r in worst_resid])
+    print("level shifts:",
+          [(r["event_type"], r["cp_index"], r["score"]) for r in shifts])

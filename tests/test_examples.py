@@ -90,8 +90,8 @@ def test_monitor_ingest_example(spark, sf_dir):
         import monitor_ingest
     finally:
         sys.path.pop(0)
-    report, quarantine, num_drift, cat_drift, smoothed = monitor_ingest.main(
-        spark, sf_dir)
+    (report, quarantine, num_drift, cat_drift, smoothed,
+     acf_peak, worst_resid, shifts) = monitor_ingest.main(spark, sf_dir)
     assert report["status"] == "clean"
     assert report["num_records"] + report["num_rejected"] > 0
     assert len(quarantine.rows or []) == report["num_rejected"]
@@ -103,3 +103,9 @@ def test_monitor_ingest_example(spark, sf_dir):
     assert 0.0 <= cat_drift["js"] <= 0.6931472
     assert len(smoothed) == 5
     assert all(r["n_points"] >= 1 for r in smoothed)
+    # seasonality block: ACF bounded, residual closes the identity,
+    # changepoint scores positive where flagged
+    assert len(acf_peak) == 1 and -1.0 <= acf_peak[0]["acf"] <= 1.0
+    assert acf_peak[0]["lag"] >= 2
+    assert all(r["residual"] is not None for r in worst_resid)
+    assert all(r["score"] > 0 and r["is_change"] for r in shifts)

@@ -267,6 +267,11 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # round-5 additions: mix_sources keys on the Knuth product,
         # dsir hashes md5 buckets, c4_rules is pure string arithmetic
         "c4_rules", "mix_sources", "dsir",
+        # round-8 drift battery: no hash arithmetic, but DECIMAL(38,9)
+        # term sums + window math must not overflow/strict-cast under
+        # ANSI either — exercise end-to-end
+        "seasonal_decompose", "changepoint", "autocorrelation",
+        "seasonal_anomaly",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")
