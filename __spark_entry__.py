@@ -1203,6 +1203,30 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event type
+    (operators/stats.py ks_test): event values from the first 75 days
+    vs the rest — the distribution-free companion to the bucketed
+    PSI/KL checks (no bucket count, no smoothing constant; tie-safe max
+    ECDF gap over every distinct value). Exactly deterministic with no
+    decimal machinery: both ECDFs are integer-count ratios. Two keyed
+    shuffles — (type, value) tie collapse, then the per-type ECDF
+    ordering the final max reuses."""
+    from yaetl_spark.operators import ks_test
+
+    ev = _events(spark, sf_dir, heavy=True).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    )
+    return ks_test(
+        ev.filter(day < 75), ev.filter(day >= 75),
+        "value", ["event_type"],
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated token spans (operators/curation.py,
     ExactSubstr-style after Lee et al. 2022): every maximal token run
@@ -2898,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "autocorrelation": q_autocorrelation,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "ks_drift": q_ks_drift,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
@@ -2989,12 +3014,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver checks the FIRST 50 declared queries each round; we order by
 # (a) new-this-round, (a') implementation-or-oracle changed this round,
 # then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) FOUR new queries —
+# beyond two rounds. This round: (a) FIVE new queries —
 # seasonal_decompose (weekly additive decomposition of per-type daily
 # event volume), changepoint (depth-1 CUSUM mean-shift per type),
-# autocorrelation (Box-Jenkins ACF at lags 1..10 — period detection)
-# and seasonal_anomaly (residual z-flags after decomposition, the
-# composition the decomposition exists for);
+# autocorrelation (Box-Jenkins ACF at lags 1..10 — period detection),
+# seasonal_anomaly (residual z-flags after decomposition, the
+# composition the decomposition exists for) and ks_drift (two-sample
+# Kolmogorov-Smirnov per type — distribution-free drift beside the
+# bucketed PSI/KL checks);
 # (a') ONE changed query — pii_scan (NULL text now coalesced INSIDE the
 # substring, matching the oracle's coalesce point, so planted PII
 # survives NULL corpus text on both sides; previously F.concat
@@ -3003,14 +3030,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # test_pii_scan_null_text_parity); then (b) the 43 queries whose
 # latest driver evidence is round 5 — the full r5 cohort, verbatim from
 # the r7 verdict item 1 — which MUST head this window or their green
-# rows age past the 2-round evidence policy. 4 + 1 + 43 = 48 slots;
-# the remaining 2 are r8's further new-query budget (appended in (a)
-# order as they land). Everything checked in r6/r7 stays within policy
+# rows age past the 2-round evidence policy. 5 + 1 + 43 = 49 slots;
+# the remaining 1 is r8's further new-query budget (appended in (a)
+# order as it lands). Everything checked in r6/r7 stays within policy
 # through round 9.
 _DRIVER_WINDOW = [
     # (a) new this round
     "seasonal_decompose", "changepoint", "autocorrelation",
-    "seasonal_anomaly",
+    "seasonal_anomaly", "ks_drift",
     # (a') changed this round
     "pii_scan",
     # (b) last checked round 5 (the full r5-stale cohort)
@@ -4470,6 +4497,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = 1
         """,
         "autocorrelation": _acf_sql(10),
+        "ks_drift": """
+            WITH ev AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v,
+                       CASE WHEN date_diff('day', DATE '2024-01-01',
+                                           CAST(ts AS DATE)) < 75
+                            THEN 0 ELSE 1 END AS src
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL),
+            per_val AS (
+                SELECT event_type, v,
+                       COUNT(*) FILTER (WHERE src = 0) AS nr,
+                       COUNT(*) FILTER (WHERE src = 1) AS nc
+                FROM ev GROUP BY 1, 2),
+            staged AS (
+                SELECT event_type,
+                       ABS(CAST(SUM(nr) OVER word AS DOUBLE)
+                           / CAST(SUM(nr) OVER wall AS DOUBLE)
+                           - CAST(SUM(nc) OVER word AS DOUBLE)
+                             / CAST(SUM(nc) OVER wall AS DOUBLE)) AS gap,
+                       SUM(nr) OVER wall AS n_ref,
+                       SUM(nc) OVER wall AS n_cur
+                FROM per_val
+                WINDOW word AS (PARTITION BY event_type ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                       wall AS (PARTITION BY event_type))
+            SELECT event_type,
+                   CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+                   CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+                   ROUND(MAX(gap), 6) AS ks_d,
+                   ROUND(sqrt(CAST(MAX(n_ref) AS DOUBLE)
+                              * CAST(MAX(n_cur) AS DOUBLE)
+                              / (CAST(MAX(n_ref) AS DOUBLE)
+                                 + CAST(MAX(n_cur) AS DOUBLE)))
+                         * MAX(gap), 6) AS ks_stat
+            FROM staged
+            WHERE n_ref > 0 AND n_cur > 0
+            GROUP BY event_type
+        """,
         "seasonal_anomaly": f"""
             WITH daily AS ({_DAILY_COUNTS_SQL}),
             tr AS (

@@ -271,7 +271,7 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # term sums + window math must not overflow/strict-cast under
         # ANSI either — exercise end-to-end
         "seasonal_decompose", "changepoint", "autocorrelation",
-        "seasonal_anomaly",
+        "seasonal_anomaly", "ks_drift",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")

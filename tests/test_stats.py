@@ -424,3 +424,84 @@ def test_categorical_shift_lumping_null_and_novel(spark):
 
     with pytest.raises(ValueError, match="top_k"):
         categorical_shift(ref, ref, "v", top_k=0)
+
+
+# --- ks_test ----------------------------------------------------------------
+
+
+def test_ks_test_matches_numpy_ecdf(spark):
+    import numpy as np
+
+    from yaetl_spark.operators import ks_pvalue, ks_test
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.5, 1.2, 300)
+    ref = spark.createDataFrame(
+        [("g", float(x)) for x in a], "k string, v double")
+    cur = spark.createDataFrame(
+        [("g", float(x)) for x in b], "k string, v double")
+    r = ks_test(ref, cur, "v", ["k"]).collect()[0]
+    allv = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    D = float(np.abs(f1 - f2).max())
+    en = float(np.sqrt(len(a) * len(b) / (len(a) + len(b))))
+    assert r["n_ref"] == 400 and r["n_cur"] == 300
+    assert r["ks_d"] == round(D, 6)
+    assert r["ks_stat"] == round(en * D, 6)
+    # identical samples: D = 0, p-value 1
+    same = ks_test(ref, ref, "v", ["k"]).collect()[0]
+    assert same["ks_d"] == 0.0
+    assert ks_pvalue(same["ks_stat"]) == 1.0
+    # the classic critical value: Q(1.36) ~ 0.049
+    assert abs(ks_pvalue(1.36) - 0.0495) < 1e-3
+
+
+def test_ks_test_ties_groups_and_missing_sides(spark):
+    from yaetl_spark.operators import ks_test
+
+    # heavy ties: ref all 1s + one 2; cur all 2s. ECDFs jump at the two
+    # distinct values; D evaluated AFTER accumulating ties = 3/4
+    ref = spark.createDataFrame(
+        [("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 2.0),
+         ("only_ref", 5.0)], "k string, v double")
+    cur = spark.createDataFrame(
+        [("g", 2.0), ("g", 2.0)], "k string, v double")
+    got = {r["k"]: r for r in ks_test(ref, cur, "v", ["k"]).collect()}
+    assert set(got) == {"g"}  # one-sided groups are absent
+    assert got["g"]["ks_d"] == 0.75
+    # global (no by): single summary row
+    glob = ks_test(ref, cur, "v").collect()
+    assert len(glob) == 1 and set(glob[0].asDict()) == {
+        "n_ref", "n_cur", "ks_d", "ks_stat"}
+    # NULL values drop per side
+    refn = ref.unionByName(spark.createDataFrame(
+        [("g", None)], "k string, v double"))
+    assert ks_test(refn, cur, "v", ["k"]).collect()[0]["n_ref"] == 4
+
+
+def test_ks_test_partition_invariant_and_plan(spark):
+    import numpy as np
+
+    from yaetl_spark.operators import ks_test
+
+    rng = np.random.default_rng(9)
+    ref = spark.createDataFrame(
+        [(f"k{i % 3}", float(v)) for i, v in
+         enumerate(rng.normal(0, 1, 120))], "k string, v double")
+    cur = spark.createDataFrame(
+        [(f"k{i % 3}", float(v)) for i, v in
+         enumerate(rng.normal(1, 1, 90))], "k string, v double")
+    a = sorted(map(tuple, ks_test(
+        ref.repartition(1), cur.repartition(1), "v", ["k"]).collect()))
+    b = sorted(map(tuple, ks_test(
+        ref.repartition(7), cur.repartition(5), "v", ["k"]).collect()))
+    assert a == b
+    plan = ks_test(ref, cur, "v", ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    # (group, value) tie-collapse + group ECDF ordering: two exchanges
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -18,6 +18,7 @@ number of columns/pairs — no shuffle of the data itself, just the 1-row
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -25,8 +26,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["categorical_shift", "chi_square", "chi_square_pvalue",
            "correlation_matrix", "distribution_shift",
-           "frequent_itemsets", "grouped_ols", "welch_t",
-           "welch_t_pvalue"]
+           "frequent_itemsets", "grouped_ols", "ks_pvalue", "ks_test",
+           "welch_t", "welch_t_pvalue"]
 
 _DEC = "decimal(38,9)"
 
@@ -932,3 +933,109 @@ def chi_square_pvalue(stat: float, dof: float) -> float:
             break
     q = h * math.exp(-x + s * math.log(x) - math.lgamma(s))
     return max(0.0, min(1.0, q))
+
+
+def ks_test(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two snapshots of
+    a numeric column, per group — the DISTRIBUTION-FREE companion to
+    :func:`distribution_shift`: no bucketing choices, no smoothing
+    constant; ``ks_d`` is the max ECDF gap
+    ``D = max_v |F_ref(v) − F_cur(v)|`` evaluated at every distinct
+    value (tie-safe: counts accumulate per distinct value BEFORE the
+    gap is taken, the textbook treatment of ties). Returns one row per
+    group: ``(by…, n_ref, n_cur, ks_d, ks_stat)`` with
+    ``ks_stat = sqrt(n_ref·n_cur/(n_ref+n_cur)) · D`` (the scaled
+    statistic ``ks_pvalue`` converts to the asymptotic p-value
+    driver-side); groups missing either side are absent.
+
+    EXACTLY deterministic with no decimal machinery: both ECDFs are
+    ratios of integer counts, so every division divides the same two
+    integers on any engine and any partitioning; ``ks_d``/``ks_stat``
+    round to ``round_to`` only to absorb the final float ops.
+
+    Scale shape (100 TB): snapshots are tagged and unioned (each side
+    scanned once, column-pruned to ``by`` + ``value_col``); one
+    (group, value) pre-aggregation shuffle collapses ties, one group
+    shuffle orders the ≤ |distinct values| rows per group for the
+    running ECDFs — the final max reuses that partitioning. Per-group
+    window state is O(1); a single group's distinct values sort within
+    one task (spill-backed), so for a GLOBAL KS over a high-cardinality
+    column at full scale prefer the bucketed
+    :func:`distribution_shift` — per-value exactness is the point of
+    this operator, bounded cells are the point of that one.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    group = by or ["_g"]
+    val = F.col(value_col).cast("double")
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        out = df.dropna(subset=[value_col]).select(
+            *by, val.alias("_v"), F.lit(tag).alias("_src")
+        )
+        return out if by else out.withColumn("_g", F.lit(0))
+
+    tagged = side(reference, 0).unionByName(side(current, 1))
+    per_val = tagged.groupBy(*group, "_v").agg(
+        F.count(F.when(F.col("_src") == 0, 1)).alias("_nr"),
+        F.count(F.when(F.col("_src") == 1, 1)).alias("_nc"),
+    )
+    w_ord = (
+        Window.partitionBy(*group)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group)
+    n_r = F.sum("_nr").over(w_all)
+    n_c = F.sum("_nc").over(w_all)
+    gap = F.abs(
+        F.sum("_nr").over(w_ord).cast("double") / n_r.cast("double")
+        - F.sum("_nc").over(w_ord).cast("double") / n_c.cast("double")
+    )
+    staged = per_val.select(
+        *group, gap.alias("_gap"),
+        n_r.alias("_n_ref"), n_c.alias("_n_cur"),
+    ).filter((F.col("_n_ref") > 0) & (F.col("_n_cur") > 0))
+    d = F.max("_gap")
+    en = F.sqrt(
+        F.max("_n_ref").cast("double") * F.max("_n_cur").cast("double")
+        / (F.max("_n_ref").cast("double")
+           + F.max("_n_cur").cast("double"))
+    )
+    return (
+        staged.groupBy(*group)
+        .agg(
+            F.max("_n_ref").cast("bigint").alias("n_ref"),
+            F.max("_n_cur").cast("bigint").alias("n_cur"),
+            F.round(d, round_to).alias("ks_d"),
+            F.round(en * d, round_to).alias("ks_stat"),
+        )
+        .select(*by, "n_ref", "n_cur", "ks_d", "ks_stat")
+    )
+
+
+def ks_pvalue(ks_stat: float, terms: int = 100) -> float:
+    """Asymptotic two-sample KS p-value from the scaled statistic
+    (``ks_test``'s ``ks_stat``): the Kolmogorov distribution tail
+    ``Q(λ) = 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`` (Smirnov 1948), the
+    same driver-side-scalar pattern as :func:`welch_t_pvalue` — the
+    distributed job computes the statistic, the p-value is O(1) math
+    on the driver. Series converges in a handful of terms for any
+    λ > 0.3; tiny λ clamps to 1.0."""
+    lam = float(ks_stat)
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for k in range(1, terms + 1):
+        term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return max(0.0, min(1.0, total))
