@@ -1203,6 +1203,25 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_continue_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted CONTINUE at an upstream node
+    (operators/qualifiers.py ContinueAt — the reference's
+    Interrupter(TARGET_TOP) continue, tests/QualifierTest.php:407-1276):
+    per customer, keep orders strictly before the customer's first
+    order over 200k (o_orderkey order) — the per-upstream-record
+    truncation that IS distinguishable in a vectorized engine. ONE
+    customer-keyed window shuffle: the cut is a conditional window min,
+    the keep a scan-level compare — no joins, no driver action."""
+    from yaetl_spark.operators import ContinueAt
+
+    orders = _t(spark, sf_dir, "orders", heavy=True).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return ContinueAt(
+        F.col("o_totalprice") > 200000, "o_orderkey", ["o_custkey"]
+    ).apply(orders)
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift per event type
     (operators/stats.py ks_test): event values from the first 75 days
@@ -2923,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "seasonal_anomaly": q_seasonal_anomaly,
         "ks_drift": q_ks_drift,
+        "continue_at": q_continue_at,
         "pagerank": q_pagerank,
         "corr_matrix": q_corr_matrix,
         "trend_fit": q_trend_fit,
@@ -3014,14 +3034,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver checks the FIRST 50 declared queries each round; we order by
 # (a) new-this-round, (a') implementation-or-oracle changed this round,
 # then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) FIVE new queries —
+# beyond two rounds. This round: (a) SIX new queries —
 # seasonal_decompose (weekly additive decomposition of per-type daily
 # event volume), changepoint (depth-1 CUSUM mean-shift per type),
 # autocorrelation (Box-Jenkins ACF at lags 1..10 — period detection),
 # seasonal_anomaly (residual z-flags after decomposition, the
-# composition the decomposition exists for) and ks_drift (two-sample
+# composition the decomposition exists for), ks_drift (two-sample
 # Kolmogorov-Smirnov per type — distribution-free drift beside the
-# bucketed PSI/KL checks);
+# bucketed PSI/KL checks) and continue_at (targeted CONTINUE at an
+# upstream node via ContinueAt — the newly-implemented vectorizable
+# slice of the reference's targeted-interrupt matrix);
 # (a') ONE changed query — pii_scan (NULL text now coalesced INSIDE the
 # substring, matching the oracle's coalesce point, so planted PII
 # survives NULL corpus text on both sides; previously F.concat
@@ -3030,14 +3052,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # test_pii_scan_null_text_parity); then (b) the 43 queries whose
 # latest driver evidence is round 5 — the full r5 cohort, verbatim from
 # the r7 verdict item 1 — which MUST head this window or their green
-# rows age past the 2-round evidence policy. 5 + 1 + 43 = 49 slots;
-# the remaining 1 is r8's further new-query budget (appended in (a)
-# order as it lands). Everything checked in r6/r7 stays within policy
+# rows age past the 2-round evidence policy. 6 + 1 + 43 = 50 slots —
+# the window is exactly full this round. Everything checked in r6/r7 stays within policy
 # through round 9.
 _DRIVER_WINDOW = [
     # (a) new this round
     "seasonal_decompose", "changepoint", "autocorrelation",
-    "seasonal_anomaly", "ks_drift",
+    "seasonal_anomaly", "ks_drift", "continue_at",
     # (a') changed this round
     "pii_scan",
     # (b) last checked round 5 (the full r5-stale cohort)
@@ -4497,6 +4518,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = 1
         """,
         "autocorrelation": _acf_sql(10),
+        "continue_at": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                         MIN(CASE WHEN o_totalprice > 200000
+                                  THEN o_orderkey END)
+                             OVER (PARTITION BY o_custkey) AS cut
+                  FROM orders)
+            WHERE cut IS NULL OR o_orderkey < cut
+        """,
         "ks_drift": """
             WITH ev AS (
                 SELECT event_type, CAST(value AS DOUBLE) AS v,

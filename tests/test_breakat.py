@@ -183,3 +183,81 @@ def test_breakat_plan_has_no_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan.split("Exchange")[0]  # no sort above the filter
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- ContinueAt: targeted continue at an upstream node ----------------------
+
+
+def test_continue_at_skips_rest_of_inner_iteration(spark):
+    """Sequential from_ (crossJoin re-extraction, README.md:140-168) with
+    a continue targeted at the OUTER extractor: when the qualifier fires
+    on (a, b), the triggering record and the REST of b's for that a are
+    skipped, and the flow resumes with the next a — the distinguishable
+    slice of the reference's targeted-interrupt matrix
+    (tests/QualifierTest.php:407-1276). Flow flushes CLEAN: a continue
+    advances the flow, it never breaks it."""
+    from yaetl_spark import (CollectSink, ContinueAt, MemorySource,
+                             Pipeline)
+
+    outer = MemorySource([(a,) for a in range(4)], "a long")
+    inner = MemorySource([(b,) for b in range(5)], "b long")
+    sink = CollectSink()
+    report = (
+        Pipeline(spark)
+        .from_(outer)
+        .from_(inner)  # crossJoin: nested re-extraction per outer record
+        .qualify(ContinueAt(
+            condition=(F.col("b") == F.col("a") + 1),
+            order_by="b",
+            partition_by=["a"],
+        ))
+        .to(sink)
+        .run()
+    )
+    got = sorted((r["a"], r["b"]) for r in sink.rows)
+    # per outer a: trigger at b = a+1; keep b's strictly before it;
+    # a=3 triggers at b=4 -> keeps b in 0..3; a=0 triggers at b=1 -> {0}
+    want = sorted(
+        (a, b) for a in range(4) for b in range(5) if b < a + 1
+    )
+    assert got == want
+    assert report["status"] == "clean"  # continue never dirties the flow
+
+
+def test_continue_at_inclusive_and_no_trigger_keys(spark):
+    from yaetl_spark.operators import ContinueAt
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(3) for b in range(4)], "a long, b long"
+    )
+    # inclusive keeps the trigger row itself
+    inc = ContinueAt(F.col("b") == 2, "b", ["a"], inclusive=True).apply(df)
+    assert sorted((r["a"], r["b"]) for r in inc.collect()) == sorted(
+        (a, b) for a in range(3) for b in range(4) if b <= 2
+    )
+    # keys that never trigger keep every row
+    some = ContinueAt(
+        (F.col("a") == 1) & (F.col("b") == 0), "b", ["a"]
+    ).apply(df)
+    got = sorted((r["a"], r["b"]) for r in some.collect())
+    want = sorted(
+        (a, b) for a in range(3) for b in range(4)
+        if not (a == 1)  # a=1 triggers at b=0: keeps nothing
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="partition_by"):
+        ContinueAt(F.col("b") == 0, "b", [])
+
+
+def test_continue_at_plan_one_window_shuffle_no_join(spark):
+    from yaetl_spark.operators import ContinueAt
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(10)], "a long, b long"
+    )
+    plan = ContinueAt(F.col("b") == 5, "b", ["a"]).apply(df)._jdf \
+        .queryExecution().executedPlan().toString()
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin", "ArrowEvalPython"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -21,6 +21,7 @@ from .operators import (
     Replace,
     ReplaceRecursive,
     BreakAt,
+    ContinueAt,
     StopWhen,
     WithColumns,
     as_of_join,
@@ -57,6 +58,7 @@ __all__ = [
     "Predicate",
     "PandasPredicate",
     "BreakAt",
+    "ContinueAt",
     "StopWhen",
     "NoOp",
     "Rename",

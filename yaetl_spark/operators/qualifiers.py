@@ -3,11 +3,16 @@
 Parity (SURVEY.md §2.5, §2.8):
 
 - keep/skip → ``df.filter`` (``QualifierAbstract.php:61-81``);
-- ``continue`` interrupts == filter (record skipped);
-- ``break`` interrupts (stop consuming the source) have no DataFrame
-  analogue; :class:`StopWhen` documents the divergence and implements the
-  two tractable forms — ``break after N kept records`` (== ``limit``,
-  pushed into the scan) and a driver-side cancel hook via ``observe``.
+- plain ``continue`` interrupts == filter (record skipped);
+- targeted ``continue`` (skip the rest of the current upstream
+  record's iteration) → :class:`ContinueAt` — a per-upstream-record
+  truncation via one conditional-window-min cut;
+- ``break`` interrupts (stop consuming the source): :class:`StopWhen`
+  implements ``break after N kept records`` (== ``limit``, pushed into
+  the scan) and :class:`BreakAt` the deterministic targeted break
+  (self, or root-targeted from a branch). The node-targeted BREAK is
+  the one remaining documented divergence — indistinguishable from a
+  self-break in a vectorized plan.
 
 A qualifier accepts a Column, a SQL string, or a pandas Series predicate
 function (Arrow-batched; slow path).
@@ -141,7 +146,9 @@ class BreakAt(Qualifier):
                 "has no in-flight records, so node-targeted breaks are "
                 "indistinguishable from target='self' here; they are "
                 "rejected (documented divergence, SURVEY.md §2.8) rather "
-                "than silently approximated."
+                "than silently approximated. The targeted CONTINUE (skip "
+                "the rest of the current upstream record's iteration) IS "
+                "distinguishable and implemented: see ContinueAt."
             )
         self.condition = condition
         self.order_by = order_by
@@ -183,3 +190,81 @@ class BreakAt(Qualifier):
             .filter(F.col("__break_cut").isNull() | keep)
             .drop("__break_cut")
         )
+
+
+class ContinueAt(Qualifier):
+    """Targeted CONTINUE interrupt aimed at an upstream node — the slice
+    of the reference's targeted-interrupt matrix that IS distinguishable
+    in a vectorized engine (``src/Qualifiers/QualifierAbstract.php:61-77``,
+    matrix ``tests/QualifierTest.php:407-1276``).
+
+    Record-at-a-time, "continue targeted at upstream node N" means: when
+    the qualifier fires, skip the triggering record AND the remainder of
+    the current N-record's downstream iteration, then resume with N's
+    next record. In the sequential multi-``from_`` flow (the reference's
+    nested re-extraction, ``README.md:140-168`` → crossJoin here), that
+    is a PER-OUTER-RECORD break: for each partition key (the targeted
+    extractor's record identity, ``partition_by``), keep only rows
+    strictly before the key's first trigger in ``order_by`` order
+    (``inclusive=True`` keeps the trigger row itself — the
+    skip-after-me variant).
+
+    A plain (un-targeted) continue is just ``filter`` — this class
+    exists for the targeted form only. Unlike ``BreakAt`` the flow is
+    NOT truncated globally and sinks flush ``clean``: the reference's
+    continue never breaks the flow, it advances it.
+
+    Determinism requires ``order_by`` unique within a partition (same
+    contract as ``BreakAt``'s global order).
+
+    Scale shape (100 TB): ONE hash shuffle on ``partition_by`` — the
+    cut point is a conditional window ``min`` (``min(order) FILTER
+    (cond)`` over the key partition, streaming O(1) state), the keep is
+    a scan-level compare against it. No joins, no driver action, no
+    global sort; a mega key serializes its own window sort but cannot
+    OOM.
+    """
+
+    def __init__(
+        self,
+        condition: Column | str,
+        order_by: Column | str,
+        partition_by: list[str],
+        inclusive: bool = False,
+    ):
+        if not partition_by:
+            raise ValueError(
+                "partition_by must name the targeted upstream record's "
+                "identity columns; for a flow-wide truncation use BreakAt"
+            )
+        self.condition = condition
+        self.order_by = order_by
+        self.partition_by = list(partition_by)
+        self.inclusive = inclusive
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        cond = (
+            F.expr(self.condition)
+            if isinstance(self.condition, str)
+            else self.condition
+        )
+        order = (
+            F.col(self.order_by)
+            if isinstance(self.order_by, str)
+            else self.order_by
+        )
+        w = Window.partitionBy(*self.partition_by)
+        # window expressions can't sit in a WHERE clause: project the
+        # cut, filter against the materialized column, drop it
+        cut = F.min(F.when(cond, order)).over(w)
+        out = df.withColumn("__cont_cut", cut)
+        keep = (
+            order <= F.col("__cont_cut")
+            if self.inclusive
+            else order < F.col("__cont_cut")
+        )
+        return out.filter(
+            F.col("__cont_cut").isNull() | keep
+        ).drop("__cont_cut")
