@@ -3085,6 +3085,38 @@ _DAILY_COUNTS_SQL = """
     GROUP BY 1, 2"""
 
 
+# Shared decomposition CTE body (daily → trend → detrended → seasonal),
+# used by BOTH the seasonal_decompose and seasonal_anomaly oracles so a
+# parity fix to the decomposition SQL can never be applied to one and
+# silently missed in the other.
+_SEASONAL_CTES_SQL = f"""
+            daily AS ({_DAILY_COUNTS_SQL}),
+            tr AS (
+                SELECT event_type, day_idx, v,
+                       CASE WHEN COUNT(*) OVER w7 = 7 THEN
+                           ROUND(CAST(SUM(CAST(ROUND(v, 9)
+                                     AS DECIMAL(38,9))) OVER w7 AS DOUBLE)
+                                 / 7.0, 6)
+                       END AS trend
+                FROM daily
+                WINDOW w7 AS (PARTITION BY event_type ORDER BY day_idx
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            detr AS (
+                SELECT *, ((day_idx % 7) + 7) % 7 AS phase,
+                       ROUND(v - trend, 9) AS d
+                FROM tr),
+            fin AS (
+                SELECT event_type, day_idx, v, trend,
+                       ROUND(CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wp
+                                  AS DOUBLE) / COUNT(d) OVER wp
+                             - CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wk
+                                    AS DOUBLE) / COUNT(d) OVER wk,
+                             6) AS seasonal
+                FROM detr
+                WINDOW wp AS (PARTITION BY event_type, phase),
+                       wk AS (PARTITION BY event_type))"""
+
+
 def _acf_sql(max_lag: int = 10) -> str:
     """Generate the DuckDB mirror of q_autocorrelation for lags
     1..max_lag: the same per-lag DECIMAL(38,9) term sums and the same
@@ -4429,39 +4461,8 @@ def oracle_sql() -> dict[str, str]:
                   WHERE value IS NOT NULL AND ts IS NOT NULL
                   GROUP BY user_id)
         """,
-        "seasonal_decompose": """
-            WITH daily AS (
-                SELECT event_type,
-                       date_diff('day', DATE '2024-01-01',
-                                 CAST(ts AS DATE)) AS day_idx,
-                       CAST(COUNT(*) AS DOUBLE) AS v
-                FROM events
-                WHERE event_type IS NOT NULL AND ts IS NOT NULL
-                GROUP BY 1, 2),
-            tr AS (
-                SELECT event_type, day_idx, v,
-                       CASE WHEN COUNT(*) OVER w7 = 7 THEN
-                           ROUND(CAST(SUM(CAST(ROUND(v, 9)
-                                     AS DECIMAL(38,9))) OVER w7 AS DOUBLE)
-                                 / 7.0, 6)
-                       END AS trend
-                FROM daily
-                WINDOW w7 AS (PARTITION BY event_type ORDER BY day_idx
-                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-            detr AS (
-                SELECT *, ((day_idx % 7) + 7) % 7 AS phase,
-                       ROUND(v - trend, 9) AS d
-                FROM tr),
-            fin AS (
-                SELECT event_type, day_idx, v, trend,
-                       ROUND(CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wp
-                                  AS DOUBLE) / COUNT(d) OVER wp
-                             - CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wk
-                                    AS DOUBLE) / COUNT(d) OVER wk,
-                             6) AS seasonal
-                FROM detr
-                WINDOW wp AS (PARTITION BY event_type, phase),
-                       wk AS (PARTITION BY event_type))
+        "seasonal_decompose": f"""
+            WITH {_SEASONAL_CTES_SQL}
             SELECT event_type, day_idx, v AS value, trend, seasonal,
                    ROUND(v - trend - seasonal, 6) AS residual
             FROM fin
@@ -4568,31 +4569,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "seasonal_anomaly": f"""
-            WITH daily AS ({_DAILY_COUNTS_SQL}),
-            tr AS (
-                SELECT event_type, day_idx, v,
-                       CASE WHEN COUNT(*) OVER w7 = 7 THEN
-                           ROUND(CAST(SUM(CAST(ROUND(v, 9)
-                                     AS DECIMAL(38,9))) OVER w7 AS DOUBLE)
-                                 / 7.0, 6)
-                       END AS trend
-                FROM daily
-                WINDOW w7 AS (PARTITION BY event_type ORDER BY day_idx
-                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-            detr AS (
-                SELECT *, ((day_idx % 7) + 7) % 7 AS phase,
-                       ROUND(v - trend, 9) AS d
-                FROM tr),
-            fin AS (
-                SELECT event_type, day_idx, v, trend,
-                       ROUND(CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wp
-                                  AS DOUBLE) / COUNT(d) OVER wp
-                             - CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER wk
-                                    AS DOUBLE) / COUNT(d) OVER wk,
-                             6) AS seasonal
-                FROM detr
-                WINDOW wp AS (PARTITION BY event_type, phase),
-                       wk AS (PARTITION BY event_type)),
+            WITH {_SEASONAL_CTES_SQL},
             res AS (
                 SELECT event_type, day_idx, v AS value,
                        ROUND(v - trend - seasonal, 6) AS residual

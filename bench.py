@@ -95,6 +95,10 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
     for name in sorted(contrast_names & set(queries)):
+        # discard a cold run first, like the headline loop — otherwise
+        # the contrast median mixes codegen-compiling and warm runs and
+        # isn't comparable round-over-round
+        materialize(queries[name](spark, SF_DIR))
         runs = []
         for _ in range(3):
             t0 = time.monotonic()

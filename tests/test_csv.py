@@ -223,3 +223,42 @@ def test_csv_sep_preamble_stripped_in_wide_encodings(spark, tmp_path, codec):
         tuple(r) for r in CsvSource(str(p), sep="auto").read(spark).collect()
     )
     assert rows == [("1", "alpha"), ("2", "beta")], rows
+
+
+def test_bom_sniff_handles_file_uri(tmp_path):
+    """file:// URIs (which Spark itself accepts) are normalized to bare
+    paths before driver-side open(), so encoding='auto' works instead of
+    silently falling back to UTF-8."""
+    from yaetl_spark.sources.files import _sniff_bom_encoding
+
+    p = tmp_path / "u16.csv"
+    p.write_bytes("x,y\n1,2\n".encode("utf-16"))
+    assert _sniff_bom_encoding(f"file://{p}") == "UTF-16"
+    assert _sniff_bom_encoding(f"file:{p}") == "UTF-16"
+
+
+def test_sep_preamble_stripped_across_glob(spark, tmp_path):
+    """A glob whose files each carry a sep= preamble: every file is
+    stripped (the old single-literal-path strip would crash on
+    open(glob))."""
+    from yaetl_spark import CsvSource
+
+    for name, rows in (("a.csv", [("1", "x")]), ("b.csv", [("2", "y")])):
+        (tmp_path / name).write_bytes(
+            ("sep=;\nid;name\n"
+             + "".join(f"{a};{b}\n" for a, b in rows)).encode())
+    df = CsvSource(str(tmp_path / "*.csv"), sep="auto").read(spark)
+    assert sorted(map(tuple, df.collect())) == [("1", "x"), ("2", "y")]
+
+
+def test_sep_preamble_stripped_bomless_wide_encoding(spark, tmp_path):
+    """BOM-less UTF-16LE with an explicit encoding=: the sniffer decodes
+    sep= with the caller's encoding, and the stripper must use the SAME
+    codec — a utf-8 byte-wise fallback would leave the preamble line to
+    be parsed as the header row."""
+    from yaetl_spark import CsvSource
+
+    p = tmp_path / "nobom16.csv"
+    p.write_bytes("sep=;\nid;name\n1;alpha\n".encode("utf-16-le"))
+    df = CsvSource(str(p), sep="auto", encoding="UTF-16LE").read(spark)
+    assert sorted(map(tuple, df.collect())) == [("1", "alpha")]

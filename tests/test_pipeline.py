@@ -641,3 +641,69 @@ def test_count_stages_reject_sink_not_in_num_load(spark):
     assert report["num_rejected"] == 3
     assert report["records"]["num_load"] == 7
     assert len(rejected.rows) == 3 and len(kept.rows) == 7
+
+
+def test_count_stages_per_extractor_on_cross_join(spark):
+    """Sequential from_ (crossJoin) with stage counters: under a
+    CartesianProduct each side re-executes per opposite partition and
+    the Observations would multiply nondeterministically — count_stages
+    broadcasts the incoming side so both per-extractor counts are
+    exact (build executes once, streamed side once per own partition)."""
+    report = (
+        Pipeline(spark, count_stages=True)
+        .from_(MemorySource([(i,) for i in range(10)], "a long"))
+        .from_(MemorySource([(j,) for j in range(4)], "b long"))
+        .to(CollectSink())
+        .run()
+    )
+    assert report["stage_records"]["extract_0"] == 10
+    assert report["stage_records"]["extract_1"] == 4
+    assert report["records"]["num_extract"] == 14
+    assert report["records"]["num_load"] == 40
+
+
+def test_run_single_shot_with_observe_and_breakat(spark):
+    """observe() metrics and root-flow BreakAt trigger counts also
+    capture only their first action — a second run() raises instead of
+    silently reporting the first run's numbers."""
+    from yaetl_spark import BreakAt
+
+    p = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(5)], "id long"))
+        .observe("m", F.sum("id").alias("s"))
+        .to(CollectSink())
+    )
+    assert p.run()["observe_m"]["s"] == 10
+    with pytest.raises(PipelineError, match="single-shot"):
+        p.run()
+    q = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(5)], "id long"))
+        .qualify(BreakAt(F.col("id") == 3, order_by="id"))
+        .to(CollectSink())
+    )
+    assert q.run()["status"] == "dirty"
+    with pytest.raises(PipelineError, match="single-shot"):
+        q.run()
+
+
+def test_branch_only_counters_report_stages_not_totals(spark):
+    """BranchPipeline(count_stages=True) under a plain parent: per-stage
+    branch counts are reported, but the reference-vocabulary totals are
+    withheld (they would claim num_extract/num_load = 0 despite
+    extracts/loads having run)."""
+    child = (
+        BranchPipeline(spark, count_stages=True)
+        .qualify("id < 3")
+        .to(CollectSink())
+    )
+    report = (
+        Pipeline(spark)
+        .from_(MemorySource([(i,) for i in range(10)], "id long"))
+        .to(CollectSink())
+        .branch(child)
+        .run()
+    )
+    assert report["stage_records"] == {"b0_qualify_0": 3}
+    assert "records" not in report

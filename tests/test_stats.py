@@ -505,3 +505,23 @@ def test_ks_test_partition_invariant_and_plan(spark):
         assert node not in plan
     # (group, value) tie-collapse + group ECDF ordering: two exchanges
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ks_pvalue_small_lambda_branch():
+    """The alternating Smirnov series diverges below λ≈1; the theta-dual
+    branch (Marsaglia-Tsang-Wang 2003) must hold there: no-drift
+    statistics give p≈1, and the branches agree at the crossover."""
+    from yaetl_spark.operators import ks_pvalue
+
+    # tiny λ = near-identical large samples: p must be ~1, not garbage
+    for lam in (0.001, 0.005, 0.01, 0.1, 0.2):
+        assert ks_pvalue(lam) > 0.999999, lam
+    # known table values of the Kolmogorov distribution
+    assert abs(ks_pvalue(0.5) - 0.9639) < 1e-3
+    assert abs(ks_pvalue(1.36) - 0.0495) < 1e-3
+    assert abs(ks_pvalue(2.0) - 0.00067) < 1e-4
+    # continuity at the branch crossover
+    assert abs(ks_pvalue(0.9999999) - ks_pvalue(1.0000001)) < 1e-5
+    # monotone decreasing
+    vals = [ks_pvalue(x / 10) for x in range(1, 30)]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))

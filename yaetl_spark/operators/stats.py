@@ -1027,11 +1027,31 @@ def ks_pvalue(ks_stat: float, terms: int = 100) -> float:
     ``Q(λ) = 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}`` (Smirnov 1948), the
     same driver-side-scalar pattern as :func:`welch_t_pvalue` — the
     distributed job computes the statistic, the p-value is O(1) math
-    on the driver. Series converges in a handful of terms for any
-    λ > 0.3; tiny λ clamps to 1.0."""
+    on the driver.
+
+    The alternating series only converges for large-ish λ; below
+    λ ≈ 1 it needs thousands of terms and below ~0.04 it returns
+    garbage. The standard cure (Marsaglia, Tsang & Wang 2003) is the
+    Jacobi-theta dual, which converges in a couple of terms exactly
+    where the direct series fails:
+    ``K(λ) = (√(2π)/λ)·Σ_{k≥1} e^{−(2k−1)²π²/(8λ²)}``, ``Q = 1 − K``.
+    Both branches agree to ~1e-15 at the λ=1 crossover."""
     lam = float(ks_stat)
     if lam <= 0:
         return 1.0
+    if lam < 1.0:
+        # theta-dual branch: CDF K(λ), p = 1 - K
+        pref = math.sqrt(2.0 * math.pi) / lam
+        cdf = 0.0
+        for k in range(1, terms + 1):
+            term = math.exp(
+                -((2 * k - 1) ** 2) * math.pi * math.pi
+                / (8.0 * lam * lam)
+            )
+            cdf += term
+            if term < 1e-18:
+                break
+        return max(0.0, min(1.0, 1.0 - pref * cdf))
     total = 0.0
     for k in range(1, terms + 1):
         term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)

@@ -340,7 +340,9 @@ def changepoints(
     residuals (or raw daily aggregates) to catch level shifts in ingest
     volume / quality metrics that EWMA smoothing would lag on.
 
-    Returns ONE row per key:
+    ``index_col`` must be unique per key (it orders the prefix sums;
+    ties would make the cumulative walk engine-dependent — same
+    contract as :func:`seasonal_decompose`). Returns ONE row per key:
     ``(by…, n_points, cp_index, score, mean_before, mean_after, sd,
     is_change)`` — ``cp_index`` is the LAST index of the left segment;
     keys with fewer than ``2·min_segment`` points are absent (no
@@ -470,7 +472,9 @@ def autocorrelation(
     """Per-key sample autocorrelation at lags ``1..max_lag`` — the
     Box-Jenkins estimator ``r_ℓ = Σ(x_t−x̄)(x_{t−ℓ}−x̄) / Σ(x_t−x̄)²``
     (global key mean/variance in the denominator, summation over the
-    ``n−ℓ`` valid pairs). The period-detection companion to
+    ``n−ℓ`` valid pairs). ``index_col`` must be unique per key — it
+    orders the lag window, and ties would make which value is "the
+    previous one" engine-dependent. The period-detection companion to
     :func:`seasonal_decompose`: a spike at lag 7 on daily data says
     "weekly" before you hard-code ``period=7``. Returns one row per
     (key, lag): ``(by…, lag, n_pairs, acf)``; ``acf`` is NULL for a

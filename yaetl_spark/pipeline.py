@@ -170,6 +170,18 @@ class Pipeline:
             self._df = df
         elif aggregate_with:
             self._df = self._df.unionByName(df, allowMissingColumns=True)
+        elif self._count_stages:
+            # under a CartesianProduct each side re-executes once per
+            # partition of the other, so the stage Observations would
+            # multiply (nondeterministically, by partition count).
+            # Broadcasting the incoming side pins BroadcastNestedLoopJoin:
+            # the build side executes exactly once and the streamed side
+            # once per own partition — both counters exact. This matches
+            # the reference's sequential-from_ model (a small inner
+            # source re-extracted per upstream record, README.md:140-168)
+            # and is one more way count_stages pins the plan shape; a
+            # too-large inner source belongs in join()/unionByName anyway.
+            self._df = self._df.crossJoin(F.broadcast(df))
         else:
             self._df = self._df.crossJoin(df)
         return self
@@ -362,13 +374,21 @@ class Pipeline:
         if self._ran and (
             self._count_stages
             or any(b._count_stages for b in self._branches)
+            or self._observations
+            or self._break_obs
         ):
             # Observations capture only their FIRST action; a second run
-            # would silently report the first run's stage_records
+            # would silently report the first run's stage_records, user
+            # observe() metrics, and BreakAt trigger counts (branch-level
+            # BreakAt observations are re-created per replay and root
+            # record counters are fresh per run, so a plain pipeline
+            # stays re-runnable)
             raise PipelineError(
-                "run() is single-shot when count_stages=True (PySpark "
-                "Observations capture only their first action); recompose "
-                "the pipeline to run again with stage counters"
+                "run() is single-shot once compose-time Observations are "
+                "woven in (count_stages=True, observe(), or a root-flow "
+                "BreakAt): PySpark Observations capture only their first "
+                "action, so a second run would silently report the first "
+                "run's metrics — recompose the pipeline to run again"
             )
         self._ran = True
         t0 = time.monotonic()
@@ -544,7 +564,13 @@ class Pipeline:
                 if n is not None:
                     totals[f"num_{kind}"] += n
             report["stage_records"] = stage_records
-            report["records"] = totals
+            # the totals dict claims the reference's FULL record-counter
+            # vocabulary; with only branch-level counters on (parent
+            # count_stages=False) num_extract/num_load would read 0
+            # despite extracts/loads having run — emit per-stage counts
+            # only, totals need the parent's counters
+            if self._count_stages:
+                report["records"] = totals
         for name, o in self._observations:
             report[f"observe_{name}"] = o.get
         emit("flow.success", report=dict(report))

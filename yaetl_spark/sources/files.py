@@ -75,10 +75,19 @@ def _is_local_path(path: str) -> bool:
     return m is None or m.group(1) == "file"
 
 
+def _strip_file_scheme(path: str) -> str:
+    """``file:///x`` / ``file:/x`` → ``/x`` — Spark accepts file: URIs
+    but ``open()``/``glob`` need the bare path."""
+    m = _re.match(r"^file:(//)?(/.*)$", path)
+    return m.group(2) if m else path
+
+
 def _candidate_files(path: str):
     """Yield the regular files a path/glob/dir resolves to (driver-side,
     lazy — callers stop at the first READABLE file, so sniffers degrade
-    past an unreadable first candidate instead of giving up)."""
+    past an unreadable first candidate instead of giving up). ``file:``
+    URIs are normalized to bare paths first."""
+    path = _strip_file_scheme(path)
     candidates = (
         sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
     )
@@ -188,19 +197,34 @@ _BOM_CODECS: tuple[tuple[bytes, str], ...] = (
 )
 
 
-def _strip_preamble_copy(path: str, encoding: str) -> str:
-    """Copy an Excel ``sep=``-preamble CSV to a temp file without the
+def _exact_codec(encoding: str) -> str:
+    """Normalize a caller/sniffer encoding name to an exact-endianness
+    Python codec for byte-level preamble surgery: BOM-less "UTF-16"/
+    "UTF-32" decode as LE in Python, so encode the probe bytes as LE
+    too (encoding via the endianness-agnostic codec would EMIT a BOM)."""
+    try:
+        import codecs
+
+        name = codecs.lookup(encoding).name
+    except LookupError:
+        return "utf-8"
+    return {"utf-16": "utf-16-le", "utf-32": "utf-32-le"}.get(name, name)
+
+
+def _strip_preamble_one(path: str, encoding: str) -> str:
+    """Copy ONE Excel ``sep=``-preamble CSV to a temp file without the
     preamble line (BOM preserved). Returns the temp path.
 
     The strip is ENCODING-AWARE: in UTF-16/32 files ``sep=`` and the
     newline are multi-byte sequences, so a byte-wise ``find(b"\\n")``
     would cut mid-codepoint and leave the preamble in place (the header
-    row then parses as ``sep=;``). The BOM pins the exact codec; BOM-less
-    files keep the ASCII-compatible byte-wise path."""
+    row then parses as ``sep=;``). The BOM pins the exact codec;
+    BOM-less files use the caller's (explicit or sniffed) encoding —
+    not a blind utf-8 assumption."""
     import tempfile
 
     raw = open(path, "rb").read()
-    bom, codec = b"", "utf-8"
+    bom, codec = b"", _exact_codec(encoding)
     for b, c in _BOM_CODECS:
         if raw.startswith(b):
             bom, codec, raw = b, c, raw[len(b):]
@@ -216,6 +240,33 @@ def _strip_preamble_copy(path: str, encoding: str) -> str:
     tmp.write(bom + raw)
     tmp.close()
     return tmp.name
+
+
+def _strip_preamble_copy(path: str, encoding: str) -> str:
+    """Strip the Excel ``sep=`` preamble from EVERY file the path/glob/
+    dir resolves to (the sniffers are multi-candidate-aware, so the
+    stripper must be too — a glob whose files carry preambles would
+    otherwise crash on ``open(glob_pattern)`` or strip only one file).
+    Returns a path Spark can read: the single temp file, or a temp
+    directory of stripped copies for multi-file resolutions. ``sep=``
+    files are small Excel exports; the driver-side rewrite is bounded
+    by that."""
+    import shutil
+    import tempfile
+
+    files = list(_candidate_files(path))
+    if len(files) == 1:
+        return _strip_preamble_one(files[0], encoding)
+    tmp_dir = tempfile.mkdtemp(prefix="yaetl_sep_")
+    for f in files:
+        try:
+            stripped = _strip_preamble_one(f, encoding)
+        except OSError:
+            continue  # unreadable candidate: skip, like the sniffers
+        shutil.move(
+            stripped, os.path.join(tmp_dir, os.path.basename(f))
+        )
+    return tmp_dir
 
 
 class CsvSource(Source):
