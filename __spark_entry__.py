@@ -2864,6 +2864,82 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate over orders
+    (operators/quality.py validate, after Schelter et al. VLDB 2018):
+    completeness / key-uniqueness / set-membership / pattern / bounds
+    checks folded into ONE aggregation pass (conditional partial-agg
+    sums; the uniqueness check is the only distinct shuffle — swap to
+    ``approx=True`` HLL at 100 TB). ``passed`` compares the UNROUNDED
+    metric, emitted as int for cross-engine hash stability."""
+    from yaetl_spark.operators import (
+        between, completeness, in_set, matches, max_value, min_value,
+        uniqueness, validate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = validate(orders, [
+        completeness("o_custkey", 1.0),
+        uniqueness("o_orderkey", 1.0),
+        in_set("o_orderstatus", ["O", "F", "P"], 1.0),
+        matches("o_orderpriority", "^[1-5]-", 1.0),
+        between("o_totalprice", 0.0, 600000.0, 0.95),
+        min_value("o_totalprice", 0.0),
+        max_value("o_totalprice", 1000000.0),
+    ])
+    return out.withColumn("passed", F.col("passed").cast("int"))
+
+
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a quality-classifier-style score
+    (operators/quality.py binary_classifier_eval, Mann-Whitney rank-sum
+    identity): score = first embedding component, label = label parity.
+    Never ranks rows — aggregates to (score → pos/neg counts) first,
+    then one cumulative window over the score-bounded aggregate; rank
+    sums exact in DECIMAL(38,9)."""
+    from yaetl_spark.operators import binary_classifier_eval
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    pts = emb.select(
+        F.col("embedding").getItem(0).cast("double").alias("s"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return binary_classifier_eval(pts, "s", "y", round_scores=6)
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/quality.py calibration_bins,
+    ECE terms after Naeini et al. 2015): probability-like score =
+    embedding[0] + 0.5 (pure arithmetic on stored floats — bit-identical
+    across engines, so binning cannot flip), label = label parity, 10
+    equal-width bins over [0, 1] with edge clamping. One partial-agg
+    groupBy on a computed bin; mean scores ride the decimal term-sum."""
+    from yaetl_spark.operators import calibration_bins
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    pts = emb.select(
+        (F.col("embedding").getItem(0).cast("double") + F.lit(0.5)).alias("p"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return calibration_bins(pts, "p", "y", n_bins=10, lo=0.0, hi=1.0)
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR eval battery (operators/similarity.py retrieval_metrics):
+    per-query precision/recall@10, reciprocal rank, and binary-gain
+    nDCG@10 (Järvelin & Kekäläinen 2002) for brute-force cosine top-10,
+    relevance = label agreement, queries = every 25th vector. The eval
+    sample is broadcast; the corpus streams once; DCG/IDCG terms use
+    the 9-decimal + DECIMAL(38,9) order-free sum. Grades ivf_topk's
+    recall against the exact answer in production."""
+    from yaetl_spark.operators import retrieval_metrics
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    return retrieval_metrics(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3024,6 +3100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "ann_ivf": q_ann_ivf,
         "market_share": q_market_share,
+        # -- new late-round-8 (no r8 driver slot left: the window was
+        # exactly full; MUST head the r9 window alongside the r6-stale
+        # cohort — local oracle evidence only until then) -------------
+        "validation_suite": q_validation_suite,
+        "score_auc": q_score_auc,
+        "calibration_bins": q_calibration_bins,
+        "retrieval_metrics": q_retrieval_metrics,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -5899,5 +5982,176 @@ def oracle_sql() -> dict[str, str]:
                         + strpos('0123456789abcdef', substr(d, 6, 1)) - 1
                         AS DOUBLE) AS mean_b
             FROM h
+        """,
+        # validation_suite: every metric is an integer-count ratio (or a
+        # raw min/max) from ONE aggregate — `passed` compares the
+        # UNROUNDED ratio exactly as the Spark side does.
+        "validation_suite": """
+            WITH m AS (
+                SELECT count(*) AS n,
+                       count(o_custkey) AS nn_ck,
+                       count(DISTINCT o_orderkey) AS d_ok,
+                       count(o_orderstatus) AS nn_st,
+                       count(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 1 END) AS ok_st,
+                       count(o_orderpriority) AS nn_pr,
+                       count(CASE WHEN regexp_matches(o_orderpriority,
+                             '^[1-5]-') THEN 1 END) AS ok_pr,
+                       count(o_totalprice) AS nn_tp,
+                       count(CASE WHEN o_totalprice
+                             BETWEEN 0.0 AND 600000.0 THEN 1 END) AS ok_tp,
+                       CAST(min(o_totalprice) AS DOUBLE) AS min_tp,
+                       CAST(max(o_totalprice) AS DOUBLE) AS max_tp
+                FROM orders)
+            SELECT * FROM (
+                SELECT 'between(o_totalprice)' AS "check",
+                       'o_totalprice' AS "column", 'between' AS metric,
+                       round(ok_tp / nn_tp, 6) AS value,
+                       CAST(0.95 AS DOUBLE) AS threshold,
+                       CASE WHEN ok_tp / nn_tp >= 0.95 THEN 1 ELSE 0 END
+                           AS passed
+                FROM m
+                UNION ALL
+                SELECT 'completeness(o_custkey)', 'o_custkey',
+                       'completeness', round(nn_ck / n, 6),
+                       CAST(1.0 AS DOUBLE),
+                       CASE WHEN nn_ck / n >= 1.0 THEN 1 ELSE 0 END FROM m
+                UNION ALL
+                SELECT 'in_set(o_orderstatus)', 'o_orderstatus', 'in_set',
+                       round(ok_st / nn_st, 6), CAST(1.0 AS DOUBLE),
+                       CASE WHEN ok_st / nn_st >= 1.0 THEN 1 ELSE 0 END
+                FROM m
+                UNION ALL
+                SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+                       'matches', round(ok_pr / nn_pr, 6),
+                       CAST(1.0 AS DOUBLE),
+                       CASE WHEN ok_pr / nn_pr >= 1.0 THEN 1 ELSE 0 END
+                FROM m
+                UNION ALL
+                SELECT 'max_value(o_totalprice)', 'o_totalprice',
+                       'max_value', round(max_tp, 6),
+                       CAST(1000000.0 AS DOUBLE),
+                       CASE WHEN max_tp <= 1000000.0 THEN 1 ELSE 0 END
+                FROM m
+                UNION ALL
+                SELECT 'min_value(o_totalprice)', 'o_totalprice',
+                       'min_value', round(min_tp, 6), CAST(0.0 AS DOUBLE),
+                       CASE WHEN min_tp >= 0.0 THEN 1 ELSE 0 END FROM m
+                UNION ALL
+                SELECT 'uniqueness(o_orderkey)', 'o_orderkey',
+                       'uniqueness', round(d_ok / n, 6),
+                       CAST(1.0 AS DOUBLE),
+                       CASE WHEN d_ok / n >= 1.0 THEN 1 ELSE 0 END FROM m)
+            ORDER BY "check"
+        """,
+        # score_auc: the same (score -> pos/neg counts) aggregate + one
+        # cumulative window; rank sums exact in DECIMAL(38,9); identical
+        # halves arithmetic before the final round.
+        "score_auc": """
+            WITH pts AS (
+                SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS s,
+                       CAST(label % 2 AS BIGINT) AS y
+                FROM embeddings
+                WHERE embedding[1] IS NOT NULL AND label IS NOT NULL),
+            grp AS (SELECT s, SUM(y) AS pos, COUNT(*) AS c
+                    FROM pts GROUP BY s),
+            cum AS (SELECT pos, c,
+                           SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) - c AS cb
+                    FROM grp),
+            agg AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                           CAST(SUM(c) AS BIGINT) AS n,
+                           SUM(CAST(pos * (2 * cb + c + 1)
+                               AS DECIMAL(38,9))) AS r2
+                    FROM cum)
+            SELECT n, n_pos, n - n_pos AS n_neg,
+                   CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+                       round((CAST(r2 AS DOUBLE) / 2.0
+                              - CAST(n_pos AS DOUBLE)
+                                * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+                             / (CAST(n_pos AS DOUBLE)
+                                * CAST(n - n_pos AS DOUBLE)), 6)
+                   END AS auc
+            FROM agg
+        """,
+        # calibration_bins: bin arithmetic is pure IEEE on stored floats
+        # (cast-to-double + 0.5, / 0.1, floor) so the bucket can never
+        # flip between engines; means ride the decimal term-sum.
+        "calibration_bins": """
+            WITH pts AS (
+                SELECT CAST(embedding[1] AS DOUBLE) + 0.5 AS p,
+                       CAST(label % 2 AS BIGINT) AS y
+                FROM embeddings
+                WHERE embedding[1] IS NOT NULL AND label IS NOT NULL),
+            b AS (SELECT LEAST(9, GREATEST(0,
+                      CAST(floor(p / CAST(0.1 AS DOUBLE)) AS INT))) AS bin,
+                      p, y
+                  FROM pts),
+            g AS (SELECT bin, COUNT(*) AS n,
+                         SUM(CAST(round(p, 9) AS DECIMAL(38,9))) AS ssum,
+                         CAST(SUM(y) AS BIGINT) AS pos
+                  FROM b GROUP BY bin)
+            SELECT bin, n,
+                   round(CAST(ssum AS DOUBLE) / n, 6) AS mean_score,
+                   round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+                   round(CAST(ssum AS DOUBLE) / n
+                         - CAST(pos AS DOUBLE) / n, 6) AS gap
+            FROM g ORDER BY bin
+        """,
+        # retrieval_metrics: same brute-force cosine top-10 (round-6
+        # score, id-ascending tiebreak), label-agreement relevance, and
+        # 9-decimal DECIMAL(38,9) DCG/IDCG term sums as the Spark side.
+        "retrieval_metrics": """
+            WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                              label
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, label AS qlbl
+                  FROM c WHERE vec_id % 25 = 0),
+            lc AS (SELECT label AS lbl, COUNT(*) AS cnt
+                   FROM c GROUP BY label),
+            q2 AS (SELECT query_id, qv, qlbl,
+                          COALESCE(cnt, 1) - 1 AS n_rel
+                   FROM q LEFT JOIN lc ON q.qlbl = lc.lbl),
+            sc AS (SELECT q2.query_id, q2.n_rel,
+                          round(list_cosine_similarity(c.v, q2.qv), 6)
+                              AS score,
+                          (c.label = q2.qlbl) AS rel,
+                          c.vec_id AS cid
+                   FROM c CROSS JOIN q2
+                   WHERE c.vec_id <> q2.query_id),
+            rk AS (SELECT query_id, n_rel, rel,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cid ASC) AS rnk
+                   FROM sc QUALIFY rnk <= 10),
+            pq AS (SELECT query_id, n_rel,
+                          CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+                               AS BIGINT) AS hits,
+                          MAX(CASE WHEN rel
+                              THEN CAST(1 AS DOUBLE) / rnk END) AS rr0,
+                          SUM(CASE WHEN rel THEN
+                                  CAST(round(CAST(1 AS DOUBLE)
+                                       / log2(rnk + 1), 9)
+                                       AS DECIMAL(38,9))
+                              ELSE CAST(0 AS DECIMAL(38,9)) END) AS dcg
+                   FROM rk GROUP BY query_id, n_rel),
+            ic AS (SELECT p.query_id,
+                          SUM(CAST(round(CAST(1 AS DOUBLE)
+                              / log2(t.i + 1), 9) AS DECIMAL(38,9)))
+                              AS idcg
+                   FROM pq p, range(1, 11) t(i)
+                   WHERE t.i <= LEAST(p.n_rel, 10)
+                   GROUP BY p.query_id)
+            SELECT p.query_id, p.n_rel, p.hits,
+                   round(CAST(p.hits AS DOUBLE) / 10, 6) AS precision_at_k,
+                   CASE WHEN p.n_rel > 0 THEN
+                       round(CAST(p.hits AS DOUBLE) / p.n_rel, 6)
+                   END AS recall_at_k,
+                   round(COALESCE(rr0, CAST(0 AS DOUBLE)), 6) AS rr,
+                   CASE WHEN p.n_rel > 0 THEN
+                       round(CAST(p.dcg AS DOUBLE)
+                             / CAST(ic.idcg AS DOUBLE), 6)
+                   END AS ndcg
+            FROM pq p LEFT JOIN ic ON p.query_id = ic.query_id
+            ORDER BY p.query_id
         """,
     }

@@ -1,0 +1,224 @@
+"""Unit tests for operators/quality.py (validation suite, AUC,
+calibration) and similarity.retrieval_metrics — hand-checked small
+fixtures; the engine↔oracle parity of the driver queries is covered by
+tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from yaetl_spark.operators import (
+    between,
+    binary_classifier_eval,
+    calibration_bins,
+    completeness,
+    in_set,
+    matches,
+    max_value,
+    min_value,
+    retrieval_metrics,
+    uniqueness,
+    validate,
+)
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_validate_metrics_and_passes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (2, None, -5.0),
+            (4, "z", 30.0),
+        ],
+        "id int, cat string, v double",
+    )
+    out = validate(
+        df,
+        [
+            completeness("cat", 1.0),
+            uniqueness("id", 1.0),
+            in_set("cat", ["a", "b"], 0.5),
+            between("v", 0.0, 25.0, 0.8),
+            min_value("v", 0.0),
+            max_value("v", 100.0),
+        ],
+    )
+    got = {r["check"]: r for r in _rows(out)}
+    assert got["completeness(cat)"]["value"] == 0.75
+    assert not got["completeness(cat)"]["passed"]
+    assert got["uniqueness(id)"]["value"] == 0.75
+    assert not got["uniqueness(id)"]["passed"]
+    # in_set over NON-NULL values: 2 of 3
+    assert got["in_set(cat)"]["value"] == round(2 / 3, 6)
+    assert got["in_set(cat)"]["passed"]
+    # between: 2 of 4 non-null v inside [0, 25]... 10, 20 in; -5, 30 out
+    assert got["between(v)"]["value"] == 0.5
+    assert not got["between(v)"]["passed"]
+    assert got["min_value(v)"]["value"] == -5.0
+    assert not got["min_value(v)"]["passed"]
+    assert got["max_value(v)"]["value"] == 30.0
+    assert got["max_value(v)"]["passed"]
+    # rows come back ordered by check name
+    names = [r["check"] for r in _rows(out)]
+    assert names == sorted(names)
+
+
+def test_validate_unrounded_pass_comparison(spark):
+    """A 0.9999996 ratio must NOT pass a 1.0 threshold even though its
+    reported value rounds to 1.0."""
+    n = 2_500_000
+    df = spark.range(n).select(
+        F.when(F.col("id") > 0, F.col("id")).alias("x")
+    )
+    out = _rows(validate(df, [completeness("x", 1.0)]))[0]
+    assert out["value"] == 1.0  # rounded display value
+    assert not out["passed"]  # exact comparison caught the one NULL
+
+
+def test_validate_approx_uniqueness_runs(spark):
+    df = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    out = _rows(validate(df, [uniqueness("k", 0.05)], approx=True))[0]
+    # HLL estimate of 100 distinct over 1000 rows ≈ 0.1 ratio
+    assert 0.05 < out["value"] < 0.2
+    assert out["passed"]
+
+
+def test_validate_matches_regex(spark):
+    df = spark.createDataFrame(
+        [("1-URGENT",), ("5-LOW",), ("9-BAD",), (None,)], "p string"
+    )
+    out = _rows(validate(df, [matches("p", "^[1-5]-", 0.6)]))[0]
+    assert out["value"] == round(2 / 3, 6)
+    assert out["passed"]
+
+
+def test_validate_input_guards(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        validate(df, [])
+    with pytest.raises(ValueError):
+        validate(df, [completeness("id"), completeness("id")])
+
+
+def test_auc_perfect_and_reversed(spark):
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "s double, y int"
+    )
+    row = binary_classifier_eval(df, "s", "y").collect()[0]
+    assert (row["n"], row["n_pos"], row["n_neg"]) == (4, 2, 2)
+    assert row["auc"] == 1.0
+    rev = df.select((1 - F.col("s")).alias("s"), "y")
+    assert binary_classifier_eval(rev, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_auc_ties_average_rank(spark):
+    # all scores tied → AUC must be exactly 0.5
+    df = spark.createDataFrame(
+        [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "s double, y int"
+    )
+    assert binary_classifier_eval(df, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC == (#concordant + 0.5·#tied) / (n_pos·n_neg), checked against
+    the O(n²) definition on a deterministic mixed sample with ties."""
+    pts = []
+    for i in range(60):
+        s = (i * 37 % 19) / 19.0  # collides → real tie groups
+        y = 1 if (i * 13 % 7) < 3 else 0
+        pts.append((s, y))
+    pos = [s for s, y in pts if y == 1]
+    neg = [s for s, y in pts if y == 0]
+    num = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    expected = round(num / (len(pos) * len(neg)), 6)
+    df = spark.createDataFrame(pts, "s double, y int")
+    got = binary_classifier_eval(df, "s", "y", round_scores=None).collect()[0]
+    assert got["auc"] == expected
+
+
+def test_auc_degenerate_single_class(spark):
+    df = spark.createDataFrame([(0.3, 1), (0.7, 1)], "s double, y int")
+    row = binary_classifier_eval(df, "s", "y").collect()[0]
+    assert row["auc"] is None
+    assert (row["n_pos"], row["n_neg"]) == (2, 0)
+
+
+def test_calibration_bins_values_and_clamp(spark):
+    df = spark.createDataFrame(
+        [(-0.2, 0), (0.05, 0), (0.55, 1), (0.58, 0), (1.3, 1)],
+        "p double, y int",
+    )
+    got = {r["bin"]: r for r in _rows(calibration_bins(df, "p", "y"))}
+    assert set(got) == {0, 5, 9}  # -0.2 clamps to 0, 1.3 clamps to 9
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[5]["n"] == 2 and got[5]["frac_pos"] == 0.5
+    assert got[5]["mean_score"] == round((0.55 + 0.58) / 2, 6)
+    assert got[5]["gap"] == round((0.55 + 0.58) / 2 - 0.5, 6)
+    assert got[9]["n"] == 1 and got[9]["frac_pos"] == 1.0
+    with pytest.raises(ValueError):
+        calibration_bins(df, "p", "y", lo=1.0, hi=0.0)
+
+
+def test_retrieval_metrics_hand_checked(spark):
+    """4-point corpus in 1-D-ish embeddings where the neighbor structure
+    is obvious: query 0 (label A) has its only same-label neighbor
+    ranked first → rr = 1, recall = 1, ndcg = 1."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # nearest to 0, same label
+        (2, [0.0, 1.0], 1),
+        (3, [0.1, 0.99], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 0)
+    got = _rows(retrieval_metrics(df, q, k=2))
+    assert len(got) == 1
+    r = got[0]
+    assert r["query_id"] == 0 and r["n_rel"] == 1 and r["hits"] == 1
+    assert r["precision_at_k"] == 0.5
+    assert r["recall_at_k"] == 1.0
+    assert r["rr"] == 1.0
+    assert r["ndcg"] == 1.0  # only relevant doc sits at rank 1 = ideal
+
+
+def test_retrieval_metrics_rank_two_ndcg(spark):
+    """Relevant doc at rank 2 of 2 → rr = 0.5, ndcg = (1/log2(3))/1."""
+    # label 0's only peer is the FAR vector: query 0, corpus 1, 2
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.3], 1),    # rank 1, not relevant
+        (2, [0.0, 1.0], 0),    # rank 2, relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = _rows(retrieval_metrics(df, df.filter("vec_id = 0"), k=2))[0]
+    assert got["hits"] == 1 and got["rr"] == 0.5
+    expected_ndcg = round(
+        round(1 / math.log2(3), 9) / round(1 / math.log2(2), 9), 6
+    )
+    assert got["ndcg"] == expected_ndcg
+
+
+def test_retrieval_metrics_no_relevant_universe(spark):
+    """A query whose label appears nowhere else: recall/ndcg NULL,
+    rr 0 — and no ANSI-mode blowup from the idcg guard."""
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9, 0.3], 1),
+        (2, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = _rows(retrieval_metrics(df, df.filter("vec_id = 0"), k=2))[0]
+    assert got["n_rel"] == 0 and got["hits"] == 0
+    assert got["recall_at_k"] is None and got["ndcg"] is None
+    assert got["rr"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval_metrics(df, df, k=0)

@@ -1,0 +1,337 @@
+"""Declarative data-quality validation and classifier-eval metrics.
+
+Beyond-reference surface (the reference validates row-by-row through
+qualifiers — ``src/Qualifiers/CallableQualifier.php`` — and has no
+dataset-level quality gate at all): this module adds the two batteries a
+100 TB training-data pipeline runs before and after every curation stage:
+
+- ``validate`` — a Deequ-style declarative check suite (Schelter et al.,
+  "Automating Large-Scale Data Quality Verification", VLDB 2018):
+  completeness / uniqueness / set-membership / pattern / bounds checks,
+  all folded into ONE aggregation pass over the scan.
+- ``binary_classifier_eval`` — exact ROC-AUC via the Mann-Whitney
+  rank-sum identity, computed from a per-score aggregate (never a
+  per-row global sort), plus ``calibration_bins`` (reliability-diagram
+  bins feeding ECE) for the quality-classifier scores that gate corpus
+  admission (GPT-3/Pile-style quality filtering).
+
+Scale shape (100 TB):
+
+- ``validate`` is a single partial-aggregated scan — every ratio check
+  is a conditional sum combined map-side; the only shuffle is the 1-row
+  aggregate exchange. ``uniqueness`` adds one distinct-aggregate (a
+  shuffle on the checked key); pass ``approx=True`` to replace it with
+  HLL ``approx_count_distinct`` and keep the pass shuffle-free.
+- ``binary_classifier_eval`` aggregates to (score → pos/neg counts)
+  FIRST, then runs the cumulative window over that aggregate. With
+  quantized scores (``round_scores``, default 6) the aggregate is
+  bounded by score cardinality, not row count — the window never sees
+  the raw table. Tied scores get the exact average-rank treatment.
+- ``calibration_bins`` is one groupBy on a computed bin — pure
+  partial-agg, no skew (bins are bounded).
+
+Determinism: counts are integers; every float mean rides the repo's
+absorb-the-ulps pattern (terms rounded to 9 decimals, accumulated as
+DECIMAL(38,9) — exact and order-independent — final op in floats,
+rounded to 6) so results hash-match the DuckDB oracle and reruns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "between",
+    "binary_classifier_eval",
+    "calibration_bins",
+    "completeness",
+    "in_set",
+    "matches",
+    "max_value",
+    "min_value",
+    "uniqueness",
+    "validate",
+]
+
+_DEC = "decimal(38,9)"
+
+
+def _dsum(c: Column) -> Column:
+    """Order-independent sum (see operators/stats.py:_dsum)."""
+    return F.sum(F.round(c, 9).cast(_DEC)).cast("double")
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative expectation.
+
+    ``kind`` picks the metric; ``threshold`` is the pass bound. For
+    ratio metrics (completeness/uniqueness/in_set/matches/between) the
+    check passes when ``metric >= threshold``; for ``min_value`` /
+    ``max_value`` it passes when the observed extreme respects the
+    bound (``observed >= threshold`` / ``observed <= threshold``).
+    """
+
+    name: str
+    kind: str
+    column: str
+    threshold: float
+    params: tuple = field(default_factory=tuple)
+
+
+def completeness(column: str, threshold: float = 1.0) -> Check:
+    """Fraction of rows with a non-null ``column``."""
+    return Check(f"completeness({column})", "completeness", column, threshold)
+
+
+def uniqueness(column: str, threshold: float = 1.0) -> Check:
+    """distinct(column) / count(rows). 1.0 means a unique key."""
+    return Check(f"uniqueness({column})", "uniqueness", column, threshold)
+
+
+def in_set(column: str, values: Sequence[str], threshold: float = 1.0) -> Check:
+    """Fraction of NON-NULL values that are members of ``values``."""
+    return Check(
+        f"in_set({column})", "in_set", column, threshold, tuple(values)
+    )
+
+
+def matches(column: str, regex: str, threshold: float = 1.0) -> Check:
+    """Fraction of NON-NULL values matching ``regex`` (unanchored —
+    anchor explicitly, Spark ``rlike`` and DuckDB ``regexp_matches``
+    are both search-style)."""
+    return Check(f"matches({column})", "matches", column, threshold, (regex,))
+
+
+def between(
+    column: str, lo: float, hi: float, threshold: float = 1.0
+) -> Check:
+    """Fraction of NON-NULL values inside [lo, hi]."""
+    return Check(f"between({column})", "between", column, threshold, (lo, hi))
+
+
+def min_value(column: str, bound: float) -> Check:
+    """Observed min must be >= bound."""
+    return Check(f"min_value({column})", "min_value", column, bound)
+
+
+def max_value(column: str, bound: float) -> Check:
+    """Observed max must be <= bound."""
+    return Check(f"max_value({column})", "max_value", column, bound)
+
+
+def _metric_expr(c: Check, approx: bool) -> Column:
+    col = F.col(c.column)
+    n = F.count(F.lit(1))
+    nn = F.count(col)
+    if c.kind == "completeness":
+        return nn / n
+    if c.kind == "uniqueness":
+        d = (
+            F.approx_count_distinct(col)
+            if approx
+            else F.count_distinct(col)
+        )
+        return d / n
+    if c.kind == "in_set":
+        return F.count(F.when(col.isin(*c.params), 1)) / nn
+    if c.kind == "matches":
+        return F.count(F.when(col.rlike(c.params[0]), 1)) / nn
+    if c.kind == "between":
+        lo, hi = c.params
+        return F.count(F.when(col.between(lo, hi), 1)) / nn
+    if c.kind == "min_value":
+        return F.min(col).cast("double")
+    if c.kind == "max_value":
+        return F.max(col).cast("double")
+    raise ValueError(f"unknown check kind {c.kind!r}")
+
+
+def validate(
+    df: DataFrame, checks: Sequence[Check], approx: bool = False
+) -> DataFrame:
+    """Run every check in ONE aggregation pass.
+
+    Returns ``(check, column, metric, value, threshold, passed)`` — one
+    row per check, ordered by check name. ``value`` is rounded to 6
+    decimals; ``passed`` compares the UNROUNDED metric so a 0.9999996
+    completeness does not spuriously pass a 1.0 threshold by rounding.
+
+    ``approx=True`` swaps exact ``count_distinct`` for HLL
+    ``approx_count_distinct`` in uniqueness checks — the 100 TB mode
+    (no distinct shuffle; ~2 % relative error).
+    """
+    if not checks:
+        raise ValueError("validate() needs at least one Check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate check names")
+    aggs = []
+    for i, c in enumerate(checks):
+        aggs.append(_metric_expr(c, approx).alias(f"_m{i}"))
+    row = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(checks):
+        m = F.col(f"_m{i}")
+        if c.kind == "min_value":
+            ok = m >= F.lit(float(c.threshold))
+        elif c.kind == "max_value":
+            ok = m <= F.lit(float(c.threshold))
+        else:
+            ok = m >= F.lit(float(c.threshold))
+        structs.append(
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                F.lit(c.kind).alias("metric"),
+                F.round(m, 6).alias("value"),
+                F.lit(float(c.threshold)).alias("threshold"),
+                F.coalesce(ok, F.lit(False)).alias("passed"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("check")
+    )
+
+
+def binary_classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Exact ROC-AUC via Mann-Whitney, from a per-score aggregate.
+
+    ``label_col`` must be 0/1. Returns one row
+    ``(n, n_pos, n_neg, auc)``.
+
+    Identity: with rows ranked ascending by score (ties → average
+    rank), ``AUC = (Σ_{pos} rank − n_pos(n_pos+1)/2) / (n_pos·n_neg)``
+    (Mann & Whitney 1947; Hanley & McNeil 1982). A tied score group of
+    size ``c`` starting after ``Cb`` cumulative rows contributes
+    ``pos_in_group · (Cb + (c+1)/2)`` to the positive rank sum — so the
+    whole statistic needs only (score → pos, neg) counts plus ONE
+    cumulative window over that aggregate, never per-row ranks.
+
+    Scale shape: groupBy(score) is a partial-agg shuffle bounded by
+    score cardinality; ``round_scores`` (default 6) quantizes first so
+    the aggregate — and the single-partition cumulative window that
+    follows — sees at most ~2·10⁶ rows per score unit, independent of
+    table size. Pass ``None`` to rank raw scores (small eval sets
+    only). Rank sums stay exact in DECIMAL(38,9) (max rank·n ≈ 10¹⁸ at
+    10⁹ rows — inside the 29 integer digits).
+    """
+    s = F.col(score_col).cast("double")
+    if round_scores is not None:
+        s = F.round(s, round_scores)
+    lbl = F.col(label_col).cast("bigint")
+    grp = (
+        df.where(s.isNotNull() & lbl.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.sum(lbl).alias("_pos"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Cb = cumulative count strictly below this score group
+    contrib = grp.select(
+        "_pos",
+        "_c",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_cb"),
+    ).select(
+        F.col("_pos"),
+        F.col("_c"),
+        # pos·(Cb + (c+1)/2); ×2 to keep it integral, halved at the end
+        (
+            F.col("_pos")
+            * (F.lit(2) * F.col("_cb") + F.col("_c") + F.lit(1))
+        ).alias("_r2"),
+    )
+    agg = contrib.agg(
+        F.sum(F.col("_pos")).alias("n_pos"),
+        F.sum(F.col("_c")).alias("n"),
+        F.sum(F.col("_r2").cast(_DEC)).alias("_r2sum"),
+    )
+    n_pos = F.col("n_pos")
+    n_neg = (F.col("n") - n_pos).cast("bigint").alias("n_neg")
+    auc = F.when(
+        (n_pos > 0) & (F.col("n") - n_pos > 0),
+        F.round(
+            (
+                F.col("_r2sum").cast("double") / 2.0
+                - n_pos.cast("double") * (n_pos + 1).cast("double") / 2.0
+            )
+            / (n_pos.cast("double") * (F.col("n") - n_pos).cast("double")),
+            6,
+        ),
+    ).alias("auc")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg,
+        auc,
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Reliability-diagram bins for a probability-like score.
+
+    Buckets ``score_col`` into ``n_bins`` equal-width bins over
+    [lo, hi] (out-of-range scores clamp into the edge bins — same
+    policy as operators/aggregates.py equi-width histograms) and
+    reports per bin: ``n``, ``mean_score``, ``frac_pos`` and the
+    calibration ``gap`` (mean_score − frac_pos, the per-bin ECE term;
+    Naeini et al. 2015). One groupBy on a computed bin — pure
+    partial-agg, bin count bounded by ``n_bins``.
+    """
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
+    s = F.col(score_col).cast("double")
+    lbl = F.col(label_col).cast("bigint")
+    width = (hi - lo) / n_bins
+    raw = F.floor((s - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    out = (
+        df.where(s.isNotNull() & lbl.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(s).alias("_ssum"),
+            F.sum(lbl).alias("_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_ssum") / F.col("n"), 6).alias("mean_score"),
+            F.round(
+                F.col("_pos").cast("double") / F.col("n"), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.col("_ssum") / F.col("n")
+                - F.col("_pos").cast("double") / F.col("n"),
+                6,
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+    return out

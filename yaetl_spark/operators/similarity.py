@@ -437,3 +437,142 @@ def semantic_dedup(
     )
     out = df.join(losers, id_col, "left_anti")
     return out if keep_cols else out.select(id_col)
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IR eval battery: precision/recall@k, MRR, nDCG@k per query.
+
+    Ground truth is label agreement: a candidate is *relevant* to a
+    query when their ``label_col`` values match (the standard proxy for
+    labeled-embedding retrieval eval). Self-matches are excluded on
+    both the retrieved and the denominator side.
+
+    Per query: brute-force cosine top-``k`` over ``df`` (rounded to 6
+    decimals, ``id_col`` ascending as the deterministic tiebreak), then
+
+    - ``precision_at_k`` = hits / k
+    - ``recall_at_k``    = hits / n_rel          (NULL when n_rel = 0)
+    - ``rr``             = 1 / rank of first hit (0 when no hit) — MRR
+      is the mean of this column
+    - ``ndcg``           = DCG@k / IDCG@k with the Järvelin &
+      Kekäläinen (2002) binary gain 1/log2(rank+1); IDCG sums the
+      ideal prefix of length min(n_rel, k). NULL when n_rel = 0.
+
+    DCG/IDCG terms ride the repo's absorb-the-ulps pattern (terms
+    rounded to 9 decimals, accumulated as DECIMAL(38,9)) so the result
+    hash-matches the DuckDB oracle regardless of summation order.
+
+    Scale shape (100 TB corpus): ``queries_df`` is the small eval
+    sample — it is broadcast, the corpus is streamed once, and the only
+    shuffle is the per-query top-k window keyed on query id (Q·N scored
+    rows reduced map-side by nothing — this is the *exact* baseline by
+    construction; production retrieval at scale goes through
+    :func:`ivf_topk` and this battery grades that index against the
+    exact answer on a sample).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dec = "decimal(38,9)"
+    c = df.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(label_col).alias("_clbl"),
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlbl"),
+    )
+    # relevant-universe size per query: corpus label counts minus self
+    lbl_counts = df.groupBy(F.col(label_col).alias("_clbl")).agg(
+        F.count(F.lit(1)).alias("_lcnt")
+    )
+    q = q.join(
+        F.broadcast(lbl_counts), q["_qlbl"] == lbl_counts["_clbl"], "left"
+    ).select(
+        "query_id",
+        "_qvec",
+        "_qlbl",
+        (F.coalesce(F.col("_lcnt"), F.lit(1)) - F.lit(1)).alias("n_rel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("_cid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6
+            ).alias("_score"),
+            (F.col("_clbl") == F.col("_qlbl")).alias("_rel"),
+            "_cid",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("_cid").asc()
+    )
+    top = scored.select(
+        "query_id",
+        "n_rel",
+        "_rel",
+        F.row_number().over(w).alias("_rank"),
+    ).where(F.col("_rank") <= k)
+    gain = F.round(
+        F.lit(1.0) / F.log2(F.col("_rank").cast("double") + 1.0), 9
+    )
+    per_q = top.groupBy("query_id", "n_rel").agg(
+        F.sum(F.when(F.col("_rel"), 1).otherwise(0)).alias("hits"),
+        F.max(
+            F.when(F.col("_rel"), F.lit(1.0) / F.col("_rank"))
+        ).alias("_rr"),
+        F.sum(
+            F.when(F.col("_rel"), gain.cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("_dcg"),
+    )
+    # IDCG@k over the ideal prefix min(n_rel, k): same 9-decimal terms,
+    # same exact decimal accumulation (order-free on both engines).
+    # Floor at 1: sequence(1, 0) would run DESCENDING through i=0,
+    # where 1/log2(1) = Inf poisons the decimal cast under ANSI — the
+    # n_rel = 0 rows emit NULL ndcg regardless, the floor just keeps
+    # the discarded expression finite.
+    m = F.greatest(F.least(F.col("n_rel"), F.lit(k)), F.lit(1))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0).cast(dec),
+        # decimal + decimal would widen past precision 38 and silently
+        # drop to scale 8; re-cast keeps the accumulator at (38,9)
+        lambda acc, i: (
+            acc
+            + F.round(
+                F.lit(1.0) / F.log2(i.cast("double") + 1.0), 9
+            ).cast(dec)
+        ).cast(dec),
+    ).cast("double")
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        "hits",
+        F.round(F.col("hits").cast("double") / k, 6).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("hits").cast("double") / F.col("n_rel"), 6),
+        ).alias("recall_at_k"),
+        F.round(F.coalesce(F.col("_rr"), F.lit(0.0)), 6).alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("_dcg").cast("double") / idcg, 6),
+        ).alias("ndcg"),
+    ).orderBy("query_id")
