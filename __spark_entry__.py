@@ -2940,6 +2940,184 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit/apply feature scaling (operators/features.py fit_scaler +
+    apply_scaler): z-score lineitem quantity and price in one fitted
+    pass (decimal moment sums → 1-row params broadcast → scan-level
+    apply), then summarize the scaled columns per return flag. Fit and
+    group-agg means both ride the DECIMAL(38,9) term-sum, so the
+    round-6 scaled values and their means are engine-exact."""
+    from yaetl_spark.operators import scale_features
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    scaled = scale_features(
+        li, ["l_quantity", "l_extendedprice"], method="zscore"
+    )
+    d38 = "decimal(38,9)"
+    return scaled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("l_quantity_scaled"), 9).cast(d38))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_qty_z"),
+        F.round(F.min("l_extendedprice_scaled"), 6).alias("min_price_z"),
+        F.round(F.max("l_extendedprice_scaled"), 6).alias("max_price_z"),
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization (operators/features.py clip_outliers):
+    clamp order totals into the fitted exact [p05, p95] (sort-based
+    percentile for oracle parity; production uses the mergeable
+    percentile_approx sketch), bounds rounded to 6 BEFORE the compare
+    so the clip decision is engine-stable, then audit per priority:
+    clip counts per side + decimal-summed mean of the clamped value."""
+    from yaetl_spark.operators import clip_outliers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    c = clip_outliers(
+        orders, "o_totalprice", lower_q=0.05, upper_q=0.95, exact=True
+    )
+    d38 = "decimal(38,9)"
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice_clip") == -1, 1).otherwise(0))
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("o_totalprice_clip") == 1, 1).otherwise(0))
+        .alias("n_clipped_hi"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice_clipped"), 9).cast(d38))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_clipped"),
+    )
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm embeddings (operators/features.py l2_normalize): pure
+    JVM array fold (same sequential float summation as the cosine
+    kernel — bit-compatible with DuckDB's list_inner_product), zero
+    Python, zero shuffle before the final per-label rollup. Checks the
+    first normalized component's decimal-summed mean per label plus
+    the worst post-normalization norm error."""
+    from yaetl_spark.operators import l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    n = l2_normalize(emb, "embedding", out_col="unit", round_to=6)
+    d38 = "decimal(38,9)"
+    nsq = F.aggregate(
+        F.transform("unit", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.round(F.element_at("unit", 1), 9).cast(d38)
+            ).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_u0"),
+        F.round(F.max(F.abs(F.sqrt(nsq) - F.lit(1.0))), 3)
+        .alias("max_norm_err"),
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (operators/features.py
+    quantize_embeddings): global absmax scale fitted in one pass, codes
+    = floor(x·127/scale + 0.5) clamped — floor(v+0.5) instead of
+    round() so the tie decision is identical on every engine. Audits
+    per label: max |code| and the decimal-summed mean reconstruction
+    error — the number that says int8 is safe for the ANN index."""
+    from yaetl_spark.operators import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    q = quantize_embeddings(emb, "embedding", bits=8)
+    d38 = "decimal(38,9)"
+    err_row = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "codes",
+            lambda x, c: F.abs(
+                x.cast("double")
+                - c.cast("double") * F.col("q_scale") / F.lit(127.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("embedding")
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                F.transform("codes", lambda c: F.abs(c)),
+                F.lit(0),
+                lambda acc, c: F.greatest(acc, c),
+            )
+        ).alias("max_abs_code"),
+        F.round(
+            F.sum(F.round(err_row, 9).cast(d38)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/events.py
+    event_transitions): per (event_type → next_type) count and
+    row-normalized probability over each user's (ts, event_id)-ordered
+    stream. One user-keyed window shuffle, |types|²-bounded aggregate,
+    broadcast row-total join."""
+    from yaetl_spark.operators import event_transitions
+
+    ev = _events(spark, sf_dir, heavy=True)
+    return event_transitions(ev)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (operators/text.py vocab_stats): top-25
+    tokens by count with document frequency and running corpus
+    coverage — the Zipf audit behind tokenizer sizing and hot-token
+    broadcast decisions. Token counts are one vocab-bounded shuffle;
+    top-k is TakeOrdered; the running sum windows 25 rows."""
+    from yaetl_spark.operators import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_stats(docs, top_k=25)
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (operators/text.py token_entropy):
+    H = log2(n) − (Σ c·log2 c)/n over the BPE-ish token counts — the
+    global-skew quality signal beside the adjacent-repeat flags. ONE
+    (doc, token) count shuffle + per-doc aggregate; c·log2 c terms ride
+    the DECIMAL(38,9) order-free sum."""
+    from yaetl_spark.operators import token_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_entropy(docs.filter(F.col("doc_id") < 300))
+
+
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap harvest (operators/aggregates.py file_stats): per input
+    parquet file of the lineitem scan — row count and min/max of the
+    order key and ship date. input_file_name() is scan-level; partial
+    aggregation collapses to ~1 row per file map-side, so the output is
+    |files|-sized at any corpus scale. This is the stats table a
+    data-skipping layer reads to prune files before scanning."""
+    from yaetl_spark.operators import file_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return file_stats(li, ["l_orderkey", "l_shipdate"])
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3107,6 +3285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_auc": q_score_auc,
         "calibration_bins": q_calibration_bins,
         "retrieval_metrics": q_retrieval_metrics,
+        "feature_scale": q_feature_scale,
+        "winsorize": q_winsorize,
+        "embedding_normalize": q_embedding_normalize,
+        "embedding_quantize": q_embedding_quantize,
+        "event_transitions": q_event_transitions,
+        "vocab_coverage": q_vocab_coverage,
+        "token_entropy": q_token_entropy,
+        "file_stats": q_file_stats,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -6153,5 +6339,190 @@ def oracle_sql() -> dict[str, str]:
                    END AS ndcg
             FROM pq p LEFT JOIN ic ON p.query_id = ic.query_id
             ORDER BY p.query_id
+        """,
+        "feature_scale": """
+            WITH li AS (SELECT l_returnflag,
+                               CAST(l_quantity AS DOUBLE) AS q,
+                               CAST(l_extendedprice AS DOUBLE) AS p
+                        FROM lineitem),
+            fit AS (
+                SELECT
+                    round(CAST(SUM(CAST(round(q, 9) AS DECIMAL(38,9)))
+                               AS DOUBLE) / COUNT(q), 9) AS qc,
+                    round(sqrt((COUNT(q) * CAST(SUM(CAST(round(q * q, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                                - CAST(SUM(CAST(round(q, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                                  * CAST(SUM(CAST(round(q, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE))
+                               / (COUNT(q) * (COUNT(q) - 1))), 9) AS qs,
+                    round(CAST(SUM(CAST(round(p, 9) AS DECIMAL(38,9)))
+                               AS DOUBLE) / COUNT(p), 9) AS pc,
+                    round(sqrt((COUNT(p) * CAST(SUM(CAST(round(p * p, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                                - CAST(SUM(CAST(round(p, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE)
+                                  * CAST(SUM(CAST(round(p, 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE))
+                               / (COUNT(p) * (COUNT(p) - 1))), 9) AS ps
+                FROM li),
+            scaled AS (
+                SELECT l_returnflag,
+                       CASE WHEN qs = 0 THEN 0.0
+                            ELSE round((q - qc) / qs, 6) END AS qz,
+                       CASE WHEN ps = 0 THEN 0.0
+                            ELSE round((p - pc) / ps, 6) END AS pz
+                FROM li, fit)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   round(CAST(SUM(CAST(round(qz, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE) / COUNT(*), 6) AS mean_qty_z,
+                   round(MIN(pz), 6) AS min_price_z,
+                   round(MAX(pz), 6) AS max_price_z
+            FROM scaled GROUP BY l_returnflag
+        """,
+        "winsorize": """
+            WITH fit AS (
+                SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                           0.05), 6) AS lo,
+                       round(quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                           0.95), 6) AS hi
+                FROM orders),
+            c AS (
+                SELECT o_orderpriority,
+                       CAST(o_totalprice AS DOUBLE) AS x,
+                       round(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE),
+                                            lo), hi), 6) AS clipped,
+                       CASE WHEN CAST(o_totalprice AS DOUBLE) < lo THEN -1
+                            WHEN CAST(o_totalprice AS DOUBLE) > hi THEN 1
+                            ELSE 0 END AS flag
+                FROM orders, fit)
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN flag = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_lo,
+                   CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped_hi,
+                   round(CAST(SUM(CAST(round(clipped, 9)
+                              AS DECIMAL(38,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_clipped
+            FROM c GROUP BY o_orderpriority
+        """,
+        "embedding_normalize": """
+            WITH e AS (SELECT label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            u AS (SELECT label,
+                         list_transform(v, x -> round(
+                             x / sqrt(list_inner_product(v, v)), 6))
+                             AS unit
+                  FROM e)
+            SELECT label, COUNT(*) AS n,
+                   round(CAST(SUM(CAST(round(unit[1], 9)
+                              AS DECIMAL(38,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_u0,
+                   round(MAX(abs(sqrt(list_inner_product(unit, unit))
+                                 - 1.0)), 3) AS max_norm_err
+            FROM u GROUP BY label
+        """,
+        "embedding_quantize": """
+            WITH e AS (SELECT label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            fit AS (SELECT MAX(list_aggregate(
+                        list_transform(v, x -> abs(x)), 'max')) AS scale
+                    FROM e),
+            q AS (
+                SELECT label,
+                       list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                           ELSE CAST(LEAST(GREATEST(
+                               FLOOR(x * 127.0 / scale + 0.5),
+                               -127.0), 127.0) AS INT) END) AS codes,
+                       list_aggregate(list_transform(v,
+                           x -> abs(x - CAST(CASE WHEN scale = 0 THEN 0
+                               ELSE CAST(LEAST(GREATEST(
+                                   FLOOR(x * 127.0 / scale + 0.5),
+                                   -127.0), 127.0) AS INT) END
+                               AS DOUBLE) * scale / 127.0)),
+                           'sum') / len(v) AS err_row
+                FROM e, fit)
+            SELECT label, COUNT(*) AS n,
+                   MAX(list_aggregate(list_transform(codes,
+                       c -> abs(c)), 'max')) AS max_abs_code,
+                   round(CAST(SUM(CAST(round(err_row, 9)
+                              AS DECIMAL(38,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS mean_abs_err
+            FROM q GROUP BY label
+        """,
+        "event_transitions": """
+            WITH e AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS next_type
+                FROM events WHERE event_type IS NOT NULL),
+            pairs AS (
+                SELECT event_type, next_type,
+                       COUNT(*) AS n_transitions
+                FROM e WHERE next_type IS NOT NULL
+                GROUP BY event_type, next_type),
+            tot AS (
+                SELECT event_type,
+                       CAST(SUM(n_transitions) AS BIGINT) AS row_total
+                FROM pairs GROUP BY event_type)
+            SELECT pr.event_type, pr.next_type, pr.n_transitions,
+                   round(CAST(pr.n_transitions AS DOUBLE)
+                         / CAST(t.row_total AS DOUBLE), 6) AS p
+            FROM pairs pr JOIN tot t USING (event_type)
+        """,
+        "vocab_coverage": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            counts AS (
+                SELECT token, COUNT(*) AS n,
+                       COUNT(DISTINCT doc_id) AS df
+                FROM terms GROUP BY token),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+            head AS (SELECT * FROM counts
+                     ORDER BY n DESC, token ASC LIMIT 25)
+            SELECT token, n, df,
+                   round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                       AS coverage,
+                   round(CAST(SUM(n) OVER (
+                             ORDER BY n DESC, token ASC
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS cum_coverage
+            FROM head, tot
+        """,
+        "token_entropy": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS token
+                FROM documents WHERE doc_id < 300),
+            tf AS (SELECT doc_id, token, COUNT(*) AS c
+                   FROM terms GROUP BY doc_id, token)
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_unique,
+                   round(log2(CAST(SUM(c) AS DOUBLE))
+                         - CAST(SUM(CAST(round(
+                               CAST(c AS DOUBLE)
+                               * log2(CAST(c AS DOUBLE)), 9)
+                               AS DECIMAL(38,9))) AS DOUBLE)
+                           / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+            FROM tf GROUP BY doc_id
+        """,
+        "file_stats": """
+            SELECT 'lineitem.parquet' AS file,
+                   COUNT(*) AS n_rows,
+                   MIN(l_orderkey) AS l_orderkey_min,
+                   MAX(l_orderkey) AS l_orderkey_max,
+                   MIN(l_shipdate) AS l_shipdate_min,
+                   MAX(l_shipdate) AS l_shipdate_max
+            FROM lineitem
         """,
     }

@@ -390,3 +390,38 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Zonemap harvest: per INPUT FILE of a scanned DataFrame, the row
+    count plus min/max of each named column — ``(file, n_rows,
+    {col}_min, {col}_max, ...)`` with ``file`` the path basename. This
+    is the stats table a data-skipping layer consumes: a predicate
+    ``x BETWEEN a AND b`` can drop every file whose ``[min, max]``
+    misses the range before any scan happens (the same contract parquet
+    row-group stats and Delta/Iceberg file stats serve — harvested here
+    as a queryable table so layout quality is auditable: well-sorted
+    ingest → tight disjoint ranges → skippable; random ingest → every
+    file spans everything → nothing skips).
+
+    Scale shape (100 TB): ``input_file_name()`` is a scan-level virtual
+    column; the aggregate is partially combined map-side — and since
+    rows of one file live in partitions of that same file, the partial
+    aggregates collapse to ~1 row per file BEFORE the shuffle. Output
+    is |files| rows, never data-sized. Works on any file-backed scan
+    (parquet/orc/csv); on a non-file source ``file`` is '' (one group).
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(F.col(c)).alias(f"{c}_min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}_max"))
+    return (
+        df.groupBy(
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("file")
+        )
+        .agg(*aggs)
+    )

@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["event_paths", "funnel_steps"]
+__all__ = ["event_paths", "event_transitions", "funnel_steps"]
 
 
 def funnel_steps(
@@ -206,4 +206,67 @@ def event_paths(
     return (
         paths.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(top)
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+    min_count: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    every observed ``(event_type → next event_type)`` pair within a
+    user's timeline, the transition count and the row-normalized
+    probability ``p = n / Σ n over the source type``. Returns
+    ``(event_type, next_type, n_transitions, p)`` — the
+    next-action model behind "what do users do after X" and the
+    sequence-level drift check (compare two periods' matrices with
+    :func:`~yaetl_spark.operators.stats.categorical_shift` on the pair
+    counts).
+
+    NULL event types are excluded BEFORE the window (same policy as
+    :func:`event_paths` — a NULL must never alias a real step), and the
+    per-user ordering is made total with ``tiebreak_col`` so ties in
+    ``ts_col`` can't flip pairs between runs.
+
+    Scale shape (100 TB): one shuffle to partition by user (window
+    ``lead``), then a |types|²-bounded pair aggregate and a
+    |types|-bounded row-sum join — both tiny. State per user is one
+    row of look-ahead, never the collected timeline; a mega-user costs
+    a long sorted run inside one partition, nothing more.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.filter(F.col(type_col).isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .filter(F.col("n_transitions") >= min_count)
+    )
+    totals = pairs.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.col("_row_total"),
+                round_to,
+            ).alias("p"),
+        )
     )

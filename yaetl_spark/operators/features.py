@@ -1,0 +1,366 @@
+"""Feature engineering for model-ready data (beyond-reference).
+
+The reference stops at row reshaping (``src/Transformers/Arrays/*`` —
+rename/replace/walk); it has no notion of fitting a statistic on the
+dataset and applying it back. This module adds the fit/apply battery an
+ML-bound pipeline runs after curation and before training:
+
+- :func:`fit_scaler` / :func:`apply_scaler` / :func:`scale_features` —
+  z-score, min-max, and robust (median/IQR) column scaling. Fit is ONE
+  aggregation pass reduced to a single params row; apply attaches that
+  row in-plan (1-row broadcast hash join via
+  :func:`~yaetl_spark.operators.curation.attach_scalars`) and scales
+  with pure scan expressions — no driver round-trip, no second shuffle.
+- :func:`clip_outliers` — quantile (or explicit-bound) winsorization,
+  the standard pre-scaling tail clamp.
+- :func:`l2_normalize` — unit-norm embedding vectors, a pure
+  ``transform``/``aggregate`` array fold (JVM-side, zero Python).
+- :func:`quantize_embeddings` — symmetric scalar int-code quantization
+  of an embedding column (absmax scale, global or per-dimension), the
+  memory-4×-saver in front of ANN indexes; codes are computed as
+  ``floor(x·qmax/scale + 0.5)`` so the rounding decision is identical
+  on every engine (no round-half mode dependence).
+
+Determinism: every fitted statistic is reduced with the repo's
+absorb-the-ulps pattern (terms rounded to 9 decimals, accumulated as
+DECIMAL(38,9) — exact and order-independent), the float formula runs on
+the aggregated scalars only, and fitted params are rounded to
+``round_to`` BEFORE being applied — so scaled values, clip decisions,
+and quantization codes are bit-stable across partitionings, reruns, and
+the DuckDB oracle.
+
+Scale shape (100 TB): fit = one partial-aggregated scan to a 1-row
+params table (robust/quantile fits default to the mergeable
+``percentile_approx`` sketch; ``exact=True`` switches to the sort-based
+exact aggregate for oracle parity, as :func:`equi_depth_histogram`
+does); apply = scan-level expressions behind a 1-row broadcast. Nothing
+else moves. Per-dimension quantization costs ``dim`` expressions per
+row in the fit (like :func:`correlation_matrix`'s pair expressions) —
+never an explode.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "apply_scaler",
+    "clip_outliers",
+    "fit_scaler",
+    "l2_normalize",
+    "quantize_embeddings",
+    "scale_features",
+]
+
+_DEC = "decimal(38,9)"
+_METHODS = ("zscore", "minmax", "robust")
+
+
+def _dsum(c: Column) -> Column:
+    """Order-independent sum (see module docstring)."""
+    return F.sum(F.round(c, 9).cast(_DEC)).cast("double")
+
+
+def _pct(col: str, p: float, exact: bool, accuracy: int) -> Column:
+    expr = (
+        f"percentile({col}, {p!r})" if exact
+        else f"percentile_approx({col}, {p!r}, {accuracy})"
+    )
+    return F.expr(expr).cast("double")
+
+
+def fit_scaler(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "zscore",
+    round_to: int = 9,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ONE-row params DataFrame: ``{col}__center`` and ``{col}__scale``
+    per input column, rounded to ``round_to`` (params are rounded at
+    fit time so every downstream apply — today's batch, next week's —
+    scales identically).
+
+    - ``zscore``: center = mean, scale = sample std
+      (``sqrt((n·Σx² − (Σx)²) / (n·(n−1)))``; 0.0 when n < 2).
+    - ``minmax``: center = min, scale = max − min.
+    - ``robust``: center = median, scale = IQR (p75 − p25) — the
+      outlier-insensitive pair (Huber 1981); sketch-based unless
+      ``exact=True`` (oracle runs).
+
+    NULLs are ignored per column (aggregate semantics). One scan,
+    map-side partial aggregation, 1-row output.
+    """
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}")
+    aggs: list[Column] = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            n = F.count(x)
+            sx = _dsum(x)
+            sxx = _dsum(x * x)
+            center = sx / n
+            var = (n * sxx - sx * sx) / (n * (n - F.lit(1)))
+            scale = F.when(n > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+        elif method == "minmax":
+            center = F.min(x)
+            scale = F.max(x) - F.min(x)
+        else:  # robust
+            center = _pct(c, 0.5, exact, accuracy)
+            scale = (
+                _pct(c, 0.75, exact, accuracy)
+                - _pct(c, 0.25, exact, accuracy)
+            )
+        aggs.append(F.round(center, round_to).alias(f"{c}__center"))
+        aggs.append(F.round(scale, round_to).alias(f"{c}__scale"))
+    return df.agg(*aggs)
+
+
+def apply_scaler(
+    df: DataFrame,
+    params: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 6,
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Scale ``cols`` by a :func:`fit_scaler` params row:
+    ``(x − center) / scale`` rounded to ``round_to`` as
+    ``{col}{suffix}`` (0.0 when scale = 0 — a constant column scales to
+    its center everywhere; NULL x stays NULL). The params row rides
+    in-plan via a 1-row broadcast hash join, so fit → apply is a single
+    job with no driver materialization, and fitting on one dataset and
+    applying to another (train-fit, eval-apply — the leak-free split)
+    is the same call with a different ``df``.
+    """
+    from .curation import attach_scalars
+
+    tagged = attach_scalars(df, params, cols[0])
+    for c in cols:
+        x = F.col(c).cast("double")
+        ctr, scl = F.col(f"{c}__center"), F.col(f"{c}__scale")
+        scaled = F.when(scl == 0, F.lit(0.0)).otherwise(
+            F.round((x - ctr) / scl, round_to)
+        )
+        tagged = tagged.withColumn(
+            f"{c}{suffix}", F.when(x.isNotNull(), scaled)
+        )
+    drop = [f"{c}__{p}" for c in cols for p in ("center", "scale")]
+    return tagged.drop(*drop)
+
+
+def scale_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "zscore",
+    round_to: int = 6,
+    fit_round_to: int = 9,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Fit-and-apply convenience: :func:`fit_scaler` on ``df`` then
+    :func:`apply_scaler` back onto it. For train/eval splits call the
+    two halves yourself with different frames."""
+    params = fit_scaler(
+        df, cols, method=method, round_to=fit_round_to,
+        exact=exact, accuracy=accuracy,
+    )
+    return apply_scaler(
+        df, params, cols, round_to=round_to, suffix=suffix
+    )
+
+
+def clip_outliers(
+    df: DataFrame,
+    col: str,
+    lower_q: float | None = 0.01,
+    upper_q: float | None = 0.99,
+    lower: float | None = None,
+    upper: float | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 6,
+    suffix: str = "_clipped",
+) -> DataFrame:
+    """Winsorize ``col``: clamp into ``[lower, upper]`` where the
+    bounds are either explicit (``lower``/``upper``) or the
+    ``lower_q``/``upper_q`` quantiles fitted on ``df`` itself (pass
+    ``None`` to skip a side). Adds ``{col}{suffix}`` (the clamped
+    value, rounded to ``round_to``) and ``{col}_clip`` ∈
+    {-1, 0, 1} (clamped low / untouched / clamped high — keeps the
+    clip rate auditable per side, same spirit as the rule batteries'
+    per-rule booleans). NULLs pass through as NULL/0.
+
+    Quantile bounds are rounded to ``round_to`` BEFORE the compare so
+    the clip decision is engine-reproducible; fitted bounds ride a
+    1-row broadcast (no driver action). Sketch quantiles by default,
+    ``exact=True`` for oracle parity.
+    """
+    from .curation import attach_scalars
+
+    x = F.col(col).cast("double")
+    # explicit bounds win; quantile bounds are fitted; None+None = open side
+    lo_expr = (
+        F.round(_pct(col, lower_q, exact, accuracy), round_to)
+        if lower is None and lower_q is not None else None
+    )
+    hi_expr = (
+        F.round(_pct(col, upper_q, exact, accuracy), round_to)
+        if upper is None and upper_q is not None else None
+    )
+
+    fit_aggs = []
+    if lo_expr is not None:
+        fit_aggs.append(lo_expr.alias("_clip_lo"))
+    if hi_expr is not None:
+        fit_aggs.append(hi_expr.alias("_clip_hi"))
+    if fit_aggs:
+        out = attach_scalars(df, df.agg(*fit_aggs), col)
+    else:
+        out = df
+    lo = (
+        F.col("_clip_lo") if lo_expr is not None
+        else (F.lit(float(lower)) if lower is not None else None)
+    )
+    hi = (
+        F.col("_clip_hi") if hi_expr is not None
+        else (F.lit(float(upper)) if upper is not None else None)
+    )
+    clamped = x
+    flag: Column = F.lit(0)
+    if lo is not None:
+        flag = F.when(x < lo, F.lit(-1)).otherwise(flag)
+        clamped = F.greatest(clamped, lo)
+    if hi is not None:
+        flag = F.when(x > hi, F.lit(1)).otherwise(flag)
+        clamped = F.least(clamped, hi)
+    out = out.withColumn(
+        f"{col}{suffix}",
+        F.when(x.isNotNull(), F.round(clamped, round_to)),
+    ).withColumn(
+        f"{col}_clip",
+        F.when(x.isNotNull(), flag).otherwise(F.lit(0)),
+    )
+    return out.drop("_clip_lo", "_clip_hi")
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Unit-L2-normalize an ``array<float/double>`` column into
+    ``out_col`` (default: in place). Pure JVM array fold — the same
+    sequential left-to-right float summation as
+    :func:`~yaetl_spark.operators.similarity.cosine_similarity` (array
+    order is fixed, so the fold is bit-compatible with DuckDB's list
+    functions); components rounded to ``round_to`` (``None`` = raw).
+    A zero or NULL vector passes through unchanged — never a NaN fill.
+    Scan-level, no shuffle, no Python.
+    """
+    out = out_col or vec_col
+    v = F.col(vec_col)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    comp = (
+        (lambda x: F.round(x.cast("double") / nrm, round_to))
+        if round_to is not None
+        else (lambda x: x.cast("double") / nrm)
+    )
+    return df.withColumn(
+        out,
+        F.when(v.isNull() | (nrm == 0), v.cast("array<double>"))
+        .otherwise(F.transform(v, comp)),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    per_dim: bool = False,
+    dim: int | None = None,
+    codes_col: str = "codes",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric scalar quantization of an embedding column: fit an
+    absmax scale over the WHOLE dataset (global by default; per
+    dimension with ``per_dim=True`` + ``dim``), then code each
+    component as ``clamp(floor(x·qmax/scale + 0.5), −qmax, qmax)``
+    with ``qmax = 2^(bits−1) − 1`` (so int8 → ±127). ``floor(v + 0.5)``
+    instead of ``round(v)`` makes the tie decision identical on every
+    engine (no round-half-even/up divergence). Adds ``codes_col``
+    (``array<int>``) and ``scale_col`` (the fitted scale(s)); dequantize
+    downstream as ``code·scale/qmax``. A zero dataset (scale 0) codes
+    to all-zeros.
+
+    Fit is one partial-aggregated scan to a 1-row scale table
+    (``per_dim`` costs ``dim`` max-expressions per row, never an
+    explode — :func:`correlation_matrix` precedent) that rides back on
+    a 1-row broadcast. Apply is a scan-level array ``transform``. This
+    is the memory gate in front of :func:`ivf_topk` at 100 TB: int8
+    codes cut the index footprint 4× with ~centroid-level recall loss
+    (Jégou et al. 2011 motivate the family; this is the non-product,
+    scalar variant).
+    """
+    from .curation import attach_scalars
+
+    if bits < 2 or bits > 16:
+        raise ValueError("bits must be in [2, 16]")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    absmax_global = F.max(
+        F.aggregate(
+            F.transform(v, lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+    )
+    if per_dim:
+        if dim is None:
+            raise ValueError("per_dim=True requires dim")
+        fit = df.agg(
+            F.array(
+                *[
+                    F.max(F.abs(v.getItem(i).cast("double")))
+                    for i in range(dim)
+                ]
+            ).alias(scale_col)
+        )
+        tagged = attach_scalars(df, fit, vec_col)
+        codes = F.zip_with(
+            v,
+            F.col(scale_col),
+            lambda x, s: _code(x.cast("double"), s, qmax),
+        )
+    else:
+        fit = df.agg(absmax_global.alias(scale_col))
+        tagged = attach_scalars(df, fit, vec_col)
+        codes = F.transform(
+            v,
+            lambda x: _code(
+                x.cast("double"), F.col(scale_col), qmax
+            ),
+        )
+    return tagged.withColumn(
+        codes_col, F.when(v.isNotNull(), codes)
+    )
+
+
+def _code(x: Column, scale: Column, qmax: float) -> Column:
+    raw = F.floor(x * F.lit(qmax) / scale + F.lit(0.5))
+    clamped = F.least(
+        F.greatest(raw, F.lit(-qmax)), F.lit(qmax)
+    ).cast("int")
+    return F.when(scale == 0, F.lit(0)).otherwise(clamped)

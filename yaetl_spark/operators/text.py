@@ -539,3 +539,103 @@ def pack_documents(
             .alias("pack_id"),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` tokens (under
+    :func:`tokenize`) by total count, with document frequency and the
+    running corpus-coverage share — ``(token, n, df, coverage,
+    cum_coverage)``, ordered by ``n`` desc / ``token`` asc (total
+    order, so row k is the same token on every run). ``cum_coverage``
+    answers the tokenizer-design question directly: how much of the
+    corpus do the first k vocabulary entries absorb (Zipf's law says
+    a lot — that's why hot-token hot-sets broadcast).
+
+    Scale shape (100 TB): tokenize+explode is a narrow map; the token
+    count is ONE partially-aggregated shuffle bounded by vocabulary
+    size (not corpus size); top-k is TakeOrdered (per-partition heads +
+    driver merge, never a global sort); the running sum is a single-
+    partition window over top_k rows — bounded by construction. The
+    corpus token total rides the same 1-row broadcast pattern as every
+    fitted scalar.
+    """
+    from pyspark.sql.window import Window
+
+    from .curation import attach_scalars  # local: avoid import cycle
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    head = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    tagged = attach_scalars(head, total, "token")
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("token").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tagged.select(
+        "token",
+        "n",
+        "df",
+        F.round(F.col("n") / F.col("_total"), round_to).alias("coverage"),
+        F.round(
+            F.sum("n").over(w) / F.col("_total"), round_to
+        ).alias("cum_coverage"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) over the
+    :func:`tokenize` token distribution: ``H = −Σ p·log2 p`` with
+    ``p = count(token)/n_tokens`` — the information-density quality
+    signal (near-0 = degenerate repetition, high = diverse text; the
+    curation companion to :func:`repetition_flags`, which catches
+    *adjacent* repeats while entropy catches *global* skew). Returns
+    ``(id_col, n_tokens, n_unique, entropy)``; a document with no
+    tokens is absent (no tokens, no distribution).
+
+    Computed via the grouped identity ``H = log2(n) − (Σ c·log2 c)/n``
+    so the whole thing is ONE (doc, token) count shuffle followed by
+    one per-doc aggregate — no window, no second pass for ``n``. The
+    ``c·log2 c`` terms ride the repo's absorb-the-ulps pattern
+    (9-decimal rounding + DECIMAL(38,9) accumulation) so the sum is
+    independent of which partition sees which token — rerun- and
+    oracle-stable. Per-doc state is one accumulator row, never the
+    token list.
+    """
+    dec = "decimal(38,9)"
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    c = F.col("_c").cast("double")
+    term = F.round(c * F.log2(c), 9).cast(dec)
+    return tf.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log2(F.sum("_c").cast("double"))
+            - F.sum(term).cast("double") / F.sum("_c").cast("double"),
+            round_to,
+        ).alias("entropy"),
+    )
