@@ -3118,6 +3118,86 @@ def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stats(li, ["l_orderkey", "l_shipdate"])
 
 
+def q_category_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical vocabulary fit + apply (operators/features.py
+    fit_category_index / apply_category_index): market segments indexed
+    by (count desc, value asc) — a total order, so index 0 is the top
+    segment on every engine — then mapped back onto the stream via a
+    broadcast left join (OOV/NULL → -1) and rolled up. Fit is one
+    vocab-bounded count shuffle; the index sort windows |vocab| rows."""
+    from yaetl_spark.operators import (
+        apply_category_index, fit_category_index,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment")
+    fit = fit_category_index(cust, "c_mktsegment")
+    return (
+        apply_category_index(cust, fit, "c_mktsegment")
+        .groupBy("c_mktsegment", "c_mktsegment_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding fit (operators/features.py
+    fit_target_encoding, Micci-Barreca 2001): mean order total per
+    priority shrunk toward the global prior with m=100 —
+    enc = (Σy + m·prior)/(n + m). Category and prior sums both ride
+    the DECIMAL(38,9) term-sum; one |categories|-bounded aggregate +
+    a 1-row prior broadcast. Fit-on-train/apply-on-eval is the same
+    machinery with a different frame (tests cover the OOV prior)."""
+    from yaetl_spark.operators import fit_target_encoding
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return fit_target_encoding(
+        orders, "o_orderpriority", "o_totalprice", smoothing=100.0
+    )
+
+
+def q_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (operators/features.py hash_features, Weinberger
+    et al. 2009): (column, value) pairs bucketed into [0, 64) via the
+    engine-portable md5-prefix hash — no fit pass, no vocabulary state,
+    zero shuffles before the audit rollup; the scan-side encoder for
+    unbounded-cardinality categoricals at 100 TB."""
+    from yaetl_spark.operators import hash_features
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    h = hash_features(docs, ["lang", "source"], n_features=64)
+    return (
+        h.select(
+            "lang",
+            "source",
+            F.element_at("feature_idx", 1).alias("lang_h"),
+            F.element_at("feature_idx", 2).alias("source_h"),
+        )
+        .groupBy("lang", "source", "lang_h", "source_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization WITHOUT a global sort (operators/features.py
+    quantile_transform): order totals mapped to their CDF position via
+    20 fitted quantile boundaries (exact aggregate for oracle parity;
+    production default is the mergeable percentile_approx sketch) +
+    scan-level bucket-and-interpolate against the broadcast boundary
+    array. Emits per-row positions for a bounded key slice."""
+    from yaetl_spark.operators import quantile_transform
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    qt = quantile_transform(
+        orders, "o_totalprice", n_quantiles=20, exact=True
+    )
+    return qt.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", "o_totalprice", "o_totalprice_q"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3293,6 +3373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "token_entropy": q_token_entropy,
         "file_stats": q_file_stats,
+        "category_index": q_category_index,
+        "target_encode": q_target_encode,
+        "hash_trick": q_hash_trick,
+        "quantile_transform": q_quantile_transform,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -6525,4 +6609,88 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_shipdate) AS l_shipdate_max
             FROM lineitem
         """,
+        "category_index": """
+            WITH counts AS (
+                SELECT c_mktsegment AS v, COUNT(*) AS cnt
+                FROM customer WHERE c_mktsegment IS NOT NULL
+                GROUP BY c_mktsegment),
+            idx AS (
+                SELECT v,
+                       CAST(row_number() OVER (
+                           ORDER BY cnt DESC, v ASC) - 1 AS INT) AS idx
+                FROM counts)
+            SELECT c.c_mktsegment,
+                   COALESCE(i.idx, -1) AS c_mktsegment_idx,
+                   COUNT(*) AS n
+            FROM customer c LEFT JOIN idx i ON c.c_mktsegment = i.v
+            GROUP BY c.c_mktsegment, COALESCE(i.idx, -1)
+        """,
+        "target_encode": """
+            WITH base AS (
+                SELECT o_orderpriority AS v,
+                       CAST(o_totalprice AS DOUBLE) AS y
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL),
+            pr AS (
+                SELECT round(CAST(SUM(CAST(round(y, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE)
+                           / COUNT(y), 9) AS prior
+                FROM base),
+            per AS (
+                SELECT v,
+                       CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9)))
+                            AS DOUBLE) AS sy,
+                       COUNT(y) AS n
+                FROM base GROUP BY v)
+            SELECT v AS value,
+                   round((sy + 100.0 * prior) / (n + 100.0), 6) AS enc,
+                   n, prior
+            FROM per, pr
+        """,
+        "hash_trick": """
+            SELECT lang, source,
+                   CASE WHEN lang IS NULL THEN -1 ELSE
+                       CAST(CAST(('0x' || substring(md5(
+                           'lang' || chr(31) || lang), 1, 8))
+                           AS BIGINT) % 64 AS INT) END AS lang_h,
+                   CASE WHEN source IS NULL THEN -1 ELSE
+                       CAST(CAST(('0x' || substring(md5(
+                           'source' || chr(31) || source), 1, 8))
+                           AS BIGINT) % 64 AS INT) END AS source_h,
+                   COUNT(*) AS n
+            FROM documents
+            GROUP BY lang, source, lang_h, source_h
+        """,
+        "quantile_transform": """
+            WITH fit AS (
+                SELECT [{bounds}] AS b
+                FROM orders),
+            scored AS (
+                SELECT o_orderkey,
+                       CAST(o_totalprice AS DOUBLE) AS x, b
+                FROM orders, fit
+                WHERE o_orderkey < 2000),
+            pos AS (
+                SELECT o_orderkey, x, b,
+                       LEAST(GREATEST(
+                           len(list_filter(b, v -> v < x)) - 1, 0),
+                           19) AS k
+                FROM scored)
+            SELECT o_orderkey,
+                   x AS o_totalprice,
+                   round(CASE
+                       WHEN x <= b[1] THEN 0.0
+                       WHEN x >= b[21] THEN 1.0
+                       ELSE (CAST(k AS DOUBLE)
+                             + CASE WHEN b[k + 2] > b[k + 1]
+                                    THEN (x - b[k + 1])
+                                         / (b[k + 2] - b[k + 1])
+                                    ELSE 0.0 END) / 20.0
+                       END, 6) AS o_totalprice_q
+            FROM pos
+        """.format(bounds=", ".join(
+            "round(quantile_cont(CAST(o_totalprice AS DOUBLE), "
+            f"{i / 20!r}), 6)" for i in range(21)
+        )),
     }

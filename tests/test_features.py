@@ -307,3 +307,119 @@ def test_file_stats_requires_cols(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         file_stats(df, [])
+
+
+# ------------------------------------------------- categorical encoders
+
+def test_category_index_deterministic_order(spark):
+    from yaetl_spark.operators import (
+        apply_category_index, fit_category_index)
+
+    df = _df(spark, [("b",), ("a",), ("a",), ("c",), ("a",), ("b",),
+                     (None,)], "x string")
+    idx = {r["value"]: (r["idx"], r["n"])
+           for r in fit_category_index(df, "x").collect()}
+    assert idx == {"a": (0, 3), "b": (1, 2), "c": (2, 1)}
+    out = {r["x"]: r["x_idx"]
+           for r in apply_category_index(
+               df, fit_category_index(df, "x"), "x").collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, None: -1}
+
+
+def test_category_index_topk_and_min_count(spark):
+    from yaetl_spark.operators import (
+        apply_category_index, fit_category_index)
+
+    df = _df(spark, [("a",)] * 3 + [("b",)] * 2 + [("c",)], "x string")
+    fit = fit_category_index(df, "x", top_k=2)
+    assert {r["value"] for r in fit.collect()} == {"a", "b"}
+    # OOV category 'c' maps to the default
+    out = {r["x"]: r["x_idx"]
+           for r in apply_category_index(df, fit, "x",
+                                         default=-7).collect()}
+    assert out["c"] == -7
+    fit2 = fit_category_index(df, "x", min_count=2)
+    assert {r["value"] for r in fit2.collect()} == {"a", "b"}
+
+
+def test_category_index_ties_break_by_value(spark):
+    from yaetl_spark.operators import fit_category_index
+
+    df = _df(spark, [("z",), ("y",)], "x string")
+    idx = {r["value"]: r["idx"]
+           for r in fit_category_index(df, "x").collect()}
+    assert idx == {"y": 0, "z": 1}  # equal counts -> lexicographic
+
+
+def test_target_encoding_shrinks_to_prior(spark):
+    from yaetl_spark.operators import (
+        apply_target_encoding, fit_target_encoding)
+
+    rows = [("a", 1.0)] * 8 + [("a", 0.0)] * 2 + [("b", 1.0)]
+    df = _df(spark, rows, "cat string, y double")
+    enc = fit_target_encoding(df, "cat", "y", smoothing=10.0)
+    got = {r["value"]: r for r in enc.collect()}
+    prior = round(9.0 / 11.0, 9)
+    # a: (8 + 10*prior)/(10+10); b: (1 + 10*prior)/(1+10)
+    assert got["a"]["enc"] == pytest.approx(
+        round((8 + 10 * prior) / 20, 6), abs=1e-6)
+    assert got["b"]["enc"] == pytest.approx(
+        round((1 + 10 * prior) / 11, 6), abs=1e-6)
+    # singleton category sits nearer the prior than its raw mean 1.0
+    assert abs(got["b"]["enc"] - prior) < abs(1.0 - prior) / 2
+    # unseen category at apply time falls back to the prior
+    eval_ = _df(spark, [("zzz", 0.0)], "cat string, y double")
+    out = apply_target_encoding(eval_, enc, "cat").collect()[0]
+    assert out["cat_enc"] == pytest.approx(prior, abs=1e-6)
+
+
+def test_hash_features_stable_and_bounded(spark):
+    from yaetl_spark.operators import hash_features
+
+    df = _df(spark, [("a", "x"), ("a", None), ("b", "x")],
+             "c1 string, c2 string")
+    rows = hash_features(df, ["c1", "c2"], n_features=32).collect()
+    for r in rows:
+        assert len(r["feature_idx"]) == 2
+        for i, v in enumerate(r["feature_idx"]):
+            col = ["c1", "c2"][i]
+            if r[col] is None:
+                assert v == -1
+            else:
+                assert 0 <= v < 32
+    # same (col, value) always hashes identically
+    a_hashes = {r["feature_idx"][0] for r in rows if r["c1"] == "a"}
+    assert len(a_hashes) == 1
+    with pytest.raises(ValueError):
+        hash_features(df, ["c1"], n_features=1)
+
+
+def test_quantile_transform_uniformizes(spark):
+    from yaetl_spark.operators import quantile_transform
+
+    vals = [float(i) for i in range(1, 101)]
+    df = _df(spark, [(v,) for v in vals], "x double")
+    out = {r["x"]: r["x_q"]
+           for r in quantile_transform(df, "x", n_quantiles=10,
+                                       exact=True).collect()}
+    assert out[1.0] == 0.0 and out[100.0] == 1.0
+    # monotone non-decreasing in x
+    qs = [out[v] for v in vals]
+    assert qs == sorted(qs)
+    # median lands near 0.5
+    assert abs(out[50.0] - 0.5) < 0.02
+    # NULL passthrough
+    df2 = _df(spark, [(1.0,), (2.0,), (None,)], "x double")
+    rows = quantile_transform(df2, "x", n_quantiles=2,
+                              exact=True).collect()
+    assert any(r["x"] is None and r["x_q"] is None for r in rows)
+
+
+def test_quantile_transform_constant_column(spark):
+    from yaetl_spark.operators import quantile_transform
+
+    df = _df(spark, [(5.0,)] * 4, "x double")
+    got = {r["x_q"] for r in
+           quantile_transform(df, "x", n_quantiles=4,
+                              exact=True).collect()}
+    assert got == {0.0}  # x <= fitted min -> 0, never NaN

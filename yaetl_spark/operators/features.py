@@ -43,14 +43,20 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "apply_category_index",
     "apply_scaler",
+    "apply_target_encoding",
     "clip_outliers",
+    "fit_category_index",
     "fit_scaler",
+    "fit_target_encoding",
+    "hash_features",
     "l2_normalize",
+    "quantile_transform",
     "quantize_embeddings",
     "scale_features",
 ]
@@ -364,3 +370,240 @@ def _code(x: Column, scale: Column, qmax: float) -> Column:
         F.greatest(raw, F.lit(-qmax)), F.lit(qmax)
     ).cast("int")
     return F.when(scale == 0, F.lit(0)).otherwise(clamped)
+
+
+def fit_category_index(
+    df: DataFrame,
+    col: str,
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Fit a categorical vocabulary: distinct values of ``col`` mapped
+    to contiguous integer indexes 0..V−1, ordered by (count desc, value
+    asc) so index 0 is always the most frequent value and the mapping
+    is a total order — identical on every run and engine. Returns
+    ``(value, idx, n)``. ``top_k`` caps the vocabulary (the long tail
+    becomes "unseen" at apply time — the standard OOV policy);
+    ``min_count`` drops rare values the same way.
+
+    Scale shape: ONE vocab-bounded count shuffle; the ordering sort is
+    over |vocab| rows, not data rows. Keep ``top_k`` at a broadcastable
+    size (≤ ~1 M entries) — :func:`apply_category_index` broadcasts the
+    fitted map by construction.
+    """
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+    indexed = counts.select(
+        "value", (F.row_number().over(w) - 1).alias("idx"), "n"
+    )
+    return indexed.filter(F.col("idx") < top_k) if top_k else indexed
+
+
+def apply_category_index(
+    df: DataFrame,
+    index_df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    default: int = -1,
+) -> DataFrame:
+    """Map ``col`` through a :func:`fit_category_index` vocabulary via a
+    BROADCAST left join — unseen/OOV (and NULL) values get ``default``.
+    The fitted map is the small side by contract; the stream never
+    shuffles."""
+    out = out_col or f"{col}_idx"
+    m = index_df.select(
+        F.col("value").alias("__cat_v"), F.col("idx").alias("__cat_i")
+    )
+    return (
+        df.join(
+            F.broadcast(m), df[col] == F.col("__cat_v"), "left"
+        )
+        .withColumn(out, F.coalesce(F.col("__cat_i"), F.lit(default)))
+        .drop("__cat_v", "__cat_i")
+    )
+
+
+def fit_target_encoding(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fit smoothed target encoding (mean-target per category shrunk
+    toward the global prior — Micci-Barreca 2001):
+    ``enc = (Σy + m·prior) / (n + m)`` with ``m = smoothing``. Returns
+    ``(value, enc, n)`` plus the prior on every row (``prior`` column)
+    so apply can default unseen categories to it. Category and global
+    sums both ride the DECIMAL(38,9) term-sum; ``prior`` is rounded to
+    9 and ``enc`` to ``round_to`` at fit time so every apply scores
+    identically.
+
+    Fit on the TRAIN split only and apply to eval — fitting on the full
+    frame leaks the target (the whole reason the fit/apply halves are
+    separate functions). Scale: one |categories|-bounded aggregate plus
+    a 1-row prior broadcast.
+    """
+    from .curation import attach_scalars
+
+    y = F.col(target_col).cast("double")
+    base = df.filter(
+        F.col(cat_col).isNotNull() & y.isNotNull()
+    )
+    prior_row = base.agg(
+        F.round(_dsum(y) / F.count(y), 9).alias("prior")
+    )
+    per_cat = base.groupBy(F.col(cat_col).alias("value")).agg(
+        _dsum(y).alias("_sy"), F.count(y).alias("n")
+    )
+    m = float(smoothing)
+    return attach_scalars(per_cat, prior_row, "value").select(
+        "value",
+        F.round(
+            (F.col("_sy") + F.lit(m) * F.col("prior"))
+            / (F.col("n") + F.lit(m)),
+            round_to,
+        ).alias("enc"),
+        "n",
+        "prior",
+    )
+
+
+def apply_target_encoding(
+    df: DataFrame,
+    encoding_df: DataFrame,
+    cat_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Score ``cat_col`` with a :func:`fit_target_encoding` map via a
+    BROADCAST left join; unseen/NULL categories fall back to the fitted
+    global prior (carried on every encoding row)."""
+    out = out_col or f"{cat_col}_enc"
+    m = encoding_df.select(
+        F.col("value").alias("__te_v"),
+        F.col("enc").alias("__te_e"),
+    )
+    # unmatched rows have no encoding row to read the prior from, so the
+    # prior also rides its own 1-row broadcast (both joins are tiny)
+    prior_row = encoding_df.agg(F.max("prior").alias("__te_prior"))
+    from .curation import attach_scalars
+
+    tagged = attach_scalars(df, prior_row, cat_col)
+    return (
+        tagged.join(
+            F.broadcast(m), tagged[cat_col] == F.col("__te_v"), "left"
+        )
+        .withColumn(
+            out, F.coalesce(F.col("__te_e"), F.col("__te_prior"))
+        )
+        .drop("__te_v", "__te_e", "__te_prior")
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_features: int = 1024,
+    out_col: str = "feature_idx",
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    each ``(column_name, value)`` pair maps to a bucket in
+    ``[0, n_features)`` via the engine-portable md5-prefix hash the
+    sampling module established (``conv(substr(md5(s),1,8),16,10) %
+    n`` — reproducible in DuckDB with the same arithmetic). Adds
+    ``out_col`` as ``array<int>`` with one entry per input column
+    (NULL value → −1 sentinel, never a hash of the string 'null').
+
+    No fit pass at all — the defining advantage over
+    :func:`fit_category_index` at 100 TB: unbounded-cardinality
+    categoricals (URLs, user ids) encode scan-side with zero shuffles
+    and zero vocabulary state, at the cost of hash collisions
+    (1/n_features per pair).
+    """
+    if n_features < 2:
+        raise ValueError("n_features must be >= 2")
+    entries = []
+    for c in cols:
+        s = F.concat_ws("\x1f", F.lit(c), F.col(c).cast("string"))
+        h = F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            F.lit(int(n_features)),
+        ).cast("int")
+        entries.append(
+            F.when(F.col(c).isNull(), F.lit(-1)).otherwise(h)
+        )
+    return df.withColumn(out_col, F.array(*entries))
+
+
+def quantile_transform(
+    df: DataFrame,
+    col: str,
+    n_quantiles: int = 100,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 6,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Map ``col`` to its (approximate) CDF position in [0, 1] — the
+    rank-based normalization that makes any distribution uniform
+    (sklearn's QuantileTransformer, computed WITHOUT a global sort):
+    fit the ``i/n`` quantile boundaries (sketch by default, exact
+    aggregate under ``exact=True``), then per row find the covering
+    bucket and linearly interpolate inside it. Boundaries are rounded
+    to ``round_to`` BEFORE use so the bucket decision and the
+    interpolation are engine-reproducible; repeated boundary values
+    (heavy hitters spanning buckets) interpolate as the bucket's left
+    edge. Values at/below the fitted min map to 0.0, at/above the max
+    to 1.0; NULL stays NULL.
+
+    Scale shape: the same two-pass contract as
+    :func:`~yaetl_spark.operators.aggregates.equi_depth_histogram` —
+    one mergeable-sketch (or sort-aggregate for oracles) fit reduced
+    to a 1-row boundary array riding a broadcast, then scan-level
+    array arithmetic. Never a window over the data, never a global
+    sort at the default settings.
+    """
+    from .curation import attach_scalars
+
+    if n_quantiles < 2:
+        raise ValueError("n_quantiles must be >= 2")
+    out = out_col or f"{col}_q"
+    x = F.col(col).cast("double")
+    fn = "percentile" if exact else "percentile_approx"
+    bound_exprs = []
+    for i in range(n_quantiles + 1):
+        p = i / n_quantiles
+        expr = (
+            f"{fn}({col}, {p!r})" if exact
+            else f"{fn}({col}, {p!r}, {accuracy})"
+        )
+        bound_exprs.append(F.round(F.expr(expr), round_to))
+    fit = df.agg(
+        F.array(*bound_exprs).cast("array<double>").alias("_qt_bounds")
+    )
+    tagged = attach_scalars(df, fit, col)
+    b = F.col("_qt_bounds")
+    # covering bucket: number of boundaries strictly below x, minus 1,
+    # clamped into [0, n-1]; size(filter(...)) is scan-level array math
+    k = F.least(
+        F.greatest(
+            F.size(F.filter(b, lambda v: v < x)) - F.lit(1), F.lit(0)
+        ),
+        F.lit(n_quantiles - 1),
+    )
+    lo = F.element_at(b, k + 1)
+    hi = F.element_at(b, k + 2)
+    frac = F.when(hi > lo, (x - lo) / (hi - lo)).otherwise(F.lit(0.0))
+    q = (k.cast("double") + frac) / F.lit(float(n_quantiles))
+    q = F.when(x <= F.element_at(b, 1), F.lit(0.0)).otherwise(
+        F.when(x >= F.element_at(b, n_quantiles + 1), F.lit(1.0))
+        .otherwise(q)
+    )
+    return tagged.withColumn(
+        out, F.when(x.isNotNull(), F.round(q, round_to))
+    ).drop("_qt_bounds")
