@@ -2934,7 +2934,10 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against the exact answer in production."""
     from yaetl_spark.operators import retrieval_metrics
 
-    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    # heavy: the Q-fold pair stream amplifies per-row work far past the
+    # scan, so spread the corpus across cores (the query side collapses
+    # to a broadcast regardless)
+    emb = _t(spark, sf_dir, "embeddings", heavy=True)
     return retrieval_metrics(
         emb, emb.filter(F.col("vec_id") % 25 == 0), k=10
     )
@@ -2949,7 +2952,8 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 scaled values and their means are engine-exact."""
     from yaetl_spark.operators import scale_features
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    # heavy: same per-row decimal-round chain that makes Q1 opt in
+    li = _t(spark, sf_dir, "lineitem", heavy=True).select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
     scaled = scale_features(

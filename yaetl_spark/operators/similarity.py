@@ -480,15 +480,21 @@ def retrieval_metrics(
     if k < 1:
         raise ValueError("k must be >= 1")
     dec = "decimal(38,9)"
+    # norms are precomputed ONCE per side (corpus row / query row), not
+    # per pair — the Q·N pair stream then does one zip_with dot + one
+    # multiply instead of three array folds (same float expression tree,
+    # so the rounded score is bit-identical to inline cosine)
     c = df.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         F.col(label_col).alias("_clbl"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col(label_col).alias("_qlbl"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     # relevant-universe size per query: corpus label counts minus self
     lbl_counts = df.groupBy(F.col(label_col).alias("_clbl")).agg(
@@ -500,6 +506,7 @@ def retrieval_metrics(
         "query_id",
         "_qvec",
         "_qlbl",
+        "_qn",
         (F.coalesce(F.col("_lcnt"), F.lit(1)) - F.lit(1)).alias("n_rel"),
     )
     scored = (
@@ -509,7 +516,13 @@ def retrieval_metrics(
             "query_id",
             "n_rel",
             F.round(
-                cosine_similarity(F.col("_cvec"), F.col("_qvec")), 6
+                F.when(
+                    (F.col("_cn") * F.col("_qn")) == 0, F.lit(0.0)
+                ).otherwise(
+                    dot_product(F.col("_cvec"), F.col("_qvec"))
+                    / (F.col("_cn") * F.col("_qn"))
+                ),
+                6,
             ).alias("_score"),
             (F.col("_clbl") == F.col("_qlbl")).alias("_rel"),
             "_cid",
