@@ -109,3 +109,16 @@ def test_monitor_ingest_example(spark, sf_dir):
     assert acf_peak[0]["lag"] >= 2
     assert all(r["residual"] is not None for r in worst_resid)
     assert all(r["score"] > 0 and r["is_change"] for r in shifts)
+
+
+def test_prepare_features_example(spark, sf_dir):
+    sys.path.insert(0, "examples")
+    try:
+        import prepare_features
+    finally:
+        sys.path.pop(0)
+    out = prepare_features.main(spark, sf_dir)
+    assert out["n_train"] + out["n_eval"] > 0
+    assert 0.0 <= out["auc"] <= 1.0
+    assert out["n_calibration_bins"] >= 1
+    assert out["mrr_int8"] is None or 0.0 <= out["mrr_int8"] <= 1.0
