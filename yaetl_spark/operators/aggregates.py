@@ -145,22 +145,29 @@ def percentiles(
     groups). ``accuracy`` trades sketch memory for error (1/accuracy
     relative rank error).
     """
-    fn = "percentile" if exact else "percentile_approx"
     names = list(names) if names else [
         "p" + format(p * 100, "g").replace(".", "_") for p in probs
     ]
-    aggs = []
-    for p, name in zip(probs, names):
-        expr = (
-            f"{fn}({value_col}, {p})" if exact
-            else f"{fn}({value_col}, {p}, {accuracy})"
-        )
-        if round_to is not None:
-            expr = f"round({expr}, {round_to})"
-        aggs.append(F.expr(expr).alias(name))
+    # one shared aggregate for all requested percentiles (one sort per
+    # group in the exact case, one sketch in the approx case) — separate
+    # percentile expressions each buffer their own copy of the group
+    arr = ", ".join(repr(float(p)) for p in probs)
+    pct = (
+        f"percentile({value_col}, array({arr}))" if exact
+        else f"percentile_approx({value_col}, array({arr}), {accuracy})"
+    )
+    qs = F.expr(pct).cast("array<double>")
+    aggs: list[Column] = [qs.alias("_qs")]
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     grouped = df.groupBy(*keys) if keys else df.groupBy()
-    return grouped.agg(*aggs)
+    agged = grouped.agg(*aggs)
+    cols = [F.col(k) for k in keys]
+    for i, name in enumerate(names):
+        v = F.element_at("_qs", i + 1)
+        if round_to is not None:
+            v = F.round(v, round_to)
+        cols.append(v.alias(name))
+    return agged.select(*cols, "n_rows")
 
 
 def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -284,20 +291,21 @@ def equi_depth_histogram(
 
     if nbins < 2:
         raise ValueError("nbins must be >= 2")
-    fn = "percentile" if exact else "percentile_approx"
     x = F.col(col).cast("double")
-    bound_exprs = []
-    for i in range(1, nbins):
-        p = i / nbins
-        expr = (
-            f"{fn}({col}, {p!r})" if exact
-            else f"{fn}({col}, {p!r}, {accuracy})"
-        )
-        bound_exprs.append(
-            F.round(F.expr(expr), round_to).cast("double")
-        )
+    # all boundaries from ONE percentile aggregate: each separate exact
+    # percentile expression buffers and sorts its own copy of the column
+    # (k boundaries = k sorts); the array form shares one buffer/sort —
+    # same values, same rounding, same bins
+    arr = ", ".join(repr(i / nbins) for i in range(1, nbins))
+    pct = (
+        f"percentile({col}, array({arr}))" if exact
+        else f"percentile_approx({col}, array({arr}), {accuracy})"
+    )
     bounds_row = df.agg(
-        F.array(*bound_exprs).alias("_bounds"),
+        F.transform(
+            F.expr(pct).cast("array<double>"),
+            lambda v: F.round(v, round_to),
+        ).alias("_bounds"),
         F.round(F.min(x), round_to).alias("_mn"),
         F.round(F.max(x), round_to).alias("_mx"),
     )
