@@ -650,3 +650,55 @@ def test_distribution_shift_single_bounds_lineage(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan     # the 1-row bounds attach
+
+
+def test_quantile_transform_one_sort_no_global_window(spark):
+    """quantile_transform: all 21 boundaries come from ONE shared
+    percentile aggregate (one buffered sort — 21 separate expressions
+    cost 21 sorts, measured 9x at sf0.1), the boundary array rides a
+    1-row BroadcastHashJoin, and the per-row CDF position is pure array
+    arithmetic — no Window node, no global Sort over the data."""
+    plan = plan_of(spark, "quantile_transform")
+    assert plan.count("partial_percentile(") == 1
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equi_depth_single_percentile_aggregate(spark):
+    """equi_depth_histogram (exact mode): the boundary fit is one
+    array-percentile aggregate, never one sort per boundary."""
+    plan = plan_of(spark, "equi_depth")
+    assert plan.count("partial_percentile(") == 1
+
+
+def test_retrieval_metrics_broadcast_sample_grouplimit(spark):
+    """retrieval_metrics: the eval sample is the BROADCAST side of the
+    pair cross (corpus streams once, sample never exceeds broadcast
+    size by contract), per-side norms are projected BELOW the join
+    (never re-folded per pair), and the top-k cut is a rank-limit
+    pushdown (WindowGroupLimit), not a full per-query sort."""
+    plan = plan_of(spark, "retrieval_metrics")
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x broadcast sample
+    assert "WindowGroupLimit" in plan         # rank-limit pushdown
+    # hoisted norms: the score divides by precomputed _cn * _qn columns
+    assert "_cn" in plan and "_qn" in plan
+
+
+def test_scaler_fit_apply_single_broadcast(spark):
+    """feature_scale: the fitted params row attaches via exactly one
+    zero-key BroadcastHashJoin; the apply is scan-level arithmetic."""
+    plan = plan_of(spark, "feature_scale")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_file_stats_partial_agg_before_exchange(spark):
+    """file_stats: the per-file aggregate partially combines map-side
+    (HashAggregate below the Exchange), so the shuffle carries ~1 row
+    per file, never data-sized."""
+    plan = plan_of(spark, "file_stats")
+    ex = plan.index("Exchange hashpartitioning(_groupingexpression")
+    assert "partial_count" in plan[ex:]  # partial agg below the exchange

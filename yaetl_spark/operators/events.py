@@ -228,6 +228,10 @@ def event_transitions(
     :func:`~yaetl_spark.operators.stats.categorical_shift` on the pair
     counts).
 
+    ``min_count`` prunes rare pairs BEFORE row-normalization, so ``p``
+    is conditional on the KEPT transition mass (rows still sum to 1) —
+    fit with ``min_count=1`` when you need unconditional probabilities.
+
     NULL event types are excluded BEFORE the window (same policy as
     :func:`event_paths` — a NULL must never alias a real step), and the
     per-user ordering is made total with ``tiebreak_col`` so ties in
