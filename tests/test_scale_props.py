@@ -272,6 +272,14 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # ANSI either — exercise end-to-end
         "seasonal_decompose", "changepoint", "autocorrelation",
         "seasonal_anomaly", "ks_drift",
+        # late round-8: hash_trick rides the md5-prefix bucket (< 2^32,
+        # pmod-safe), quantize/retrieval fold doubles under strict
+        # casts, the scalers/encoders chain decimal sums + divisions,
+        # score_auc cumulates DECIMAL(38,9) rank sums
+        "hash_trick", "embedding_quantize", "retrieval_metrics",
+        "feature_scale", "quantile_transform", "target_encode",
+        "category_index", "score_auc", "validation_suite",
+        "token_entropy", "event_transitions", "file_stats",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")
