@@ -289,3 +289,45 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
                 "overwrite").save()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_fitted_scalers_partition_invariant(spark):
+    """Fitted feature statistics ride decimal term sums and rounded
+    params, so the scaled/encoded/ranked outputs must be value-identical
+    under any partitioning of the input — the rerun-stability contract
+    every fit/apply operator claims."""
+    from yaetl_spark.operators import (
+        fit_target_encoding, quantile_transform, scale_features,
+    )
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    )
+
+    # the scaled/ranked value is a pure function of the input value
+    # once the fitted params are fixed — so the value->output mapping
+    # must be identical under any partitioning
+    def mapping(df):
+        return {r[0]: r[-1] for r in df.collect()}
+
+    for build in (
+        lambda d: scale_features(d, ["l_extendedprice"], "zscore")
+        .select("l_extendedprice", "l_extendedprice_scaled"),
+        lambda d: quantile_transform(d, "l_extendedprice",
+                                     n_quantiles=10, exact=True)
+        .select("l_extendedprice", "l_extendedprice_q"),
+    ):
+        a = mapping(build(li))
+        b = mapping(build(li.repartition(7)))
+        assert a == b
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    e1 = {r["value"]: (r["enc"], r["n"], r["prior"]) for r in
+          fit_target_encoding(orders, "o_orderpriority",
+                              "o_totalprice").collect()}
+    e2 = {r["value"]: (r["enc"], r["n"], r["prior"]) for r in
+          fit_target_encoding(orders.repartition(11), "o_orderpriority",
+                              "o_totalprice").collect()}
+    assert e1 == e2
