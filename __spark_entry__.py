@@ -2929,7 +2929,8 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query precision/recall@10, reciprocal rank, and binary-gain
     nDCG@10 (Järvelin & Kekäläinen 2002) for brute-force cosine top-10,
     relevance = label agreement, queries = every 25th vector. The eval
-    sample is broadcast; the corpus streams once; DCG/IDCG terms use
+    sample is broadcast; the corpus scans twice (label counts +
+    scoring, both column-pruned); DCG/IDCG terms use
     the 9-decimal + DECIMAL(38,9) order-free sum. Grades ivf_topk's
     recall against the exact answer in production."""
     from yaetl_spark.operators import retrieval_metrics

@@ -161,6 +161,8 @@ def apply_scaler(
     """
     from .curation import attach_scalars
 
+    if not cols:
+        raise ValueError("cols must name at least one column")
     tagged = attach_scalars(df, params, cols[0])
     for c in cols:
         x = F.col(c).cast("double")

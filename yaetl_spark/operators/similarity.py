@@ -470,8 +470,10 @@ def retrieval_metrics(
     hash-matches the DuckDB oracle regardless of summation order.
 
     Scale shape (100 TB corpus): ``queries_df`` is the small eval
-    sample — it is broadcast, the corpus is streamed once, and the only
-    shuffle is the per-query top-k window keyed on query id (Q·N scored
+    sample — it is broadcast, the corpus is scanned twice (one
+    column-pruned label-count pass for the relevant-universe sizes,
+    one scoring pass), and the only shuffle is the per-query top-k
+    window keyed on query id (Q·N scored
     rows reduced map-side by nothing — this is the *exact* baseline by
     construction; production retrieval at scale goes through
     :func:`ivf_topk` and this battery grades that index against the
