@@ -3364,8 +3364,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "market_share": q_market_share,
         # -- new late-round-8 (no r8 driver slot left: the window was
-        # exactly full; MUST head the r9 window alongside the r6-stale
-        # cohort — local oracle evidence only until then) -------------
+        # exactly full; the 16 queries below MUST head the r9 window
+        # alongside (a) "percentiles" — its implementation switched to
+        # the shared array-percentile aggregate late in r8 and it is
+        # NOT in the r8 window (equi_depth/winsorize/quantile_transform
+        # users of the same change are covered: equi_depth sits in the
+        # r8 window, the other two are new below) — and (b) the r6-stale
+        # cohort. Local oracle evidence only until then. ---------------
         "validation_suite": q_validation_suite,
         "score_auc": q_score_auc,
         "calibration_bins": q_calibration_bins,
