@@ -423,3 +423,22 @@ def test_quantile_transform_constant_column(spark):
            quantile_transform(df, "x", n_quantiles=4,
                               exact=True).collect()}
     assert got == {0.0}  # x <= fitted min -> 0, never NaN
+
+
+def test_quantile_transform_heavy_hitter_left_edge(spark):
+    """A value so frequent it spans multiple quantile boundaries makes
+    consecutive boundaries EQUAL; the documented policy interpolates as
+    the bucket's left edge (frac = 0) — never a divide-by-zero NaN —
+    and the output stays monotone."""
+    from yaetl_spark.operators import quantile_transform
+
+    vals = [1.0] * 80 + [float(v) for v in range(2, 22)]  # 80% ones
+    df = _df(spark, [(v,) for v in vals], "x double")
+    out = {r["x"]: r["x_q"]
+           for r in quantile_transform(df, "x", n_quantiles=10,
+                                       exact=True).collect()}
+    assert all(q is not None and not math.isnan(q) for q in out.values())
+    assert out[1.0] == 0.0  # the heavy hitter IS the fitted min
+    ordered = [out[v] for v in sorted(out)]
+    assert ordered == sorted(ordered)
+    assert out[21.0] == 1.0
