@@ -181,8 +181,15 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join — customers with no orders."""
-    orders = _t(spark, sf_dir, "orders")
+    """Anti join — customers with no order over 300k. The threshold
+    keeps the result NON-EMPTY on the synthetic data (every customer
+    has at least one order, so the bare no-orders form compared 0 rows
+    vs 0 rows in r8 — vacuous green, same defect class as the r8
+    ks_drift ADVICE item); the pre-join filter also exercises pushdown
+    under the anti join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return (
         Pipeline(spark)
         .from_(_ps(sf_dir, "customer"))
@@ -373,9 +380,15 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations present in the nation table but lacking any supplier."""
+    """Nations lacking any well-capitalized supplier (s_acctbal > 5000).
+    The acctbal cut keeps the result NON-EMPTY on the synthetic data —
+    every nation has *some* supplier, so the bare form compared 0 rows
+    vs 0 rows in r1/r3/r6 (vacuous green, the r8-ADVICE ks_drift defect
+    class); EXCEPT set semantics are now actually exercised."""
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 5000)
+         .select(F.col("s_nationkey").alias("nationkey")))
     return n.subtract(s)
 
 
@@ -1224,12 +1237,15 @@ def q_continue_at(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift per event type
-    (operators/stats.py ks_test): event values from the first 75 days
+    (operators/stats.py ks_test): event values from the first 15 days
     vs the rest — the distribution-free companion to the bucketed
     PSI/KL checks (no bucket count, no smoothing constant; tie-safe max
-    ECDF gap over every distinct value). Exactly deterministic with no
-    decimal machinery: both ECDFs are integer-count ratios. Two keyed
-    shuffles — (type, value) tie collapse, then the per-type ECDF
+    ECDF gap over every distinct value). The split sits at the fixture
+    midpoint (events span 2024-01-01..01-30) so BOTH samples are
+    non-empty and the ECDF math is actually exercised — r8's day-75
+    split compared 0 rows vs 0 rows (ADVICE r8). Exactly deterministic
+    with no decimal machinery: both ECDFs are integer-count ratios. Two
+    keyed shuffles — (type, value) tie collapse, then the per-type ECDF
     ordering the final max reuses."""
     from yaetl_spark.operators import ks_test
 
@@ -1241,7 +1257,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts"), F.lit("2024-01-01").cast("date")
     )
     return ks_test(
-        ev.filter(day < 75), ev.filter(day >= 75),
+        ev.filter(day < 15), ev.filter(day >= 15),
         "value", ["event_type"],
     )
 
@@ -2104,14 +2120,20 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: per market segment, count + balance of customers
     whose balance beats the global positive average (scalar subquery,
-    broadcast 1-row join) and who never ordered (anti join)."""
+    broadcast 1-row join) and who never placed an order over 300k
+    (anti join). The 300k cut keeps the anti join NON-EMPTY on the
+    synthetic data — every customer has orders, so the bare never-
+    ordered form compared 0 rows vs 0 rows in r2/r4/r7 (vacuous
+    green)."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg((F.sum(_dec2("c_acctbal")).cast("double")
               / F.count(F.lit(1))).alias("_avg"))
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 300000)
+              .select("o_custkey"))
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
@@ -2447,10 +2469,13 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose traded value exceeds a fixed fraction
-    of the global total — group-by + HAVING against a scalar aggregate
-    (broadcast 1-row cross join, the decorrelated form). Values compared
-    as doubles derived from exact decimal sums (bit-identical cross-engine)."""
+    """TPC-H Q11 shape: parts whose traded value exceeds 1.5x the mean
+    per-part value — group-by + HAVING against a scalar aggregate
+    (broadcast 1-row cross join, the decorrelated form). The threshold
+    is SCALE-FREE (Q11's fixed global fraction shrinks per-part share
+    as parts grow, which emptied the result at sf>=0.001 — vacuous
+    green in r2/r4/r7). Values compared as doubles derived from exact
+    decimal sums + exact distinct count (bit-identical cross-engine)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
     value = _dec2("l_extendedprice") * _dec2("l_quantity")
@@ -2459,10 +2484,12 @@ def q_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(value), 2).cast("double").alias("value"),
              F.count(F.lit(1)).alias("n_lines"))
     )
-    total = li.agg(F.sum(value).cast("double").alias("_total"))
+    total = li.agg(F.sum(value).cast("double").alias("_total"),
+                   F.countDistinct("l_partkey").alias("_nparts"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("_total") * 0.004)
+        .filter(F.col("value")
+                > F.col("_total") * 1.5 / F.col("_nparts"))
         .select("l_partkey", "value", "n_lines")
     )
 
@@ -3363,14 +3390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "ann_ivf": q_ann_ivf,
         "market_share": q_market_share,
-        # -- new late-round-8 (no r8 driver slot left: the window was
-        # exactly full; the 16 queries below MUST head the r9 window
-        # alongside (a) "percentiles" — its implementation switched to
-        # the shared array-percentile aggregate late in r8 and it is
-        # NOT in the r8 window (equi_depth/winsorize/quantile_transform
-        # users of the same change are covered: equi_depth sits in the
-        # r8 window, the other two are new below) — and (b) the r6-stale
-        # cohort. Local oracle evidence only until then. ---------------
+        # -- late-round-8 queries (had no r8 driver slot; they HEAD the
+        # r9 _DRIVER_WINDOW below, alongside "percentiles" — see the
+        # window's policy comment for the full r9 arithmetic) ----------
         "validation_suite": q_validation_suite,
         "score_auc": q_score_auc,
         "calibration_bins": q_calibration_bins,
@@ -3393,49 +3415,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-8 front-of-window. Rotation policy (documented since r3): the
-# driver checks the FIRST 50 declared queries each round; we order by
-# (a) new-this-round, (a') implementation-or-oracle changed this round,
-# then oldest driver evidence first, so no query's latest green row ages
-# beyond two rounds. This round: (a) SIX new queries —
-# seasonal_decompose (weekly additive decomposition of per-type daily
-# event volume), changepoint (depth-1 CUSUM mean-shift per type),
-# autocorrelation (Box-Jenkins ACF at lags 1..10 — period detection),
-# seasonal_anomaly (residual z-flags after decomposition, the
-# composition the decomposition exists for), ks_drift (two-sample
-# Kolmogorov-Smirnov per type — distribution-free drift beside the
-# bucketed PSI/KL checks) and continue_at (targeted CONTINUE at an
-# upstream node via ContinueAt — the newly-implemented vectorizable
-# slice of the reference's targeted-interrupt matrix);
-# (a') ONE changed query — pii_scan (NULL text now coalesced INSIDE the
-# substring, matching the oracle's coalesce point, so planted PII
-# survives NULL corpus text on both sides; previously F.concat
-# null-propagated engine-side only — latent because sf0.01 has no NULL
-# texts, now pinned by tests/test_oracle.py::
-# test_pii_scan_null_text_parity); then (b) the 43 queries whose
-# latest driver evidence is round 5 — the full r5 cohort, verbatim from
-# the r7 verdict item 1 — which MUST head this window or their green
-# rows age past the 2-round evidence policy. 6 + 1 + 43 = 50 slots —
-# the window is exactly full this round. Everything checked in r6/r7 stays within policy
-# through round 9.
+# Round-9 front-of-window.
+#
+# EVIDENCE POLICY (restated r9 — the r8 verdict asked for the
+# arithmetic to be made explicit, What's wrong #2): the driver checks
+# the FIRST 50 declared queries each round. Slot priority is
+#   (a) never-driver-checked queries — always first, no exceptions;
+#   (a') queries whose implementation OR oracle changed since their
+#        last green row — always next;
+#   (b) remaining slots to oldest-evidence-first re-checks.
+# With 155 declared queries and 50 slots, a full re-green rotation
+# takes ceil(155/50) = 4 rounds, so the re-check staleness budget is
+# FOUR rounds (was two when the corpus was ≤150 queries); (a)/(a')
+# never wait. Query-count growth is PAUSED while owed (a)+(a')+(b
+# beyond budget) exceeds 50 — r9 adds NO new queries for exactly this
+# reason: the round's whole correctness budget goes to the 16
+# never-checked r8 queries and the de-vacuously-greened fixes below.
+#
+# This round: (a) the 16 late-r8 queries that have NEVER had a driver
+# row (validation_suite … quantile_transform — the registry block
+# above flagged them in r8); (a') SIX changed queries — percentiles
+# (impl switched to the shared array-percentile aggregate late in r8,
+# commit 2825076, after its last green row in r7) and FIVE
+# vacuous-green repairs (r8 ADVICE class: both engines returned 0
+# rows, so the green row verified nothing): ks_drift (split moved to
+# the fixture midpoint day 15 — was day 75, past the 30-day fixture),
+# anti_join + prospects (anti side now orders > 300k — every customer
+# has orders, bare never-ordered was empty), except (supplier side now
+# s_acctbal > 5000 — every nation has suppliers), stock_value
+# (scale-free 1.5x-mean-part-value threshold — Q11's fixed global
+# fraction emptied at sf ≥ 0.001); then (b) 28 of the 39 remaining
+# r6-stale queries. 16 + 6 + 28 = 50, exactly full.
+#
+# DEFERRED to head r10's (b)-block (11 queries, all last green r6,
+# 4 rounds old at their r10 check — the staleness budget boundary):
+#   tfidf, topk, unpivot_measures, variant_json, weighted_sample,
+#   window_rank, window_running_sum, edit_distance, distinct,
+#   cube_agg, nation_volume.
+# After those, the oldest remaining evidence is the r7 cohort (49
+# queries) — r10/r11 must rotate it within budget.
 _DRIVER_WINDOW = [
-    # (a) new this round
-    "seasonal_decompose", "changepoint", "autocorrelation",
-    "seasonal_anomaly", "ks_drift", "continue_at",
-    # (a') changed this round
-    "pii_scan",
-    # (b) last checked round 5 (the full r5-stale cohort)
-    "ab_test", "anti_join", "asof_join", "audio_features", "c4_rules",
-    "chained_join_agg", "chi_square", "cohort_retention", "corr_matrix",
-    "cross_join", "dataset_split", "dedup_exact", "dsir",
-    "embedding_lsh", "embedding_neardup", "equi_depth",
-    "events_sessions", "events_sliding", "events_tumbling",
-    "frame_sample", "gap_fill", "group_scale", "groupby_agg",
-    "inner_join", "lang_id", "left_join_default", "limit_offset",
-    "minhash_neardup", "ngram_perplexity", "pack_documents", "pagerank",
-    "profile", "rollup_agg", "salted_join", "scan_filter_project",
-    "semantic_dedup", "semi_join", "simhash_dedup", "stratified_sample",
-    "text_stats", "trend_fit", "union_sources", "url_dedup",
+    # (a) never driver-checked (declared late r8)
+    "validation_suite", "score_auc", "calibration_bins",
+    "retrieval_metrics", "feature_scale", "winsorize",
+    "embedding_normalize", "embedding_quantize", "event_transitions",
+    "vocab_coverage", "token_entropy", "file_stats", "category_index",
+    "target_encode", "hash_trick", "quantile_transform",
+    # (a') changed since last green row
+    "percentiles", "ks_drift", "anti_join", "except", "prospects",
+    "stock_value",
+    # (b) last checked round 6 (oldest evidence; 11 deferred, above)
+    "ann_topk", "basket_rules", "bm25_topk", "collect_segments",
+    "dup_spans", "events_lag", "explode_tokens", "full_join",
+    "funnel_steps", "gopher_rules", "grouping_sets", "heavy_hitters",
+    "incremental_dedup", "intersect", "keep_latest", "key_skew",
+    "kmeans_assign", "line_dedup", "mix_sources", "order_priority",
+    "orders_by_month", "part_promo", "pivot_counts", "quality_topk",
+    "scd2", "segment_overlap", "source_cap", "strip_spans",
 ]
 
 
@@ -3937,7 +3973,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
         """,
         "chained_join_agg": f"""
             SELECT r_name,
@@ -4022,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey AS nationkey FROM nation
             EXCEPT
             SELECT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 5000
         """,
         "events_tumbling": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
@@ -4895,7 +4934,7 @@ def oracle_sql() -> dict[str, str]:
             WITH ev AS (
                 SELECT event_type, CAST(value AS DOUBLE) AS v,
                        CASE WHEN date_diff('day', DATE '2024-01-01',
-                                           CAST(ts AS DATE)) < 75
+                                           CAST(ts AS DATE)) < 15
                             THEN 0 ELSE 1 END AS src
                 FROM events
                 WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -5807,7 +5846,9 @@ def oracle_sql() -> dict[str, str]:
                     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                            / COUNT(*)
                     FROM customer WHERE c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_totalprice > 300000)
             GROUP BY c_mktsegment
         """,
         "min_price_supplier": """
@@ -5929,12 +5970,13 @@ def oracle_sql() -> dict[str, str]:
             total AS (
                 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                       AS _total
+                       AS _total,
+                       COUNT(DISTINCT l_partkey) AS _nparts
                 FROM lineitem
             )
             SELECT l_partkey, value, n_lines
             FROM per_part, total
-            WHERE value > _total * 0.004
+            WHERE value > _total * 1.5 / _nparts
         """,
         "late_lines": """
             SELECT CASE

@@ -262,3 +262,25 @@ def test_sep_preamble_stripped_bomless_wide_encoding(spark, tmp_path):
     p.write_bytes("sep=;\nid;name\n1;alpha\n".encode("utf-16-le"))
     df = CsvSource(str(p), sep="auto", encoding="UTF-16LE").read(spark)
     assert sorted(map(tuple, df.collect())) == [("1", "alpha")]
+
+
+def test_strip_preamble_same_basename_glob(spark, tmp_path):
+    """A glob resolving SAME-NAMED files in different directories must
+    keep every stripped copy — basename flattening used to clobber all
+    but one (ADVICE r8)."""
+    for sub, row in [("a", "1;alpha"), ("b", "2;beta")]:
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "data.csv").write_text(f"sep=;\nid;name\n{row}\n")
+    df = CsvSource(str(tmp_path / "*" / "data.csv"), sep="auto").read(spark)
+    assert sorted(map(tuple, df.collect())) == [
+        ("1", "alpha"), ("2", "beta")]
+
+
+def test_strip_preamble_empty_resolution_raises(tmp_path):
+    """Zero resolved files fails with a clear FileNotFoundError, not an
+    unrelated Spark error on an empty temp dir (ADVICE r8)."""
+    from yaetl_spark.sources.files import _strip_preamble_copy
+
+    with pytest.raises(FileNotFoundError, match="zero readable files"):
+        _strip_preamble_copy(str(tmp_path / "nope" / "*.csv"), "utf-8")

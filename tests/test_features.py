@@ -442,3 +442,29 @@ def test_quantile_transform_heavy_hitter_left_edge(spark):
     ordered = [out[v] for v in sorted(out)]
     assert ordered == sorted(ordered)
     assert out[21.0] == 1.0
+
+
+def test_l2_normalize_null_element_passes_through(spark):
+    """A vector CONTAINING a NULL element passes through unchanged —
+    the norm would be NULL and a bare nrm==0 guard would null every
+    component (ADVICE r8)."""
+    df = _df(spark, [(1, [3.0, None, 4.0]), (2, [3.0, 4.0])],
+             "id int, embedding array<double>")
+    rows = {r["id"]: r["embedding"]
+            for r in l2_normalize(df, round_to=6).collect()}
+    assert rows[1] == [3.0, None, 4.0]   # untouched, not all-NULL
+    assert rows[2] == [0.6, 0.8]         # clean rows still normalize
+
+
+def test_category_index_topk_zero_raises(spark):
+    """top_k=0 must raise (matching categorical_shift), not silently
+    return the FULL vocabulary through a truthiness test (ADVICE r8);
+    top_k=None still means uncapped."""
+    from yaetl_spark.operators import fit_category_index
+
+    df = _df(spark, [("a",), ("b",), ("a",)], "x string")
+    with pytest.raises(ValueError, match="top_k"):
+        fit_category_index(df, "x", top_k=0)
+    with pytest.raises(ValueError, match="top_k"):
+        fit_category_index(df, "x", top_k=-3)
+    assert fit_category_index(df, "x", top_k=None).count() == 2

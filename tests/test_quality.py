@@ -222,3 +222,80 @@ def test_retrieval_metrics_no_relevant_universe(spark):
     assert got["rr"] == 0.0
     with pytest.raises(ValueError):
         retrieval_metrics(df, df, k=0)
+
+
+def test_auc_wide_range_two_level_matches_pairwise(spark):
+    """Scores spanning many integer buckets (the two-level cumulative
+    path actually splits): AUC equals the exact pairwise
+    P(s_pos > s_neg) + 0.5·P(tie) definition."""
+    import itertools
+
+    rows = [
+        (-250.5, 0), (-250.5, 1), (-3.25, 0), (0.5, 1), (0.5, 0),
+        (17.0, 1), (17.0, 1), (999.75, 0), (999.75, 1), (1e6, 1),
+    ]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = round(wins / (len(pos) * len(neg)), 6)
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = binary_classifier_eval(df, "s", "y", round_scores=None).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == expected
+
+
+def test_auc_plan_has_no_global_sort_over_score_aggregate(spark):
+    """The only unpartitioned window runs over the BUCKET aggregate;
+    the per-score cumulative window is partitioned by bucket."""
+    df = spark.createDataFrame(
+        [(float(i) * 7.3, i % 2) for i in range(100)], "s double, y int"
+    )
+    plan = binary_classifier_eval(df, "s", "y")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # every Window over _s must carry the _bkt partition key
+    for line in plan.splitlines():
+        if "windowspecdefinition(_s" in line.replace(" ", ""):
+            raise AssertionError(
+                f"unpartitioned per-score window survived: {line}")
+        if "windowspecdefinition" in line and "_s#" in line:
+            assert "_bkt" in line, f"per-score window not bucketed: {line}"
+
+
+def test_retrieval_metrics_external_queries(spark):
+    """exclude_self=False: an EXTERNAL query set — n_rel counts the
+    full label universe, and a corpus row sharing an id with a query
+    is NOT dropped (ADVICE r8)."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.3], 1), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    # external query reuses id 0 on purpose; its label has TWO corpus rows
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.05], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    got = _rows(retrieval_metrics(corpus, queries, k=3,
+                                  exclude_self=False))[0]
+    assert got["n_rel"] == 2            # not label_count - 1
+    assert got["hits"] == 2             # corpus id 0 retrieved, not dropped
+    assert got["rr"] == 1.0
+    # under the default subset-of-corpus contract the same call drops
+    # corpus id 0 and discounts the self row
+    got_self = _rows(retrieval_metrics(corpus, queries, k=3))[0]
+    assert got_self["n_rel"] == 1 and got_self["hits"] == 1
+
+
+def test_retrieval_metrics_max_queries_guard(spark):
+    """A query sample over max_queries fails LOUD in-plan instead of
+    scheduling the quadratic corpus x queries score."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with pytest.raises(SparkRuntimeException, match="max_queries"):
+        retrieval_metrics(df, df, k=2, max_queries=4).collect()
+    assert retrieval_metrics(df, df, k=2, max_queries=8).count() == 8

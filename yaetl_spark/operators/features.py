@@ -295,8 +295,11 @@ def l2_normalize(
     :func:`~yaetl_spark.operators.similarity.cosine_similarity` (array
     order is fixed, so the fold is bit-compatible with DuckDB's list
     functions); components rounded to ``round_to`` (``None`` = raw).
-    A zero or NULL vector passes through unchanged — never a NaN fill.
-    Scan-level, no shuffle, no Python.
+    A zero or NULL vector — or a vector CONTAINING a NULL element
+    (whose norm would be NULL, which a bare ``nrm == 0`` guard would
+    let fall through to an all-NULL division, ADVICE r8) — passes
+    through unchanged: never a NaN fill. Scan-level, no shuffle, no
+    Python.
     """
     out = out_col or vec_col
     v = F.col(vec_col)
@@ -312,10 +315,13 @@ def l2_normalize(
         if round_to is not None
         else (lambda x: x.cast("double") / nrm)
     )
+    has_null_elem = F.exists(v, lambda x: x.isNull())
     return df.withColumn(
         out,
-        F.when(v.isNull() | (nrm == 0), v.cast("array<double>"))
-        .otherwise(F.transform(v, comp)),
+        F.when(
+            v.isNull() | has_null_elem | (nrm == 0),
+            v.cast("array<double>"),
+        ).otherwise(F.transform(v, comp)),
     )
 
 
@@ -419,6 +425,12 @@ def fit_category_index(
     size (≤ ~1 M entries) — :func:`apply_category_index` broadcasts the
     fitted map by construction.
     """
+    if top_k is not None and top_k < 1:
+        raise ValueError(
+            f"top_k must be >= 1 when given, got {top_k} "
+            "(matching categorical_shift's validation; a truthiness "
+            "test silently returned the FULL vocabulary for top_k=0)"
+        )
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("value"))
@@ -429,7 +441,11 @@ def fit_category_index(
     indexed = counts.select(
         "value", (F.row_number().over(w) - 1).alias("idx"), "n"
     )
-    return indexed.filter(F.col("idx") < top_k) if top_k else indexed
+    return (
+        indexed.filter(F.col("idx") < top_k)
+        if top_k is not None
+        else indexed
+    )
 
 
 def apply_category_index(

@@ -221,12 +221,15 @@ def binary_classifier_eval(
     cumulative window over that aggregate, never per-row ranks.
 
     Scale shape: groupBy(score) is a partial-agg shuffle bounded by
-    score cardinality; ``round_scores`` (default 6) quantizes first so
-    the aggregate — and the single-partition cumulative window that
-    follows — sees at most ~2·10⁶ rows per score unit, independent of
-    table size. Pass ``None`` to rank raw scores (small eval sets
-    only). Rank sums stay exact in DECIMAL(38,9) (max rank·n ≈ 10¹⁸ at
-    10⁹ rows — inside the 29 integer digits).
+    score cardinality (``round_scores``, default 6, quantizes to at
+    most ~2·10⁶ distinct scores per score UNIT; ``None`` ranks raw
+    scores). The cumulative count is TWO-LEVEL: per-unit-bucket partial
+    sums (the only single-partition window, over |score-range| bucket
+    rows — bounded by the score RANGE, not the table) plus a
+    ``partitionBy(bucket)`` within-bucket window that runs parallel —
+    so wide-range raw scores never funnel the full per-score aggregate
+    through one partition. Rank sums stay exact in DECIMAL(38,9) (max
+    rank·n ≈ 10¹⁸ at 10⁹ rows — inside the 29 integer digits).
     """
     s = F.col(score_col).cast("double")
     if round_scores is not None:
@@ -242,15 +245,36 @@ def binary_classifier_eval(
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy("_s")
+    # two-level cumulative count (Cb = rows strictly below the group):
+    # level 1 — integer-unit bucket totals, cumulated in the one
+    # single-partition window (|buckets| = score range, tiny);
+    # level 2 — within-bucket running sum, PARTITIONED by bucket (the
+    # bucket equi join reuses the same hash partitioning as the
+    # window's shuffle). Exact bigint arithmetic at both levels.
+    grp = grp.withColumn("_bkt", F.floor("_s"))
+    wb = (
+        Window.orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Cb = cumulative count strictly below this score group
-    contrib = grp.select(
+    bkt_off = (
+        grp.groupBy("_bkt")
+        .agg(F.sum("_c").alias("_bc"))
+        .select(
+            "_bkt",
+            (F.sum("_bc").over(wb) - F.col("_bc")).alias("_boff"),
+        )
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = grp.join(bkt_off, "_bkt").select(
         "_pos",
         "_c",
-        (F.sum("_c").over(w) - F.col("_c")).alias("_cb"),
+        (
+            F.col("_boff") + F.sum("_c").over(ww) - F.col("_c")
+        ).alias("_cb"),
     ).select(
         F.col("_pos"),
         F.col("_c"),

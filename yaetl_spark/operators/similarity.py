@@ -446,13 +446,28 @@ def retrieval_metrics(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    exclude_self: bool = True,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """IR eval battery: precision/recall@k, MRR, nDCG@k per query.
 
     Ground truth is label agreement: a candidate is *relevant* to a
     query when their ``label_col`` values match (the standard proxy for
-    labeled-embedding retrieval eval). Self-matches are excluded on
-    both the retrieved and the denominator side.
+    labeled-embedding retrieval eval).
+
+    ``exclude_self=True`` (default) encodes the *queries are a subset
+    of the corpus* contract: self-matches are excluded on both the
+    retrieved side (``id`` inequality) and the denominator side
+    (``n_rel = label_count − 1``). For an EXTERNAL query set — ids and
+    labels not drawn from the corpus — pass ``exclude_self=False``:
+    otherwise ``n_rel`` undercounts by 1 and any corpus row that merely
+    shares an id with a query is wrongly dropped (ADVICE r8).
+
+    ``max_queries`` is the in-plan feasibility guard (the
+    ``max_hot_grams`` pattern, ``operators/joins.py``): the scoring
+    stream below is deliberately corpus × query-sample brute force, so
+    a fat query set must fail LOUD at plan execution rather than
+    silently schedule a quadratic score. ``None`` disables (own risk).
 
     Per query: brute-force cosine top-``k`` over ``df`` (rounded to 6
     decimals, ``id_col`` ascending as the deterministic tiebreak), then
@@ -498,9 +513,15 @@ def retrieval_metrics(
         F.col(label_col).alias("_qlbl"),
         norm(F.col(vec_col)).alias("_qn"),
     )
-    # relevant-universe size per query: corpus label counts minus self
+    # relevant-universe size per query: corpus label counts, minus self
+    # under the queries-subset-of-corpus contract
     lbl_counts = df.groupBy(F.col(label_col).alias("_clbl")).agg(
         F.count(F.lit(1)).alias("_lcnt")
+    )
+    n_rel_expr = (
+        (F.coalesce(F.col("_lcnt"), F.lit(1)) - F.lit(1))
+        if exclude_self
+        else F.coalesce(F.col("_lcnt"), F.lit(0))
     )
     q = q.join(
         F.broadcast(lbl_counts), q["_qlbl"] == lbl_counts["_clbl"], "left"
@@ -509,11 +530,42 @@ def retrieval_metrics(
         "_qvec",
         "_qlbl",
         "_qn",
-        (F.coalesce(F.col("_lcnt"), F.lit(1)) - F.lit(1)).alias("n_rel"),
+        n_rel_expr.alias("n_rel"),
     )
+    if max_queries is not None:
+        # in-plan guard: n_rel is non-foldable and every downstream
+        # metric consumes it, so the raise fires while the (small)
+        # query side is built — BEFORE the Q·N score stream runs
+        from yaetl_spark.operators.curation import attach_scalars
+
+        nq = queries_df.agg(F.count(F.lit(1)).alias("_nq"))
+        q = (
+            attach_scalars(q, nq, "query_id")
+            .withColumn(
+                "n_rel",
+                F.when(
+                    F.col("_nq") <= F.lit(int(max_queries)),
+                    F.col("n_rel"),
+                ).otherwise(
+                    F.raise_error(F.concat(
+                        F.lit("retrieval_metrics: query sample has "),
+                        F.col("_nq").cast("string"),
+                        F.lit(
+                            f" rows (> max_queries={max_queries}); "
+                            "this operator brute-force scores corpus "
+                            "× queries — route big query sets through "
+                            "ivf_topk, or raise max_queries"
+                        ),
+                    ))
+                ),
+            )
+            .drop("_nq")
+        )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col("_cid") != F.col("query_id"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("_cid") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             "n_rel",

@@ -255,16 +255,33 @@ def _strip_preamble_copy(path: str, encoding: str) -> str:
     import tempfile
 
     files = list(_candidate_files(path))
+    if not files:
+        raise FileNotFoundError(
+            f"CsvSource: {path!r} resolved to zero readable files — "
+            "nothing to strip the sep= preamble from (Spark would "
+            "otherwise fail later on an empty temp directory)"
+        )
     if len(files) == 1:
         return _strip_preamble_one(files[0], encoding)
     tmp_dir = tempfile.mkdtemp(prefix="yaetl_sep_")
-    for f in files:
+    moved = 0
+    for i, f in enumerate(files):
         try:
             stripped = _strip_preamble_one(f, encoding)
         except OSError:
             continue  # unreadable candidate: skip, like the sniffers
+        # index prefix: a glob can resolve SAME-NAMED files in different
+        # directories — flattening by bare basename would clobber all
+        # but one copy (shutil.move overwrites)
         shutil.move(
-            stripped, os.path.join(tmp_dir, os.path.basename(f))
+            stripped,
+            os.path.join(tmp_dir, f"{i:05d}_{os.path.basename(f)}"),
+        )
+        moved += 1
+    if moved == 0:
+        raise FileNotFoundError(
+            f"CsvSource: none of the {len(files)} files of {path!r} "
+            "were readable while stripping the sep= preamble"
         )
     return tmp_dir
 
