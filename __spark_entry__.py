@@ -2479,15 +2479,27 @@ def q_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
     value = _dec2("l_extendedprice") * _dec2("l_quantity")
+    # The global total re-sums the exact per-part decimal partials
+    # (decimal addition is associative — identical to the oracle's
+    # direct SUM over lineitem) and the part count is a row count over
+    # the aggregate — this keeps the scalar branch free of the
+    # distinct-Expand a countDistinct(l_partkey) would plan. Q11's
+    # classic two-scan shape remains (the scalar branch column-prunes
+    # differently, so exchange reuse can't collapse it — same shape as
+    # the DuckDB oracle's two CTEs); the scalar attach is the house
+    # 1-row broadcast-hash join, never a BroadcastNestedLoopJoin.
     per_part = (
         li.groupBy("l_partkey")
         .agg(F.round(F.sum(value), 2).cast("double").alias("value"),
-             F.count(F.lit(1)).alias("n_lines"))
+             F.count(F.lit(1)).alias("n_lines"),
+             F.sum(value).alias("_vdec"))
     )
-    total = li.agg(F.sum(value).cast("double").alias("_total"),
-                   F.countDistinct("l_partkey").alias("_nparts"))
+    total = per_part.agg(F.sum("_vdec").cast("double").alias("_total"),
+                         F.count(F.lit(1)).alias("_nparts"))
+    from yaetl_spark.operators.curation import attach_scalars
+
     return (
-        per_part.join(F.broadcast(total))
+        attach_scalars(per_part, total, "l_partkey")
         .filter(F.col("value")
                 > F.col("_total") * 1.5 / F.col("_nparts"))
         .select("l_partkey", "value", "n_lines")

@@ -331,3 +331,25 @@ def test_fitted_scalers_partition_invariant(spark):
           fit_target_encoding(orders.repartition(11), "o_orderpriority",
                               "o_totalprice").collect()}
     assert e1 == e2
+
+
+def test_auc_two_level_partition_invariant(spark):
+    """The r9 two-level cumulative rank sum (bucket offsets + within-
+    bucket window) is exact integer arithmetic end-to-end, so the AUC
+    must be value-identical under any partitioning of the input — the
+    same rerun-stability contract the fitted scalers carry."""
+    from yaetl_spark.operators import binary_classifier_eval
+
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("s"),
+        (F.col("l_quantity") > 25).cast("int").alias("y"),
+    )
+    rows = [
+        binary_classifier_eval(li.repartition(p), "s", "y",
+                               round_scores=None).collect()[0].asDict()
+        for p in (1, 7, 32)
+    ]
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[0]["auc"] is not None
