@@ -148,3 +148,17 @@ def test_no_vacuous_oracles(con):
         finally:
             big.close()
         assert not still, f"vacuous at EVERY sf: {still}"
+
+
+def test_driver_window_heads_the_registry():
+    """The driver checks the FIRST 50 declared queries; the evidence
+    policy lives in _DRIVER_WINDOW. Pin that queries() actually leads
+    with the window, every window name exists, and there are exactly 50
+    — a silent drift here re-checks the wrong cohort for a whole round."""
+    win = entry_mod._DRIVER_WINDOW
+    assert len(win) == 50 and len(set(win)) == 50
+    names = list(QUERIES)
+    assert names[:50] == win
+    missing_oracles = [n for n in win if n not in ORACLES]
+    assert not missing_oracles, (
+        f"window queries without oracle_sql: {missing_oracles}")

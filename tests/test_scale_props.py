@@ -280,6 +280,13 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         "feature_scale", "quantile_transform", "target_encode",
         "category_index", "score_auc", "validation_suite",
         "token_entropy", "event_transitions", "file_stats",
+        # round-9 completions: the rest of the r9 driver window's new/
+        # changed cohort — winsorize/calibration bin edges divide and
+        # clamp doubles, embedding_normalize folds + divides per
+        # element, vocab_coverage chains count ratios, stock_value
+        # re-sums DECIMAL partials into the scalar attach
+        "winsorize", "embedding_normalize", "calibration_bins",
+        "vocab_coverage", "stock_value",
     ]
     queries = entry_mod.queries()
     spark.conf.set("spark.sql.ansi.enabled", "true")
