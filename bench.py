@@ -74,6 +74,7 @@ def main() -> None:
     n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    runs_all: dict[str, list[float]] = {}
     timings_cold: dict[str, float] = {}
     contrast: dict[str, float] = {}
     # deliberately-unscalable oracle-contrast queries (e.g. the unpruned
@@ -91,6 +92,26 @@ def main() -> None:
         for _ in range(n_warm):
             t0 = time.monotonic()
             materialize(fn(spark, SF_DIR))
+            runs.append(time.monotonic() - t0)
+        runs_all[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+    # Outlier requeue: a warm spread whose max is >2.5x its min is the
+    # ambient-contention signature (r7 market_share, r8 basket_rules,
+    # r9 changepoint — every one cleared on isolated re-run). Re-run
+    # those queries once more at the END of the suite (the contention
+    # burst has usually passed) and recompute the median over the UNION
+    # of old and new runs — more samples of the truth, never dropped
+    # ones. Requeued names land in BENCH_DETAIL.json so readers can see
+    # which figures were noisy.
+    requeued = sorted(
+        n for n, (lo, hi) in spread.items() if lo > 0 and hi > 2.5 * lo
+    )
+    for name in requeued:
+        runs = runs_all[name]
+        for _ in range(n_warm):
+            t0 = time.monotonic()
+            materialize(queries[name](spark, SF_DIR))
             runs.append(time.monotonic() - t0)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
@@ -135,6 +156,7 @@ def main() -> None:
         "queries": timings,
         "queries_spread": spread,
         "n_warm_runs": n_warm,
+        "requeued_outliers": requeued,
         "queries_cold": timings_cold,
         "cold_total_sec": round(sum(timings_cold.values()), 3),
         "sf": SF,
