@@ -299,3 +299,31 @@ def test_retrieval_metrics_max_queries_guard(spark):
     with pytest.raises(SparkRuntimeException, match="max_queries"):
         retrieval_metrics(df, df, k=2, max_queries=4).collect()
     assert retrieval_metrics(df, df, k=2, max_queries=8).count() == 8
+
+
+def test_auc_extreme_scores_survive_ansi(spark):
+    """Scores beyond long range: the saturated bucket key must not
+    overflow floor() under an ANSI session, and the AUC must still
+    match the pairwise definition (within-bucket ordering carries the
+    saturated tail)."""
+    import itertools
+
+    rows = [
+        (-1e300, 0), (-5.0, 0), (1.0, 1), (8.8e307, 1), (1e308, 0),
+        (1e308, 1), (2.5, 1),
+    ]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = round(wins / (len(pos) * len(neg)), 6)
+    df = spark.createDataFrame(rows, "s double, y int")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = binary_classifier_eval(
+            df, "s", "y", round_scores=None).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert got["auc"] == expected

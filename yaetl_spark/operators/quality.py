@@ -251,7 +251,15 @@ def binary_classifier_eval(
     # level 2 — within-bucket running sum, PARTITIONED by bucket (the
     # bucket equi join reuses the same hash partitioning as the
     # window's shuffle). Exact bigint arithmetic at both levels.
-    grp = grp.withColumn("_bkt", F.floor("_s"))
+    # the bucket key only needs to be a DETERMINISTIC MONOTONE coarse
+    # function of the score (within-bucket ordering by _s does the
+    # rest), so saturate before floor(): floor(double) returns LONG and
+    # a score beyond ±2^63 would overflow — an ANSI session (the driver
+    # may hand us one) turns that into a throw
+    _sat = F.greatest(
+        F.least(F.col("_s"), F.lit(9.0e18)), F.lit(-9.0e18)
+    )
+    grp = grp.withColumn("_bkt", F.floor(_sat))
     wb = (
         Window.orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
