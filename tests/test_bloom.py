@@ -79,6 +79,7 @@ def test_bloom_survives_ansi_session(spark):
     with ANSI mode on (Spark 4 default) — there int64 overflow THROWS, so
     every hash intermediate must stay in range rather than rely on
     wraparound."""
+    _prior_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         small = spark.range(0, 500).withColumn(
@@ -89,4 +90,4 @@ def test_bloom_survives_ansi_session(spark):
             "k", F.concat(F.lit("other"), F.col("id")))
         assert bloom_prune(big, "k", bloom).count() < 500
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", _prior_ansi)

@@ -320,10 +320,11 @@ def test_auc_extreme_scores_survive_ansi(spark):
     )
     expected = round(wins / (len(pos) * len(neg)), 6)
     df = spark.createDataFrame(rows, "s double, y int")
+    _prior_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         got = binary_classifier_eval(
             df, "s", "y", round_scores=None).collect()[0]
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", _prior_ansi)
     assert got["auc"] == expected

@@ -289,13 +289,14 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         "vocab_coverage", "stock_value",
     ]
     queries = entry_mod.queries()
+    _prior_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         for name in names:
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite").save()
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", _prior_ansi)
 
 
 def test_fitted_scalers_partition_invariant(spark):
