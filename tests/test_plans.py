@@ -215,11 +215,15 @@ def test_profit_by_nation_broadcasts_filtered_part(spark):
 
 
 def test_stock_value_scalar_total_broadcast(spark):
-    """Q11 shape: the global-total scalar must arrive via a broadcast
-    nested-loop of one row, never a shuffled join."""
+    """Q11 shape (r9): the global-total scalar arrives via the house
+    1-row broadcast-HASH join (attach_scalars), never a
+    BroadcastNestedLoopJoin or a shuffled join; the part count comes
+    from the per-part aggregate, so no distinct-Expand is planned."""
     plan = plan_of(spark, "stock_value")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
 
 
 def test_promo_share_partial_agg_after_broadcast(spark):
