@@ -3456,16 +3456,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # has orders, bare never-ordered was empty), except (supplier side now
 # s_acctbal > 5000 — every nation has suppliers), stock_value
 # (scale-free 1.5x-mean-part-value threshold — Q11's fixed global
-# fraction emptied at sf ≥ 0.001); then (b) 28 of the 39 remaining
-# r6-stale queries. 16 + 6 + 28 = 50, exactly full.
+# fraction emptied at sf ≥ 0.001) and robust_outliers (the zero-MAD
+# modified-z division is now branched to NULL instead of relying on
+# a double/0 that an ANSI session rejects — the r9 adversarial sweep's
+# find; last green r7, changed, so it re-checks now); then (b) 27 of
+# the 39 remaining r6-stale queries. 16 + 7 + 27 = 50, exactly full.
 #
-# DEFERRED to head r10's (b)-block (11 queries, all last green r6,
+# DEFERRED to head r10's (b)-block (12 queries, all last green r6,
 # 4 rounds old at their r10 check — the staleness budget boundary):
 #   tfidf, topk, unpivot_measures, variant_json, weighted_sample,
 #   window_rank, window_running_sum, edit_distance, distinct,
-#   cube_agg, nation_volume.
-# After those, the oldest remaining evidence is the r7 cohort (49
-# queries) — r10/r11 must rotate it within budget.
+#   cube_agg, nation_volume, order_priority.
+# After those, the oldest remaining evidence is the r7 cohort (48
+# queries after robust_outliers re-checks here) — r10/r11 must rotate
+# it within budget.
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared late r8)
     "validation_suite", "score_auc", "calibration_bins",
@@ -3475,13 +3479,13 @@ _DRIVER_WINDOW = [
     "target_encode", "hash_trick", "quantile_transform",
     # (a') changed since last green row
     "percentiles", "ks_drift", "anti_join", "except", "prospects",
-    "stock_value",
-    # (b) last checked round 6 (oldest evidence; 11 deferred, above)
+    "stock_value", "robust_outliers",
+    # (b) last checked round 6 (oldest evidence; 12 deferred, above)
     "ann_topk", "basket_rules", "bm25_topk", "collect_segments",
     "dup_spans", "events_lag", "explode_tokens", "full_join",
     "funnel_steps", "gopher_rules", "grouping_sets", "heavy_hitters",
     "incremental_dedup", "intersect", "keep_latest", "key_skew",
-    "kmeans_assign", "line_dedup", "mix_sources", "order_priority",
+    "kmeans_assign", "line_dedup", "mix_sources",
     "orders_by_month", "part_promo", "pivot_counts", "quality_topk",
     "scd2", "segment_overlap", "source_cap", "strip_spans",
 ]

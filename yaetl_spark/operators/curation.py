@@ -938,11 +938,19 @@ def mix_sources(
     ).over(Window.partitionBy())
     thresholds = counts.select(
         source_col,
+        # a weighted source with ZERO rows already forces feasible = 0
+        # (empty result by contract); its own keep fraction is 0/0 —
+        # branch it to 0 explicitly so an ANSI session (Spark 4 throws
+        # on double/0 too) cannot blow up computing a discarded value
         F.floor(
-            F.least(
-                F.lit(1.0),
-                F.col("_w") * feasible / F.col("_n").cast("double"),
-            )
+            F.when(
+                F.col("_n") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("_w") * feasible
+                    / F.col("_n").cast("double"),
+                ),
+            ).otherwise(F.lit(0.0))
             * F.lit(int(buckets))
         ).cast("bigint").alias("_thr"),
     )

@@ -26,11 +26,6 @@ from pyspark.sql import functions as F
 
 from .text import char_ngrams, fingerprint
 
-# Mersenne prime 2^61-1: modulus for the universal-hash family used by the
-# minhash signatures (standard construction, e.g. Broder '97).
-_MERSENNE = (1 << 61) - 1
-
-
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -46,23 +41,6 @@ def exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-
-
-def _hash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal hash family.
-
-    Derived from a fixed LCG so signatures are reproducible across runs
-    and engines without RNG dependencies.
-    """
-    coeffs = []
-    state = seed
-    for _ in range(k):
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a = (state % (_MERSENNE - 1)) + 1
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        b = state % _MERSENNE
-        coeffs.append((a, b))
-    return coeffs
 
 
 # 31-bit family for the oracle-checkable hash_fn='rolling' mode: a < 2^16
@@ -137,9 +115,12 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``).
 
-    ``hash_fn='xxhash'`` (production): shingle hashes use ``xxhash64``;
-    slots are ``min((a*h + b) mod 2^61-1)`` (products wrap on signed
-    64-bit — deterministic, and mixing quality is what matters).
+    ``hash_fn='xxhash'`` (production): slot ``i`` is
+    ``min(xxhash64(seed, i, xxhash64(shingle)))`` — an independent
+    64-bit re-mix per slot, NO modular arithmetic at all, so an ANSI
+    session can never overflow-throw (the previous
+    ``(a*h + b) mod 2^61-1`` family relied on deliberate signed-64
+    wrap, which Spark 4 ANSI rejects — r9 adversarial sweep).
     ``hash_fn='rolling'`` (oracle mode): 31-bit polynomial shingle hashes
     + a 16-bit-coefficient family — every operation exact in int64, so
     plain SQL (DuckDB) reproduces the signatures bit-for-bit.
@@ -150,26 +131,43 @@ def minhash_signature(
     sh = shingles(text, shingle_mode, shingle_size)
     if hash_fn == "rolling":
         hashes = F.transform(sh, lambda s: rolling_hash_raw(s))
-        coeffs, prime = _hash_coeffs31(num_hashes, seed), _MERSENNE31
-    else:
-        hashes = F.transform(sh, lambda s: F.xxhash64(s))
-        coeffs, prime = _hash_coeffs(num_hashes, seed), _MERSENNE
-    coeff_arr = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in coeffs
-        ]
+        coeffs = _hash_coeffs31(num_hashes, seed)
+        coeff_arr = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in coeffs
+            ]
+        )
+        init = F.array_repeat(
+            F.lit(_MERSENNE31).cast("bigint"), num_hashes
+        )
+        return F.aggregate(
+            hashes,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                coeff_arr,
+                lambda m, c: F.least(
+                    m,
+                    F.pmod(
+                        c.getField("a") * h + c.getField("b"),
+                        F.lit(_MERSENNE31),
+                    ),
+                ),
+            ),
+        )
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    slot_idx = F.array(*[F.lit(i) for i in range(num_hashes)])
+    init = F.array_repeat(
+        F.lit((1 << 63) - 1).cast("bigint"), num_hashes
     )
-    init = F.array_repeat(F.lit(prime).cast("bigint"), num_hashes)
     return F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
             acc,
-            coeff_arr,
-            lambda m, c: F.least(
-                m, F.pmod(c.getField("a") * h + c.getField("b"), F.lit(prime))
-            ),
+            slot_idx,
+            lambda m, i: F.least(m, F.xxhash64(F.lit(seed), i, h)),
         ),
     )
 

@@ -485,8 +485,13 @@ def robust_outliers(
         clean.join(F.broadcast(g2), by) if by
         else attach_scalars(clean, g2, value_col)
     )
+    # NULL divisor instead of raw _mad: a zero-MAD group is defined as
+    # NULL output anyway, and an ANSI session (Spark 4 throws on
+    # double/0 too) must not blow up computing a value we discard
     mz = F.round(
-        F.lit(0.6745) * (x - F.col("_med")) / F.col("_mad"), 6
+        F.lit(0.6745) * (x - F.col("_med"))
+        / F.when(F.col("_mad") > 0, F.col("_mad")),
+        6,
     )
     out = flagged.groupBy(*by).agg(
         F.any_value("_n").cast("bigint").alias("n"),
