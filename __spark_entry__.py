@@ -3242,6 +3242,46 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/events.py sessionize — the batch
+    analogue of the streaming session window): per-user gaps-and-islands
+    with a 30-minute inactivity gap, aggregated to one row per session.
+    Shape: ONE user-keyed shuffle shared by both window passes AND the
+    per-session aggregate (grouping on a superset of the window's hash
+    partitioning — no second Exchange, plan-gated)."""
+    from yaetl_spark.operators import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    return sessionize(ev, gap_sec=1800).filter(F.col("user_id") < 300)
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window battery (WindowCalc, SURVEY §2.9): quartile
+    bucket (ntile), percent_rank and cume_dist of each order's price
+    within its priority class. Deterministic total order via the
+    (price, orderkey) tiebreak; rank fractions rounded to 6 so the
+    engines' float division agrees. One priority-keyed shuffle; all
+    three functions share a single window sort."""
+    return (
+        Pipeline(spark)
+        .from_(_ps(sf_dir, "orders"))
+        .transform(WindowCalc(
+            ["o_orderpriority"],
+            [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+            quartile=F.ntile(4),
+            pct_rank=F.percent_rank(),
+            cume=F.cume_dist(),
+        ))
+        .qualify(F.col("o_orderkey") < 3000)
+        .transform(lambda df: df.select(
+            "o_orderkey", "o_orderpriority", "quartile",
+            F.round(F.col("pct_rank"), 6).alias("pct_rank"),
+            F.round(F.col("cume"), 6).alias("cume"),
+        ))
+        .df
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3421,6 +3461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "hash_trick": q_hash_trick,
         "quantile_transform": q_quantile_transform,
+        # -- round-10 queries (new surface: distribution windows +
+        # batch sessionization; they take (a) slots at the head of the
+        # r10 _DRIVER_WINDOW below) ------------------------------------
+        "sessionize": q_sessionize,
+        "window_ntile": q_window_ntile,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -6761,4 +6806,45 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(CAST(o_totalprice AS DOUBLE), "
             f"{i / 20!r}), 6)" for i in range(21)
         )),
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w))
+                                      AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+                SELECT user_id, ep,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ep) AS start_epoch,
+                   MAX(ep) AS end_epoch,
+                   MAX(ep) - MIN(ep) AS duration_sec
+            FROM tagged
+            WHERE user_id < 300
+            GROUP BY user_id, session_seq
+        """,
+        "window_ntile": """
+            SELECT o_orderkey, o_orderpriority, quartile, pct_rank, cume
+            FROM (
+                SELECT o_orderkey, o_orderpriority,
+                       NTILE(4) OVER w AS quartile,
+                       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                       round(CUME_DIST() OVER w, 6) AS cume
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice ASC, o_orderkey ASC)
+            ) WHERE o_orderkey < 3000
+        """,
     }

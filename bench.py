@@ -62,6 +62,29 @@ def main() -> None:
     # codegen + result-serialization paths — warm those too
     warm.orderBy("r_regionkey").limit(1).collect()
 
+    # passthrough anchor: full lineitem scan + noop (BASELINE.md's ~500K
+    # records/s/core anchor). Timed FIRST — before ~750 query executions
+    # leave GC/page-cache history behind — with the same n and the same
+    # outlier-requeue rule as the queries. The r9 committed snapshot
+    # timed it last, n=3, no requeue, and read 147 K rows/s where an
+    # isolated run read 1.90 M (13×): the one number a reader compares
+    # to BASELINE.md was the suite's most fragile.
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_rows = li.count()
+    materialize(li)  # cold scan (footer/codegen) excluded, like queries
+    pt_runs = []
+    for _ in range(n_warm):
+        t0 = time.monotonic()
+        materialize(li)
+        pt_runs.append(time.monotonic() - t0)
+    if min(pt_runs) > 0 and max(pt_runs) > 2.5 * min(pt_runs):
+        for _ in range(n_warm):
+            t0 = time.monotonic()
+            materialize(li)
+            pt_runs.append(time.monotonic() - t0)
+    passthrough_sec = statistics.median(pt_runs)
+
     # Each distinct query plan compiles its own whole-stage-codegen class
     # on first execution (~1-2 s of Janino/JIT per plan — constant, data-
     # size-independent). That cost vanishes into noise on a real cluster
@@ -71,7 +94,17 @@ def main() -> None:
     # sub-second jitter was masquerading as 30% regressions at n=2);
     # per-query [min, max] spread is reported so readers can tell noise
     # from a real shift. The cold first run stays in queries_cold.
-    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # Prior committed medians (for the second requeue trigger below):
+    # read BEFORE this run overwrites BENCH_DETAIL.json.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    prior_medians: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prior_medians = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     runs_all: dict[str, list[float]] = {}
@@ -96,17 +129,33 @@ def main() -> None:
         runs_all[name] = runs
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-    # Outlier requeue: a warm spread whose max is >2.5x its min is the
-    # ambient-contention signature (r7 market_share, r8 basket_rules,
-    # r9 changepoint — every one cleared on isolated re-run). Re-run
-    # those queries once more at the END of the suite (the contention
-    # burst has usually passed) and recompute the median over the UNION
-    # of old and new runs — more samples of the truth, never dropped
-    # ones. Requeued names land in BENCH_DETAIL.json so readers can see
-    # which figures were noisy.
-    requeued = sorted(
-        n for n, (lo, hi) in spread.items() if lo > 0 and hi > 2.5 * lo
+    # Outlier requeue, two triggers, both re-run at the END of the suite
+    # (the contention burst has usually passed) with the median recomputed
+    # over the UNION of old and new runs — more samples of the truth,
+    # never dropped ones. Requeued names land in BENCH_DETAIL.json per
+    # trigger so readers can see which figures were noisy.
+    #  1. spread: warm max > 2.5x warm min is the ambient-contention
+    #     signature (r7 market_share, r8 basket_rules, r9 changepoint —
+    #     every one cleared on isolated re-run). Uses the RAW run times,
+    #     not the 3-decimal rounded spread, so a sub-millisecond query
+    #     can still requeue (r9 ADVICE: the rounded lo>0 guard made
+    #     0.000-min queries unrequeueable).
+    #  2. drift: median > 2x the previous committed snapshot's median
+    #     for the same query (read from the in-repo BENCH_DETAIL.json
+    #     before this run overwrote it). Catches whole-window bursts
+    #     that inflate min AND max together, which trigger 1 cannot see
+    #     (r9 BENCH_NOTES: category_index 3.79 s suite vs 0.71 s
+    #     isolated slipped through).
+    requeued_spread = sorted(
+        n for n, runs in runs_all.items()
+        if min(runs) > 0 and max(runs) > 2.5 * min(runs)
     )
+    requeued_drift = sorted(
+        n for n, med in timings.items()
+        if n not in requeued_spread
+        and prior_medians.get(n, 0) > 0.05 and med > 2 * prior_medians[n]
+    )
+    requeued = sorted(set(requeued_spread) | set(requeued_drift))
     for name in requeued:
         runs = runs_all[name]
         for _ in range(n_warm):
@@ -127,19 +176,6 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         contrast[name] = round(statistics.median(runs), 3)
 
-    # passthrough anchor: full lineitem scan + noop (BASELINE.md anchor).
-    # Median of 3 — a single run right after ~600 query executions sits
-    # on whatever GC/page-cache state those left behind and has been seen
-    # to swing ±20%.
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n_rows = li.count()
-    pt_runs = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        materialize(li)
-        pt_runs.append(time.monotonic() - t0)
-    passthrough_sec = statistics.median(pt_runs)
-
     total = round(sum(timings.values()), 3)
     passthrough_rps = (
         int(n_rows / passthrough_sec) if passthrough_sec > 0 else None
@@ -157,6 +193,9 @@ def main() -> None:
         "queries_spread": spread,
         "n_warm_runs": n_warm,
         "requeued_outliers": requeued,
+        "requeued_by_spread": requeued_spread,
+        "requeued_by_drift_vs_prior": requeued_drift,
+        "passthrough_runs": [round(r, 3) for r in pt_runs],
         "queries_cold": timings_cold,
         "cold_total_sec": round(sum(timings_cold.values()), 3),
         "sf": SF,
@@ -171,8 +210,6 @@ def main() -> None:
             "production plans only"
         ),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 

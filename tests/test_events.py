@@ -140,3 +140,61 @@ def test_funnel_max_events_per_user_guard(spark):
     assert got == ref
     with pytest.raises(ValueError):
         funnel_steps(ev, ["a"], max_events_per_user=0)
+
+
+def _sess_fixture(spark):
+    # u1: events at 0s, 1800s (gap == gap_sec -> merges), 3601s (>1800s
+    # after 1800s -> new session); u2: single event; epochs chosen so
+    # floor-second semantics are exact
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (2, base + dt.timedelta(seconds=1800), 1),
+        (3, base + dt.timedelta(seconds=3601), 1),
+        (4, base, 2),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+
+
+def test_sessionize_gap_semantics(spark):
+    from yaetl_spark.operators import sessionize
+
+    got = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(_sess_fixture(spark), gap_sec=1800).collect()
+    }
+    # exactly-gap merges; strictly-greater splits
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert (s11["n_events"], s11["duration_sec"]) == (2, 1800)
+    s12 = got[(1, 2)]
+    assert (s12["n_events"], s12["duration_sec"]) == (1, 0)
+    assert got[(2, 1)]["n_events"] == 1
+
+
+def test_sessionize_per_event_and_partition_invariance(spark):
+    from yaetl_spark.operators import sessionize
+
+    ev = _sess_fixture(spark)
+    tagged = sessionize(ev, gap_sec=1800, aggregate=False)
+    assert {
+        (r["event_id"], r["session_seq"]) for r in tagged.collect()
+    } == {(1, 1), (2, 1), (3, 2), (4, 1)}
+    a = sorted(map(tuple, sessionize(ev, gap_sec=1800).collect()))
+    b = sorted(map(tuple, sessionize(
+        ev.repartition(7), gap_sec=1800).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        sessionize(ev, gap_sec=-1)
+
+
+def test_sessionize_single_exchange(spark):
+    """The session aggregate groups on (user, session_seq) — a superset
+    of the window's user hash partitioning — so the whole plan holds ONE
+    hash Exchange (the user-keyed shuffle both window passes share)."""
+    from yaetl_spark.operators import sessionize
+
+    plan = sessionize(_sess_fixture(spark), gap_sec=1800) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan

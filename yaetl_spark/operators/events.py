@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["event_paths", "event_transitions", "funnel_steps"]
+__all__ = ["event_paths", "event_transitions", "funnel_steps", "sessionize"]
 
 
 def funnel_steps(
@@ -272,5 +272,70 @@ def event_transitions(
                 / F.col("_row_total"),
                 round_to,
             ).alias("p"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    aggregate: bool = True,
+) -> DataFrame:
+    """Batch sessionization — the batch analogue of the streaming
+    session window (``streaming/stream.py`` session mode): assign every
+    event to a session that closes when the gap to the user's previous
+    event exceeds ``gap_sec`` seconds (classic gaps-and-islands:
+    flag session starts with ``lag``, number sessions with a running
+    sum of the flags).
+
+    ``aggregate=False`` returns the input rows plus a 1-based
+    ``session_seq`` column (per-event assignment, e.g. for joining
+    session ids back onto the stream). ``aggregate=True`` (default)
+    returns one row per session: ``(user, session_seq, n_events,
+    start_epoch, end_epoch, duration_sec)`` — epochs as floor-seconds
+    BIGINT so results are engine-stable (same convention as the lag
+    analytics query).
+
+    Gap semantics match the streaming session window: a new session
+    starts when ``ts − prev_ts > gap_sec`` (a gap of exactly
+    ``gap_sec`` still merges), computed on floor-second epochs.
+
+    Scale shape (100 TB):
+    - ONE user-keyed shuffle; the two window passes (lag flag, running
+      session number) share its sort order, and the per-session
+      aggregate groups on ``(user, session_seq)`` — a superset of the
+      window's hash partitioning, so Catalyst plans it with NO second
+      Exchange (plan-gated in tests);
+    - window state is O(1) per row (lag-1 + running sum) — no
+      collect_list, no per-user buffering;
+    - skew profile is the same as any per-user window: one user's
+      events sort within one task, fine unless a single user is a
+      measurable fraction of 100 TB (at which point the upstream
+      per-source caps in ``curation.py`` are the remedy).
+    """
+    if gap_sec < 0:
+        raise ValueError("gap_sec must be >= 0")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(epoch).over(w)
+    new_s = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(int(gap_sec))), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = df.withColumn("session_seq", F.sum(new_s).over(wrun))
+    if not aggregate:
+        return tagged
+    return (
+        tagged.groupBy(F.col(user_col), F.col("session_seq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(epoch).alias("start_epoch"),
+            F.max(epoch).alias("end_epoch"),
+        )
+        .withColumn(
+            "duration_sec", F.col("end_epoch") - F.col("start_epoch")
         )
     )

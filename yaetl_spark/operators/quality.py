@@ -224,8 +224,11 @@ def binary_classifier_eval(
     score cardinality (``round_scores``, default 6, quantizes to at
     most ~2·10⁶ distinct scores per score UNIT; ``None`` ranks raw
     scores). The cumulative count is TWO-LEVEL: per-unit-bucket partial
-    sums (the only single-partition window, over |score-range| bucket
-    rows — bounded by the score RANGE, not the table) plus a
+    sums (the only single-partition window, over the OBSERVED
+    integer-unit buckets — i.e. min(score range, distinct scores)
+    rows; raw scores spread one-per-unit degenerate back to a
+    per-score-sized window, which is why ``round_scores`` defaults
+    on) plus a
     ``partitionBy(bucket)`` within-bucket window that runs parallel —
     so wide-range raw scores never funnel the full per-score aggregate
     through one partition. Rank sums stay exact in DECIMAL(38,9) (max
