@@ -3282,6 +3282,35 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_p_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style cumulative-share cap (operators/curation.py
+    top_p_filter, after Holtzman et al. 2020 applied as a curation
+    filter): per source, keep the largest documents until they cover
+    80% of the source's characters. Exact decimal cross-multiplied
+    threshold — no float boundary; one source-keyed shuffle shared by
+    both window passes."""
+    from yaetl_spark.operators import top_p_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return top_p_filter(
+        docs, "source", "n_chars", 0.8, "doc_id", share_col="share"
+    )
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair PMI collocations (operators/text.py token_pmi, Church
+    & Hanks 1990): document-frequency PMI over same-doc co-occurrence,
+    vocabulary capped to the top-60 head by doc frequency BEFORE the
+    within-doc pair step (TakeOrdered + broadcast semi-join prune), so
+    the quadratic is vocab-bounded, never corpus-bounded."""
+    from yaetl_spark.operators import token_pmi
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_pmi(docs, max_vocab=60, min_pair_docs=20)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3466,73 +3495,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 _DRIVER_WINDOW below) ------------------------------------
         "sessionize": q_sessionize,
         "window_ntile": q_window_ntile,
+        "top_p_filter": q_top_p_filter,
+        "token_pmi": q_token_pmi,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
     return ordered
 
 
-# Round-9 front-of-window.
+# Round-10 front-of-window.
 #
-# EVIDENCE POLICY (restated r9 — the r8 verdict asked for the
-# arithmetic to be made explicit, What's wrong #2): the driver checks
-# the FIRST 50 declared queries each round. Slot priority is
+# EVIDENCE POLICY (unchanged since r9): the driver checks the FIRST 50
+# declared queries each round. Slot priority is
 #   (a) never-driver-checked queries — always first, no exceptions;
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 155 declared queries and 50 slots, a full re-green rotation
-# takes ceil(155/50) = 4 rounds, so the re-check staleness budget is
-# FOUR rounds (was two when the corpus was ≤150 queries); (a)/(a')
-# never wait. Query-count growth is PAUSED while owed (a)+(a')+(b
-# beyond budget) exceeds 50 — r9 adds NO new queries for exactly this
-# reason: the round's whole correctness budget goes to the 16
-# never-checked r8 queries and the de-vacuously-greened fixes below.
+# With 159 declared queries and 50 slots, a full re-green rotation
+# takes ceil(159/50) = 4 rounds, so the re-check staleness budget is
+# FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
+# owed (a)+(a')+(b beyond budget) exceeds 50.
 #
-# This round: (a) the 16 late-r8 queries that have NEVER had a driver
-# row (validation_suite … quantile_transform — the registry block
-# above flagged them in r8); (a') SIX changed queries — percentiles
-# (impl switched to the shared array-percentile aggregate late in r8,
-# commit 2825076, after its last green row in r7) and FIVE
-# vacuous-green repairs (r8 ADVICE class: both engines returned 0
-# rows, so the green row verified nothing): ks_drift (split moved to
-# the fixture midpoint day 15 — was day 75, past the 30-day fixture),
-# anti_join + prospects (anti side now orders > 300k — every customer
-# has orders, bare never-ordered was empty), except (supplier side now
-# s_acctbal > 5000 — every nation has suppliers), stock_value
-# (scale-free 1.5x-mean-part-value threshold — Q11's fixed global
-# fraction emptied at sf ≥ 0.001) and robust_outliers (the zero-MAD
-# modified-z division is now branched to NULL instead of relying on
-# a double/0 that an ANSI session rejects — the r9 adversarial sweep's
-# find; last green r7, changed, so it re-checks now); then (b) 27 of
-# the 39 remaining r6-stale queries. 16 + 7 + 27 = 50, exactly full.
+# This round: (a) FOUR new queries (the r10 surface batch the r9
+# verdict ordered now that owed slots hit zero): sessionize (batch
+# analogue of the streaming session window, operators/events.py),
+# window_ntile (ntile/percent_rank/cume_dist distribution windows),
+# top_p_filter (nucleus-style cumulative-share curation cap) and
+# token_pmi (vocab-bounded collocation PMI).
+# (a') NONE — no existing query's implementation or oracle changed in
+# r10 (the round's code changes were bench-harness hardening, a
+# docstring correction in quality.py, and the new opt-in
+# preserve_order path on AggregateSource, which default-off touches no
+# registered query's plan; semantic_dedup was adjudicated with NO code
+# change — BENCH_NOTES.md r10). Then (b): the 12 r6-stale queries
+# deferred from r9 (4 rounds old — the staleness-budget boundary,
+# they MUST re-check now), then 34 of the 45 r7-stale queries
+# (alphabetical within the equally-old cohort). 4 + 12 + 34 = 50,
+# exactly full.
 #
-# DEFERRED to head r10's (b)-block (12 queries, all last green r6,
-# 4 rounds old at their r10 check — the staleness budget boundary):
-#   tfidf, topk, unpivot_measures, variant_json, weighted_sample,
-#   window_rank, window_running_sum, edit_distance, distinct,
-#   cube_agg, nation_volume, order_priority.
-# After those, the oldest remaining evidence is the r7 cohort (48
-# queries after robust_outliers re-checks here) — r10/r11 must rotate
-# it within budget.
+# DEFERRED to head r11's (b)-block (11 queries, all last green r7,
+# 4 rounds old at their r11 check — the staleness budget boundary):
+#   range_band, repetition, returned_items, revenue_forecast,
+#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
+#   top_supplier, waiting_suppliers, window_frames.
+# After those, r11 has 39 slots for the r8 cohort (48 queries) —
+# r11/r12 must rotate it within budget (r8 evidence checked at r12 is
+# exactly 4 rounds old, the boundary; 159 ≤ 200 = 4×50 keeps the
+# whole rotation feasible).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (declared late r8)
-    "validation_suite", "score_auc", "calibration_bins",
-    "retrieval_metrics", "feature_scale", "winsorize",
-    "embedding_normalize", "embedding_quantize", "event_transitions",
-    "vocab_coverage", "token_entropy", "file_stats", "category_index",
-    "target_encode", "hash_trick", "quantile_transform",
-    # (a') changed since last green row
-    "percentiles", "ks_drift", "anti_join", "except", "prospects",
-    "stock_value", "robust_outliers",
-    # (b) last checked round 6 (oldest evidence; 12 deferred, above)
-    "ann_topk", "basket_rules", "bm25_topk", "collect_segments",
-    "dup_spans", "events_lag", "explode_tokens", "full_join",
-    "funnel_steps", "gopher_rules", "grouping_sets", "heavy_hitters",
-    "incremental_dedup", "intersect", "keep_latest", "key_skew",
-    "kmeans_assign", "line_dedup", "mix_sources",
-    "orders_by_month", "part_promo", "pivot_counts", "quality_topk",
-    "scd2", "segment_overlap", "source_cap", "strip_spans",
+    # (a) never driver-checked (declared r10)
+    "sessionize", "window_ntile", "top_p_filter", "token_pmi",
+    # (b) last checked round 6 (deferred from r9 — budget boundary)
+    "tfidf", "topk", "unpivot_measures", "variant_json",
+    "weighted_sample", "window_rank", "window_running_sum",
+    "edit_distance", "distinct", "cube_agg", "nation_volume",
+    "order_priority",
+    # (b) last checked round 7 (oldest remaining; 9 deferred, above)
+    "ann_ivf", "bloom_join", "brand_revenue", "break_at",
+    "categorical_shift", "chunk_documents", "click_attribution",
+    "customer_distribution", "daily_active", "decontaminate",
+    "dedup_clusters", "distribution_shift", "doc_fingerprint",
+    "equi_width", "event_paths", "ewma", "excess_supply", "funnel",
+    "fuzzy_match", "fuzzy_match_pruned", "hash_sample", "histogram",
+    "image_features", "inverted_index", "json_extract", "large_orders",
+    "late_lines", "local_volume", "market_share", "media_meta",
+    "min_price_supplier", "ngram_jaccard", "profit_by_nation",
+    "promo_share",
 ]
 
 
@@ -6846,5 +6874,51 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_orderpriority
                              ORDER BY o_totalprice ASC, o_orderkey ASC)
             ) WHERE o_orderkey < 3000
+        """,
+        "top_p_filter": """
+            WITH w AS (
+                SELECT doc_id, source, n_chars,
+                       SUM(CAST(n_chars AS DECIMAL(28,9))) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+                         - CAST(n_chars AS DECIMAL(28,9)) AS cb,
+                       SUM(CAST(n_chars AS DECIMAL(28,9))) OVER (
+                           PARTITION BY source) AS tot
+                FROM documents)
+            SELECT doc_id, source, n_chars,
+                   round(CAST(cb AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                       AS share
+            FROM w
+            WHERE cb * 1000000 < 800000 * tot
+        """,
+        "token_pmi": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id AS d, t.token
+                FROM documents,
+                     UNNEST(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS t(token)),
+            dfreq AS (
+                SELECT token, COUNT(*) AS n_t FROM toks GROUP BY token),
+            vocab AS (
+                SELECT token, n_t FROM dfreq
+                ORDER BY n_t DESC, token ASC LIMIT 60),
+            pruned AS (
+                SELECT d, toks.token, n_t
+                FROM toks JOIN vocab USING (token)),
+            pairs AS (
+                SELECT a.token AS token_a, b.token AS token_b,
+                       a.n_t AS n_a, b.n_t AS n_b, COUNT(*) AS n_ab
+                FROM pruned a JOIN pruned b
+                  ON a.d = b.d AND a.token < b.token
+                GROUP BY 1, 2, 3, 4
+                HAVING COUNT(*) >= 20),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT token_a, token_b, n_ab, n_a, n_b,
+                   round(ln(CAST(n_ab AS DOUBLE) * n_docs
+                            / (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi
+            FROM pairs, nd
         """,
     }

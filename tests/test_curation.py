@@ -651,3 +651,55 @@ def test_ngram_perplexity_persist_exposes_unpersist_handle(spark):
     assert cached_ids() - before == set()
     # non-persist path has no handle
     assert not hasattr(ngram_perplexity(df), "persisted_bigrams")
+
+
+def test_top_p_filter_nucleus_semantics(spark):
+    from yaetl_spark.operators import top_p_filter
+
+    df = spark.createDataFrame(
+        [("g", 1, 50), ("g", 2, 30), ("g", 3, 15), ("g", 4, 5),
+         ("h", 9, 7)],
+        ["src", "id", "w"],
+    )
+    # cum_before per g (desc by w): 0, 50, 80, 95 of total 100.
+    # p=0.8 -> keep cb < 80: ids 1, 2 (id 3 starts exactly AT the
+    # threshold: coverage is already 0.8, excluded). Single-row group
+    # always survives (cb=0 < p*total for any p > 0).
+    got = sorted((r["src"], r["id"]) for r in
+                 top_p_filter(df, "src", "w", 0.8, "id").collect())
+    assert got == [("g", 1), ("g", 2), ("h", 9)]
+    # the crossing row is INCLUDED when the threshold falls inside it
+    got95 = sorted(r["id"] for r in
+                   top_p_filter(df, "src", "w", 0.95, "id").collect()
+                   if r["src"] == "g")
+    assert got95 == [1, 2, 3]  # cb 0,50,80 < 95; id4 cb=95 not < 95
+    # share audit column + column hygiene
+    out = top_p_filter(df, "src", "w", 0.8, "id", share_col="share")
+    assert out.columns == ["src", "id", "w", "share"]
+    assert {r["id"]: r["share"] for r in out.collect()}[2] == 0.5
+    # deterministic tiebreak: equal weights rank by key asc
+    tie = spark.createDataFrame(
+        [("t", 1, 10), ("t", 2, 10)], ["src", "id", "w"])
+    assert [r["id"] for r in
+            top_p_filter(tie, "src", "w", 0.5, "id").collect()] == [1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        top_p_filter(df, "src", "w", 0.0, "id")
+    with _pt.raises(ValueError):
+        top_p_filter(df, "src", "w", 0.1234567, "id")
+
+
+def test_top_p_filter_single_exchange_and_invariance(spark):
+    from yaetl_spark.operators import top_p_filter
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i, (i * 7) % 13 + 1) for i in range(60)],
+        ["src", "id", "w"],
+    )
+    a = sorted(map(tuple, top_p_filter(df, "src", "w", 0.7, "id").collect()))
+    b = sorted(map(tuple, top_p_filter(
+        df.repartition(7), "src", "w", 0.7, "id").collect()))
+    assert a == b and a
+    plan = top_p_filter(df, "src", "w", 0.7, "id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

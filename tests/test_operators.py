@@ -643,3 +643,62 @@ def test_table_diff_plan_one_join_no_python(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_token_pmi_known_counts(spark):
+    from yaetl_spark.operators import token_pmi
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "red cat red"), (2, "red cat"), (3, "red dog"), (4, "dog")],
+        ["doc_id", "text"],
+    )
+    out = {(r["token_a"], r["token_b"]): r for r in
+           token_pmi(docs, max_vocab=10, min_pair_docs=1).collect()}
+    # doc-frequency presence counts: red=3, cat=2, dog=2;
+    # pairs: (cat,red)=2 docs, (dog,red)=1 doc (canonical a<b order)
+    r = out[("cat", "red")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["pmi"] == round(math.log(2 * 4 / (2 * 3)), 6)
+    assert out[("dog", "red")]["n_ab"] == 1
+    # min_pair_docs prunes
+    pruned = token_pmi(docs, max_vocab=10, min_pair_docs=2)
+    assert {(r["token_a"], r["token_b"]) for r in pruned.collect()} \
+        == {("cat", "red")}
+    # vocab cap: max_vocab=1 invalid, =2 keeps only the top-2 head
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        token_pmi(docs, max_vocab=1)
+    capped = token_pmi(docs, max_vocab=2, min_pair_docs=1)
+    toks = {t for r in capped.collect()
+            for t in (r["token_a"], r["token_b"])}
+    assert toks <= {"red", "cat"}  # head by df desc, token asc tiebreak
+
+
+def test_token_pmi_partition_invariance(spark):
+    from yaetl_spark.operators import token_pmi
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, token_pmi(docs, max_vocab=8).collect()))
+    b = sorted(map(tuple, token_pmi(
+        docs.repartition(9), max_vocab=8).collect()))
+    assert a == b and a
+
+
+def test_token_pmi_persist_matches_default(spark):
+    from yaetl_spark.operators import token_pmi
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    base = sorted(map(tuple, token_pmi(docs, max_vocab=8).collect()))
+    cached = token_pmi(docs, max_vocab=8, persist=True)
+    try:
+        assert sorted(map(tuple, cached.collect())) == base
+        assert cached.persisted_tokens.is_cached
+    finally:
+        cached.persisted_tokens.unpersist()

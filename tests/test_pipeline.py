@@ -147,6 +147,34 @@ def test_union_aggregate_source(spark):
     assert sorted(r["id"] for r in sink.rows) == [1, 2]
 
 
+def test_aggregate_source_preserve_order_golden(spark):
+    """AggregateExtractor consumption-order parity (README.md:170-197):
+    with preserve_order=True the union comes out EXACTLY as the
+    reference consumes it — shard 0's rows in their own order, then
+    shard 1's — even when key order disagrees with shard order. The
+    default path stays order-free (no sort barrier)."""
+    from yaetl_spark.sources.aggregate import AggregateSource
+
+    s1 = MemorySource([(3, "a3"), (1, "a1"), (2, "a2")], "k int, v string")
+    s2 = MemorySource([(9, "b9"), (8, "b8")], "k int, v string")
+    got = [tuple(r) for r in
+           AggregateSource([s1, s2], preserve_order=True)
+           .read(spark).collect()]
+    assert got == [(3, "a3"), (1, "a1"), (2, "a2"), (9, "b9"), (8, "b8")]
+    # shard order, not key order, drives the output
+    rev = [tuple(r) for r in
+           AggregateSource([s2, s1], preserve_order=True)
+           .read(spark).collect()]
+    assert rev == [(9, "b9"), (8, "b8"), (3, "a3"), (1, "a1"), (2, "a2")]
+    # the tag columns never leak into the schema
+    df = AggregateSource([s1, s2], preserve_order=True).read(spark)
+    assert df.columns == ["k", "v"]
+    # default path has no sort barrier in its plan
+    plan = (AggregateSource([s1, s2]).read(spark)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Sort" not in plan
+
+
 def test_sequential_from_is_cross_join(spark):
     """Second non-aggregated from_ == per-record re-extraction ==
     cross product (README.md:140-168, tests/QualifierTest.php:292-296)."""

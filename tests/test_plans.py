@@ -706,3 +706,35 @@ def test_file_stats_partial_agg_before_exchange(spark):
     plan = plan_of(spark, "file_stats")
     ex = plan.index("Exchange hashpartitioning(_groupingexpression")
     assert "partial_count" in plan[ex:]  # partial agg below the exchange
+
+
+def test_window_ntile_one_window_one_exchange(spark):
+    """All three distribution functions (ntile/percent_rank/cume_dist)
+    must share ONE Window node over ONE priority-keyed Exchange — a
+    second Window or Exchange means the frame specs diverged."""
+    plan = plan_of(spark, "window_ntile")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Window ") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_sessionize_filter_pushdown_and_agg_reuses_partitioning(spark):
+    """The per-user driver filter reaches the parquet scan, and the
+    session aggregate rides the window's user partitioning (partial +
+    final HashAggregate with NO Exchange between them)."""
+    plan = plan_of(spark, "sessionize")
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,300)]" \
+        in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final, no shuffle
+
+
+def test_token_pmi_vocab_prune_broadcasts(spark):
+    """The max_vocab head must broadcast as the prune BEFORE the
+    within-doc pair step (never a shuffle join against the head), and
+    the corpus doc count must attach via the 1-row broadcast pattern —
+    zero BroadcastNestedLoopJoin anywhere."""
+    plan = plan_of(spark, "token_pmi")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -47,6 +47,7 @@ __all__ = [
     "mix_sources",
     "ngram_perplexity",
     "strip_duplicate_spans",
+    "top_p_filter",
     "url_dedup",
 ]
 
@@ -1075,3 +1076,71 @@ def dsir_score(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         )
     )
+
+
+def top_p_filter(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    p: float,
+    key_col: str,
+    share_col: str | None = None,
+) -> DataFrame:
+    """Nucleus-style cumulative-share cap: within each ``group_col``,
+    keep the heaviest rows (by ``weight_col``, descending; ``key_col``
+    ascending breaks ties deterministically) until they jointly cover a
+    ``p`` fraction of the group's total weight — the "keep the sources
+    that make up 90% of the tokens" cut of corpus curation (the same
+    rule as nucleus / top-p sampling, Holtzman et al. 2020, applied as
+    a filter).
+
+    A row is kept iff the cumulative weight STRICTLY BEFORE it is
+    < ``p`` × group total — so the row that crosses the threshold is
+    included and coverage is always ≥ ``p`` (the nucleus convention),
+    and at least one row per group always survives. The comparison is
+    EXACT: weights are summed as DECIMAL(28,9) and ``p`` (max 6
+    decimals) enters as an integer cross-multiplication
+    (``cum_before · 10⁶ < p·10⁶ · total``) — no float boundary for the
+    engines to disagree on.
+
+    ``share_col`` optionally exposes each kept row's cumulative-share
+    numerator (cum_before / total as DOUBLE, rounded 6) for auditing.
+    Rows with NULL weight are dropped (a NULL cumulative sum can never
+    satisfy the strict threshold compare); weights are assumed
+    non-negative (sizes/counts — the nucleus semantics).
+
+    Scale shape (100 TB): ONE group-keyed shuffle; the running sum and
+    the group total are two window passes over the same sort (no second
+    Exchange — same shape as :func:`~yaetl_spark.operators.events.
+    sessionize`). Weight magnitudes: DECIMAL(28,9) holds ~10¹⁹ weight
+    units per group ×10⁶ for the cross-multiply inside DECIMAL(38,9) —
+    token counts at 100 TB fit with headroom.
+    """
+    from pyspark.sql.window import Window
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError("p must be in (0, 1]")
+    p_num = int(round(p * 1_000_000))
+    if abs(p_num - p * 1_000_000) > 1e-6:
+        raise ValueError("p must have at most 6 decimal places")
+    w_dec = F.col(weight_col).cast("decimal(28,9)")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col(weight_col).desc(), F.col(key_col).asc()
+    )
+    cum = F.sum(w_dec).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(w_dec).over(Window.partitionBy(group_col))
+    work = df.withColumns({"_cb": cum - w_dec, "_tot": total})
+    kept = work.filter(
+        F.col("_cb") * F.lit(1_000_000) < F.lit(p_num) * F.col("_tot")
+    )
+    if share_col is not None:
+        kept = kept.withColumn(
+            share_col,
+            F.round(
+                F.col("_cb").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ),
+        )
+    return kept.drop("_cb", "_tot")

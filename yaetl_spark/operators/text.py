@@ -639,3 +639,102 @@ def token_entropy(
             round_to,
         ).alias("entropy"),
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 1000,
+    min_pair_docs: int = 2,
+    round_to: int = 6,
+    persist: bool = False,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document (Church & Hanks 1990) — the collocation/phrase-mining
+    primitive of corpus analysis: ``pmi = ln(n_ab·N / (n_a·n_b))`` over
+    DOCUMENT frequencies (presence, not counts), for pairs seen in at
+    least ``min_pair_docs`` documents. Returns ``(token_a, token_b,
+    n_ab, n_a, n_b, pmi)`` with ``token_a < token_b`` canonical order
+    and pmi rounded so the engines' ``ln`` agrees.
+
+    Scale shape (100 TB):
+    - tokenize + ``array_distinct`` + explode is a narrow map; presence
+      pairs mean per-doc state is bounded by DISTINCT tokens per doc;
+    - the vocabulary is capped FIRST: the ``max_vocab`` head by doc
+      frequency (TakeOrdered, never a global sort) broadcasts as a
+      semi-join prune — the quadratic within-doc pair step runs only
+      over vocabulary tokens (Zipf: the head covers most mass), so
+      pairs/doc is bounded by min(distinct tokens, max_vocab)²;
+    - pair counting is ONE partially-aggregated shuffle bounded by
+      vocab², further cut by ``min_pair_docs``;
+    - N (corpus doc count) and per-token doc frequencies attach via
+      broadcast joins (the vocab head is driver-bounded by max_vocab);
+    - the pair self-join re-derives the pruned token stream on each
+      side (Catalyst plans no subplan reuse across the differing join
+      sides) — at corpus scale pass ``persist=True`` to cache it once
+      (MEMORY_AND_DISK; the handle is exposed as
+      ``result.persisted_tokens`` for the caller to unpersist, the
+      same contract as :func:`~yaetl_spark.operators.curation.
+      ngram_perplexity`).
+    """
+    if max_vocab < 2:
+        raise ValueError("max_vocab must be >= 2")
+    if min_pair_docs < 1:
+        raise ValueError("min_pair_docs must be >= 1")
+    from .curation import attach_scalars  # local: avoid import cycle
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.array_distinct(tokenize(F.col(text_col)))
+        ).alias("token"),
+    )
+    docfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_t")  # distinct per doc already
+    )
+    vocab = (
+        docfreq.orderBy(F.col("n_t").desc(), F.col("token").asc())
+        .limit(max_vocab)
+    )
+    pruned = toks.join(F.broadcast(vocab), "token")
+    if persist:
+        from pyspark import StorageLevel
+
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    a = pruned.select(
+        "_doc", F.col("token").alias("token_a"), F.col("n_t").alias("n_a")
+    )
+    b = pruned.select(
+        "_doc", F.col("token").alias("token_b"), F.col("n_t").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "_doc")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    out = attach_scalars(pairs, n_docs, "token_a").select(
+        "token_a",
+        "token_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double") * F.col("_n_docs")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ),
+            round_to,
+        ).alias("pmi"),
+    )
+    if persist:
+        # same contract as ngram_perplexity: expose the cached handle so
+        # the CALLER unpersists once the result is consumed (the lazy
+        # result gives the operator no completion point to hook)
+        out.persisted_tokens = pruned
+    return out
