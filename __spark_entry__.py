@@ -3311,6 +3311,39 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pmi(docs, max_vocab=60, min_pair_docs=20)
 
 
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of per-type daily event volume
+    (operators/timeseries.py rolling_quantile) — the robust moving
+    statistic a spiky ingest stream needs where the moving mean
+    chases outliers. Both engines compute the same interpolated
+    continuous quantile (Spark percentile ≡ DuckDB quantile_cont)
+    over a ROWS frame bounded by the window length."""
+    from yaetl_spark.operators import rolling_quantile
+
+    return rolling_quantile(
+        _daily_counts(spark, sf_dir), "v", "day_idx",
+        ["event_type"], q=0.5, window=7,
+    )
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (operators/quality.py cohens_kappa, Cohen
+    1960) between two heuristic document classifiers — "long document"
+    (n_chars > 2000) vs "is English" (lang = 'en'): the label-quality
+    audit run before a classifier column gates corpus admission. One
+    |classes|²-bounded contingency shuffle; marginals and the chance
+    term stay on that tiny table."""
+    from yaetl_spark.operators import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        (F.col("n_chars") > 2000).alias("a"),
+        (F.col("lang") == "en").alias("b"),
+    )
+    return cohens_kappa(docs, "a", "b")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3497,6 +3530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile": q_window_ntile,
         "top_p_filter": q_top_p_filter,
         "token_pmi": q_token_pmi,
+        "rolling_quantile": q_rolling_quantile,
+        "cohens_kappa": q_cohens_kappa,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3511,17 +3546,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 159 declared queries and 50 slots, a full re-green rotation
-# takes ceil(159/50) = 4 rounds, so the re-check staleness budget is
+# With 161 declared queries and 50 slots, a full re-green rotation
+# takes ceil(161/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50.
 #
-# This round: (a) FOUR new queries (the r10 surface batch the r9
+# This round: (a) SIX new queries (the r10 surface batch the r9
 # verdict ordered now that owed slots hit zero): sessionize (batch
 # analogue of the streaming session window, operators/events.py),
 # window_ntile (ntile/percent_rank/cume_dist distribution windows),
-# top_p_filter (nucleus-style cumulative-share curation cap) and
-# token_pmi (vocab-bounded collocation PMI).
+# top_p_filter (nucleus-style cumulative-share curation cap),
+# token_pmi (vocab-bounded collocation PMI), rolling_quantile
+# (trailing-window exact quantile) and cohens_kappa (inter-rater
+# label-quality agreement).
 # (a') NONE — no existing query's implementation or oracle changed in
 # r10 (the round's code changes were bench-harness hardening, a
 # docstring correction in quality.py, and the new opt-in
@@ -3529,22 +3566,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query's plan; semantic_dedup was adjudicated with NO code
 # change — BENCH_NOTES.md r10). Then (b): the 12 r6-stale queries
 # deferred from r9 (4 rounds old — the staleness-budget boundary,
-# they MUST re-check now), then 34 of the 45 r7-stale queries
-# (alphabetical within the equally-old cohort). 4 + 12 + 34 = 50,
+# they MUST re-check now), then 32 of the 45 r7-stale queries
+# (alphabetical within the equally-old cohort). 6 + 12 + 32 = 50,
 # exactly full.
 #
-# DEFERRED to head r11's (b)-block (11 queries, all last green r7,
+# DEFERRED to head r11's (b)-block (13 queries, all last green r7,
 # 4 rounds old at their r11 check — the staleness budget boundary):
-#   range_band, repetition, returned_items, revenue_forecast,
-#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
-#   top_supplier, waiting_suppliers, window_frames.
-# After those, r11 has 39 slots for the r8 cohort (48 queries) —
+#   profit_by_nation, promo_share, range_band, repetition,
+#   returned_items, revenue_forecast, shipping_priority,
+#   small_qty_revenue, supplier_cnt, table_diff, top_supplier,
+#   waiting_suppliers, window_frames.
+# After those, r11 has 37 slots for the r8 cohort (48 queries) —
 # r11/r12 must rotate it within budget (r8 evidence checked at r12 is
-# exactly 4 rounds old, the boundary; 159 ≤ 200 = 4×50 keeps the
+# exactly 4 rounds old, the boundary; 161 ≤ 200 = 4×50 keeps the
 # whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r10)
     "sessionize", "window_ntile", "top_p_filter", "token_pmi",
+    "rolling_quantile", "cohens_kappa",
     # (b) last checked round 6 (deferred from r9 — budget boundary)
     "tfidf", "topk", "unpivot_measures", "variant_json",
     "weighted_sample", "window_rank", "window_running_sum",
@@ -3559,8 +3598,7 @@ _DRIVER_WINDOW = [
     "fuzzy_match", "fuzzy_match_pruned", "hash_sample", "histogram",
     "image_features", "inverted_index", "json_extract", "large_orders",
     "late_lines", "local_volume", "market_share", "media_meta",
-    "min_price_supplier", "ngram_jaccard", "profit_by_nation",
-    "promo_share",
+    "min_price_supplier", "ngram_jaccard",
 ]
 
 
@@ -6920,5 +6958,36 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(CAST(n_ab AS DOUBLE) * n_docs
                             / (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi
             FROM pairs, nd
+        """,
+        "rolling_quantile": f"""
+            WITH daily AS ({_DAILY_COUNTS_SQL})
+            SELECT event_type, day_idx, v,
+                   round(quantile_cont(v, 0.5) OVER (
+                       PARTITION BY event_type ORDER BY day_idx
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                       6) AS rolling_q
+            FROM daily
+        """,
+        "cohens_kappa": """
+            WITH f AS (
+                SELECT (n_chars > 2000) AS a, (lang = 'en') AS b
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            agg AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+                FROM f),
+            pa AS (SELECT a AS c, COUNT(*) AS na FROM f GROUP BY a),
+            pb AS (SELECT b AS c, COUNT(*) AS nb FROM f GROUP BY b),
+            x AS (SELECT SUM(na * nb) AS crs FROM pa JOIN pb USING (c))
+            SELECT n,
+                   round(CAST(agree AS DOUBLE) / n, 6) AS po,
+                   round(CAST(crs AS DOUBLE) / (n * n), 6) AS pe,
+                   round(CASE WHEN CAST(crs AS DOUBLE) / (n * n) <> 1.0
+                         THEN (CAST(agree AS DOUBLE) / n
+                               - CAST(crs AS DOUBLE) / (n * n))
+                              / (1.0 - CAST(crs AS DOUBLE) / (n * n))
+                         END, 6) AS kappa
+            FROM agg, x
         """,
     }

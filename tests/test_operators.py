@@ -702,3 +702,35 @@ def test_token_pmi_persist_matches_default(spark):
         assert cached.persisted_tokens.is_cached
     finally:
         cached.persisted_tokens.unpersist()
+
+
+def test_rolling_quantile_exact_values_and_invariance(spark):
+    from yaetl_spark.operators import rolling_quantile
+
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate([1, 9, 2, 8, 3])]
+        + [("b", 0, 100.0)],
+        ["k", "t", "v"],
+    )
+    got = {(r["k"], r["t"]): r["rolling_q"] for r in
+           rolling_quantile(df, "v", "t", ["k"], q=0.5, window=3)
+           .collect()}
+    # trailing-3 medians: [1], [1,9]->5, [1,9,2]->2, [9,2,8]->8, [2,8,3]->3
+    assert [got[("a", t)] for t in range(5)] == [1.0, 5.0, 2.0, 8.0, 3.0]
+    assert got[("b", 0)] == 100.0  # window never crosses keys
+    # interpolated (non-median) quantile, q=0.25 over [1,9]: 1 + 0.25*8 = 3
+    q25 = {r["t"]: r["rolling_q"] for r in
+           rolling_quantile(df.filter("k = 'a'"), "v", "t", ["k"],
+                            q=0.25, window=2).collect()}
+    assert q25[1] == 3.0
+    a = sorted(map(tuple, rolling_quantile(df, "v", "t", ["k"]).collect()))
+    b = sorted(map(tuple, rolling_quantile(
+        df.repartition(5), "v", "t", ["k"]).collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rolling_quantile(df, "v", "t", [], q=0.5)
+    with _pt.raises(ValueError):
+        rolling_quantile(df, "v", "t", ["k"], q=1.5)
+    with _pt.raises(ValueError):
+        rolling_quantile(df, "v", "t", ["k"], window=0)

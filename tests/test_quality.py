@@ -328,3 +328,60 @@ def test_auc_extreme_scores_survive_ansi(spark):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", _prior_ansi)
     assert got["auc"] == expected
+
+
+def test_cohens_kappa_known_value_and_edges(spark):
+    from yaetl_spark.operators import cohens_kappa
+
+    lab = spark.createDataFrame(
+        [(True, True)] * 40 + [(False, False)] * 40
+        + [(True, False)] * 10 + [(False, True)] * 10,
+        ["a", "b"],
+    )
+    r = cohens_kappa(lab, "a", "b").first()
+    # po=0.8; marginals 50/50 both sides -> pe=0.5; kappa=0.6
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (100, 0.8, 0.5, 0.6)
+    # degenerate: both raters constant -> pe=1 -> kappa NULL (no 0/0)
+    const = spark.createDataFrame([(1, 1)] * 5, ["a", "b"])
+    rc = cohens_kappa(const, "a", "b").first()
+    assert rc["pe"] == 1.0 and rc["kappa"] is None
+    # NULL rows excluded from n
+    with_null = lab.union(spark.createDataFrame(
+        [(None, True), (True, None)], "a boolean, b boolean"))
+    assert cohens_kappa(with_null, "a", "b").first()["n"] == 100
+    # partition invariance
+    r2 = cohens_kappa(lab.repartition(7), "a", "b").first()
+    assert tuple(r2) == tuple(r)
+
+
+def test_cohens_kappa_plan_single_scan(spark):
+    """ONE corpus pass: the contingency partial-agg is the only
+    corpus-sized shuffle, and the marginals/chance term are HOF folds
+    over the collected cell array — never a re-scan per branch (the
+    naive formulation scanned 3x) and never a BNLJ/cartesian."""
+    from yaetl_spark.operators import cohens_kappa
+    import __spark_entry__ as entry_mod
+    from .conftest import SF_DIR
+
+    lab = spark.createDataFrame([(True, False)] * 20, ["a", "b"])
+    plan = cohens_kappa(lab, "a", "b") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the driver query reads parquet — gate the single-scan property
+    qplan = entry_mod.queries()["cohens_kappa"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert qplan.count("FileScan parquet") == 1
+
+
+def test_cohens_kappa_max_classes_guard(spark):
+    from yaetl_spark.operators import cohens_kappa
+    import pytest as _pt
+
+    ids = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["a", "b"])
+    with _pt.raises(Exception, match="distinct classes"):
+        cohens_kappa(ids, "a", "b", max_classes=10).collect()
+    # at-the-bound passes
+    assert cohens_kappa(
+        ids, "a", "b", max_classes=100).first()["n"] == 40

@@ -49,6 +49,7 @@ __all__ = [
     "between",
     "binary_classifier_eval",
     "calibration_bins",
+    "cohens_kappa",
     "completeness",
     "in_set",
     "matches",
@@ -370,3 +371,104 @@ def calibration_bins(
         .orderBy("bin")
     )
     return out
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+    max_classes: int = 1000,
+) -> DataFrame:
+    """Inter-rater agreement between two categorical columns (Cohen
+    1960): ``κ = (p_o − p_e) / (1 − p_e)`` with ``p_o`` the observed
+    agreement fraction and ``p_e`` the chance agreement implied by the
+    two raters' marginals — the standard audit for label quality
+    (annotator vs annotator, heuristic classifier vs heuristic
+    classifier) before a label column is trusted for training. Returns
+    ONE row ``(n, po, pe, kappa)``, rounded; ``kappa`` is NULL when
+    ``p_e = 1`` (both raters constant — agreement is undefined, and
+    the guarded branch also keeps an ANSI session from throwing on the
+    0/0). Rows where either column is NULL are excluded from ``n``.
+
+    Scale shape (100 TB): the corpus is scanned ONCE — one partial-agg
+    shuffle to the contingency table (bounded by |classes|², never
+    corpus rows), which then collapses into a single array row; the
+    totals, marginals and the Σ n_a(c)·n_b(c) chance term are all
+    higher-order-function folds over that array (a naive
+    branch-per-marginal formulation re-scans the corpus three times —
+    Catalyst does not reuse the contingency exchange across differing
+    aggregate branches). ``max_classes`` is the in-plan cardinality
+    guard (the ``max_cell_rows`` discipline): kappa over an
+    accidentally-high-cardinality pair (two ID columns) would
+    materialize |classes|² cells in one row — fail LOUD naming the
+    count instead.
+    """
+    ct = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("_ca"),
+            F.col(col_b).cast("string").alias("_cb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    one = ct.agg(
+        F.collect_list(F.struct("_ca", "_cb", "_n")).alias("_cells")
+    )
+    zero = F.lit(0).cast("bigint")
+    cells = F.col("_cells")
+    classes = F.array_distinct(
+        F.concat(
+            F.transform(cells, lambda x: x["_ca"]),
+            F.transform(cells, lambda x: x["_cb"]),
+        )
+    )
+    guarded = F.when(
+        F.size(classes) <= F.lit(int(max_classes)), cells
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cohens_kappa: "), F.size(classes).cast("string"),
+            F.lit(f" distinct classes (> max_classes={max_classes}) — "
+                  "these columns look like identifiers, not labels; "
+                  "raise max_classes only if the |classes|^2 "
+                  "contingency genuinely fits one task"),
+        ))
+    )
+
+    def _fold(arr, term):
+        return F.aggregate(arr, zero, lambda acc, x: acc + term(x))
+
+    one = one.select(
+        _fold(guarded, lambda x: x["_n"]).alias("_tot"),
+        _fold(
+            cells,
+            lambda x: F.when(x["_ca"] == x["_cb"], x["_n"]).otherwise(zero),
+        ).alias("_agree"),
+        F.aggregate(
+            F.transform(
+                classes,
+                lambda cls: _fold(
+                    cells,
+                    lambda x: F.when(x["_ca"] == cls, x["_n"])
+                    .otherwise(zero),
+                ) * _fold(
+                    cells,
+                    lambda x: F.when(x["_cb"] == cls, x["_n"])
+                    .otherwise(zero),
+                ),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("_cross"),
+    )
+    po = F.col("_agree").cast("double") / F.col("_tot")
+    pe = F.col("_cross").cast("double") / (F.col("_tot") * F.col("_tot"))
+    return one.filter(F.col("_tot") > 0).select(
+        F.col("_tot").cast("bigint").alias("n"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
+        F.round(
+            F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe)),
+            round_to,
+        ).alias("kappa"),
+    )

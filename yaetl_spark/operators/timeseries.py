@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "autocorrelation", "changepoints", "cohort_retention",
-    "date_spine", "ewma", "gap_fill", "seasonal_decompose",
+    "date_spine", "ewma", "gap_fill", "rolling_quantile",
+    "seasonal_decompose",
 ]
 
 
@@ -559,4 +560,52 @@ def autocorrelation(
             F.col("_e.n_pairs").alias("n_pairs"),
             F.col("_e.acf").alias("acf"),
         )
+    )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    by: list[str],
+    q: float = 0.5,
+    window: int = 7,
+    out_col: str = "rolling_q",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key trailing-window exact quantile — the robust moving
+    statistic (rolling median at ``q=0.5``) that an outlier-heavy
+    metric stream needs where a moving MEAN would chase spikes.
+    Adds ``out_col``: the continuous (interpolated) quantile of
+    ``value_col`` over the trailing ``window`` rows (current row
+    inclusive) within each key, ordered by ``order_col`` — the same
+    R-7/linear-interpolation definition both Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` implement, rounded so the engines'
+    float interpolation agrees.
+
+    Scale shape (100 TB): ONE key-partitioned shuffle + sort; the
+    window frame materializes at most ``window`` values per row
+    (ROWS-frame state, bounded by construction — never the key's whole
+    history). Parallelism is the number of keys; a single giant key
+    serializes through one task like any per-key window — aggregate to
+    a coarser grain first (e.g. daily) when keys are corpus-scale.
+    """
+    if not by:
+        raise ValueError("by must name at least one key column")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return df.withColumn(
+        out_col,
+        F.round(
+            F.percentile(F.col(value_col).cast("double"), F.lit(float(q)))
+            .over(w),
+            round_to,
+        ),
     )
