@@ -3344,6 +3344,34 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(docs, "a", "b")
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the case/punctuation/whitespace-normalized text
+    key (operators/text.py normalized_dedup — the "fuzzy-exact" first
+    rung of the dedup ladder, Lee et al. 2022 §3 normalization). ONE
+    md5-fingerprint shuffle (fixed-width key, never document text) +
+    a broadcastable min-id survivor semi join."""
+    from yaetl_spark.operators import normalized_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalized_dedup(docs).select("doc_id", "source")
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/quality.py fk_integrity):
+    orphan rate of order rows against the ACTIVE customer dimension
+    (c_acctbal > 0) — the pre-join data-quality gate; positive-balance
+    filtering makes real orphans so the audit exercises every counter.
+    Dimension reduces to distinct keys before a single left-join pass
+    with conditional counts — one fact scan, no row explosion."""
+    from yaetl_spark.operators import fk_integrity
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0
+    ).select("c_custkey")
+    return fk_integrity(orders, dim, "o_custkey", "c_custkey")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3532,6 +3560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": q_token_pmi,
         "rolling_quantile": q_rolling_quantile,
         "cohens_kappa": q_cohens_kappa,
+        "normalized_dedup": q_normalized_dedup,
+        "fk_integrity": q_fk_integrity,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3546,19 +3576,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 161 declared queries and 50 slots, a full re-green rotation
-# takes ceil(161/50) = 4 rounds, so the re-check staleness budget is
+# With 163 declared queries and 50 slots, a full re-green rotation
+# takes ceil(163/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50.
 #
-# This round: (a) SIX new queries (the r10 surface batch the r9
+# This round: (a) EIGHT new queries (the r10 surface batch the r9
 # verdict ordered now that owed slots hit zero): sessionize (batch
 # analogue of the streaming session window, operators/events.py),
 # window_ntile (ntile/percent_rank/cume_dist distribution windows),
 # top_p_filter (nucleus-style cumulative-share curation cap),
 # token_pmi (vocab-bounded collocation PMI), rolling_quantile
-# (trailing-window exact quantile) and cohens_kappa (inter-rater
-# label-quality agreement).
+# (trailing-window exact quantile), cohens_kappa (inter-rater
+# label-quality agreement), normalized_dedup (fuzzy-exact
+# normalization dedup) and fk_integrity (referential-integrity
+# audit).
 # (a') NONE — no existing query's implementation or oracle changed in
 # r10 (the round's code changes were bench-harness hardening, a
 # docstring correction in quality.py, and the new opt-in
@@ -3566,24 +3598,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query's plan; semantic_dedup was adjudicated with NO code
 # change — BENCH_NOTES.md r10). Then (b): the 12 r6-stale queries
 # deferred from r9 (4 rounds old — the staleness-budget boundary,
-# they MUST re-check now), then 32 of the 45 r7-stale queries
-# (alphabetical within the equally-old cohort). 6 + 12 + 32 = 50,
+# they MUST re-check now), then 30 of the 45 r7-stale queries
+# (alphabetical within the equally-old cohort). 8 + 12 + 30 = 50,
 # exactly full.
 #
-# DEFERRED to head r11's (b)-block (13 queries, all last green r7,
+# DEFERRED to head r11's (b)-block (15 queries, all last green r7,
 # 4 rounds old at their r11 check — the staleness budget boundary):
-#   profit_by_nation, promo_share, range_band, repetition,
-#   returned_items, revenue_forecast, shipping_priority,
-#   small_qty_revenue, supplier_cnt, table_diff, top_supplier,
-#   waiting_suppliers, window_frames.
-# After those, r11 has 37 slots for the r8 cohort (48 queries) —
+#   min_price_supplier, ngram_jaccard, profit_by_nation, promo_share,
+#   range_band, repetition, returned_items, revenue_forecast,
+#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
+#   top_supplier, waiting_suppliers, window_frames.
+# After those, r11 has 35 slots for the r8 cohort (48 queries) —
 # r11/r12 must rotate it within budget (r8 evidence checked at r12 is
-# exactly 4 rounds old, the boundary; 161 ≤ 200 = 4×50 keeps the
+# exactly 4 rounds old, the boundary; 163 ≤ 200 = 4×50 keeps the
 # whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r10)
     "sessionize", "window_ntile", "top_p_filter", "token_pmi",
-    "rolling_quantile", "cohens_kappa",
+    "rolling_quantile", "cohens_kappa", "normalized_dedup",
+    "fk_integrity",
     # (b) last checked round 6 (deferred from r9 — budget boundary)
     "tfidf", "topk", "unpivot_measures", "variant_json",
     "weighted_sample", "window_rank", "window_running_sum",
@@ -3598,7 +3631,6 @@ _DRIVER_WINDOW = [
     "fuzzy_match", "fuzzy_match_pruned", "hash_sample", "histogram",
     "image_features", "inverted_index", "json_extract", "large_orders",
     "late_lines", "local_volume", "market_share", "media_meta",
-    "min_price_supplier", "ngram_jaccard",
 ]
 
 
@@ -6989,5 +7021,35 @@ def oracle_sql() -> dict[str, str]:
                               / (1.0 - CAST(crs AS DOUBLE) / (n * n))
                          END, 6) AS kappa
             FROM agg, x
+        """,
+        "normalized_dedup": """
+            SELECT d.doc_id, d.source
+            FROM documents d
+            JOIN (
+                SELECT MIN(doc_id) AS doc_id FROM (
+                    SELECT doc_id,
+                           trim(regexp_replace(regexp_replace(
+                               lower(text), '[^a-z]+', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS k
+                    FROM documents)
+                GROUP BY k) s USING (doc_id)
+        """,
+        "fk_integrity": """
+            WITH keys AS (
+                SELECT DISTINCT c_custkey AS dk FROM customer
+                WHERE c_acctbal > 0 AND c_custkey IS NOT NULL),
+            j AS (
+                SELECT o_custkey AS fk, dk
+                FROM orders LEFT JOIN keys ON o_custkey = dk)
+            SELECT COUNT(*) AS n_fact,
+                   COUNT(CASE WHEN fk IS NULL THEN 1 END) AS n_null_key,
+                   COUNT(dk) AS n_matched,
+                   COUNT(CASE WHEN fk IS NOT NULL AND dk IS NULL
+                         THEN 1 END) AS n_orphan,
+                   round(CASE WHEN COUNT(*) > 0 THEN
+                       CAST(COUNT(CASE WHEN fk IS NOT NULL
+                                  AND dk IS NULL THEN 1 END) AS DOUBLE)
+                       / COUNT(*) END, 6) AS orphan_rate
+            FROM j
         """,
     }

@@ -5,8 +5,11 @@ the published recipes (Gopher, CCNet, RefinedWeb) apply them:
 1. quality gate   — Gopher + C4 rule batteries + bigram-LM perplexity cut
 2. line dedup     — cut corpus-frequent boilerplate lines from survivors
 3. span dedup     — cut corpus-duplicated token runs (ExactSubstr-style)
-4. exact dedup    — drop full-document duplicates (md5 fingerprint)
-5. source mixing  — per-source caps, then blend to target weights
+4. exact dedup    — drop full-document duplicates: byte-exact md5
+                    first, then the fuzzy-exact normalized key
+                    (case/punct/whitespace folded)
+5. source mixing  — per-source caps + nucleus-style top-p share cut,
+                    then blend to target weights
 6. dataset split  — deterministic train/val/test assignment
 
 Every stage is shuffle-frugal (see each operator's docstring for the
@@ -39,7 +42,9 @@ from yaetl_spark.operators import (
     line_dedup,
     mix_sources,
     ngram_perplexity,
+    normalized_dedup,
     strip_duplicate_spans,
+    top_p_filter,
 )
 from yaetl_spark.plans import assert_scales
 
@@ -103,15 +108,21 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     ).drop("n_tokens", "n_removed").join(
         deduped_lines.drop("text"), "doc_id")
 
-    # 4) whole-document exact dedup: keeper ids → semi join back
+    # 4) whole-document dedup ladder: byte-exact md5 keepers first,
+    #    then the fuzzy-exact rung — documents equal up to case/
+    #    punctuation/whitespace collapse to one survivor
     keepers = exact_dedup(despanned, text_col="text", id_col="doc_id")
     uniq = despanned.join(keepers, "doc_id", "left_semi")
+    uniq = normalized_dedup(uniq, text_col="text", id_col="doc_id")
 
     # 5) source mixing: first a hard per-source cap (no domain may
     #    dominate), then blend three named sources to 50/30/20 target
     #    weights — the largest feasible corpus at those proportions,
     #    deterministic hash sampling, the stream never shuffles
+    # hard per-source count cap, then the nucleus cut: within each
+    #    source keep the largest docs covering 90% of its characters
     capped = cap_per_group(uniq, "source", "doc_id", n=20)
+    capped = top_p_filter(capped, "source", "n_chars", 0.9, "doc_id")
     capped = capped.filter(
         ~F.col("source").isin("src0", "src1", "src2")
     ).unionByName(

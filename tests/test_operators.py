@@ -734,3 +734,28 @@ def test_rolling_quantile_exact_values_and_invariance(spark):
         rolling_quantile(df, "v", "t", ["k"], q=1.5)
     with _pt.raises(ValueError):
         rolling_quantile(df, "v", "t", ["k"], window=0)
+
+
+def test_normalized_dedup_collapses_case_punct_ws(spark):
+    from yaetl_spark.operators import normalize_for_dedup, normalized_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO-WORLD?"),
+         (4, "different doc"), (5, None), (6, None), (7, "   ")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in normalized_dedup(docs).collect())
+    # 1,2,3 collapse (min id 1); NULL texts collapse (min id 5);
+    # whitespace-only normalizes to '' — its own key
+    assert kept == [1, 4, 5, 7]
+    norm = docs.filter("doc_id = 3").select(
+        normalize_for_dedup(F.col("text")).alias("n")).first()["n"]
+    assert norm == "hello world"
+    # partition invariance
+    a = sorted(r["doc_id"] for r in
+               normalized_dedup(docs.repartition(5)).collect())
+    assert a == kept
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        normalized_dedup(docs, keep="max_id")

@@ -738,3 +738,21 @@ def test_token_pmi_vocab_prune_broadcasts(spark):
     assert "BroadcastExchange" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_normalized_dedup_fingerprint_shuffle_and_semi_broadcast(spark):
+    """The dedup shuffle key is the md5 fingerprint (fixed width, never
+    document text) and the survivor set comes back as a broadcast
+    left-semi join."""
+    plan = plan_of(spark, "normalized_dedup")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fk_integrity_single_fact_pass(spark):
+    """Distinct dim keys broadcast; the fact side is scanned once into
+    partial conditional counts — exactly one fact-table FileScan and
+    no row-exploding join."""
+    plan = plan_of(spark, "fk_integrity")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("FileScan parquet") == 2  # fact + dim, once each

@@ -385,3 +385,25 @@ def test_cohens_kappa_max_classes_guard(spark):
     # at-the-bound passes
     assert cohens_kappa(
         ids, "a", "b", max_classes=100).first()["n"] == 40
+
+
+def test_fk_integrity_counts(spark):
+    from yaetl_spark.operators import fk_integrity
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "k int")
+    dim = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (2,)], "k int")  # dup + NULL ignored
+    r = fk_integrity(fact, dim, "k").first()
+    assert (r["n_fact"], r["n_null_key"], r["n_matched"], r["n_orphan"]) \
+        == (5, 1, 3, 1)
+    assert r["orphan_rate"] == 0.2
+    # duplicate dim keys must NOT explode fact rows (distinct first)
+    assert r["n_fact"] == fact.count()
+    # empty fact -> rate NULL, no ANSI 0/0
+    empty = fk_integrity(fact.filter("k = 12345"), dim, "k").first()
+    assert empty["n_fact"] == 0 and empty["orphan_rate"] is None
+    # differing key names
+    f2 = spark.createDataFrame([(1,)], "fk int")
+    d2 = spark.createDataFrame([(1,)], "dk int")
+    assert fk_integrity(f2, d2, "fk", "dk").first()["n_orphan"] == 0

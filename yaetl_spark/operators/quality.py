@@ -51,6 +51,7 @@ __all__ = [
     "calibration_bins",
     "cohens_kappa",
     "completeness",
+    "fk_integrity",
     "in_set",
     "matches",
     "max_value",
@@ -471,4 +472,57 @@ def cohens_kappa(
             F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe)),
             round_to,
         ).alias("kappa"),
+    )
+
+
+def fk_integrity(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Foreign-key integrity audit: what fraction of fact rows have a
+    matching dimension row — the referential-integrity check run
+    before every big join ships (an orphan rate that jumped is a
+    broken upstream export, and a join that silently drops 4% of
+    revenue is how bad dashboards are born). Returns ONE row
+    ``(n_fact, n_null_key, n_matched, n_orphan, orphan_rate)``;
+    NULL fact keys are counted separately (they can never match and
+    are usually a different defect than orphans).
+
+    Scale shape (100 TB): the dimension side reduces to DISTINCT keys
+    before the join (bounded by dimension cardinality, broadcastable
+    when small — the planner decides); the fact side is ONE pass:
+    left-join + conditional counts in a single partial aggregation,
+    no second scan, no row explosion (distinct keys make the join
+    at-most-one-match).
+    """
+    dk = dim_key or fact_key
+    keys = dim.select(F.col(dk).alias("_dk")).where(
+        F.col("_dk").isNotNull()
+    ).distinct()
+    joined = fact.select(F.col(fact_key).alias("_fk")).join(
+        keys, F.col("_fk") == F.col("_dk"), "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(F.when(F.col("_fk").isNull(), 1)).alias("n_null_key"),
+        F.count(F.col("_dk")).alias("n_matched"),
+        F.count(
+            F.when(F.col("_fk").isNotNull() & F.col("_dk").isNull(), 1)
+        ).alias("n_orphan"),
+    )
+    return agg.select(
+        "n_fact",
+        "n_null_key",
+        "n_matched",
+        "n_orphan",
+        F.round(
+            F.when(
+                F.col("n_fact") > 0,
+                F.col("n_orphan").cast("double") / F.col("n_fact"),
+            ),
+            round_to,
+        ).alias("orphan_rate"),
     )

@@ -738,3 +738,49 @@ def token_pmi(
         # result gives the operator no completion point to hook)
         out.persisted_tokens = pruned
     return out
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """Canonical dedup key text: lowercase, punctuation/digits folded to
+    spaces, whitespace runs collapsed, ends trimmed — the "fuzzy-exact"
+    normalization every dedup recipe applies before exact hashing
+    (near-identical documents differing only in case/punctuation/
+    spacing collapse to one key; Lee et al. 2022 §3 use the same idea
+    for exact-substring keys). Pure scan-level Column expression —
+    compose with ``F.md5``/``F.xxhash64`` for the fingerprint.
+    """
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z]+", " "),
+            r"\s+", " ",
+        )
+    )
+
+
+def normalized_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED text key (:func:`normalize_for_
+    dedup`): documents equal up to case/punctuation/whitespace collapse
+    to one survivor — the cheap first rung of the dedup ladder (below
+    MinHash/SimHash, above byte-exact). ``keep='min_id'`` keeps the
+    smallest id per key (deterministic, engine-reproducible).
+
+    Scale shape (100 TB): ONE fingerprint-keyed shuffle — the groupBy
+    key is ``md5(normalized)`` (fixed 32 chars, never the document
+    text), min-id per group, then a planner-broadcastable survivor
+    semi join on the id. Same shape as the byte-exact ``dedup_exact``.
+    """
+    if keep != "min_id":
+        raise ValueError("keep must be 'min_id'")
+    key = F.md5(normalize_for_dedup(F.col(text_col)))
+    survivors = (
+        df.select(F.col(id_col), key.alias("_k"))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
