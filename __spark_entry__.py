@@ -3372,6 +3372,33 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk_integrity(orders, dim, "o_custkey", "c_custkey")
 
 
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist gate (operators/curation.py blocklist_flags — the C4
+    §2.2 blocklist pass): case-insensitive whole-word occurrence counts
+    of a blocked-term list plus the auditable pass flag. Pure scan-level
+    regexp count — one compiled alternation, no shuffle."""
+    from yaetl_spark.operators import blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_flags(docs, ["window", "hash"]).select(
+        "doc_id", "n_blocked", "blocklist_pass"
+    )
+
+
+def q_encoding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-damage screen (operators/curation.py
+    encoding_quality_flags): U+FFFD replacement-char and C0
+    control-char counts with per-rule pass flags — the binary-junk
+    detector every raw-crawl pipeline runs. Scan-level regexp counts,
+    no shuffle."""
+    from yaetl_spark.operators import encoding_quality_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return encoding_quality_flags(docs).select(
+        "doc_id", "n_replacement", "n_control", "encoding_pass"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3562,6 +3589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "normalized_dedup": q_normalized_dedup,
         "fk_integrity": q_fk_integrity,
+        "blocklist_scan": q_blocklist_scan,
+        "encoding_scan": q_encoding_scan,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3576,12 +3605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 163 declared queries and 50 slots, a full re-green rotation
-# takes ceil(163/50) = 4 rounds, so the re-check staleness budget is
+# With 165 declared queries and 50 slots, a full re-green rotation
+# takes ceil(165/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50.
 #
-# This round: (a) EIGHT new queries (the r10 surface batch the r9
+# This round: (a) TEN new queries (the r10 surface batch the r9
 # verdict ordered now that owed slots hit zero): sessionize (batch
 # analogue of the streaming session window, operators/events.py),
 # window_ntile (ntile/percent_rank/cume_dist distribution windows),
@@ -3589,8 +3618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # token_pmi (vocab-bounded collocation PMI), rolling_quantile
 # (trailing-window exact quantile), cohens_kappa (inter-rater
 # label-quality agreement), normalized_dedup (fuzzy-exact
-# normalization dedup) and fk_integrity (referential-integrity
-# audit).
+# normalization dedup), fk_integrity (referential-integrity audit),
+# blocklist_scan (C4-style wordlist gate) and encoding_scan
+# (mojibake/control-char screening).
 # (a') NONE — no existing query's implementation or oracle changed in
 # r10 (the round's code changes were bench-harness hardening, a
 # docstring correction in quality.py, and the new opt-in
@@ -3598,25 +3628,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # registered query's plan; semantic_dedup was adjudicated with NO code
 # change — BENCH_NOTES.md r10). Then (b): the 12 r6-stale queries
 # deferred from r9 (4 rounds old — the staleness-budget boundary,
-# they MUST re-check now), then 30 of the 45 r7-stale queries
-# (alphabetical within the equally-old cohort). 8 + 12 + 30 = 50,
+# they MUST re-check now), then 28 of the 45 r7-stale queries
+# (alphabetical within the equally-old cohort). 10 + 12 + 28 = 50,
 # exactly full.
 #
-# DEFERRED to head r11's (b)-block (15 queries, all last green r7,
+# DEFERRED to head r11's (b)-block (17 queries, all last green r7,
 # 4 rounds old at their r11 check — the staleness budget boundary):
-#   min_price_supplier, ngram_jaccard, profit_by_nation, promo_share,
-#   range_band, repetition, returned_items, revenue_forecast,
-#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
-#   top_supplier, waiting_suppliers, window_frames.
-# After those, r11 has 35 slots for the r8 cohort (48 queries) —
+#   market_share, media_meta, min_price_supplier, ngram_jaccard,
+#   profit_by_nation, promo_share, range_band, repetition,
+#   returned_items, revenue_forecast, shipping_priority,
+#   small_qty_revenue, supplier_cnt, table_diff, top_supplier,
+#   waiting_suppliers, window_frames.
+# After those, r11 has 33 slots for the r8 cohort (48 queries) —
 # r11/r12 must rotate it within budget (r8 evidence checked at r12 is
-# exactly 4 rounds old, the boundary; 163 ≤ 200 = 4×50 keeps the
+# exactly 4 rounds old, the boundary; 165 ≤ 200 = 4×50 keeps the
 # whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r10)
     "sessionize", "window_ntile", "top_p_filter", "token_pmi",
     "rolling_quantile", "cohens_kappa", "normalized_dedup",
-    "fk_integrity",
+    "fk_integrity", "blocklist_scan", "encoding_scan",
     # (b) last checked round 6 (deferred from r9 — budget boundary)
     "tfidf", "topk", "unpivot_measures", "variant_json",
     "weighted_sample", "window_rank", "window_running_sum",
@@ -3630,7 +3661,7 @@ _DRIVER_WINDOW = [
     "equi_width", "event_paths", "ewma", "excess_supply", "funnel",
     "fuzzy_match", "fuzzy_match_pruned", "hash_sample", "histogram",
     "image_features", "inverted_index", "json_extract", "large_orders",
-    "late_lines", "local_volume", "market_share", "media_meta",
+    "late_lines", "local_volume",
 ]
 
 
@@ -7051,5 +7082,30 @@ def oracle_sql() -> dict[str, str]:
                                   AND dk IS NULL THEN 1 END) AS DOUBLE)
                        / COUNT(*) END, 6) AS orphan_rate
             FROM j
+        """,
+        "blocklist_scan": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\\b(?:hash|window)\\b')) AS BIGINT) AS n_blocked,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(?:hash|window)\\b')) = 0 AS blocklist_pass
+            FROM documents
+        """,
+        "encoding_scan": """
+            WITH c AS (
+                SELECT doc_id,
+                       COALESCE(text, '') AS t,
+                       CAST(len(regexp_extract_all(COALESCE(text, ''),
+                           '�')) AS BIGINT) AS n_replacement,
+                       CAST(len(regexp_extract_all(COALESCE(text, ''),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))
+                           AS BIGINT) AS n_control
+                FROM documents)
+            SELECT doc_id, n_replacement, n_control,
+                   (length(t) = 0 OR (
+                        CAST(n_replacement AS DOUBLE) / length(t) <= 0.0
+                        AND CAST(n_control AS DOUBLE) / length(t) <= 0.001))
+                       AS encoding_pass
+            FROM c
         """,
     }

@@ -703,3 +703,59 @@ def test_top_p_filter_single_exchange_and_invariance(spark):
     plan = top_p_filter(df, "src", "w", 0.7, "id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_blocklist_flags_word_boundaries_and_counts(spark):
+    from yaetl_spark.operators import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [(1, "the spam king sells SPAM and more spam today"),
+         (2, "a clean document about classes"),   # 'ass' must not match
+         (3, None),
+         (4, "Spam, spam; (spam)!")],             # punctuation boundaries
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           blocklist_flags(docs, ["spam", "ass"]).collect()}
+    assert got[1]["n_blocked"] == 3 and not got[1]["blocklist_pass"]
+    assert got[2]["n_blocked"] == 0 and got[2]["blocklist_pass"]
+    assert got[3]["n_blocked"] == 0 and got[3]["blocklist_pass"]
+    assert got[4]["n_blocked"] == 3
+    # substring mode
+    sub = {r["doc_id"]: r["n_blocked"] for r in
+           blocklist_flags(docs, ["ass"], whole_word=False).collect()}
+    assert sub[2] == 1
+    # regex metacharacters in terms are literal
+    lit = blocklist_flags(
+        spark.createDataFrame([(1, "a.b matched")], ["doc_id", "text"]),
+        ["a.b"]).first()
+    assert lit["n_blocked"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        blocklist_flags(docs, [])
+
+
+def test_encoding_quality_flags_counts_and_ratios(spark):
+    from yaetl_spark.operators import encoding_quality_flags
+
+    docs = spark.createDataFrame(
+        [(1, "clean text with tab\tand\nnewline"),   # whitelisted ctls
+         (2, "bad\x00bytes\x1fhere ��"),
+         (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in encoding_quality_flags(docs).collect()}
+    assert got[1]["n_control"] == 0 and got[1]["encoding_pass"]
+    assert (got[2]["n_replacement"], got[2]["n_control"]) == (2, 2)
+    assert not got[2]["encoding_pass"]
+    # NULL and empty text pass with zero counts
+    for d in (3, 4):
+        assert got[d]["n_chars_enc"] == 0 and got[d]["encoding_pass"]
+    # loose thresholds flip the verdict
+    loose = encoding_quality_flags(
+        docs, max_replacement_ratio=1.0, max_control_ratio=1.0)
+    assert {r["doc_id"]: r["encoding_pass"]
+            for r in loose.collect()}[2] is True
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        encoding_quality_flags(docs, max_control_ratio=-0.1)

@@ -36,10 +36,12 @@ from .text import LANG_MARKERS, punct_ratio, token_count
 
 __all__ = [
     "attach_scalars",
+    "blocklist_flags",
     "c4_quality_flags",
     "canonical_url",
     "cap_per_group",
     "dsir_score",
+    "encoding_quality_flags",
     "duplicate_spans",
     "frequent_lines",
     "gopher_quality_flags",
@@ -1144,3 +1146,89 @@ def top_p_filter(
             ),
         )
     return kept.drop("_cb", "_tot")
+
+
+def blocklist_flags(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    whole_word: bool = True,
+    count_col: str = "n_blocked",
+    flag_col: str = "blocklist_pass",
+) -> DataFrame:
+    """Blocklist screening (the wordlist gate every crawl pipeline runs
+    — C4 §2.2 applies exactly this with the "List of Dirty, Naughty …"
+    wordlist): adds ``count_col`` (total occurrences of any blocked
+    term, case-insensitive) and ``flag_col`` (True = clean). Flag
+    semantics (count + auditable pass column, filter at the caller)
+    match the Gopher/C4 batteries in this module.
+
+    ``whole_word=True`` matches at word boundaries only ("class" does
+    not trip "ass"); terms are regex-escaped, so commas, dots and
+    parens in a term are literal.
+
+    Scale shape (100 TB): pure scan-level regexp count — one compiled
+    alternation pattern over the text column, no shuffle, no join, no
+    Python. Blocklists are static config (hundreds of terms): the
+    pattern compiles once per task, not per row.
+    """
+    if not terms:
+        raise ValueError("terms must name at least one blocked term")
+    alts = "|".join(sorted(re.escape(t.lower()) for t in set(terms)))
+    pat = rf"\b(?:{alts})\b" if whole_word else rf"(?:{alts})"
+    # count = number of pattern matches: regexp_count is exact and
+    # engine-shared (DuckDB len(regexp_extract_all(...)) mirrors it)
+    n = F.coalesce(
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(pat))
+        .cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    return df.withColumns({
+        count_col: n,
+        flag_col: n == 0,
+    })
+
+
+def encoding_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    max_replacement_ratio: float = 0.0,
+    max_control_ratio: float = 0.001,
+) -> DataFrame:
+    """Mojibake / encoding-damage screening — one of the most common
+    raw-crawl defects: adds per-document counts and auditable pass
+    flags for (a) U+FFFD replacement characters (the tombstone a lossy
+    decode leaves behind) and (b) C0 control characters other than
+    tab/newline/carriage-return (binary junk in a text column).
+    Ratios are per character; empty/NULL text passes with zero counts
+    (nothing to be damaged).
+
+    Columns: ``n_chars_enc, n_replacement, n_control,
+    flag_no_mojibake, flag_no_control, encoding_pass``.
+
+    Scale shape (100 TB): pure scan-level regexp counts — no shuffle,
+    no join, no Python; composes into the same single scan pass as the
+    Gopher/C4 batteries.
+    """
+    if max_replacement_ratio < 0 or max_control_ratio < 0:
+        raise ValueError("ratios must be >= 0")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(text).cast("bigint")
+    n_rep = F.regexp_count(text, F.lit("�")).cast("bigint")
+    n_ctl = F.regexp_count(
+        text, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ).cast("bigint")
+    ok_rep = F.when(total == 0, F.lit(True)).otherwise(
+        n_rep.cast("double") / total <= F.lit(float(max_replacement_ratio))
+    )
+    ok_ctl = F.when(total == 0, F.lit(True)).otherwise(
+        n_ctl.cast("double") / total <= F.lit(float(max_control_ratio))
+    )
+    return df.withColumns({
+        "n_chars_enc": total,
+        "n_replacement": n_rep,
+        "n_control": n_ctl,
+        "flag_no_mojibake": ok_rep,
+        "flag_no_control": ok_ctl,
+        "encoding_pass": ok_rep & ok_ctl,
+    })
