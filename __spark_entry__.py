@@ -6955,7 +6955,12 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW) AS session_seq
                 FROM flagged
             )
-            SELECT user_id, session_seq,
+            SELECT user_id,
+                   -- DuckDB SUM(int) OVER is HUGEINT, which pandas
+                   -- materializes as float64 and the driver's
+                   -- type-faithful hash can never match against the
+                   -- engine's BIGINT (the r10 red row) — cast it.
+                   CAST(session_seq AS BIGINT) AS session_seq,
                    COUNT(*) AS n_events,
                    MIN(ep) AS start_epoch,
                    MAX(ep) AS end_epoch,
@@ -7084,10 +7089,14 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "blocklist_scan": """
+            -- COALESCE mirrors the operator (NULL text -> 0 / pass),
+            -- matching the adjacent encoding_scan oracle; without it a
+            -- future fixture with a NULL text reddens the row for an
+            -- oracle-side reason (r10 ADVICE).
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(lower(text),
+                   CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
                        '\\b(?:hash|window)\\b')) AS BIGINT) AS n_blocked,
-                   len(regexp_extract_all(lower(text),
+                   len(regexp_extract_all(lower(COALESCE(text, '')),
                        '\\b(?:hash|window)\\b')) = 0 AS blocklist_pass
             FROM documents
         """,

@@ -51,6 +51,27 @@ def canonical(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
+def dtype_kind_mismatches(got: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    """Columns where one side is integer-typed and the other float-typed.
+
+    The driver's value hash is type-faithful: oracle ``1.0`` (float64)
+    never hashes equal to engine ``1`` (int64), even though Python
+    ``==`` says they match — exactly how r10's sessionize red row
+    slipped past this harness (its oracle's uncast ``SUM(int) OVER``
+    came back HUGEINT → pandas float64). The local gate must dominate
+    the driver's, so an int-vs-float column pair is a hard failure
+    here regardless of values.
+    """
+    bad = []
+    for c in got.columns:
+        if c not in oracle.columns:
+            continue
+        a, b = got[c].dtype.kind, oracle[c].dtype.kind
+        if {a, b} & {"i", "u"} and "f" in {a, b}:
+            bad.append(c)
+    return bad
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
     got = spark_df.toPandas()
     out = {
@@ -62,6 +83,10 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
     out["count_match"] = out["rows_spark"] == out["rows_oracle"]
     out["schema_match"] = out["cols_spark"] == out["cols_oracle"]
     if not (out["count_match"] and out["schema_match"]):
+        out["value_match"] = False
+        return out
+    out["dtype_mismatch"] = dtype_kind_mismatches(got, oracle_pdf)
+    if out["dtype_mismatch"]:
         out["value_match"] = False
         return out
     a, b = canonical(got), canonical(oracle_pdf)

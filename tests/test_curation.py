@@ -705,6 +705,21 @@ def test_top_p_filter_single_exchange_and_invariance(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_top_p_filter_preserves_caller_temp_named_columns(spark):
+    """Caller columns named _cb/_tot used to be clobbered by the
+    operator's fixed temp names (r10 ADVICE) — they must survive."""
+    from yaetl_spark.operators import top_p_filter
+
+    df = spark.createDataFrame(
+        [("g", 1, 50, "keepme", 7), ("g", 2, 30, "metoo", 8)],
+        ["src", "id", "w", "_cb", "_tot"],
+    )
+    out = top_p_filter(df, "src", "w", 0.8, "id")
+    assert out.columns == ["src", "id", "w", "_cb", "_tot"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["_cb"] == "keepme" and rows[1]["_tot"] == 7
+
+
 def test_blocklist_flags_word_boundaries_and_counts(spark):
     from yaetl_spark.operators import blocklist_flags
 
@@ -730,6 +745,18 @@ def test_blocklist_flags_word_boundaries_and_counts(spark):
         spark.createDataFrame([(1, "a.b matched")], ["doc_id", "text"]),
         ["a.b"]).first()
     assert lit["n_blocked"] == 1
+    # non-word term edges get no \b anchor (a \b next to a non-word
+    # char can never match — r10 ADVICE): '.net' and 'c++' must count
+    edge = blocklist_flags(
+        spark.createDataFrame(
+            [(1, "I write c++ and .net daily"), (2, "internet classes")],
+            ["doc_id", "text"]),
+        [".net", "c++"]).collect()
+    edge = {r["doc_id"]: r["n_blocked"] for r in edge}
+    assert edge[1] == 2
+    # ...while the word-char edge still anchors: 'internet' has no
+    # standalone 'net', and '.net' inside 'internet'? no dot — clean
+    assert edge[2] == 0
     import pytest as _pt
     with _pt.raises(ValueError):
         blocklist_flags(docs, [])

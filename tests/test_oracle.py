@@ -112,6 +112,40 @@ def test_equi_width_clamp_parity_on_rounding_min(spark, tmp_path):
     assert sum(r["n"] for r in rows) == len(vals)
 
 
+def test_harness_is_type_strict_on_int_vs_float(spark):
+    """Gate for the r10 sessionize escape: DuckDB returns SUM(int) OVER
+    as HUGEINT, pandas materializes it float64, and the driver's
+    type-faithful hash can never match the engine's BIGINT — but the
+    old harness compared cells with Python `==` (1.0 == 1) and stayed
+    green. The local gate must dominate the driver's: an int-typed
+    engine column vs a float-typed oracle column is a hard failure
+    even when every value compares equal."""
+    import duckdb
+
+    from .oracle_harness import canonical
+
+    eng = spark.createDataFrame([(1, 1), (1, 3)], "k int, s long")
+    c = duckdb.connect()
+    try:
+        # the exact r10 shape: an uncast window SUM over ints
+        oracle = c.sql(
+            "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY v) AS s "
+            "FROM (VALUES (1, 1), (1, 2)) t(k, v)"
+        ).df()
+    finally:
+        c.close()
+    assert oracle["s"].dtype.kind == "f", (
+        "fixture must reproduce the HUGEINT->float64 materialization; "
+        f"got {oracle.dtypes}"
+    )
+    res = compare(eng, oracle)
+    # value-lenient compare says equal — which is exactly how the old
+    # harness went vacuously green while the driver's hash failed
+    assert canonical(eng.toPandas()) == canonical(oracle)
+    assert res["dtype_mismatch"] == ["s"], res
+    assert not res["value_match"], res
+
+
 # Queries whose oracle is legitimately empty at sf0.001 ONLY (each must
 # be non-empty at sf0.01, the driver's SF — verified in the test below).
 # Keep this list justified: an entry that is empty at EVERY SF is a

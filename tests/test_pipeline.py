@@ -169,6 +169,15 @@ def test_aggregate_source_preserve_order_golden(spark):
     # the tag columns never leak into the schema
     df = AggregateSource([s1, s2], preserve_order=True).read(spark)
     assert df.columns == ["k", "v"]
+    # ordered=True keeps its promised _shard tag even when combined
+    # with preserve_order (r10 ADVICE: the combination silently
+    # dropped it); only the internal sequence column stays hidden
+    both = AggregateSource(
+        [s1, s2], ordered=True, preserve_order=True).read(spark)
+    assert both.columns == ["k", "v", "_shard"]
+    assert [tuple(r) for r in both.collect()] == [
+        (3, "a3", 0), (1, "a1", 0), (2, "a2", 0),
+        (9, "b9", 1), (8, "b8", 1)]
     # default path has no sort barrier in its plan
     plan = (AggregateSource([s1, s2]).read(spark)
             ._jdf.queryExecution().executedPlan().toString())

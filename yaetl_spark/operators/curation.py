@@ -1111,6 +1111,12 @@ def top_p_filter(
     satisfy the strict threshold compare); weights are assumed
     non-negative (sizes/counts — the nucleus semantics).
 
+    Exactness caveat: the DECIMAL(28,9) × 10⁶ cross-multiply exceeds
+    DECIMAL(38) and Spark's precision-loss rules keep scale 6 — so the
+    "no float boundary" guarantee holds for weights with ≤ 6 fractional
+    digits (token/byte/row counts, the intended inputs). Weights with
+    more fractional precision are compared at scale 6.
+
     Scale shape (100 TB): ONE group-keyed shuffle; the running sum and
     the group total are two window passes over the same sort (no second
     Exchange — same shape as :func:`~yaetl_spark.operators.events.
@@ -1133,19 +1139,24 @@ def top_p_filter(
         win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     total = F.sum(w_dec).over(Window.partitionBy(group_col))
-    work = df.withColumns({"_cb": cum - w_dec, "_tot": total})
+    # collision-safe temp names: fixed "_cb"/"_tot" silently clobbered
+    # same-named caller columns (r10 ADVICE)
+    cb_col, tot_col = "_cb", "_tot"
+    while cb_col in df.columns or tot_col in df.columns:
+        cb_col, tot_col = "_" + cb_col, "_" + tot_col
+    work = df.withColumns({cb_col: cum - w_dec, tot_col: total})
     kept = work.filter(
-        F.col("_cb") * F.lit(1_000_000) < F.lit(p_num) * F.col("_tot")
+        F.col(cb_col) * F.lit(1_000_000) < F.lit(p_num) * F.col(tot_col)
     )
     if share_col is not None:
         kept = kept.withColumn(
             share_col,
             F.round(
-                F.col("_cb").cast("double") / F.col("_tot").cast("double"),
+                F.col(cb_col).cast("double") / F.col(tot_col).cast("double"),
                 6,
             ),
         )
-    return kept.drop("_cb", "_tot")
+    return kept.drop(cb_col, tot_col)
 
 
 def blocklist_flags(
@@ -1165,7 +1176,10 @@ def blocklist_flags(
 
     ``whole_word=True`` matches at word boundaries only ("class" does
     not trip "ass"); terms are regex-escaped, so commas, dots and
-    parens in a term are literal.
+    parens in a term are literal. Boundaries are applied per term edge
+    and only where the edge is a word character — ``\b`` before a
+    non-word edge (".net", "c++", "!!!") can never match, so such
+    edges get no anchor instead of a silent always-0 (r10 ADVICE).
 
     Scale shape (100 TB): pure scan-level regexp count — one compiled
     alternation pattern over the text column, no shuffle, no join, no
@@ -1174,8 +1188,17 @@ def blocklist_flags(
     """
     if not terms:
         raise ValueError("terms must name at least one blocked term")
-    alts = "|".join(sorted(re.escape(t.lower()) for t in set(terms)))
-    pat = rf"\b(?:{alts})\b" if whole_word else rf"(?:{alts})"
+
+    def _anchored(t: str) -> str:
+        esc = re.escape(t)
+        if not whole_word:
+            return esc
+        lead = r"\b" if re.match(r"\w", t) else ""
+        trail = r"\b" if re.search(r"\w$", t) else ""
+        return f"{lead}{esc}{trail}"
+
+    alts = "|".join(sorted(_anchored(t.lower()) for t in set(terms)))
+    pat = rf"(?:{alts})"
     # count = number of pattern matches: regexp_count is exact and
     # engine-shared (DuckDB len(regexp_extract_all(...)) mirrors it)
     n = F.coalesce(

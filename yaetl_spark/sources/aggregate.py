@@ -64,7 +64,11 @@ class AggregateSource(Source):
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 dfs,
             )
-            return out.orderBy(SHARD_COL, SEQ_COL).drop(SHARD_COL, SEQ_COL)
+            out = out.orderBy(SHARD_COL, SEQ_COL).drop(SEQ_COL)
+            # ordered=True promises the _shard tag in the output; only
+            # the internal sequence column is implementation detail
+            # (r10 ADVICE: this combination used to drop both silently)
+            return out if self.ordered else out.drop(SHARD_COL)
         if self.ordered:
             dfs = [df.withColumn(SHARD_COL, F.lit(i)) for i, df in enumerate(dfs)]
         return reduce(
