@@ -102,6 +102,31 @@ def _events(spark: SparkSession, sf_dir: str,
     return ensure_event_time(_t(spark, sf_dir, "events", heavy))
 
 
+def _epoch(df: DataFrame, col: str) -> F.Column:
+    """Tz-invariant epoch seconds of a named datetime column of ``df`` —
+    the replacement for ``F.unix_timestamp`` at every absolute-epoch
+    emitter (r10 verdict: under a non-UTC driver session,
+    ``unix_timestamp`` on the canonical NTZ event time shifted six
+    queries' epochs by the zone offset). Dispatches on the column's
+    actual type so LTZ-encoded regenerations of the testdata keep
+    working."""
+    from yaetl_spark.session import epoch_seconds, is_ntz
+
+    return epoch_seconds(col, ntz=is_ntz(df, col))
+
+
+def _date_epoch(col) -> F.Column:
+    """Tz-invariant midnight-UTC epoch of a date-valued column:
+    ``unix_date`` counts days since 1970-01-01 with no timezone in
+    play, unlike ``unix_timestamp(date)`` which interprets midnight in
+    the session timezone (r10 verdict hazard). ``to_date`` first: the
+    testdata ships date-valued columns as NTZ midnights, and NTZ→DATE
+    extraction is pure wall clock. Matches DuckDB's ``epoch(DATE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.unix_date(F.to_date(c))
+            .cast("bigint") * F.lit(86400).cast("bigint"))
+
+
 # Decimal widths chosen so every product stays inside DECIMAL(38): prices
 # fit (12,2), rates (discount/tax ≤ 0.1) fit (8,4); (12,2)×(8,4)×(8,4)
 # → scale 10, precision 30 — exact in both Spark and DuckDB, so the final
@@ -1723,12 +1748,15 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.col("ts")).over(w)
+    # epoch first, lag the epoch: one tz-invariant conversion shared by
+    # both emitters (same shape as sessionize)
+    epoch = _epoch(ev, "ts")
+    prev = F.lag(epoch).over(w)
     return ev.select(
         "user_id",
         "event_id",
-        F.unix_timestamp("ts").alias("ts_epoch"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(prev)).alias("delta_sec"),
+        epoch.alias("ts_epoch"),
+        (epoch - prev).alias("delta_sec"),
     )
 
 
@@ -1884,8 +1912,8 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: monthly order count + revenue rollup."""
     return (
         _t(spark, sf_dir, "orders")
-        .groupBy(F.unix_timestamp(
-            F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"))
+        .groupBy(_date_epoch(
+            F.trunc(F.col("o_orderdate"), "month")).alias("month_start"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(_dec2("o_totalprice")), 2).cast("double").alias("total"),
@@ -1932,8 +1960,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "user_id",
-        F.unix_timestamp("ts").alias("purchase_ts"),
-        F.unix_timestamp("click_ts").alias("last_click_ts"),
+        _epoch(joined, "ts").alias("purchase_ts"),
+        _epoch(joined, "click_ts").alias("last_click_ts"),
         "purchase_value",
     )
 
@@ -2111,7 +2139,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey",
-            F.unix_timestamp("o_orderdate").alias("orderdate"),
+            _date_epoch("o_orderdate").alias("orderdate"),
             "o_totalprice", "sum_qty",
         )
     )
@@ -2244,7 +2272,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select(
             F.col("l_orderkey").alias("orderkey"),
-            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            _date_epoch("o_orderdate").alias("orderdate_epoch"),
             "o_orderpriority", "revenue",
         )
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
@@ -2377,9 +2405,9 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "click_id",
             F.col("click_user").alias("user_id"),
-            F.unix_timestamp("click_ts").alias("click_epoch"),
+            _epoch(joined, "click_ts").alias("click_epoch"),
             "purch_id",
-            F.unix_timestamp("purch_ts").alias("purch_epoch"),
+            _epoch(joined, "purch_ts").alias("purch_epoch"),
             "purch_value",
         )
     )

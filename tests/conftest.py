@@ -13,9 +13,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     """Session for the whole suite. SPARK_GRAFT_TEST_ADVERSARIAL=1
     re-runs everything under the least-friendly session a driver could
-    hand us — ANSI on, AQE on, an odd shuffle-partition count — the
-    configuration the full 155-query oracle suite was swept green with
-    in r9. Use it before rotating queries into the driver window."""
+    hand us — ANSI on, AQE on, an odd shuffle-partition count, and a
+    NON-UTC session timezone (r11: the r10 verdict reproduced a
+    6-query silent epoch shift under America/New_York that the
+    UTC-only sweep could never catch; every result must now be
+    session-tz-invariant). SPARK_GRAFT_TEST_TZ overrides the zone.
+    Use the sweep before rotating queries into the driver window."""
     from yaetl_spark.session import get_spark
 
     adversarial = os.environ.get("SPARK_GRAFT_TEST_ADVERSARIAL") == "1"
@@ -26,6 +29,10 @@ def spark():
     if adversarial:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.session.timeZone",
+            os.environ.get("SPARK_GRAFT_TEST_TZ", "America/New_York"),
+        )
     yield spark
 
 

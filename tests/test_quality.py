@@ -387,6 +387,70 @@ def test_cohens_kappa_max_classes_guard(spark):
         ids, "a", "b", max_classes=100).first()["n"] == 40
 
 
+def test_fleiss_kappa_known_value_and_edges(spark):
+    from yaetl_spark.operators import fleiss_kappa
+
+    # 3 items × 3 raters, labels {x, y}:
+    # item 1: x,x,x (P=1)  item 2: x,x,y (P=1/3)  item 3: y,y,y (P=1)
+    # p_bar = 7/9; marginals x=5/9, y=4/9 -> p_e = 41/81; kappa = 22/40
+    rows = [(1, "x")] * 3 + [(2, "x"), (2, "x"), (2, "y")] + [(3, "y")] * 3
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = fleiss_kappa(df, "item", "label").first()
+    assert (r["n_items"], r["n_raters"], r["n_categories"]) == (3, 3, 2)
+    assert r["p_bar"] == round(7 / 9, 6)
+    assert r["p_e"] == round(41 / 81, 6)
+    assert r["kappa"] == 0.55
+    # unanimous constant panel -> p_e = 1 -> kappa NULL (no 0/0)
+    const = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "x")] * 3, ["item", "label"])
+    rc = fleiss_kappa(const, "item", "label").first()
+    assert rc["p_e"] == 1.0 and rc["kappa"] is None
+    # NULL items/labels excluded
+    with_null = df.union(spark.createDataFrame(
+        [(None, "x"), (9, None)], "item int, label string"))
+    assert fleiss_kappa(with_null, "item", "label").first()["n_items"] == 3
+    # partition invariance
+    r2 = fleiss_kappa(df.repartition(7), "item", "label").first()
+    assert tuple(r2) == tuple(r)
+
+
+def test_fleiss_kappa_guards(spark):
+    from yaetl_spark.operators import fleiss_kappa
+    import pytest as _pt
+
+    # ragged panel: item 2 has only 2 ratings
+    ragged = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "x"), (2, "x"), (2, "y")],
+        ["item", "label"])
+    with _pt.raises(Exception, match="ragged rating panel"):
+        fleiss_kappa(ragged, "item", "label").collect()
+    # single-rating items are not a panel either
+    solo = spark.createDataFrame([(1, "x"), (2, "y")], ["item", "label"])
+    with _pt.raises(Exception, match="ragged rating panel"):
+        fleiss_kappa(solo, "item", "label").collect()
+    # identifier posing as a label
+    ids = spark.createDataFrame(
+        [(i // 2, f"lbl{i}") for i in range(40)], ["item", "label"])
+    with _pt.raises(Exception, match="distinct labels"):
+        fleiss_kappa(ids, "item", "label", max_classes=10).collect()
+
+
+def test_fleiss_kappa_single_corpus_shuffle(spark):
+    """The (item,label) count table feeds both the per-item and the
+    per-label reduction — Catalyst must reuse that exchange, not scan
+    the corpus twice; and no BNLJ/cartesian sneaks in via the 1-row
+    crossJoin."""
+    from yaetl_spark.operators import fleiss_kappa
+
+    rows = [(i % 50, ["x", "y", "z"][(i * 7) % 3]) for i in range(150)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    out = fleiss_kappa(df, "item", "label")
+    out.collect()  # AQE inserts ReusedExchange at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_fk_integrity_counts(spark):
     from yaetl_spark.operators import fk_integrity
 

@@ -318,7 +318,12 @@ def sessionize(
     """
     if gap_sec < 0:
         raise ValueError("gap_sec must be >= 0")
-    epoch = F.unix_timestamp(F.col(ts_col))
+    from ..session import epoch_seconds, is_ntz
+
+    # tz-invariant epoch: unix_timestamp on the canonical NTZ event
+    # time would go through a session-tz cast and shift every epoch
+    # under a non-UTC driver session (r10 verdict hazard)
+    epoch = epoch_seconds(F.col(ts_col), ntz=is_ntz(df, ts_col))
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     prev = F.lag(epoch).over(w)
     new_s = F.when(

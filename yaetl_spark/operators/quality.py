@@ -475,6 +475,111 @@ def cohens_kappa(
     )
 
 
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    round_to: int = 6,
+    max_classes: int = 1000,
+) -> DataFrame:
+    """Multi-rater inter-annotator agreement (Fleiss 1971) — the
+    N-rater generalization of :func:`cohens_kappa`: ``df`` holds one
+    row per rating event ``(item, label)`` (the rater's identity is
+    irrelevant to the statistic; only per-item label counts matter),
+    every item must carry the same number of ratings ``r ≥ 2``
+    (classic Fleiss — enforced in-plan, fail LOUD on ragged panels).
+    Returns ONE row ``(n_items, n_raters, n_categories, p_bar, p_e,
+    kappa)``: ``p_bar`` the mean per-item agreement
+    ``P_i = (Σ_j n_ij² − r) / (r(r−1))``, ``p_e`` the chance term
+    ``Σ_j p_j²`` from the pooled label marginals, ``kappa =
+    (p_bar − p_e)/(1 − p_e)`` (NULL when ``p_e = 1`` — a constant
+    panel has undefined agreement, and the guard keeps an ANSI
+    session from throwing on the 0/0).
+
+    Scale shape (100 TB): ONE corpus-scan shuffle to the
+    ``(item, label)`` count table; the per-item and per-label
+    reductions both consume that same aggregate (identical subtree →
+    Catalyst's ReuseExchange runs the big shuffle once), the per-item
+    side collapses through a partial-agg ``groupBy(item)``, and the
+    per-label side is ``|labels|`` rows gathered into a single array
+    guarded by ``max_classes`` (the ``cohens_kappa`` discipline — an
+    ID column posing as a label would otherwise collect unbounded).
+    All moments stay integral until the final three divisions:
+    ``Σ n_ij²`` fits BIGINT (``≤ N·r²``), label marginal squares go
+    through DECIMAL(38,0) (``m_j ≤ N·r ≈ 10¹⁰`` squares past 2⁶³).
+    """
+    rated = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    nij = rated.groupBy(
+        F.col(item_col).alias("_it"),
+        F.col(label_col).cast("string").alias("_lb"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    # per-item moments: r_i (ratings) and Σ_j n_ij²
+    items = nij.groupBy("_it").agg(
+        F.sum("_n").alias("_r"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_s2"),
+    )
+    istats = items.agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.min("_r").alias("_rmin"),
+        F.max("_r").alias("_rmax"),
+        F.sum("_s2").alias("_sum_s2"),
+    )
+    # pooled label marginals, array-gathered under the class guard
+    labels = nij.groupBy("_lb").agg(
+        F.sum(F.col("_n").cast("decimal(19,0)")).alias("_m")
+    )
+    lstats = labels.agg(F.collect_list("_m").alias("_ms"))
+    one = istats.crossJoin(lstats)
+    guarded_ms = F.when(
+        F.size("_ms") <= F.lit(int(max_classes)), F.col("_ms")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("fleiss_kappa: "), F.size("_ms").cast("string"),
+            F.lit(f" distinct labels (> max_classes={max_classes}) — "
+                  "this column looks like an identifier, not a label"),
+        ))
+    )
+    r = F.when(
+        (F.col("_rmin") == F.col("_rmax")) & (F.col("_rmin") >= 2),
+        F.col("_rmin"),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("fleiss_kappa: ragged rating panel — per-item rating "
+                  "counts span ["),
+            F.col("_rmin").cast("string"), F.lit(", "),
+            F.col("_rmax").cast("string"),
+            F.lit("] (classic Fleiss needs a constant r >= 2; "
+                  "pre-filter to fully-rated items)"),
+        ))
+    )
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    sum_m2 = F.aggregate(
+        guarded_ms, zero_d, lambda acc, m: acc + m * m
+    )
+    n_i = F.col("_ni").cast("double")
+    r_d = r.cast("double")
+    # P̄ = (Σ_i Σ_j n_ij² − N·r) / (N·r·(r−1))
+    p_bar = (
+        (F.col("_sum_s2").cast("double") - n_i * r_d)
+        / (n_i * r_d * (r_d - F.lit(1.0)))
+    )
+    # P_e = Σ_j (m_j / (N·r))² = Σ m_j² / (N·r)²
+    p_e = sum_m2.cast("double") / (n_i * r_d * n_i * r_d)
+    return one.filter(F.col("_ni") > 0).select(
+        F.col("_ni").cast("bigint").alias("n_items"),
+        r.cast("bigint").alias("n_raters"),
+        F.size("_ms").cast("int").alias("n_categories"),
+        F.round(p_bar, round_to).alias("p_bar"),
+        F.round(p_e, round_to).alias("p_e"),
+        F.round(
+            F.when(p_e != 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)),
+            round_to,
+        ).alias("kappa"),
+    )
+
+
 def fk_integrity(
     fact: DataFrame,
     dim: DataFrame,

@@ -73,24 +73,75 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+# The NTZ zero point every event-time conversion pivots on. Pure
+# timestamp arithmetic against it (timestampadd/timestampdiff) never
+# consults spark.sql.session.timeZone, unlike NTZ<->LTZ casts.
+NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Normalize an event-time column to TIMESTAMP (LTZ) across the
-    parquet encodings seen in the wild for the same logical data:
-    TIMESTAMP(NANOS) read as ``bigint`` (under the nanosAsLong conf),
-    TIMESTAMP_NTZ (micros with isAdjustedToUTC=false), and proper LTZ.
-    Streaming watermarks and window functions require LTZ; under the
-    engine's fixed UTC session timezone the NTZ→LTZ cast is a pure type
-    relabel (no instant shift), and the nanos→micros conversion is
-    lossless for micro-aligned data."""
+    """Normalize an event-time column to TIMESTAMP_NTZ — the UTC wall
+    clock — across the parquet encodings seen in the wild for the same
+    logical data: TIMESTAMP(NANOS) read as ``bigint`` (under the
+    nanosAsLong conf), TIMESTAMP_NTZ (micros, isAdjustedToUTC=false),
+    and proper LTZ instants.
+
+    NTZ (not LTZ) is the canonical type because it is the only one
+    whose downstream semantics are independent of the session timezone
+    a driver hands us: date/hour extraction and ``F.window`` /
+    ``F.session_window`` operate on the wall clock directly, and
+    epochs come from :func:`epoch_seconds`'s pure arithmetic. The old
+    ``cast("timestamp")`` normalization was correct only under a UTC
+    session — under e.g. America/New_York every derived epoch shifted
+    by the zone offset (the r10 verdict's reproduced hazard), and
+    wall clocks inside DST transition gaps don't even round-trip the
+    cast. All three conversions here are session-tz-invariant:
+    bigint nanos and LTZ instants land on their UTC rendering via
+    interval arithmetic from the NTZ epoch (never via a cast), and NTZ
+    input is already the wall clock DuckDB reads. Watermarks and time
+    windows accept NTZ since Spark 3.4."""
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
         return df.withColumn(
-            col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    if dt == "timestamp_ntz":
-        return df.withColumn(col, df[col].cast("timestamp"))
+            col,
+            F.timestamp_add(
+                "MICROSECOND", F.expr(f"{col} DIV 1000"),
+                F.expr(NTZ_EPOCH)),
+        )
+    if dt == "timestamp":
+        return df.withColumn(
+            col,
+            F.timestamp_add(
+                "MICROSECOND", F.unix_micros(df[col]), F.expr(NTZ_EPOCH)),
+        )
     return df
+
+
+def epoch_seconds(col, *, ntz: bool = True):
+    """Epoch seconds of a datetime column, independent of the session
+    timezone. For TIMESTAMP_NTZ (the engine's canonical event time —
+    see :func:`ensure_event_time`) the wall clock is mapped to an
+    instant AS UTC by pure arithmetic (``timestamp_diff`` from the NTZ
+    epoch), matching DuckDB's naive ``epoch()`` under ``SET
+    TimeZone='UTC'``; ``unix_timestamp``-style session-tz casts are
+    exactly what this avoids. For LTZ instants (``ntz=False``, e.g.
+    streaming rate sources) ``unix_timestamp`` is already
+    tz-invariant. Fractional seconds truncate toward zero (identical
+    to ``unix_timestamp`` flooring for post-1970 data)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    if ntz:
+        return F.timestamp_diff("SECOND", F.expr(NTZ_EPOCH), c)
+    return F.unix_timestamp(c)
+
+
+def is_ntz(df: DataFrame, col: str) -> bool:
+    """True when ``col`` is TIMESTAMP_NTZ — the dispatch flag for
+    :func:`epoch_seconds` at call sites that accept either encoding."""
+    return dict(df.dtypes).get(col) == "timestamp_ntz"
 
 
 def get_spark(

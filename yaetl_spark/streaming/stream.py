@@ -18,6 +18,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import epoch_seconds, is_ntz
+
 
 def tumbling_window_agg(
     df: DataFrame,
@@ -39,9 +41,14 @@ def tumbling_window_agg(
         F.col(k) for k in (extra_keys or [])
     ]
     out = df.groupBy(*keys).agg(*aggs)
+    # epoch_seconds (not unix_timestamp): window bounds inherit the
+    # input's type, and for the engine's canonical NTZ event time a
+    # session-tz cast would shift every epoch under a non-UTC driver
+    # session (the r10 verdict's reproduced hazard)
+    ntz = is_ntz(df, time_col)
     return out.select(
-        F.unix_timestamp(F.col("_w.start")).alias("window_start"),
-        F.unix_timestamp(F.col("_w.end")).alias("window_end"),
+        epoch_seconds(F.col("_w.start"), ntz=ntz).alias("window_start"),
+        epoch_seconds(F.col("_w.end"), ntz=ntz).alias("window_end"),
         *[c for c in out.columns if c != "_w"],
     )
 
@@ -61,9 +68,14 @@ def sliding_window_agg(
         F.col(k) for k in (extra_keys or [])
     ]
     out = df.groupBy(*keys).agg(*aggs)
+    # epoch_seconds (not unix_timestamp): window bounds inherit the
+    # input's type, and for the engine's canonical NTZ event time a
+    # session-tz cast would shift every epoch under a non-UTC driver
+    # session (the r10 verdict's reproduced hazard)
+    ntz = is_ntz(df, time_col)
     return out.select(
-        F.unix_timestamp(F.col("_w.start")).alias("window_start"),
-        F.unix_timestamp(F.col("_w.end")).alias("window_end"),
+        epoch_seconds(F.col("_w.start"), ntz=ntz).alias("window_start"),
+        epoch_seconds(F.col("_w.end"), ntz=ntz).alias("window_end"),
         *[c for c in out.columns if c != "_w"],
     )
 
@@ -83,9 +95,14 @@ def session_window_agg(
         F.col(k) for k in (extra_keys or [])
     ]
     out = df.groupBy(*keys).agg(*aggs)
+    # epoch_seconds (not unix_timestamp): window bounds inherit the
+    # input's type, and for the engine's canonical NTZ event time a
+    # session-tz cast would shift every epoch under a non-UTC driver
+    # session (the r10 verdict's reproduced hazard)
+    ntz = is_ntz(df, time_col)
     return out.select(
-        F.unix_timestamp(F.col("_w.start")).alias("window_start"),
-        F.unix_timestamp(F.col("_w.end")).alias("window_end"),
+        epoch_seconds(F.col("_w.start"), ntz=ntz).alias("window_start"),
+        epoch_seconds(F.col("_w.end"), ntz=ntz).alias("window_end"),
         *[c for c in out.columns if c != "_w"],
     )
 
