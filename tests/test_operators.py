@@ -759,3 +759,128 @@ def test_normalized_dedup_collapses_case_punct_ws(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         normalized_dedup(docs, keep="max_id")
+
+
+def test_shard_minhash_dedup_content_mode(spark):
+    """Container dedup: shards sharing verbatim documents pair up,
+    disjoint shards don't; both hash families agree on WHICH pairs."""
+    from yaetl_spark.operators import shard_minhash_dedup
+
+    rows = []
+    for i in range(24):
+        rows.append(("s1", f"document number {i} body"))
+        # s2 = s1 re-uploaded with 4 docs swapped out
+        rows.append(("s2", f"document number {i} body" if i < 20
+                     else f"unique to s2 {i}"))
+        rows.append(("s3", f"totally different text {i} here"))
+    df = spark.createDataFrame(rows, ["shard", "text"])
+    for fn in ("rolling", "xxhash"):
+        got = shard_minhash_dedup(
+            df, "shard", element="content", jaccard_threshold=0.3,
+            hash_fn=fn)
+        pairs = {(r["shard_a"], r["shard_b"]) for r in got.collect()}
+        assert pairs == {("s1", "s2")}, (fn, pairs)
+        est = got.first()["jaccard_sim"]
+        # true overlap jaccard = 20/28 ≈ 0.714; 32-slot estimate lands
+        # within the sketch's tolerance band
+        assert 0.4 <= est <= 1.0, (fn, est)
+    # partition invariance (the groupBy min-merge is order-free)
+    got2 = shard_minhash_dedup(
+        df.repartition(7), "shard", element="content",
+        jaccard_threshold=0.3, hash_fn="rolling")
+    assert {(r["shard_a"], r["shard_b"], r["jaccard_sim"])
+            for r in got2.collect()} == {
+        (r["shard_a"], r["shard_b"], r["jaccard_sim"])
+        for r in shard_minhash_dedup(
+            df, "shard", element="content", jaccard_threshold=0.3,
+            hash_fn="rolling").collect()}
+
+
+def test_shard_minhash_dedup_token_mode_is_min_union(spark):
+    """Token mode: the shard signature must equal the MinHash of the
+    UNION of its docs' shingle sets — verified by comparing a 2-doc
+    shard against the same text concatenated into one doc."""
+    from yaetl_spark.operators import shard_minhash_dedup
+
+    split = spark.createDataFrame(
+        [("sh", "alpha beta gamma delta"), ("sh", "epsilon zeta eta")],
+        ["shard", "text"])
+    merged = spark.createDataFrame(
+        [("sh", "alpha beta gamma delta epsilon zeta eta")],
+        ["shard", "text"])
+    # a probe shard holding exactly the union text must read as an
+    # EXACT duplicate (sim 1.0) of the 2-doc shard — i.e. the min-merge
+    # produced precisely the union's signature
+    probe = spark.createDataFrame(
+        [("pr", "alpha beta gamma delta epsilon zeta eta")],
+        ["shard", "text"])
+    a = shard_minhash_dedup(
+        split.union(probe), "shard", element="token", shingle_size=1,
+        jaccard_threshold=None, hash_fn="rolling").collect()
+    b = shard_minhash_dedup(
+        merged.union(probe), "shard", element="token", shingle_size=1,
+        jaccard_threshold=None, hash_fn="rolling").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    assert [(r["shard_a"], r["shard_b"], r["jaccard_sim"])
+            for r in a] == [("pr", "sh", 1.0)]
+
+
+def test_shard_minhash_dedup_validations(spark):
+    from yaetl_spark.operators import shard_minhash_dedup
+    import pytest as _pt
+
+    df = spark.createDataFrame([("s", "t")], ["shard", "text"])
+    with _pt.raises(ValueError, match="element"):
+        shard_minhash_dedup(df, "shard", element="bogus")
+    with _pt.raises(ValueError, match="divisible"):
+        shard_minhash_dedup(df, "shard", num_hashes=10, bands=4).collect()
+
+
+def test_reciprocal_rank_fusion_known_values(spark):
+    from yaetl_spark.operators import reciprocal_rank_fusion
+
+    rows = [
+        (1, "a", 9.0, 1.0), (1, "b", 1.0, 9.0), (1, "c", 5.0, 5.0),
+        (1, "d", None, 2.0),
+        (2, "x", 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["q", "d", "s1", "s2"])
+    out = reciprocal_rank_fusion(df, "q", "d", ["s1", "s2"], k=60,
+                                 top_k=3)
+    got = {(r["q"], r["d"]): r for r in out.collect()}
+    # a: ranks (1, 4) -> 1/61 + 1/64; b: (3, 1) -> 1/63 + 1/61;
+    # c: (2, 2) -> 2/62; d absent from ranker 1 -> rank NULL, 1 term
+    assert got[(1, "a")]["fused_score"] == round(1 / 61 + 1 / 64, 6)
+    assert got[(1, "b")]["fused_score"] == round(1 / 63 + 1 / 61, 6)
+    assert got[(1, "c")]["fused_score"] == round(2 / 62, 6)
+    assert [got[(1, x)]["fused_rank"] for x in "bca"] == [1, 2, 3]
+    assert got[(1, "d")] if (1, "d") in got else True  # top_k=3 keeps d out? d: 1/62 ranks 4th -> excluded
+    assert (1, "d") not in got
+    assert got[(1, "a")]["rank_s1"] == 1 and got[(1, "a")]["rank_s2"] == 4
+    # single-candidate query survives with rank 1
+    assert got[(2, "x")]["fused_rank"] == 1
+    # partition invariance
+    out2 = reciprocal_rank_fusion(
+        df.repartition(5), "q", "d", ["s1", "s2"], k=60, top_k=3)
+    assert {tuple(r) for r in out2.collect()} == {
+        tuple(r) for r in out.collect()}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        reciprocal_rank_fusion(df, "q", "d", [])
+    with _pt.raises(ValueError):
+        reciprocal_rank_fusion(df, "q", "d", ["s1"], k=0)
+
+
+def test_reciprocal_rank_fusion_single_exchange(spark):
+    """Every rank window and the final top-k window share ONE
+    query-keyed Exchange (same partitioning; only in-partition sorts
+    between them), and the top-k filter plans as WindowGroupLimit."""
+    from yaetl_spark.operators import reciprocal_rank_fusion
+
+    rows = [(i % 5, f"d{i}", float(i % 7), float(i % 3))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["q", "d", "s1", "s2"])
+    plan = reciprocal_rank_fusion(df, "q", "d", ["s1", "s2"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan

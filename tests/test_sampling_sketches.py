@@ -579,3 +579,55 @@ def test_equi_width_histogram_exact_bounds_and_plan(spark):
     import pytest
     with pytest.raises(ValueError):
         equi_width_histogram(df, "v", 0)
+
+
+def test_quantile_strata_sample_strata_and_rates(spark):
+    """Deterministic quantile-stratified sampling: exact quartile
+    bounds over 1..100; rates keep all of the bottom and top strata
+    and none of the middle — the kept set is exactly the outer
+    quartiles, independent of partitioning."""
+    from yaetl_spark.operators import quantile_strata_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "v"])
+    out = quantile_strata_sample(
+        df, "v", "id", rates=[1.0, 0.0, 0.0, 1.0], exact=True,
+        stratum_col="stratum",
+    )
+    rows = {r["id"]: r["stratum"] for r in out.collect()}
+    # exact quartile bounds of 1..100: 25.75 / 50.5 / 75.25
+    assert set(rows) == set(range(1, 26)) | set(range(76, 101))
+    assert all(s == 0 for i, s in rows.items() if i <= 25)
+    assert all(s == 3 for i, s in rows.items() if i >= 76)
+    # partition invariance
+    out2 = quantile_strata_sample(
+        df.repartition(7), "v", "id",
+        rates=[1.0, 0.0, 0.0, 1.0], exact=True)
+    assert {r["id"] for r in out2.collect()} == set(rows)
+    # NULL values dropped; fractional rate is a strict subset
+    withnull = df.union(spark.createDataFrame(
+        [(999, None)], "id int, v double"))
+    frac = quantile_strata_sample(
+        withnull, "v", "id", rates=[0.3, 0.3, 0.3, 0.3], exact=True)
+    got = {r["id"] for r in frac.collect()}
+    assert 999 not in got and 0 < len(got) < 100
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantile_strata_sample(df, "v", "id", rates=[1.0])
+    with _pt.raises(ValueError):
+        quantile_strata_sample(df, "v", "id", rates=[0.5, 1.5])
+
+
+def test_quantile_strata_sample_no_corpus_shuffle(spark):
+    """Fit rides a 1-row broadcast; the corpus itself never shuffles
+    (no Exchange hashpartitioning over the data side) and the join is
+    a broadcast hash join, not a BNLJ."""
+    from yaetl_spark.operators import quantile_strata_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(500)], ["id", "v"])
+    out = quantile_strata_sample(df, "v", "id", rates=[0.5, 0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

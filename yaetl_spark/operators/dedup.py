@@ -198,10 +198,6 @@ def minhash_lsh(
     At 100 TB the bucket join dominates; AQE skew-split handles hot
     buckets (e.g. boilerplate-heavy shingles).
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-
     sigs = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(
@@ -209,6 +205,26 @@ def minhash_lsh(
             hash_fn,
         ).alias("_sig"),
     ).filter(F.size("_sig") > 0)
+    return _lsh_band_pairs(
+        sigs, num_hashes, bands, hash_fn, jaccard_threshold, "jaccard_sim"
+    )
+
+
+def _lsh_band_pairs(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
+    jaccard_threshold: float | None,
+    sim_col: str,
+) -> DataFrame:
+    """Banding + candidate join + slot-agreement verify over a
+    ``(_id, _sig)`` signature table — steps 2-4 of the LSH pipeline,
+    shared by the per-document (:func:`minhash_lsh`) and per-shard
+    (:func:`shard_minhash_dedup`) operators."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
 
     def band_key(b: Column) -> Column:
         slot_str = F.concat_ws(
@@ -263,11 +279,101 @@ def minhash_lsh(
         / F.lit(float(num_hashes))
     )
     out = candidates.select(
-        "id_a", "id_b", F.round(sim, 6).alias("jaccard_sim")
+        "id_a", "id_b", F.round(sim, 6).alias(sim_col)
     )
     if jaccard_threshold is not None:
-        out = out.filter(F.col("jaccard_sim") >= jaccard_threshold)
+        out = out.filter(F.col(sim_col) >= jaccard_threshold)
     return out
+
+
+def shard_minhash_dedup(
+    df: DataFrame,
+    shard_col: str,
+    text_col: str = "text",
+    element: str = "token",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 2,
+    jaccard_threshold: float | None = 0.5,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Shard/container-level MinHash dedup: estimate the Jaccard
+    similarity of whole SHARDS (files, crawl dumps, source buckets —
+    whatever ``shard_col`` names) and emit near-duplicate shard pairs
+    ``(shard_a, shard_b, jaccard_sim)`` with ``shard_a < shard_b`` —
+    the coarse first rung of dedup at 100 TB, where dropping a
+    re-uploaded container before any per-document work saves the most
+    compute (container-level dedup as in CommonCrawl-scale pipeline
+    reports, e.g. RefinedWeb/Dolma appendix dedup ladders).
+
+    ``element`` picks what a shard is a set OF:
+
+    - ``"token"``: the shard's pooled shingle vocabulary — per-doc
+      MinHash signatures (the :func:`minhash_signature` machinery)
+      min-merged per shard. Sound because MinHash is a min-union
+      sketch: slotwise ``min`` over members IS the signature of the
+      union of their shingle sets.
+    - ``"content"``: whole-document fingerprints — shards sharing
+      verbatim documents score high (true container dedup; re-uploads
+      and overlapping dumps).
+
+    Scale shape (100 TB): one narrow per-doc pass (no shuffle), ONE
+    ``groupBy(shard)`` partial-agg shuffle bounded by |shards| — never
+    document pairs, never shard pairs outside shared LSH bands — then
+    the banded candidate join over |shards|-sized signatures (the
+    :func:`minhash_lsh` band/verify stage, reused).
+    """
+    if element not in ("token", "content"):
+        raise ValueError("element must be 'token' or 'content'")
+    if element == "token":
+        slots = minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed,
+            shingle_mode, hash_fn,
+        )
+        per_doc = df.select(
+            F.col(shard_col).alias("_id"), slots.alias("_ds")
+        ).filter(F.size("_ds") > 0).select(
+            "_id",
+            *[F.element_at("_ds", i + 1).alias(f"_m{i}")
+              for i in range(num_hashes)],
+        )
+    else:
+        # one element per doc: a content fingerprint re-mixed per slot
+        if hash_fn == "rolling":
+            # md5-prefix fingerprint (< 2^28, so the 16-bit-coefficient
+            # universal hash stays far inside int64 — ANSI-safe and
+            # SQL-replicable, same discipline as rolling_hash_raw)
+            h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 7), 16, 10) \
+                .cast("bigint")
+            coeffs = _hash_coeffs31(num_hashes, seed)
+            slot_cols = [
+                F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
+                .alias(f"_m{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        else:
+            h = F.xxhash64(F.col(text_col))
+            slot_cols = [
+                F.xxhash64(F.lit(seed), F.lit(i), h).alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
+        per_doc = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(shard_col).alias("_id"), *slot_cols
+        )
+    sigs = (
+        per_doc.groupBy("_id")
+        .agg(*[F.min(f"_m{i}").alias(f"_m{i}")
+               for i in range(num_hashes)])
+        .select(
+            "_id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig"),
+        )
+    )
+    return _lsh_band_pairs(
+        sigs, num_hashes, bands, hash_fn, jaccard_threshold, "jaccard_sim"
+    ).withColumnsRenamed({"id_a": "shard_a", "id_b": "shard_b"})
 
 
 def simhash_signature(

@@ -158,3 +158,76 @@ def weighted_hash_sample(
     w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     b = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
     return df.filter(b < w * F.lit(float(buckets)))
+
+
+def quantile_strata_sample(
+    df: DataFrame,
+    value_col: str,
+    key: Column | str,
+    rates: Sequence[float],
+    exact: bool = False,
+    accuracy: int = 10_000,
+    round_to: int = 6,
+    buckets: int = 1000,
+    string_key: bool = False,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Stratified-by-quantile sampling: fit the ``len(rates)``
+    equi-depth stratum boundaries of ``value_col`` (one percentile
+    aggregate), assign every row its stratum by scan-level array
+    arithmetic, then keep a deterministic per-stratum fraction decided
+    by the key hash — "keep 100% of the top price decile, 5% of the
+    rest" without a global sort, an RNG, or a per-stratum job.
+
+    ``rates[k]`` is stratum k's keep-fraction (stratum 0 = lowest
+    values). Boundary conventions are shared with
+    :func:`~yaetl_spark.operators.features.quantile_transform` (bounds
+    rounded to ``round_to`` BEFORE use; stratum = boundaries strictly
+    below the value, clamped — so a value sitting exactly ON an
+    interior boundary belongs to the lower stratum) and the bucket
+    arithmetic with :func:`hash_sample`, so the whole decision is
+    engine-reproducible. NULL values carry no quantile and are
+    dropped. ``stratum_col`` optionally exposes the assignment for
+    auditing.
+
+    Scale shape (100 TB): fit is ONE mergeable percentile aggregate
+    (sketch by default; ``exact=True`` sort-aggregates for
+    oracle-exact boundaries) reduced to a 1-row boundary array riding
+    a broadcast (:func:`~yaetl_spark.operators.curation.
+    attach_scalars` — never a collect); apply is a pushdown-friendly
+    scan-level filter. Zero shuffles of the corpus itself.
+    """
+    from .curation import attach_scalars
+    from .features import _pcts
+
+    n = len(rates)
+    if n < 2:
+        raise ValueError("need at least 2 strata (len(rates) >= 2)")
+    if not all(0.0 <= r <= 1.0 for r in rates):
+        raise ValueError("every rate must be in [0, 1]")
+    x = F.col(value_col).cast("double")
+    fit = df.agg(
+        F.transform(
+            _pcts(value_col, [i / n for i in range(n + 1)],
+                  exact, accuracy),
+            lambda v: F.round(v, round_to),
+        ).alias("_qs_bounds")
+    )
+    tagged = attach_scalars(
+        df.filter(x.isNotNull()), fit, value_col
+    )
+    b = F.col("_qs_bounds")
+    k = F.least(
+        F.greatest(
+            F.size(F.filter(b, lambda v: v < x)) - F.lit(1), F.lit(0)
+        ),
+        F.lit(n - 1),
+    )
+    thr = F.element_at(
+        F.array(*[F.lit(int(round(r * buckets))) for r in rates]),
+        k + 1,
+    )
+    hb = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
+    if stratum_col is not None:
+        tagged = tagged.withColumn(stratum_col, k.cast("int"))
+    return tagged.filter(hb < thr).drop("_qs_bounds")

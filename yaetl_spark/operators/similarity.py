@@ -643,3 +643,68 @@ def retrieval_metrics(
             F.round(F.col("_dcg").cast("double") / idcg, 6),
         ).alias("ndcg"),
     ).orderBy("query_id")
+
+
+def reciprocal_rank_fusion(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_cols: list[str],
+    k: int = 60,
+    top_k: int | None = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) — the
+    standard way to combine heterogeneous retrieval signals (BM25 +
+    dense cosine, multiple cross-encoder scores) without calibrating
+    them onto one scale: per query, rank candidates under each score
+    independently, then ``fused = Σ_i 1/(k + rank_i)``; the rank
+    transform makes wildly different score distributions commensurable
+    and ``k`` (60 in the paper) damps the head.
+
+    Input is one row per ``(query, doc)`` with the raw scores as
+    columns (higher = better). A NULL score means the doc is absent
+    from that ranker's list and contributes nothing — the fusion
+    convention for union-of-retrievers candidate pools. Ranks break
+    ties deterministically by ``doc_col`` ascending. Returns the
+    per-query ``top_k`` by fused score (ties again by doc) with each
+    ranker's rank exposed as ``rank_<score_col>`` for auditing, the
+    fused score rounded to ``round_to``, and ``fused_rank``.
+
+    Scale shape (100 TB): ONE query-keyed Exchange shared by every
+    rank window and the final top-k window (all partition on
+    ``query_col``; Catalyst plans consecutive same-key windows without
+    a second shuffle — only per-window sorts). Candidate-pool size per
+    query is the retrievers' k, so window state is bounded; the fused
+    sum is a fixed-order chain of ``len(score_cols)`` terms — bitwise
+    deterministic, no aggregation-order float drift.
+    """
+    from pyspark.sql.window import Window
+
+    if not score_cols:
+        raise ValueError("score_cols must name at least one score")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out = df
+    fused = None
+    for sc in score_cols:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(sc).desc_nulls_last(), F.col(doc_col).asc()
+        )
+        rn = F.row_number().over(w)
+        rank_c = F.when(F.col(sc).isNotNull(), rn)
+        out = out.withColumn(f"rank_{sc}", rank_c)
+        term = F.when(
+            F.col(f"rank_{sc}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{sc}")
+                          .cast("double")),
+        ).otherwise(F.lit(0.0))
+        fused = term if fused is None else fused + term
+    out = out.withColumn("fused_score", F.round(fused, round_to))
+    wf = Window.partitionBy(query_col).orderBy(
+        F.col("fused_score").desc(), F.col(doc_col).asc()
+    )
+    out = out.withColumn("fused_rank", F.row_number().over(wf))
+    if top_k is not None:
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out
