@@ -144,6 +144,22 @@ def is_ntz(df: DataFrame, col: str) -> bool:
     return dict(df.dtypes).get(col) == "timestamp_ntz"
 
 
+def to_instant(col):
+    """TIMESTAMP_NTZ (UTC wall clock, the engine's canonical event time)
+    → LTZ instant, tz-invariantly: micros since the NTZ epoch by pure
+    arithmetic, re-materialized with ``timestamp_micros`` (which takes
+    an absolute count — no session-tz rendering anywhere). The
+    streaming-side escape hatch: Spark watermarks require TIMESTAMP
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` on NTZ), so streaming
+    wrappers convert just before ``withWatermark``; epochs derived from
+    the resulting instants equal the NTZ ``epoch_seconds`` values."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros(
+        F.timestamp_diff("MICROSECOND", F.expr(NTZ_EPOCH), c))
+
+
 def get_spark(
     app_name: str = "yaetl-spark",
     master: str | None = None,

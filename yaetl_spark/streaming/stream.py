@@ -18,7 +18,18 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import epoch_seconds, is_ntz
+from ..session import epoch_seconds, is_ntz, to_instant
+
+
+def _watermarkable(df: DataFrame, time_col: str) -> DataFrame:
+    """Streaming watermarks require TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ) — convert
+    the canonical NTZ event time to its instant tz-invariantly
+    (session.to_instant pure arithmetic) on the streaming path only;
+    batch keeps NTZ wall-clock semantics."""
+    if df.isStreaming and is_ntz(df, time_col):
+        return df.withColumn(time_col, to_instant(time_col))
+    return df
 
 
 def tumbling_window_agg(
@@ -35,6 +46,7 @@ def tumbling_window_agg(
     result is engine-portable (timestamps hash differently across engines;
     integers don't).
     """
+    df = _watermarkable(df, time_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(time_col, watermark)
     keys = [F.window(F.col(time_col), duration).alias("_w")] + [
@@ -62,6 +74,7 @@ def sliding_window_agg(
     extra_keys: list[str] | None = None,
     watermark: str | None = None,
 ) -> DataFrame:
+    df = _watermarkable(df, time_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(time_col, watermark)
     keys = [F.window(F.col(time_col), duration, slide).alias("_w")] + [
@@ -89,6 +102,7 @@ def session_window_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Session windows (gap-based); streaming requires a watermark."""
+    df = _watermarkable(df, time_col)
     if watermark and df.isStreaming:
         df = df.withWatermark(time_col, watermark)
     keys = [F.session_window(F.col(time_col), gap).alias("_w")] + [
@@ -112,6 +126,7 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Streaming exact dedup bounded by the watermark (state stays finite)."""
     if df.isStreaming:
+        df = _watermarkable(df, time_col)
         return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
             keys
         )
@@ -138,6 +153,7 @@ def running_totals(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if watermark and time_col and df.isStreaming:
+        df = _watermarkable(df, time_col)
         df = df.withWatermark(time_col, watermark)
 
     key_fields = [f for f in df.schema.fields if f.name in keys]
@@ -200,6 +216,19 @@ def stateful_sessionize(
     gap_ms = gap_seconds * 1000
     state_schema = "start_ms bigint, last_ms bigint, cnt bigint"
 
+    # true epoch millis computed JVM-SIDE and shipped as a LONG: the
+    # Arrow transfer into the state function localizes timestamps to
+    # the SESSION timezone as naive datetime64, so parsing them in
+    # pandas read the wall clock, not the instant — under a non-UTC
+    # driver session every emitted epoch shifted by the zone offset
+    # and the state timeout (compared against the true-epoch
+    # watermark) misfired (r11 adversarial sweep). A bigint column
+    # has no timezone to get wrong.
+    df = _watermarkable(df, time_col)
+    df = df.withColumn(
+        "_ms", (F.unix_micros(F.col(time_col)) / F.lit(1000))
+        .cast("bigint"))
+
     def fn(key_tuple: tuple, pdfs, state: GroupState):
         closed: list[tuple[int, int, int]] = []
         if state.hasTimedOut:
@@ -213,12 +242,7 @@ def stateful_sessionize(
             )
             ts_ms: list[int] = []
             for pdf in pdfs:
-                # values may arrive as datetime64[ns] or [us] depending on
-                # the Arrow path; normalize through datetime64[ms]
-                ts_ms.extend(
-                    pdf[time_col].values.astype("datetime64[ms]")
-                    .astype("int64").tolist()
-                )
+                ts_ms.extend(pdf["_ms"].astype("int64").tolist())
             for t in sorted(ts_ms):
                 if start_ms is None:
                     start_ms, last_ms, cnt = t, t, 1
@@ -285,9 +309,11 @@ def interval_join(
     if overlap:
         raise ValueError(f"column overlap between sides: {sorted(overlap)}")
     if left.isStreaming:
-        left = left.withWatermark(left_time, watermark)
+        left = _watermarkable(left, left_time).withWatermark(
+            left_time, watermark)
     if right.isStreaming:
-        right = right.withWatermark(right_time, watermark)
+        right = _watermarkable(right, right_time).withWatermark(
+            right_time, watermark)
     cond = (
         (F.col(left_key) == F.col(right_key))
         & (F.col(right_time)
