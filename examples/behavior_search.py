@@ -10,6 +10,8 @@ surface in one runnable flow:
    the check you run BEFORE committing a 100 TB join to that key
 5. BM25 retrieval   — top documents for a term query, scored on
    decimal term sums
+6. score fusion     — reciprocal rank fusion of the BM25 ranking with
+   a raw term-frequency ranking (the hybrid-retrieval combiner)
 
 Everything is deterministic and pre-flighted with the 100×-scale plan
 gate.
@@ -32,7 +34,9 @@ from pyspark.sql import functions as F
 
 from yaetl_spark import get_spark
 from yaetl_spark.operators import (bm25_topk, event_paths, funnel_steps,
-                                   key_skew_profile, robust_outliers)
+                                   key_skew_profile,
+                                   reciprocal_rank_fusion,
+                                   robust_outliers)
 from yaetl_spark.plans import assert_scales
 from yaetl_spark.session import ensure_event_time
 
@@ -68,7 +72,19 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     assert_scales(hits)
     top_docs = [(r["doc_id"], r["bm25"]) for r in hits.collect()]
 
-    return steps, top_paths, shares, skew, top_docs
+    # 6) hybrid-retrieval fusion: BM25 rank x raw matched-term count,
+    #    combined with RRF — the calibration-free way to merge signals
+    #    whose scales have nothing to do with each other
+    pool = bm25_topk(docs, ["spark", "join", "query"], top=20)
+    fused = reciprocal_rank_fusion(
+        pool.withColumn("qid", F.lit(1)),
+        "qid", "doc_id", ["bm25", "n_terms_matched"], top_k=3,
+    )
+    assert_scales(fused)
+    fused_docs = [(r["doc_id"], r["fused_score"])
+                  for r in fused.orderBy("fused_rank").collect()]
+
+    return steps, top_paths, shares, skew, top_docs, fused_docs
 
 
 if __name__ == "__main__":

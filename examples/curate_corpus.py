@@ -38,11 +38,14 @@ from yaetl_spark.operators import (
     cap_per_group,
     dataset_split,
     exact_dedup,
+    fleiss_kappa,
     gopher_quality_flags,
     line_dedup,
     mix_sources,
     ngram_perplexity,
     normalized_dedup,
+    quantile_strata_sample,
+    shard_minhash_dedup,
     strip_duplicate_spans,
     top_p_filter,
 )
@@ -52,6 +55,41 @@ from yaetl_spark.plans import assert_scales
 def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_raw = docs.count()
+
+    # 0) container-level audit BEFORE any per-document work — the
+    #    cheapest dedup rung at 100 TB: shard pairs whose pooled
+    #    vocabulary Jaccard says "same dump re-uploaded". On a real
+    #    crawl you drop the younger shard of every >0.9 pair; this
+    #    synthetic corpus has vocab-similar (not duplicate) sources,
+    #    so the example reports the audit instead of cutting.
+    shard_pairs = shard_minhash_dedup(
+        docs, "source", element="token", jaccard_threshold=0.9,
+    )
+    assert_scales(shard_pairs)
+    n_shard_pairs = shard_pairs.count()
+
+    # 0b) label-agreement audit of the heuristic quality raters used
+    #     downstream: three length classifiers rate every doc and the
+    #     Fleiss kappa says whether "long document" is even a stable
+    #     label before we let it gate admission (a panel that cannot
+    #     agree is measuring noise)
+    def _bucket(measure, lo, hi):
+        return (F.when(measure < lo, F.lit("short"))
+                .when(measure < hi, F.lit("medium"))
+                .otherwise(F.lit("long")))
+
+    rated = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.col("doc_id").alias("item"),
+        F.explode(F.array(
+            _bucket(F.col("n_chars"), 500, 2000),
+            _bucket(F.length("text"), 520, 1900),
+            _bucket(F.length(F.replace(F.col("text"), F.lit(" "),
+                                       F.lit(""))), 420, 1700),
+        )).alias("label"),
+    )
+    rater_kappa = fleiss_kappa(rated, "item", "label").first()["kappa"]
 
     # 1) quality gate: Gopher + C4 rule batteries, both pure scan-level
     #    expressions — the two filters fuse into ONE scan pass
@@ -129,16 +167,26 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         mix_sources(capped, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
     )
 
+    # 5b) value-aware downsampling: keep everything in the top length
+    #     quartile, thin the lower quartiles deterministically — the
+    #     quantile-stratified cousin of the per-source caps above
+    capped = quantile_strata_sample(
+        capped, "n_chars", "doc_id", rates=[0.5, 0.7, 0.9, 1.0],
+        exact=True,
+    )
+
     # 6) stable train/val/test split
     final = dataset_split(capped, "doc_id", weights=(0.9, 0.05, 0.05))
     counts = {
         r["split"]: r["count"]
         for r in final.groupBy("split").count().collect()
     }
-    return n_raw, quality.count(), uniq.count(), capped.count(), counts
+    return (n_raw, quality.count(), uniq.count(), capped.count(), counts,
+            n_shard_pairs, rater_kappa)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="curate-example", shuffle_partitions=8)
-    raw, q, u, c, splits = main(spark, *(sys.argv[1:2]))
-    print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits}")
+    raw, q, u, c, splits, pairs, kappa = main(spark, *(sys.argv[1:2]))
+    print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits} "
+          f"near_dup_shard_pairs={pairs} rater_kappa={kappa}")

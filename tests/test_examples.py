@@ -44,12 +44,18 @@ def test_curate_corpus_example(spark, sf_dir):
         import curate_corpus
     finally:
         sys.path.pop(0)
-    raw, quality, uniq, capped, splits = curate_corpus.main(spark, sf_dir)
+    (raw, quality, uniq, capped, splits, shard_pairs,
+     rater_kappa) = curate_corpus.main(spark, sf_dir)
     # each stage is monotone non-increasing
     assert raw >= quality >= uniq >= capped > 0
     # split assignment covers every kept doc
     assert sum(splits.values()) == capped
     assert set(splits) <= {"train", "val", "test"}
+    # the container audit ran (this corpus has no >0.9 vocab twins)
+    assert shard_pairs >= 0
+    # three correlated-but-distinct length raters agree well above
+    # chance on this corpus — and kappa is a real number, not NULL
+    assert rater_kappa is not None and 0 < rater_kappa <= 1
 
 
 def test_analyze_events_example(spark, sf_dir):
@@ -72,8 +78,8 @@ def test_behavior_search_example(spark, sf_dir):
         import behavior_search
     finally:
         sys.path.pop(0)
-    steps, top_paths, shares, skew, top_docs = behavior_search.main(
-        spark, sf_dir)
+    (steps, top_paths, shares, skew, top_docs,
+     fused_docs) = behavior_search.main(spark, sf_dir)
     assert [s[0] for s in steps] == ["view", "click", "purchase"]
     users = [s[1] for s in steps]
     assert users[0] >= users[1] >= users[2]  # funnels only narrow
@@ -82,6 +88,9 @@ def test_behavior_search_example(spark, sf_dir):
     assert skew["max_rows"] >= 1 and 0 < skew["top_key_share"] <= 1
     assert len(top_docs) == 3
     assert top_docs[0][1] >= top_docs[1][1] >= top_docs[2][1]
+    # fusion returns a strict top-3 in fused order
+    assert len(fused_docs) == 3
+    assert fused_docs[0][1] >= fused_docs[1][1] >= fused_docs[2][1]
 
 
 def test_monitor_ingest_example(spark, sf_dir):
