@@ -3502,18 +3502,22 @@ def q_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; everything downstream of scoring is integer rank math on
     ONE query-keyed Exchange."""
     from yaetl_spark.operators import reciprocal_rank_fusion
+    from yaetl_spark.operators.curation import _zero_key
     from yaetl_spark.operators.similarity import dot_product
 
     emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    # _zero_key (non-foldable), NOT F.lit(0): a literal key constant-
+    # folds the equi condition away and the pairing plans as a
+    # BroadcastNestedLoopJoin instead of a 3-row broadcast HASH join
     queries_df = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
-        F.lit(0).alias("_zk"),
+        _zero_key(F.col("vec_id")).alias("_zk"),
     )
     cands = emb.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 310)
     ).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
-        F.lit(0).alias("_zk"),
+        _zero_key(F.col("vec_id")).alias("_zk"),
     )
     pairs = cands.join(F.broadcast(queries_df), "_zk").drop("_zk")
     neg_l2sq = -F.aggregate(
