@@ -361,3 +361,88 @@ def test_auc_two_level_partition_invariant(spark):
     ]
     assert rows[0] == rows[1] == rows[2]
     assert rows[0]["auc"] is not None
+
+
+def test_rrf_invariant_under_monotone_score_transform(spark):
+    """RRF consumes only RANKS: any strictly monotone transform of a
+    score column (scaling, log, affine) must leave every rank and the
+    fused ordering bit-identical — the property that makes fusion
+    calibration-free."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import reciprocal_rank_fusion
+
+    rows = [(i % 4, f"d{i}", float((i * 13) % 29), float((i * 7) % 17))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["q", "d", "s1", "s2"])
+    base = reciprocal_rank_fusion(df, "q", "d", ["s1", "s2"], top_k=5)
+    xform = df.withColumn("s1", F.col("s1") * 100 + 3).withColumn(
+        "s2", F.log(F.col("s2") + 2))
+    alt = reciprocal_rank_fusion(xform, "q", "d", ["s1", "s2"], top_k=5)
+    key = lambda r: (r["q"], r["d"], r["rank_s1"], r["rank_s2"],  # noqa: E731
+                     r["fused_score"], r["fused_rank"])
+    assert sorted(map(key, base.collect())) == sorted(map(key, alt.collect()))
+
+
+def test_fleiss_kappa_bounds_and_label_permutation_invariance(spark):
+    """kappa is label-name-agnostic (relabeling categories can't move
+    it) and bounded above by 1; perfect agreement hits exactly 1."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import fleiss_kappa
+
+    rows = [(i, ["a", "b", "c"][(i * 5 + r) % 3])
+            for i in range(40) for r in range(3)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    base = fleiss_kappa(df, "item", "label").first()
+    relabeled = df.withColumn(
+        "label", F.concat(F.lit("CAT_"), F.upper("label")))
+    alt = fleiss_kappa(relabeled, "item", "label").first()
+    assert (base["p_bar"], base["p_e"], base["kappa"]) == (
+        alt["p_bar"], alt["p_e"], alt["kappa"])
+    assert base["kappa"] is None or base["kappa"] <= 1.0
+    # perfect agreement -> kappa exactly 1 (p_e < 1 guaranteed by two
+    # distinct unanimous labels)
+    perfect = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 3, ["item", "label"])
+    assert fleiss_kappa(perfect, "item", "label").first()["kappa"] == 1.0
+
+
+def test_quantile_strata_rates_monotone(spark):
+    """Raising any stratum's rate can only ADD rows (the kept set is
+    monotone in the rate vector), and rate 1.0 keeps the stratum
+    completely — the contract that makes the sampler auditable."""
+    from yaetl_spark.operators import quantile_strata_sample
+
+    df = spark.createDataFrame(
+        [(i, float((i * 31) % 97)) for i in range(300)], ["id", "v"])
+    lo = {r["id"] for r in quantile_strata_sample(
+        df, "v", "id", rates=[0.2, 0.3, 0.2, 0.5], exact=True).collect()}
+    hi = {r["id"] for r in quantile_strata_sample(
+        df, "v", "id", rates=[0.4, 0.3, 0.6, 1.0], exact=True).collect()}
+    assert lo <= hi
+    full = quantile_strata_sample(
+        df, "v", "id", rates=[1.0, 1.0, 1.0, 1.0], exact=True)
+    assert full.count() == 300
+
+
+def test_shard_dedup_order_and_partition_invariant(spark):
+    """Shard signatures are min-sketches: permuting input rows or the
+    partitioning must produce identical pairs and estimates, and the
+    pair relation is symmetric in its construction (a<b canonical)."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import shard_minhash_dedup
+
+    rows = [(f"s{i % 4}", f"tok{i % 11} tok{(i * 3) % 11} tok{(i * 7) % 13}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["shard", "text"])
+    a = shard_minhash_dedup(df, "shard", element="token", shingle_size=1,
+                            jaccard_threshold=0.2, hash_fn="rolling")
+    b = shard_minhash_dedup(
+        df.orderBy(F.rand(7)).repartition(9), "shard", element="token",
+        shingle_size=1, jaccard_threshold=0.2, hash_fn="rolling")
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and ka
+    assert all(x[0] < x[1] for x in ka)
