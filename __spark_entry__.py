@@ -3540,6 +3540,39 @@ def q_score_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              "fused_score", "fused_rank")
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a seen corpus (operators/text.py
+    ngram_novelty): documents outside source src0 scored against
+    src0's trigram vocabulary — the memorization/contamination audit
+    (near-zero novelty on an eval doc = it leaked into training).
+    Reference reduces to distinct gram fingerprints once; docs explode
+    to fixed-width (doc, md5) keys for ONE left join + regroup."""
+    from yaetl_spark.operators import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    tgt = docs.filter(F.col("source") != "src0")
+    return ngram_novelty(tgt, ref, n=3)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection to 8 dims
+    (operators/similarity.py random_projection, Achlioptas 2003 ±1
+    signs over the engine's shared 31-bit LCG family — the same planes
+    as embedding_lsh for one seed): the dimensionality-reduction front
+    of the ANN stack. Pure scan-level sequential folds, bit-matched to
+    DuckDB list_reduce; components unpacked to scalar columns so the
+    driver hash checks every value."""
+    from yaetl_spark.operators import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    out = random_projection(emb, "embedding", out_dim=8, out_col="_p")
+    return out.select(
+        "vec_id",
+        *[F.element_at("_p", i + 1).alias(f"p{i}") for i in range(8)],
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3740,6 +3773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_strata_sample": q_quantile_strata_sample,
         "shard_dedup": q_shard_dedup,
         "score_fusion": q_score_fusion,
+        "ngram_novelty": q_ngram_novelty,
+        "random_projection": q_random_projection,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3754,12 +3789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 169 declared queries and 50 slots, a full re-green rotation
-# takes ceil(169/50) = 4 rounds, so the re-check staleness budget is
+# With 171 declared queries and 50 slots, a full re-green rotation
+# takes ceil(171/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50. (r11 owed: 13 a' + 16
-# boundary-(b) = 29 < 50 → growth resumed with 4 new queries, exactly
-# the r10 verdict's order.)
+# boundary-(b) = 29 < 50 → growth resumed with 6 new queries — the
+# r10 verdict's four candidates plus two adjacent gaps.)
 #
 # (a') SCOPE NOTE for the r11 timezone fix: ensure_event_time
 # (yaetl_spark/session.py) now yields NTZ event time for EVERY events
@@ -3771,12 +3806,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # AQE), both green this round — 50 window slots cannot hold 45
 # helper-touched queries, and the sweep dominates the driver's gate.
 #
-# This round: (a) FOUR new queries (growth per the r10 verdict item 5
-# candidate list): fleiss_kappa (multi-rater agreement,
-# operators/quality.py), quantile_strata_sample (stratified-by-
-# quantile deterministic sampling, operators/sampling.py), shard_dedup
-# (container-level MinHash dedup, operators/dedup.py), score_fusion
-# (reciprocal rank fusion, operators/similarity.py).
+# This round: (a) SIX new queries (growth per the r10 verdict item 5
+# candidate list plus two adjacent gaps): fleiss_kappa (multi-rater
+# agreement, operators/quality.py), quantile_strata_sample
+# (stratified-by-quantile deterministic sampling,
+# operators/sampling.py), shard_dedup (container-level MinHash dedup,
+# operators/dedup.py), score_fusion (reciprocal rank fusion,
+# operators/similarity.py), ngram_novelty (memorization/contamination
+# audit, operators/text.py), random_projection (JL dimensionality
+# reduction, operators/similarity.py).
 # (a') THIRTEEN changed queries: sessionize (r10's one red row — oracle
 # session_seq now CAST AS BIGINT; the engine side was verified correct
 # in the r10 verdict), blocklist_scan (oracle NULL-text COALESCE +
@@ -3796,11 +3834,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # still-unlisted r8-stale queries (48 minus the 5 already in (a'):
 # asof_join, events_tumbling, events_sliding, events_sessions,
 # minhash_neardup — alphabetical within the equally-old cohort).
-# 4 + 13 + 16 + 17 = 50, exactly full.
+# 6 + 13 + 16 + 15 = 50, exactly full.
 #
-# DEFERRED to r12's (b)-block (26 r8-stale queries, 4 rounds old at
+# DEFERRED to r12's (b)-block (28 r8-stale queries, 4 rounds old at
 # their r12 check — the staleness-budget boundary, they MUST head
 # r12's (b) after any (a)/(a')):
+#   embedding_neardup, equi_depth,
 #   frame_sample, gap_fill, group_scale, groupby_agg, inner_join,
 #   lang_id, left_join_default, limit_offset, ngram_perplexity,
 #   pack_documents, pagerank, pii_scan, profile, rollup_agg,
@@ -3808,15 +3847,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   seasonal_decompose, semantic_dedup, semi_join, simhash_dedup,
 #   stratified_sample, text_stats, trend_fit, union_sources,
 #   url_dedup.
-# After those, r12 has 24 slots for the r9 cohort (50 queries) —
+# After those, r12 has 22 slots for the r9 cohort (50 queries) —
 # r12/r13 rotate it within budget (r9 evidence checked at r13 is
 # exactly 4 rounds old, the boundary; then r13/r14 take the r10
-# cohort and r14/r15 the r11 cohort — 169 ≤ 200 = 4×50 keeps the
+# cohort and r14/r15 the r11 cohort — 171 ≤ 200 = 4×50 keeps the
 # whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r11)
     "fleiss_kappa", "quantile_strata_sample", "shard_dedup",
-    "score_fusion",
+    "score_fusion", "ngram_novelty", "random_projection",
     # (a') changed since last green (r11 fixes; sessionize is also the
     # registry's only never-green row — r10's red, oracle-side)
     "sessionize", "blocklist_scan", "top_p_filter", "events_lag",
@@ -3835,7 +3874,6 @@ _DRIVER_WINDOW = [
     "chained_join_agg", "changepoint", "chi_square",
     "cohort_retention", "continue_at", "corr_matrix", "cross_join",
     "dataset_split", "dedup_exact", "dsir", "embedding_lsh",
-    "embedding_neardup", "equi_depth",
 ]
 
 
@@ -4206,6 +4244,37 @@ def _shard_minhash_sql(num_hashes: int = 32, bands: int = 8,
         JOIN sigs sa ON sa.sid = shard_a
         JOIN sigs sb ON sb.sid = shard_b
         WHERE round({agree} / {float(num_hashes)}, 6) >= {threshold}
+    """
+
+
+def _random_projection_sql(out_dim: int = 8, seed: int = 42) -> str:
+    """DuckDB replica of random_projection(out_dim=8): per plane p a
+    sequential left fold of v[i]·sign_p(i) (list_reduce — the same
+    summation order as the engine's F.aggregate, so the doubles are
+    bit-identical), scaled by the 1/√k literal and rounded."""
+    import math
+
+    from yaetl_spark.operators.dedup import _MERSENNE31, _hash_coeffs31
+
+    M = _MERSENNE31
+    inv = 1.0 / math.sqrt(float(out_dim))
+    comps = []
+    for p, (a, b) in enumerate(_hash_coeffs31(out_dim, seed)):
+        sign = (f"(CASE WHEN ((({a} * i + {b}) % {M}) * (({a} * i + {b})"
+                f" % {M})) % {M} % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+        fold = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * {sign})), (x, y) -> x + y)")
+        comps.append(f"round({fold} * {inv!r}, 6) AS p{p}")
+    cols = ",\n                   ".join(comps)
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT vec_id,
+               {cols}
+        FROM emb
     """
 
 
@@ -7449,6 +7518,39 @@ def oracle_sql() -> dict[str, str]:
             f"{i / 4!r}), 6)" for i in range(5)
         )),
         "shard_dedup": _shard_minhash_sql(),
+        "ngram_novelty": """
+            WITH tt AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9]+'), x -> x <> '') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            grams_nv AS (
+                SELECT doc_id, source, unnest(list_distinct(
+                    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                         ELSE list_transform(range(1, len(t) - 1),
+                              i -> array_to_string(
+                                  list_slice(t, i, i + 2), ' '))
+                    END)) AS g
+                FROM tt
+            ),
+            ref_g AS (
+                SELECT DISTINCT md5(g) AS gh FROM grams_nv
+                WHERE source = 'src0' AND g <> ''
+            ),
+            doc_g AS (
+                SELECT DISTINCT doc_id, md5(g) AS gh FROM grams_nv
+                WHERE source <> 'src0' AND g <> ''
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(ref_g.gh) AS BIGINT) AS n_known,
+                   round(1.0 - CAST(COUNT(ref_g.gh) AS DOUBLE)
+                         / COUNT(*), 6) AS novelty
+            FROM doc_g LEFT JOIN ref_g USING (gh)
+            GROUP BY doc_id
+        """,
+        "random_projection": _random_projection_sql(),
         "score_fusion": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

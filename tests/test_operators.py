@@ -884,3 +884,63 @@ def test_reciprocal_rank_fusion_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_ngram_novelty_known_values(spark):
+    from yaetl_spark.operators import ngram_novelty
+
+    ref = spark.createDataFrame([("the quick brown fox jumps",)], ["text"])
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps"),          # all 3 trigrams known
+        (2, "a totally new sentence here folks"),  # all 4 novel
+        (3, "the quick brown cat jumps high"),     # 1 of 4 known
+        (4, ""),                                   # no grams -> absent
+        (5, None),                                 # NULL text -> absent
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_grams"], got[1]["n_known"], got[1]["novelty"]) == (3, 3, 0.0)
+    assert (got[2]["n_grams"], got[2]["n_known"], got[2]["novelty"]) == (4, 0, 1.0)
+    assert (got[3]["n_grams"], got[3]["n_known"], got[3]["novelty"]) == (4, 1, 0.75)
+    # a corpus is never novel against itself
+    self_nov = ngram_novelty(docs.filter("doc_id <= 3"),
+                             docs.filter("doc_id <= 3"), n=3)
+    assert all(r["novelty"] == 0.0 for r in self_nov.collect())
+    # partition invariance
+    again = ngram_novelty(docs.repartition(7), ref, n=3)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in ngram_novelty(docs, ref, n=3).collect()}
+
+
+def test_random_projection_properties(spark):
+    """Deterministic planes; (approximate, rounding-bounded) linearity;
+    NULL vectors project to NULL; out_dim validated; scan-only plan."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, None)],
+        "id int, v array<double>",
+    )
+    out = {r["id"]: r["v_proj"]
+           for r in random_projection(df, "v", out_dim=4).collect()}
+    # same input, same seed -> identical output (no RNG state)
+    out2 = {r["id"]: r["v_proj"]
+            for r in random_projection(df.repartition(3), "v",
+                                       out_dim=4).collect()}
+    assert out == out2
+    assert out[2] == [0.0, 0.0, 0.0, 0.0]
+    assert out[3] is None
+    # linearity up to the output rounding: proj(2v) == 2*proj(v)
+    dbl = {r["id"]: r["v_proj"] for r in random_projection(
+        df.withColumn("v", F.transform("v", lambda x: x * 2)),
+        "v", out_dim=4).collect()}
+    assert all(abs(a * 2 - b) < 2e-6 for a, b in zip(out[1], dbl[1]))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        random_projection(df, "v", out_dim=0)
+    plan = random_projection(df, "v", out_dim=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-level arithmetic

@@ -708,3 +708,68 @@ def reciprocal_rank_fusion(
     if top_k is not None:
         out = out.filter(F.col("fused_rank") <= top_k)
     return out
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions with deterministic ±1/√k planes (Achlioptas 2003's
+    database-friendly signs) — the dimensionality-reduction front of
+    the similarity stack: project once, then feed the short vectors to
+    IVF build/probe or brute-force top-k at a fraction of the
+    arithmetic, with pairwise distances preserved to JL tolerance.
+
+    Plane ``p``'s sign at dimension ``i`` is the parity of
+    ``((a_p·(i+1) + b_p) mod M)² mod M`` over the engine's shared
+    31-bit coefficient family — exact int64 in any engine, the same
+    construction (and therefore the same planes for the same seed) as
+    :func:`~yaetl_spark.operators.dedup.embedding_dedup_pairs`'s
+    ``plane_fn='lcg'`` buckets, so a projection and an LSH bucketing
+    built on one seed agree on geometry. Components are sequential
+    left folds over the input dimensions scaled by ``1/√out_dim`` and
+    rounded — bit-reproducible in SQL via ``list_reduce``.
+
+    Scale shape (100 TB): pure scan-level arithmetic — no shuffle, no
+    Python, no fitted state to broadcast (the planes are compile-time
+    constants). NULL vectors project to NULL.
+    """
+    import math as _math
+
+    from .dedup import _MERSENNE31, _hash_coeffs31
+
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    out = out_col or f"{vec_col}_proj"
+    v = F.col(vec_col)
+    inv = 1.0 / _math.sqrt(float(out_dim))
+    coeffs = _hash_coeffs31(out_dim, seed)
+
+    def component(a_p: int, b_p: int) -> Column:
+        def term(acc, i):
+            s = F.pmod(
+                F.lit(a_p).cast("bigint") * (i + 1).cast("bigint")
+                + F.lit(b_p).cast("bigint"),
+                F.lit(_MERSENNE31),
+            )
+            w = F.pmod(s * s, F.lit(_MERSENNE31))
+            sign = F.when(F.pmod(w, F.lit(2)) == 0,
+                          F.lit(1.0)).otherwise(F.lit(-1.0))
+            return acc + F.element_at(v, (i + 1).cast("int")) \
+                .cast("double") * sign
+
+        folded = F.aggregate(
+            F.sequence(F.lit(0), F.size(v) - 1), F.lit(0.0), term
+        )
+        return F.round(folded * F.lit(inv), round_to)
+
+    return df.withColumn(
+        out,
+        F.when(v.isNotNull(),
+               F.array(*[component(a, b) for a, b in coeffs])),
+    )

@@ -784,3 +784,69 @@ def normalized_dedup(
         .select(id_col)
     )
     return df.join(survivors, id_col, "left_semi")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of a document's distinct word ``n``-grams NOT present
+    anywhere in ``ref`` — the memorization/novelty audit run when
+    admitting new data against an already-trained corpus (high overlap
+    = the document teaches nothing new; near-zero novelty on an eval
+    set = contamination, the per-doc scoring complement of
+    :func:`~yaetl_spark.operators.dedup.decontaminate`'s hard gate).
+
+    Returns ``(id_col, n_grams, n_known, novelty)`` — ``novelty =
+    1 − n_known / n_grams`` rounded. Documents with no ``n``-gram
+    (NULL/empty/whitespace text) have nothing to judge and are absent
+    from the output. Grams are distinct per document and per reference
+    (presence, not counts).
+
+    Scale shape (100 TB): the reference reduces to its DISTINCT gram
+    fingerprints once (bounded by reference vocabulary, broadcastable
+    when small — the planner decides); documents explode to distinct
+    (doc, gram-md5) rows — fixed-width keys, never gram text — for ONE
+    left join + per-doc conditional-count regroup. No window, no
+    quadratic, no Python.
+    """
+    from .dedup import shingles
+
+    rtc = ref_text_col or text_col
+
+    def _grams(frame: DataFrame, col: str, *keep) -> DataFrame:
+        g = F.explode(shingles(F.col(col), "word", n)).alias("_g")
+        return (
+            frame.select(*keep, g)
+            .filter(F.col("_g") != "")
+            .select(*keep, F.md5(F.col("_g")).alias("_gh"))
+        )
+
+    ref_grams = _grams(ref, rtc).distinct()
+    doc_grams = _grams(df, text_col, F.col(id_col)).distinct()
+    joined = doc_grams.join(
+        ref_grams.withColumn("_known", F.lit(1)), "_gh", "left"
+    )
+    known = F.count(F.col("_known")).cast("bigint")
+    total = F.count(F.lit(1)).cast("bigint")
+    return (
+        joined.groupBy(id_col)
+        .agg(total.alias("n_grams"), known.alias("n_known"))
+        .select(
+            id_col,
+            "n_grams",
+            "n_known",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_known").cast("double")
+                / F.col("n_grams").cast("double"),
+                round_to,
+            ).alias("novelty"),
+        )
+    )
