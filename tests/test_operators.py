@@ -836,6 +836,39 @@ def test_shard_minhash_dedup_validations(spark):
         shard_minhash_dedup(df, "shard", num_hashes=10, bands=4).collect()
 
 
+def test_shard_minhash_dedup_return_sigs_handle(spark):
+    """return_sigs=True hands the persist handle back explicitly —
+    the r11 ADVICE replaced the fragile result-attribute with an
+    explicit return so downstream transformations can't lose it."""
+    from yaetl_spark.operators import shard_minhash_dedup
+
+    df = spark.createDataFrame(
+        [("s1", "alpha beta gamma"), ("s2", "alpha beta gamma")],
+        ["shard", "text"])
+    pairs, sigs = shard_minhash_dedup(
+        df, "shard", element="content", jaccard_threshold=0.3,
+        hash_fn="rolling", return_sigs=True)
+    try:
+        assert sigs is not None and sigs.storageLevel.useMemory
+        assert [(r["shard_a"], r["shard_b"]) for r in pairs.collect()] \
+            == [("s1", "s2")]
+    finally:
+        sigs.unpersist()
+    assert not sigs.storageLevel.useMemory
+    # persist=False -> no cache to manage, handle slot is None
+    pairs2, sigs2 = shard_minhash_dedup(
+        df, "shard", element="content", jaccard_threshold=0.3,
+        hash_fn="rolling", persist=False, return_sigs=True)
+    assert sigs2 is None
+    assert pairs2.count() == 1
+    # default path unchanged: a bare DataFrame, no attribute riding it
+    bare = shard_minhash_dedup(
+        df, "shard", element="content", jaccard_threshold=0.3,
+        hash_fn="rolling")
+    assert not hasattr(bare, "persisted_sigs")
+    bare.count()
+
+
 def test_reciprocal_rank_fusion_known_values(spark):
     from yaetl_spark.operators import reciprocal_rank_fusion
 
@@ -944,3 +977,41 @@ def test_random_projection_properties(spark):
     plan = random_projection(df, "v", out_dim=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure scan-level arithmetic
+
+
+def test_random_projection_empty_vector(spark):
+    """A zero-length (non-NULL) vector projects to 0.0 components
+    instead of raising INVALID_INDEX_OF_ZERO — r11 ADVICE: sequence(0,
+    size-1) descends when size=0 and element_at(v, 0) always throws;
+    the SQL oracle's fold over range(1, len+1) yields 0.0 there."""
+    from yaetl_spark.operators import random_projection
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [1.0, -1.0]), (3, None)],
+        "id int, v array<double>",
+    )
+    out = {r["id"]: r["v_proj"]
+           for r in random_projection(df, "v", out_dim=4).collect()}
+    assert out[1] == [0.0, 0.0, 0.0, 0.0]
+    assert out[3] is None
+    assert len(out[2]) == 4 and any(c != 0.0 for c in out[2])
+
+
+def test_reciprocal_rank_fusion_rejects_output_collisions(spark):
+    """Output-contract columns (rank_<sc>, fused_score, fused_rank)
+    already present in the input are rejected loudly instead of being
+    silently clobbered (r11 ADVICE)."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import reciprocal_rank_fusion
+
+    base = spark.createDataFrame(
+        [("q", "d", 1.0)], ["query_id", "doc_id", "bm25"])
+    for bad in ("rank_bm25", "fused_score", "fused_rank"):
+        df = base.withColumn(bad, F.lit(0))
+        with _pt.raises(ValueError, match=bad):
+            reciprocal_rank_fusion(df, "query_id", "doc_id", ["bm25"])
+    # clean input still works
+    got = reciprocal_rank_fusion(
+        base, "query_id", "doc_id", ["bm25"]).collect()
+    assert got[0]["fused_rank"] == 1

@@ -631,3 +631,23 @@ def test_quantile_strata_sample_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_strata_sample_bounds_name_collision(spark):
+    """A caller column literally named _qs_bounds must survive — the
+    temp boundary-array name prefix-extends until unused instead of
+    colliding in attach_scalars (r11 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import quantile_strata_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "v"]
+    ).withColumn("_qs_bounds", F.lit("caller-owned"))
+    out = quantile_strata_sample(
+        df, "v", "id", rates=[1.0, 0.0, 0.0, 1.0], exact=True)
+    assert out.columns.count("_qs_bounds") == 1
+    rows = out.collect()
+    assert {r["id"] for r in rows} == \
+        set(range(1, 26)) | set(range(76, 101))
+    assert all(r["_qs_bounds"] == "caller-owned" for r in rows)

@@ -299,7 +299,8 @@ def shard_minhash_dedup(
     shingle_mode: str = "word",
     hash_fn: str = "xxhash",
     persist: bool = True,
-) -> DataFrame:
+    return_sigs: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame | None]:
     """Shard/container-level MinHash dedup: estimate the Jaccard
     similarity of whole SHARDS (files, crawl dumps, source buckets —
     whatever ``shard_col`` names) and emit near-duplicate shard pairs
@@ -328,9 +329,12 @@ def shard_minhash_dedup(
     (default ON — the signature table is |shards| rows, tiny by the
     definition of a shard) caches that table before the band
     SELF-join, which otherwise re-executes the whole corpus-scan
-    lineage once per join side (measured 8× on the sf0.1 corpus); the
-    handle rides on ``result.persisted_sigs`` for callers that want to
-    unpersist eagerly.
+    lineage once per join side (measured 8× on the sf0.1 corpus).
+    Callers that want to unpersist eagerly pass ``return_sigs=True``
+    and get ``(pairs, sigs)`` back — the handle is an explicit return,
+    not an attribute, because any transformation of the result would
+    produce a new DataFrame and silently drop an attached handle
+    (r11 ADVICE). With ``persist=False`` the second element is None.
     """
     if element not in ("token", "content"):
         raise ValueError("element must be 'token' or 'content'")
@@ -404,8 +408,8 @@ def shard_minhash_dedup(
     out = _lsh_band_pairs(
         sigs, num_hashes, bands, hash_fn, jaccard_threshold, "jaccard_sim"
     ).withColumnsRenamed({"id_a": "shard_a", "id_b": "shard_b"})
-    if persist:
-        out.persisted_sigs = sigs
+    if return_sigs:
+        return out, (sigs if persist else None)
     return out
 
 

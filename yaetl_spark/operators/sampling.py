@@ -206,17 +206,23 @@ def quantile_strata_sample(
     if not all(0.0 <= r <= 1.0 for r in rates):
         raise ValueError("every rate must be in [0, 1]")
     x = F.col(value_col).cast("double")
+    # collision-safe temp name: a caller column literally named
+    # "_qs_bounds" would make attach_scalars emit a duplicate/ambiguous
+    # column (r11 ADVICE; same pattern as top_p_filter's temps)
+    bounds_col = "_qs_bounds"
+    while bounds_col in df.columns:
+        bounds_col = "_" + bounds_col
     fit = df.agg(
         F.transform(
             _pcts(value_col, [i / n for i in range(n + 1)],
                   exact, accuracy),
             lambda v: F.round(v, round_to),
-        ).alias("_qs_bounds")
+        ).alias(bounds_col)
     )
     tagged = attach_scalars(
         df.filter(x.isNotNull()), fit, value_col
     )
-    b = F.col("_qs_bounds")
+    b = F.col(bounds_col)
     k = F.least(
         F.greatest(
             F.size(F.filter(b, lambda v: v < x)) - F.lit(1), F.lit(0)
@@ -230,4 +236,4 @@ def quantile_strata_sample(
     hb = (hash_bucket_str if string_key else hash_bucket)(key, buckets)
     if stratum_col is not None:
         tagged = tagged.withColumn(stratum_col, k.cast("int"))
-    return tagged.filter(hb < thr).drop("_qs_bounds")
+    return tagged.filter(hb < thr).drop(bounds_col)

@@ -685,6 +685,19 @@ def reciprocal_rank_fusion(
         raise ValueError("score_cols must name at least one score")
     if k < 1:
         raise ValueError("k must be >= 1")
+    # rank_<sc>/fused_score/fused_rank are OUTPUT-CONTRACT names, not
+    # internal temps — renaming them on collision would silently change
+    # the documented schema, so an input that already carries one is
+    # rejected loudly instead (same defect class as top_p_filter's
+    # fixed temp names, r11 ADVICE).
+    reserved = [f"rank_{sc}" for sc in score_cols]
+    reserved += ["fused_score", "fused_rank"]
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            "reciprocal_rank_fusion output column(s) already present "
+            f"in the input: {clash}; rename or drop them first"
+        )
     out = df
     fused = None
     for sc in score_cols:
@@ -752,20 +765,30 @@ def random_projection(
 
     def component(a_p: int, b_p: int) -> Column:
         def term(acc, i):
+            # i runs 1..size (1-based, mirroring the oracle's
+            # range(1, len+1)); s = a_p*i + b_p matches the previous
+            # 0-based a_p*(i+1) + b_p values exactly.
             s = F.pmod(
-                F.lit(a_p).cast("bigint") * (i + 1).cast("bigint")
+                F.lit(a_p).cast("bigint") * i.cast("bigint")
                 + F.lit(b_p).cast("bigint"),
                 F.lit(_MERSENNE31),
             )
             w = F.pmod(s * s, F.lit(_MERSENNE31))
             sign = F.when(F.pmod(w, F.lit(2)) == 0,
                           F.lit(1.0)).otherwise(F.lit(-1.0))
-            return acc + F.element_at(v, (i + 1).cast("int")) \
+            return acc + F.element_at(v, i.cast("int")) \
                 .cast("double") * sign
 
-        folded = F.aggregate(
-            F.sequence(F.lit(0), F.size(v) - 1), F.lit(0.0), term
-        )
+        # Guard size==0: sequence(1, 0) would DESCEND ([1, 0]) and
+        # element_at(v, 0) always raises INVALID_INDEX_OF_ZERO; an
+        # empty (non-NULL) vector instead projects to 0.0 components,
+        # matching the SQL fold over an empty index range.
+        folded = F.when(
+            F.size(v) > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(v)), F.lit(0.0), term
+            ),
+        ).otherwise(F.lit(0.0))
         return F.round(folded * F.lit(inv), round_to)
 
     return df.withColumn(

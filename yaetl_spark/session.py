@@ -98,8 +98,12 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     cast. All three conversions here are session-tz-invariant:
     bigint nanos and LTZ instants land on their UTC rendering via
     interval arithmetic from the NTZ epoch (never via a cast), and NTZ
-    input is already the wall clock DuckDB reads. Watermarks and time
-    windows accept NTZ since Spark 3.4."""
+    input is already the wall clock DuckDB reads. Batch ``F.window`` /
+    ``F.session_window`` consume NTZ directly; streaming WATERMARKS do
+    NOT (``withWatermark`` raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    on NTZ), so the streaming wrappers convert to an LTZ instant with
+    :func:`to_instant` just before ``withWatermark`` — see its
+    docstring for why that conversion is also session-tz-invariant."""
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes).get(col)
