@@ -979,6 +979,102 @@ def test_random_projection_properties(spark):
     assert "Exchange" not in plan  # pure scan-level arithmetic
 
 
+def test_pq_encode_known_values(spark):
+    """Hand-built m=2, k=2 codebooks over 4-dim vectors: codes pick the
+    nearest sub-centroid per slice, ties break to the LOWEST code (the
+    build_ivf_index struct-min rule), reconstruction error is the sum
+    of the per-subspace minima, NULL vectors encode to NULL."""
+    from yaetl_spark.operators import pq_encode
+
+    books = [
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0])],
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.0, 4.0, 0.0]),   # sub0 -> 0 (d=.25), sub1 -> 1 (d=0)
+         (2, [9.0, 9.0, 2.0, 0.0]),   # sub0 -> 1 (d=2), sub1 tie -> 0
+         (3, None)],
+        "id int, v array<double>",
+    )
+    out = {r["id"]: (r["pq_code"], r["err"])
+           for r in pq_encode(df, books, vec_col="v",
+                              error_col="err").collect()}
+    assert out[1] == ([0, 1], 0.25)
+    assert out[2] == ([1, 0], 2.0 + 4.0)  # tie at d=4 goes to code 0
+    assert out[3] == (None, None)
+    # scan-only: codebooks are literals, no shuffle
+    plan = pq_encode(df, books, vec_col="v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_fit_and_adc_topk(spark):
+    """pq_fit recovers an obviously-clustered structure per subspace;
+    pq_adc_topk ranks by LUT distance without reading vectors and its
+    plan is a scan + global top-k (TakeOrderedAndProject)."""
+    from yaetl_spark.operators import pq_adc_topk, pq_encode, pq_fit
+    import pytest as _pt
+
+    # two tight clusters in each 2-dim subspace
+    rows = []
+    for i in range(8):
+        a = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        b = [5.0, 0.0] if i < 4 else [0.0, 5.0]
+        rows.append((i, [x + 0.01 * i for x in a] + b))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_fit(df, m=2, k=2, iters=2, init_ids=[0, 1], cache=True)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert all(len(cv) == 2 for b in books for _, cv in b)
+    enc = pq_encode(df, books)
+    # same-cluster rows share codes per subspace
+    codes = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    assert codes[0][0] == codes[2][0] and codes[1][0] == codes[3][0]
+    assert codes[0][0] != codes[1][0]
+    # ADC: query at the even/first cluster -> nearest are even ids < 4
+    top = pq_adc_topk(enc, books, [0.0, 0.0, 5.0, 0.0], top_k=3)
+    got = [r["vec_id"] for r in top.collect()]
+    assert got[0] in (0, 2) and len(got) == 3
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    with _pt.raises(ValueError, match="query dim"):
+        pq_adc_topk(enc, books, [1.0, 2.0], top_k=3)
+    with _pt.raises(ValueError, match="divisible"):
+        pq_fit(df, m=3, k=2, iters=1, init_ids=[0, 1])
+
+
+def test_token_count_estimate_bounds_and_edges(spark):
+    """vocab_permille=1000 -> every word is 1 token (count == token
+    count); =0 -> every word longer than short_len costs
+    ceil(len/piece_chars); digits split singly; punct costs 1;
+    empty -> 0; NULL -> NULL."""
+    from yaetl_spark.operators import token_count_estimate
+
+    txt = "The cat extraordinarily 42, ok!"
+    # tokens: the(3) cat(3) extraordinarily(15) 4 2 , ok(2) !
+    df = spark.createDataFrame(
+        [(1, txt), (2, ""), (3, None)], ["id", "text"])
+    hi = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_estimate(
+            F.col("text"), vocab_permille=1000).alias("n")).collect()}
+    lo = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_estimate(
+            F.col("text"), vocab_permille=0).alias("n")).collect()}
+    assert hi[1] == 8          # every word in vocab
+    assert lo[1] == 8 - 1 + 4  # extraordinarily -> ceil(15/4) = 4 pieces
+    assert hi[2] == 0 and lo[2] == 0
+    assert hi[3] is None and lo[3] is None
+    # default permille sits between the bounds
+    mid = df.select(token_count_estimate(F.col("text")).alias("n")) \
+        .collect()[0]["n"]
+    assert hi[1] <= mid <= lo[1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="vocab_permille"):
+        token_count_estimate(F.col("text"), vocab_permille=1001)
+    with _pt.raises(ValueError, match="piece_chars"):
+        token_count_estimate(F.col("text"), piece_chars=0)
+
+
 def test_random_projection_empty_vector(spark):
     """A zero-length (non-NULL) vector projects to 0.0 components
     instead of raising INVALID_INDEX_OF_ZERO — r11 ADVICE: sequence(0,

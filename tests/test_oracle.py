@@ -196,3 +196,21 @@ def test_driver_window_heads_the_registry():
     missing_oracles = [n for n in win if n not in ORACLES]
     assert not missing_oracles, (
         f"window queries without oracle_sql: {missing_oracles}")
+
+
+def test_km_sql_default_args_unchanged():
+    """The r12 tbl/dim parametrization of _km_assign_sql/_km_iter_sql
+    (added for the pq_codes oracle) must leave the default-argument
+    output byte-identical to the r9-era text — kmeans_assign,
+    semantic_dedup and ann_ivf were NOT re-windowed as (a') on the
+    strength of this invariance, so pin it."""
+    a = entry_mod._km_assign_sql("cX", "aY")
+    assert "FROM emb e CROSS JOIN cX c" in a
+    assert "range(1, 65)" in a
+    it = entry_mod._km_iter_sql("cX", "aY", "cZ")
+    assert it.startswith(a)
+    assert "JOIN emb e USING (vec_id)" in it
+    assert "unnest(range(1, 65))" in it
+    # and the parametrized form actually parametrizes
+    b = entry_mod._km_assign_sql("cX", "aY", tbl="s0", dim=32)
+    assert "FROM s0 e CROSS JOIN cX c" in b and "range(1, 33)" in b

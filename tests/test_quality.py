@@ -451,6 +451,107 @@ def test_fleiss_kappa_single_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_krippendorff_alpha_known_value(spark):
+    """Hand-computed nominal alpha on a ragged panel:
+    item A: 1,1,2 (m=3)  item B: 1,2 (m=2)  item C: 2,2,2,2 (m=4)
+    item D: 1 (m=1, excluded — no pairable values).
+    n = 9; d_o = (4/2 + 2/1 + 0)/9 = 4/9;
+    marginals (pairable only): n_1 = 3, n_2 = 6 ->
+    d_e = (81 - 45)/(9*8) = 0.5; alpha = 1 - (4/9)/0.5 = 1/9."""
+    from yaetl_spark.operators import krippendorff_alpha
+
+    rows = ([("A", 1), ("A", 1), ("A", 2), ("B", 1), ("B", 2)]
+            + [("C", 2)] * 4 + [("D", 1)])
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = krippendorff_alpha(df, "item", "label").first()
+    assert (r["n_items"], r["n_values"], r["n_categories"]) == (3, 9, 2)
+    assert r["d_o"] == round(4 / 9, 6)
+    assert r["d_e"] == 0.5
+    assert r["alpha"] == round(1 / 9, 6)
+    # partition invariance (the cross-item float sum is regrouped by
+    # panel size and folded in fixed ascending-m order)
+    r2 = krippendorff_alpha(df.repartition(7), "item", "label").first()
+    assert tuple(r2) == tuple(r)
+    # NULL items/labels excluded
+    with_null = df.union(spark.createDataFrame(
+        [(None, 1), ("Z", None)], "item string, label int"))
+    assert krippendorff_alpha(
+        with_null, "item", "label").first()["n_values"] == 9
+
+
+def test_krippendorff_alpha_scores_the_panel_fleiss_rejects(spark):
+    """The exact ragged panel fleiss_kappa raises on must come back
+    with a finite alpha — the operator exists for precisely this
+    input class (r11 verdict item 2)."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import fleiss_kappa, krippendorff_alpha
+
+    ragged = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "x"), (2, "x"), (2, "y")],
+        ["item", "label"])
+    with _pt.raises(Exception, match="ragged rating panel"):
+        fleiss_kappa(ragged, "item", "label").collect()
+    r = krippendorff_alpha(ragged, "item", "label").first()
+    # item 1: m=3, counts x=2,y=1 -> A=9-5=4, /2 = 2; item 2: m=2,
+    # A=4-2=2, /1 = 2 -> d_o = 4/5; marginals x=3,y=2 ->
+    # d_e = (25-13)/(5*4) = 0.6; alpha = 1 - (4/5)/0.6 = -1/3
+    assert (r["n_items"], r["n_values"]) == (2, 5)
+    assert r["d_o"] == 0.8 and r["d_e"] == 0.6
+    assert r["alpha"] == round(-1 / 3, 6)
+
+
+def test_krippendorff_alpha_edges_and_guards(spark):
+    from yaetl_spark.operators import krippendorff_alpha
+    import pytest as _pt
+
+    # single-category panel: d_e = 0 -> alpha NULL (no ANSI 0/0)
+    const = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "x")] * 2, ["item", "label"])
+    rc = krippendorff_alpha(const, "item", "label").first()
+    assert rc["d_e"] == 0.0 and rc["alpha"] is None and rc["d_o"] == 0.0
+    # perfect agreement with >1 category: d_o = 0, alpha = 1
+    perf = spark.createDataFrame(
+        [(1, "x")] * 2 + [(2, "y")] * 2, ["item", "label"])
+    rp = krippendorff_alpha(perf, "item", "label").first()
+    assert rp["d_o"] == 0.0 and rp["alpha"] == 1.0
+    # nothing pairable -> zero rows, not a divide-by-zero
+    solo = spark.createDataFrame([(1, "x"), (2, "y")], ["item", "label"])
+    assert krippendorff_alpha(solo, "item", "label").count() == 0
+    # degenerate item column: too many distinct panel sizes
+    many = spark.createDataFrame(
+        [(i, j, "x") for i in range(1, 30) for j in range(i + 1)],
+        ["item", "rep", "label"])
+    with _pt.raises(Exception, match="distinct panel sizes"):
+        krippendorff_alpha(
+            many.select("item", "label"), "item", "label",
+            max_panel_sizes=5).collect()
+
+
+def test_krippendorff_alpha_single_corpus_shuffle(spark):
+    """One corpus shuffle to the (item,label) counts; the per-item
+    window and reduction ride the same item partitioning (no second
+    corpus-wide exchange) and the 1-row combine is not a cartesian
+    blow-up."""
+    from yaetl_spark.operators import krippendorff_alpha
+
+    rows = [(i % 50, ["x", "y", "z"][(i * 7) % 3])
+            for i in range(150)] + [(i % 50, "x") for i in range(25)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    out = krippendorff_alpha(df, "item", "label")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the AQE-final plan scans the corpus ONCE: the (item,label)
+    # partial-count exchange is reused by the marginals branch;
+    # everything downstream operates on the count table (bounded by
+    # |items|x|labels|). toString() appends the pre-AQE Initial Plan,
+    # so count inside the final section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
+    assert "ReusedExchange" in final
+
+
 def test_fk_integrity_counts(spark):
     from yaetl_spark.operators import fk_integrity
 

@@ -580,6 +580,132 @@ def fleiss_kappa(
     )
 
 
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    round_to: int = 6,
+    max_panel_sizes: int = 10_000,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric; Krippendorff 2004,
+    coincidence-matrix formulation) — the agreement statistic for the
+    panels :func:`fleiss_kappa` correctly refuses: RAGGED ones, where
+    items carry different numbers of ratings because annotators
+    abstain, time out, or arrive mid-project (the normal state of a
+    real labeling pipeline). ``df`` holds one row per rating event
+    ``(item, label)``; items with fewer than 2 ratings carry no
+    pairable values and are excluded (the statistic's own rule, not a
+    precondition). Returns ONE row ``(n_items, n_values,
+    n_categories, d_o, d_e, alpha)`` where, with ``n_uc`` the count
+    of label ``c`` on item ``u``, ``m_u = Σ_c n_uc`` and
+    ``n = Σ_u m_u`` over pairable items:
+
+    - ``d_o = (1/n) Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)`` — observed
+      disagreement, each item's cross-label rating pairs weighted by
+      its pairable mass;
+    - ``d_e = (n² − Σ_c n_c²) / (n (n − 1))`` — expected disagreement
+      from the pooled marginals ``n_c`` (pairable items only);
+    - ``alpha = 1 − d_o / d_e`` (NULL when ``d_e = 0``: a
+      single-category panel has undefined agreement, and the guard
+      keeps an ANSI session from throwing on the 0/0).
+
+    A constant-``r`` panel is just the special case where every
+    ``m_u`` is equal, so alpha and Fleiss agree asymptotically there;
+    alpha's ``(m_u − 1)`` weighting is what makes the ragged case
+    principled instead of an error.
+
+    Scale shape (100 TB): ONE corpus-scan shuffle to the
+    ``(item, label)`` count table; the per-item mass ``m_u`` comes
+    from a window over that table's own item partitioning, and the
+    downstream per-item reduction reuses the same exchange (its
+    grouping keys contain the partitioning key). The only float sum
+    crossing items, ``Σ_u A_u/(m_u − 1)``, is regrouped by the
+    integer panel size ``m`` first — integral and exact within each
+    group — then folded over the ``|distinct m|``-sized array in
+    ascending-``m`` order: a fixed-order chain, bit-deterministic and
+    SQL-replicable (the :func:`~yaetl_spark.operators.similarity.
+    reciprocal_rank_fusion` discipline), guarded by
+    ``max_panel_sizes`` against an unbounded collect. All other
+    moments stay integral (DECIMAL(38,0) past 2⁶³, the
+    :func:`fleiss_kappa` discipline) until the final divisions.
+
+    Reference parity: fab2s/yaetl has no statistics layer; this
+    extends the engine's quality battery (SURVEY §2 beyond-reference
+    block) alongside cohens_kappa/fleiss_kappa.
+    """
+    from pyspark.sql import Window
+
+    rated = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    nij = rated.groupBy(
+        F.col(item_col).alias("_it"),
+        F.col(label_col).cast("string").alias("_lb"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_it")
+    pair = nij.withColumn("_m", F.sum("_n").over(w)) \
+        .filter(F.col("_m") >= 2)
+    dec = "decimal(38,0)"
+    # per-item pairable-disagreement mass A_u = m_u² − Σ_c n_uc²,
+    # grouped by (_it, _m): the window's item partitioning satisfies
+    # the grouping's clustering, so no new exchange
+    items = pair.groupBy("_it", "_m").agg(
+        F.sum(F.col("_n").cast(dec) * F.col("_n")).alias("_s2")
+    )
+    bym = items.groupBy("_m").agg(
+        F.sum(F.col("_m").cast(dec) * F.col("_m") - F.col("_s2"))
+        .alias("_sm"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    mstats = bym.agg(
+        F.sum(F.col("_m").cast(dec) * F.col("_cnt")).alias("_nv"),
+        F.sum("_cnt").alias("_ni"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_m"), F.col("_sm")))
+        ).alias("_terms"),
+    )
+    marg = pair.groupBy("_lb").agg(F.sum("_n").alias("_nc"))
+    lstats = marg.agg(
+        F.sum(F.col("_nc").cast(dec) * F.col("_nc")).alias("_sum_nc2"),
+        F.count(F.lit(1)).alias("_ncat"),
+    )
+    one = mstats.crossJoin(lstats)
+    guarded = F.when(
+        F.size("_terms") <= F.lit(int(max_panel_sizes)), F.col("_terms")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("krippendorff_alpha: "),
+            F.size("_terms").cast("string"),
+            F.lit(f" distinct panel sizes (> max_panel_sizes="
+                  f"{max_panel_sizes}) — the item column looks "
+                  "degenerate; raise the guard only deliberately"),
+        ))
+    )
+    t = F.aggregate(
+        guarded,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["_sm"].cast("double")
+        / (x["_m"].cast("double") - F.lit(1.0)),
+    )
+    n_d = F.col("_nv").cast("double")
+    d_o = t / n_d
+    d_e = (
+        (F.col("_nv") * F.col("_nv") - F.col("_sum_nc2")).cast("double")
+        / (n_d * (n_d - F.lit(1.0)))
+    )
+    return one.filter(F.col("_ni") > 0).select(
+        F.col("_ni").cast("bigint").alias("n_items"),
+        F.col("_nv").cast("bigint").alias("n_values"),
+        F.col("_ncat").cast("int").alias("n_categories"),
+        F.round(d_o, round_to).alias("d_o"),
+        F.round(d_e, round_to).alias("d_e"),
+        F.round(
+            F.when(d_e > 0.0, F.lit(1.0) - d_o / d_e), round_to
+        ).alias("alpha"),
+    )
+
+
 def fk_integrity(
     fact: DataFrame,
     dim: DataFrame,

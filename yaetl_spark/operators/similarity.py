@@ -330,6 +330,190 @@ def kmeans_inertia(
     return float(row[0]) if row and row[0] is not None else 0.0
 
 
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    init_ids: list[int] | None = None,
+    seed: int = 42,
+    cache: bool = False,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split the
+    vector into ``m`` contiguous subspaces and run :func:`kmeans_fit`
+    independently in each — ``m`` codebooks of ``k`` centroids whose
+    cross product quantizes the space into ``k^m`` cells at the cost
+    of storing ``m·k`` short vectors. The IVF-PQ memory move: a 64-dim
+    float vector becomes ``m`` small ints, so the candidate set of an
+    ANN probe fits in a fraction of the memory and the distance math
+    drops to table lookups (:func:`pq_adc_topk`).
+
+    Deterministic like :func:`kmeans_fit` (id-ordered ``init_ids`` or
+    the xxhash64 sample; no RNG state); ``dim % m == 0`` enforced.
+    Returns ``[codebook_0, ..., codebook_{m-1}]``, each a
+    ``[(code, sub_centroid), ...]`` list.
+
+    Scale shape (100 TB): ``m`` independent kmeans_fit runs over
+    SLICES of the same rows — each iteration's shuffle carries
+    ``k × (dim/m)`` partial sums (never raw vectors), and with
+    ``cache=True`` the pruned (id, vec) projection persists once and
+    feeds every subspace's slice instead of re-scanning the source
+    ``m`` times.
+    """
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_fit: empty input")
+    dim = int(first.d)
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_fit: dim={dim} not divisible into m={m} subspaces")
+    sub = dim // m
+    work = df.select(id_col, vec_col)
+    if cache:
+        work = work.persist()
+    try:
+        books = []
+        for s in range(m):
+            sliced = work.select(
+                id_col,
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+            )
+            books.append(kmeans_fit(
+                sliced, vec_col=vec_col, id_col=id_col, k=k,
+                iters=iters, init_ids=init_ids, seed=seed,
+            ))
+    finally:
+        if cache:
+            work.unpersist()
+    return books
+
+
+def _pq_best(v, codebooks: list[list[tuple[int, list[float]]]]):
+    """Per-subspace (distance, code) struct-min columns — the
+    build_ivf_index argmin (struct ordering breaks ties to the lowest
+    code) applied to each contiguous slice of ``v``."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+
+    def sqdist(sv, cv: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                sv, cv,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bests = []
+    for s, book in enumerate(codebooks):
+        if len(book[0][1]) != sub:
+            raise ValueError("pq codebooks have unequal subspace widths")
+        sv = F.slice(v, s * sub + 1, sub)
+        ids_lit = F.expr(
+            "array(" + ",".join(str(int(c)) for c, _ in book) + ")")
+        structs = F.transform(
+            _mat_lit([[float(x) for x in cv] for _, cv in book]),
+            lambda cv, i: F.struct(
+                sqdist(sv, cv).alias("d"), F.get(ids_lit, i).alias("cell")
+            ),
+        )
+        bests.append(F.array_min(structs))
+    return bests
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    error_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode vectors against fitted PQ ``codebooks``: per subspace,
+    the nearest sub-centroid's code (squared-L2 argmin, ties to the
+    lowest code — the :func:`build_ivf_index` rule), gathered into an
+    ``array<int>`` of length ``m``. ``error_col`` optionally exposes
+    the total squared reconstruction error Σ_s min_c ‖v_s − c‖² — the
+    quantization-quality audit (rounded, fixed-order sum of the ``m``
+    subspace minima, bit-deterministic).
+
+    Scale shape (100 TB): pure scan-level arithmetic — the codebooks
+    ride in as ``m`` nested-array literals (compile-time constants, no
+    broadcast, no shuffle, no fitted state on executors). NULL vectors
+    encode to NULL.
+    """
+    v = F.col(vec_col)
+    bests = _pq_best(v, codebooks)
+    codes = F.array(*[b.getField("cell").cast("int") for b in bests])
+    out = df.withColumn(code_col, F.when(v.isNotNull(), codes))
+    if error_col is not None:
+        err = bests[0].getField("d")
+        for b in bests[1:]:
+            err = err + b.getField("d")
+        out = out.withColumn(
+            error_col, F.when(v.isNotNull(), F.round(err, round_to)))
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    top_k: int = 10,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    dist_col: str = "adc_dist",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (ADC; Jégou et al.
+    2011 §IV): precompute the ``m × k`` lookup table of squared
+    distances from the query's subvectors to every sub-centroid
+    (driver-side arithmetic on literals — sequential IEEE folds, the
+    :func:`ivf_topk` determinism rule), then score each row as the
+    fixed-order sum of ``m`` table lookups on its stored codes — the
+    raw vectors are never read, which is the entire point of PQ at
+    100 TB: the scan touches ``m`` ints per row instead of ``dim``
+    floats, and the plan is a scan + ONE global top-k
+    (TakeOrderedAndProject — no full sort, no shuffle of the corpus).
+
+    Returns the ``top_k`` rows by approximate distance ascending
+    (ties to ``id_col``) with ``dist_col`` attached.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"pq_adc_topk: query dim {len(query_vec)} != {m * sub}")
+
+    def dist(q: list[float], c: list[float]) -> float:
+        d = 0.0
+        for a, b in zip(q, c):
+            d += (float(a) - float(b)) * (float(a) - float(b))
+        return d
+
+    luts = []
+    for s, book in enumerate(codebooks):
+        q_s = query_vec[s * sub:(s + 1) * sub]
+        luts.append({int(code): dist(q_s, cv) for code, cv in book})
+    codes = F.col(code_col)
+    total = None
+    for s, lut in enumerate(luts):
+        mp = F.create_map(*[
+            x for code, d in sorted(lut.items())
+            for x in (F.lit(code), F.lit(d))
+        ])
+        term = F.element_at(mp, F.element_at(codes, s + 1))
+        total = term if total is None else total + term
+    scored = df.filter(codes.isNotNull()).withColumn(
+        dist_col, F.round(total, round_to))
+    return scored.orderBy(F.col(dist_col).asc(),
+                          F.col(id_col).asc()).limit(top_k)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
