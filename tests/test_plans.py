@@ -756,3 +756,52 @@ def test_fk_integrity_single_fact_pass(spark):
     plan = plan_of(spark, "fk_integrity")
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert plan.count("FileScan parquet") == 2  # fact + dim, once each
+
+
+def test_ngram_novelty_single_left_join(spark):
+    """Docs left-join the reference's distinct gram fingerprints ONCE
+    on fixed-width keys — no BNLJ/cartesian, exactly one join, and the
+    post-join regroup is the only additional exchange beyond the
+    join's own key exchanges (no window, no quadratic)."""
+    plan = plan_of(spark, "ngram_novelty")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, plan
+
+
+def test_random_projection_query_scan_only(spark):
+    """The driver's random_projection query is pure scan-level
+    arithmetic over compile-time planes: no Exchange at all, and the
+    projection expression stays inside whole-stage codegen."""
+    plan = plan_of(spark, "random_projection")
+    assert "Exchange" not in plan
+    assert "*(" in plan  # projection stays inside a codegen stage
+
+
+def test_pq_codes_encode_is_scan_level(spark):
+    """pq_encode against fitted codebook literals: the encode side has
+    no join (codebooks are constants, not a table) and no exchange of
+    the embeddings beyond the fit's own aggregates — the final plan is
+    scan + project."""
+    plan = plan_of(spark, "pq_codes")
+    assert "Join" not in plan
+    # encode itself never shuffles BY KEY — the only exchange is the
+    # engine's round-robin scan-spread on the single-file table
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_token_estimate_scan_only(spark):
+    """token_count_estimate is one fixed-order fold per row — the
+    driver query must stay a pure scan (no Exchange, no Generate) with
+    only text/doc_id/n_chars read."""
+    plan = plan_of(spark, "token_estimate")
+    # no key shuffle, no explode — round-robin scan-spread only
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Generate" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema

@@ -446,3 +446,112 @@ def test_shard_dedup_order_and_partition_invariant(spark):
     kb = sorted(map(tuple, b.collect()))
     assert ka == kb and ka
     assert all(x[0] < x[1] for x in ka)
+
+
+def test_krippendorff_alpha_properties(spark):
+    """Alpha is label-name-agnostic, bounded above by 1 (hit exactly at
+    perfect agreement with >1 category), and invariant to row order and
+    partitioning (the fixed ascending-m fold); adding an UNPAIRABLE
+    single-rating item never moves the statistic."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import krippendorff_alpha
+
+    rows = [(i, ["a", "b", "c"][(i * 5 + r) % 3])
+            for i in range(40) for r in range(2 + i % 3)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    base = krippendorff_alpha(df, "item", "label").first()
+    relabeled = df.withColumn(
+        "label", F.concat(F.lit("CAT_"), F.upper("label")))
+    alt = krippendorff_alpha(relabeled, "item", "label").first()
+    assert (base["d_o"], base["d_e"], base["alpha"]) == (
+        alt["d_o"], alt["d_e"], alt["alpha"])
+    shuffled = krippendorff_alpha(
+        df.orderBy(F.rand(7)).repartition(9), "item", "label").first()
+    assert tuple(shuffled) == tuple(base)
+    plus_solo = df.union(
+        spark.createDataFrame([(999, "zzz")], ["item", "label"]))
+    assert tuple(krippendorff_alpha(
+        plus_solo, "item", "label").first()) == tuple(base)
+    assert base["alpha"] is None or base["alpha"] <= 1.0
+    perfect = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 2, ["item", "label"])
+    assert krippendorff_alpha(perfect, "item", "label").first()["alpha"] \
+        == 1.0
+
+
+def test_pq_encode_translation_and_order_invariance(spark):
+    """Encoding is a per-row argmin over constants: row order and
+    partitioning cannot move codes, and translating BOTH the vectors
+    and every codebook centroid by the same offset leaves codes
+    identical (squared-L2 is translation-invariant)."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import pq_encode
+
+    books = [
+        [(0, [0.0, 1.0]), (1, [8.0, 2.0])],
+        [(0, [3.0, 3.0]), (1, [-2.0, 5.0])],
+    ]
+    rows = [(i, [float((i * 7) % 9), float((i * 5) % 11),
+                 float((i * 3) % 7), float((i * 11) % 13)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    base = {r["id"]: list(r["pq_code"]) for r in
+            pq_encode(df, books, vec_col="v").collect()}
+    shuf = {r["id"]: list(r["pq_code"]) for r in
+            pq_encode(df.orderBy(F.rand(3)).repartition(7), books,
+                      vec_col="v").collect()}
+    assert base == shuf
+    off = 4.25
+    books_t = [[(c, [x + off for x in cv]) for c, cv in b] for b in books]
+    moved = {r["id"]: list(r["pq_code"]) for r in pq_encode(
+        df.withColumn("v", F.transform("v", lambda x: x + off)),
+        books_t, vec_col="v").collect()}
+    assert base == moved
+
+
+def test_pq_adc_agrees_with_symmetric_distance_on_centroids(spark):
+    """For a query that IS a reconstruction (concatenated centroids),
+    ADC distance to a row equals the exact squared-L2 between the two
+    reconstructions — the lookup table is exact on codebook points."""
+    from yaetl_spark.operators import pq_adc_topk, pq_encode
+
+    books = [
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        [(0, [0.0, 4.0]), (1, [6.0, 0.0])],
+    ]
+    rows = [(1, [0.1, 0.0, 0.1, 3.9]),    # codes (0, 0)
+            (2, [9.9, 0.1, 5.9, 0.1])]    # codes (1, 1)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    enc = pq_encode(df, books)
+    # query = reconstruction of codes (0, 0)
+    top = pq_adc_topk(enc, books, [0.0, 0.0, 0.0, 4.0], top_k=2)
+    got = {r["vec_id"]: r["adc_dist"] for r in top.collect()}
+    assert got[1] == 0.0                      # same cell -> LUT says 0
+    # cell (1,1) reconstruction is [10,0,6,0]: d2 = 100 + (16+36)
+    assert got[2] == 100.0 + 52.0
+
+
+def test_token_count_estimate_properties(spark):
+    """Concatenating two texts with a space costs exactly the sum of
+    the parts (token classes never straddle whitespace); the estimate
+    is case-insensitive; more text never costs fewer tokens."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import token_count_estimate
+
+    rows = [(i, f"word{i} supercalifragilistic {i} ok!") for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    n = token_count_estimate(F.col("t"))
+    both = df.select(
+        (token_count_estimate(F.concat_ws(" ", "t", "t")))
+        .alias("cat"),
+        (n * 2).alias("sum2"),
+        token_count_estimate(F.upper("t")).alias("up"),
+        n.alias("one"),
+    ).collect()
+    for r in both:
+        assert r["cat"] == r["sum2"]
+        assert r["up"] == r["one"]
+        assert r["one"] > 0
