@@ -65,7 +65,11 @@ def main() -> None:
                       master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # read through the SAME scan-spread helper as q_semantic_dedup —
+    # a raw single-file read has too few input partitions and times
+    # the pair stage on a fraction of the cores (first probe run
+    # mismeasured pairs 4.4 s vs 2.6 s full for exactly this reason)
+    emb = entry_mod._t(spark, SF_DIR, "embeddings")
     materialize(emb)  # warm scan
 
     init = [0, 1, 2, 3, 4, 5, 6, 7]
