@@ -3491,6 +3491,63 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return krippendorff_alpha(rated, "item", "label")
 
 
+def q_krippendorff_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-metric Krippendorff alpha (operators/quality.py
+    krippendorff_alpha(metric='interval'), Krippendorff 2004): the
+    ragged 1-5 quality-score panel — three heuristic raters with
+    different signals and abstentions (the length rater skips short
+    docs, the stripped rater covers even doc_ids) — where a 4-vs-5
+    disagreement must cost less than 1-vs-5, which the nominal metric
+    cannot express. Same one-corpus-shuffle shape as the nominal
+    query; value moments replace label marginals."""
+    from yaetl_spark.operators import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+
+    def _score(measure: F.Column, div: int) -> F.Column:
+        return F.least(
+            F.lit(5), (F.lit(1) + F.floor(measure / F.lit(div))).cast("int")
+        )
+
+    rated = docs.select(
+        F.col("doc_id").alias("item"),
+        F.explode(F.filter(F.array(
+            _score(F.col("n_chars"), 600),
+            F.when(F.col("n_chars") >= 300,
+                   _score(F.length("text"), 580)),
+            F.when(F.col("doc_id") % 2 == 0,
+                   _score(F.length(F.replace(F.col("text"), F.lit(" "),
+                                             F.lit(""))), 500)),
+        ), lambda x: x.isNotNull())).alias("label"),
+    )
+    return krippendorff_alpha(rated, "item", "label", metric="interval")
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (operators/similarity.py ivf_pq_topk,
+    Jégou et al. 2011 IVFADC): coarse-probe the nearest cells, then
+    rank the survivors by asymmetric PQ distance over m=2 codes — the
+    100 TB ANN shape where the cell filter is partition pruning and
+    each row costs m int lookups instead of dim float multiplies.
+    Coarse centroids and codebooks share the deterministic id-ordered
+    machinery of ann_ivf and pq_codes."""
+    from yaetl_spark.operators import (build_ivf_index, ivf_pq_topk,
+                                       pq_encode, pq_fit)
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    rows = _emb_rows(spark, sf_dir, _IVF_CELLS)
+    cents = [(i, v) for i, (_, v) in enumerate(rows)]
+    qvec = next(v for vid, v in rows if vid == 1)
+    assigned, cents = build_ivf_index(emb, centroids=cents)
+    books = pq_fit(emb, m=2, k=4, iters=1, init_ids=[0, 1, 2, 3],
+                   cache=True)
+    enc = pq_encode(assigned, books)
+    top = ivf_pq_topk(enc, cents, books, qvec, k=10, nprobe=_IVF_PROBE)
+    return top.select("vec_id", "adc_dist")
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/similarity.py pq_fit /
     pq_encode, Jégou et al. 2011): fit m=2 subspace codebooks (k=4,
@@ -3864,6 +3921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "pq_codes": q_pq_codes,
         "token_estimate": q_token_estimate,
+        "krippendorff_interval": q_krippendorff_interval,
+        "ann_ivf_pq": q_ann_ivf_pq,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3878,12 +3937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 174 declared queries and 50 slots, a full re-green rotation
-# takes ceil(174/50) = 4 rounds, so the re-check staleness budget is
+# With 176 declared queries and 50 slots, a full re-green rotation
+# takes ceil(176/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50. (r12 owed: 4 a' + 28
-# boundary-(b) = 32 < 50 → growth continues with 3 new queries — the
-# r11 verdict's item-2 pick and its two item-6 candidates.)
+# boundary-(b) = 32 < 50 → growth continues with 5 new queries — the
+# r11 verdict's item-2 pick, its two item-6 candidates, and the two
+# adjacent completions below.)
 #
 # History note (r11's window, for auditing CORRECTNESS_r11 against
 # this file's git history): 6 new + 13 changed + 16 r7-boundary +
@@ -3891,12 +3951,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # where the listed block (and the arithmetic) held 15 — fixed per the
 # r11 ADVICE; the accounting itself was correct.
 #
-# This round: (a) THREE new queries (growth per the r11 verdict items
-# 2 and 6): krippendorff_alpha (ragged-panel agreement — the panels
-# fleiss_kappa correctly refuses, operators/quality.py), pq_codes
-# (product-quantization codebooks + encode toward the IVF-PQ ANN
-# stack, operators/similarity.py), token_estimate (tokenizer-aware
-# token-count estimate for packing/cost models, operators/text.py).
+# This round: (a) FIVE new queries (growth per the r11 verdict items
+# 2 and 6, plus two adjacent completions): krippendorff_alpha
+# (ragged-panel agreement — the panels fleiss_kappa correctly
+# refuses, operators/quality.py), pq_codes (product-quantization
+# codebooks + encode, operators/similarity.py), token_estimate
+# (tokenizer-aware token-count estimate for packing/cost models,
+# operators/text.py), krippendorff_interval (the interval metric for
+# numeric Likert-style panels — exact value-moment arithmetic,
+# quality.py), ann_ivf_pq (IVFADC: coarse probe + asymmetric PQ
+# distance, completing the IVF-PQ ANN stack, similarity.py).
 # (a') FOUR changed queries — the r11 ADVICE fixes touched their
 # operators: random_projection (empty-vector guard changed the
 # projection expression), score_fusion (output-collision ValueError in
@@ -3908,26 +3972,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle.py).
 # Then (b): the 28 r8-stale queries named by the r11 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 15 of the 48 r9-stale queries (alphabetical within the equally-old
-# cohort). 3 + 4 + 28 + 15 = 50, exactly full.
+# 13 of the 48 r9-stale queries (alphabetical within the equally-old
+# cohort). 5 + 4 + 28 + 13 = 50, exactly full.
 #
-# DEFERRED to r13's (b)-block (the 33 remaining r9-stale queries,
+# DEFERRED to r13's (b)-block (the 35 remaining r9-stale queries,
 # 4 rounds old at their r13 check — the staleness-budget boundary,
 # they MUST head r13's (b) after any (a)/(a')):
-#   full_join, funnel_steps, gopher_rules, grouping_sets, hash_trick,
-#   heavy_hitters, incremental_dedup, intersect, keep_latest,
-#   key_skew, kmeans_assign, ks_drift, line_dedup, mix_sources,
-#   part_promo, percentiles, pivot_counts, prospects, quality_topk,
-#   quantile_transform, retrieval_metrics, robust_outliers, scd2,
-#   score_auc, segment_overlap, source_cap, stock_value, strip_spans,
-#   target_encode, token_entropy, validation_suite, vocab_coverage,
-#   winsorize.
-# After those, r13 has ~17 slots for the r10 cohort (45 queries) —
-# r13/r14 rotate it within budget, then r14/r15 take the r11 cohort
-# (174 ≤ 200 = 4×50 keeps the whole rotation feasible).
+#   feature_scale, file_stats, full_join, funnel_steps, gopher_rules,
+#   grouping_sets, hash_trick, heavy_hitters, incremental_dedup,
+#   intersect, keep_latest, key_skew, kmeans_assign, ks_drift,
+#   line_dedup, mix_sources, part_promo, percentiles, pivot_counts,
+#   prospects, quality_topk, quantile_transform, retrieval_metrics,
+#   robust_outliers, scd2, score_auc, segment_overlap, source_cap,
+#   stock_value, strip_spans, target_encode, token_entropy,
+#   validation_suite, vocab_coverage, winsorize.
+# After those, r13 has ~15 slots for the r10 cohort (45 queries) —
+# r13/r14 rotate it within budget, then r14/r15 take the r11+r12
+# cohorts (176 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r12)
     "krippendorff_alpha", "pq_codes", "token_estimate",
+    "krippendorff_interval", "ann_ivf_pq",
     # (a') changed since last green (r11 ADVICE fixes)
     "random_projection", "score_fusion", "quantile_strata_sample",
     "shard_dedup",
@@ -3945,8 +4010,7 @@ _DRIVER_WINDOW = [
     "ann_topk", "anti_join", "basket_rules", "bm25_topk",
     "calibration_bins", "category_index", "collect_segments",
     "dup_spans", "embedding_normalize", "embedding_quantize",
-    "event_transitions", "except", "explode_tokens", "feature_scale",
-    "file_stats",
+    "event_transitions", "except", "explode_tokens",
 ]
 
 
@@ -7645,6 +7709,157 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN d_e > 0.0
                               THEN 1.0 - d_o / d_e END, 6) AS alpha
             FROM fin WHERE ni > 0
+        """,
+        "krippendorff_interval": """
+            WITH rated AS (
+                SELECT doc_id AS item,
+                       LEAST(5, CAST(1 + floor(n_chars / 600) AS INT))
+                           AS label
+                FROM documents
+                WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                UNION ALL
+                SELECT doc_id,
+                       LEAST(5, CAST(1 + floor(length(text) / 580) AS INT))
+                FROM documents
+                WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                      AND n_chars >= 300
+                UNION ALL
+                SELECT doc_id,
+                       LEAST(5, CAST(1 + floor(
+                           length(replace(text, ' ', '')) / 500) AS INT))
+                FROM documents
+                WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                      AND doc_id % 2 = 0
+            ),
+            nij AS (
+                SELECT item, label, COUNT(*) AS n
+                FROM rated GROUP BY item, label),
+            pair AS (
+                SELECT * FROM (
+                    SELECT item, label, n,
+                           SUM(n) OVER (PARTITION BY item) AS m
+                    FROM nij)
+                WHERE m >= 2),
+            items AS (
+                SELECT item, m,
+                       SUM(CAST(n AS HUGEINT) * label) AS s1,
+                       SUM(CAST(n AS HUGEINT) * label * label) AS s2
+                FROM pair GROUP BY item, m),
+            ia AS (
+                SELECT item, m,
+                       2 * (CAST(m AS HUGEINT) * s2 - s1 * s1) AS a
+                FROM items),
+            bym AS (
+                SELECT m, SUM(a) AS sm, COUNT(*) AS cnt
+                FROM ia GROUP BY m),
+            mst AS (
+                SELECT SUM(CAST(m AS HUGEINT) * cnt) AS nv,
+                       SUM(cnt) AS ni,
+                       list(CAST(sm AS DOUBLE) / (m - 1) ORDER BY m)
+                           AS terms
+                FROM bym),
+            lst AS (
+                SELECT SUM(CAST(n AS HUGEINT) * label) AS t1,
+                       SUM(CAST(n AS HUGEINT) * label * label) AS t2,
+                       COUNT(DISTINCT label) AS ncat
+                FROM pair),
+            fin AS (
+                SELECT ni, nv, ncat,
+                       list_reduce(list_prepend(0.0, terms),
+                                   (a, b) -> a + b)
+                           / CAST(nv AS DOUBLE) AS d_o,
+                       CAST(2 * (nv * t2 - t1 * t1) AS DOUBLE)
+                           / (CAST(nv AS DOUBLE) * (nv - 1.0)) AS d_e
+                FROM mst, lst)
+            SELECT CAST(ni AS BIGINT) AS n_items,
+                   CAST(nv AS BIGINT) AS n_values,
+                   CAST(ncat AS INT) AS n_categories,
+                   round(d_o, 6) AS d_o,
+                   round(d_e, 6) AS d_e,
+                   round(CASE WHEN d_e > 0.0
+                              THEN 1.0 - d_o / d_e END, 6) AS alpha
+            FROM fin WHERE ni > 0
+        """,
+        "ann_ivf_pq": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM emb WHERE vec_id < {_IVF_CELLS}
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 1),
+            dists AS (
+                SELECT e.vec_id, c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                           (a, b) -> a + b) AS d
+                FROM emb e CROSS JOIN cents c
+            ),
+            coarse AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cell) AS rk
+                    FROM dists
+                ) WHERE rk = 1
+            ),
+            probe AS (
+                SELECT c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(c.c) + 1),
+                                   i -> (c.c[i] - q.qv[i]) * (c.c[i] - q.qv[i]))),
+                           (a, b) -> a + b) AS d
+                FROM cents c CROSS JOIN q
+                ORDER BY d, c.cell LIMIT {_IVF_PROBE}
+            ),
+            s0 AS (SELECT vec_id, v[1:32] AS v FROM emb),
+            s1 AS (SELECT vec_id, v[33:64] AS v FROM emb),
+            c0_0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM s0 WHERE vec_id < 4
+            ),
+            c0_1 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM s1 WHERE vec_id < 4
+            ),{_km_iter_sql("c0_0", "a1_0", "c1_0", tbl="s0", dim=32)},
+            {_km_assign_sql("c1_0", "a2_0", tbl="s0", dim=32)},
+            {_km_iter_sql("c0_1", "a1_1", "c1_1", tbl="s1", dim=32)},
+            {_km_assign_sql("c1_1", "a2_1", tbl="s1", dim=32)},
+            lut0 AS (
+                SELECT c.cell,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 33),
+                               i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))),
+                           (x, y) -> x + y) AS d
+                FROM c1_0 c CROSS JOIN q
+            ),
+            lut1 AS (
+                SELECT c.cell,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 33),
+                               i -> (q.qv[32 + i] - c.c[i])
+                                    * (q.qv[32 + i] - c.c[i]))),
+                           (x, y) -> x + y) AS d
+                FROM c1_1 c CROSS JOIN q
+            )
+            SELECT e.vec_id, round(l0.d + l1.d, 6) AS adc_dist
+            FROM emb e
+            JOIN coarse a ON a.vec_id = e.vec_id
+            JOIN probe p ON p.cell = a.cell
+            JOIN a2_0 p0 ON p0.vec_id = e.vec_id
+            JOIN a2_1 p1 ON p1.vec_id = e.vec_id
+            JOIN lut0 l0 ON l0.cell = p0.cell
+            JOIN lut1 l1 ON l1.cell = p1.cell
+            ORDER BY adc_dist ASC, e.vec_id ASC
+            LIMIT 10
         """,
         "pq_codes": f"""
             WITH emb AS (

@@ -1043,6 +1043,43 @@ def test_pq_fit_and_adc_topk(spark):
         pq_fit(df, m=3, k=2, iters=1, init_ids=[0, 1])
 
 
+def test_ivf_pq_topk_prunes_and_ranks(spark):
+    """IVFADC: rows outside the probed coarse cells never appear even
+    if their ADC distance is small; within the probe set, ranking is
+    by LUT distance with id tie-break, and the plan is a pruned scan +
+    one global top-k (no shuffle, no join)."""
+    from yaetl_spark.operators import (build_ivf_index, ivf_pq_topk,
+                                       pq_encode)
+
+    # two coarse cells far apart in the first two dims
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [100.0, 100.0, 0.0, 0.0])]
+    books = [
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])],
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0])],
+    ]
+    rows = [(1, [0.1, 0.0, 0.0, 0.0]),
+            (2, [0.2, 0.0, 5.0, 0.0]),
+            (3, [99.9, 99.9, 0.0, 0.0])]   # near the query in PQ terms
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    assigned, _ = build_ivf_index(df, centroids=cents)
+    enc = pq_encode(assigned, books)
+    top = ivf_pq_topk(enc, cents, books, [0.0, 0.0, 0.0, 0.0],
+                      k=3, nprobe=1)
+    got = [(r["vec_id"], r["adc_dist"]) for r in top.collect()]
+    # nprobe=1 probes cell 0 only: vec 3 is EXCLUDED despite any score
+    assert [v for v, _ in got] == [1, 2]
+    # ADC: vec 1 codes (0,0) -> 0.0; vec 2 codes (0,1) -> 25.0
+    assert got[0] == (1, 0.0) and got[1] == (2, 25.0)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # nprobe=2 admits the far cell
+    all3 = ivf_pq_topk(enc, cents, books, [0.0, 0.0, 0.0, 0.0],
+                       k=3, nprobe=2)
+    assert {r["vec_id"] for r in all3.collect()} == {1, 2, 3}
+
+
 def test_token_count_estimate_bounds_and_edges(spark):
     """vocab_permille=1000 -> every word is 1 token (count == token
     count); =0 -> every word longer than short_len costs

@@ -528,6 +528,69 @@ def test_krippendorff_alpha_edges_and_guards(spark):
             max_panel_sizes=5).collect()
 
 
+def test_krippendorff_alpha_interval_known_value(spark):
+    """Hand-computed interval alpha: item A rates [1,2,4] (m=3), item
+    B [2,2] (m=2), item C [5] excluded (m=1). A_A = 2(3*21-49) = 28,
+    /2 = 14; A_B = 0 -> d_o = 14/5 = 2.8. Pairable value moments
+    T1 = 11, T2 = 29 -> d_e = 2(5*29-121)/20 = 2.4;
+    alpha = 1 - 2.8/2.4 = -1/6."""
+    from yaetl_spark.operators import krippendorff_alpha
+
+    rows = [("A", 1), ("A", 2), ("A", 4), ("B", 2), ("B", 2), ("C", 5)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = krippendorff_alpha(df, "item", "label", metric="interval").first()
+    assert (r["n_items"], r["n_values"], r["n_categories"]) == (2, 5, 3)
+    assert r["d_o"] == 2.8 and r["d_e"] == 2.4
+    assert r["alpha"] == round(-1 / 6, 6)
+    # adjacent disagreement must cost less than distant disagreement
+    near = spark.createDataFrame(
+        [(1, 4), (1, 5), (2, 4), (2, 5)], ["item", "label"])
+    far = spark.createDataFrame(
+        [(1, 1), (1, 5), (2, 1), (2, 5)], ["item", "label"])
+    a_near = krippendorff_alpha(
+        near, "item", "label", metric="interval").first()
+    a_far = krippendorff_alpha(
+        far, "item", "label", metric="interval").first()
+    # same structure -> same alpha, but observed disagreement scales
+    # with the squared gap (1 vs 16)
+    assert a_near["d_o"] < a_far["d_o"]
+    # perfect agreement across distinct values -> alpha exactly 1
+    perf = spark.createDataFrame(
+        [(1, 3), (1, 3), (2, 5), (2, 5), (2, 5)], ["item", "label"])
+    assert krippendorff_alpha(
+        perf, "item", "label", metric="interval").first()["alpha"] == 1.0
+
+
+def test_krippendorff_alpha_interval_guards_and_binary_equivalence(spark):
+    """Fractional ratings raise in-plan; with BINARY labels the squared
+    difference IS the identity metric, so interval and nominal alpha
+    coincide exactly — a cross-metric consistency check."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import krippendorff_alpha
+
+    frac = spark.createDataFrame(
+        [(1, 1.0), (1, 2.5), (2, 1.0), (2, 2.0)], ["item", "label"])
+    with _pt.raises(Exception, match="non-integer rating"):
+        krippendorff_alpha(
+            frac, "item", "label", metric="interval").collect()
+    with _pt.raises(ValueError, match="metric"):
+        krippendorff_alpha(frac, "item", "label", metric="ratio")
+    # integral-valued doubles are fine
+    ok = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 1.0), (2, 1.0)], ["item", "label"])
+    assert krippendorff_alpha(
+        ok, "item", "label", metric="interval").first()["n_values"] == 4
+    binary = spark.createDataFrame(
+        [(i, (i * 7 + r) % 2) for i in range(30) for r in range(2 + i % 2)],
+        ["item", "label"])
+    ni = krippendorff_alpha(binary, "item", "label").first()
+    iv = krippendorff_alpha(
+        binary, "item", "label", metric="interval").first()
+    assert (ni["d_o"], ni["d_e"], ni["alpha"]) == (
+        iv["d_o"], iv["d_e"], iv["alpha"])
+
+
 def test_krippendorff_alpha_single_corpus_shuffle(spark):
     """One corpus shuffle to the (item,label) counts; the per-item
     window and reduction ride the same item partitioning (no second

@@ -586,6 +586,7 @@ def krippendorff_alpha(
     label_col: str,
     round_to: int = 6,
     max_panel_sizes: int = 10_000,
+    metric: str = "nominal",
 ) -> DataFrame:
     """Krippendorff's alpha (nominal metric; Krippendorff 2004,
     coincidence-matrix formulation) — the agreement statistic for the
@@ -614,6 +615,17 @@ def krippendorff_alpha(
     alpha's ``(m_u − 1)`` weighting is what makes the ragged case
     principled instead of an error.
 
+    ``metric="interval"`` scores NUMERIC ratings with the squared
+    difference ``δ(c,k) = (c−k)²`` instead of identity — the right
+    statistic for Likert scales and numeric quality scores, where a
+    4-vs-5 disagreement should cost less than 1-vs-5. Ratings must be
+    integral (enforced in-plan; scale fractional grids up, e.g.
+    half-points × 2) so every moment stays exact: per item
+    ``Σ_{c,k} n_uc n_uk (c−k)² = 2(m_u·S2_u − S1_u²)`` from the count
+    table's value moments, and the marginal term
+    ``2(n·T2 − T1²)`` likewise — both integral until the final
+    divisions, same fixed-order fold across panel sizes.
+
     Scale shape (100 TB): ONE corpus-scan shuffle to the
     ``(item, label)`` count table; the per-item mass ``m_u`` comes
     from a window over that table's own item partitioning, and the
@@ -635,26 +647,63 @@ def krippendorff_alpha(
     """
     from pyspark.sql import Window
 
+    if metric not in ("nominal", "interval"):
+        raise ValueError("metric must be 'nominal' or 'interval'")
     rated = df.filter(
         F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
     )
+    if metric == "interval":
+        # numeric, INTEGRAL ratings only — the exact-moment discipline
+        # needs integer values (fail loud on fractional grids; scale
+        # half-points up by 2 at the caller)
+        lb = F.when(
+            F.col(label_col).cast("bigint").cast("double")
+            == F.col(label_col).cast("double"),
+            F.col(label_col).cast("bigint"),
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit("krippendorff_alpha(metric='interval'): "
+                      "non-integer rating "),
+                F.col(label_col).cast("string"),
+                F.lit(" — scale the grid to integers first"),
+            ))
+        )
+    else:
+        lb = F.col(label_col).cast("string")
     nij = rated.groupBy(
         F.col(item_col).alias("_it"),
-        F.col(label_col).cast("string").alias("_lb"),
+        lb.alias("_lb"),
     ).agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy("_it")
     pair = nij.withColumn("_m", F.sum("_n").over(w)) \
         .filter(F.col("_m") >= 2)
     dec = "decimal(38,0)"
-    # per-item pairable-disagreement mass A_u = m_u² − Σ_c n_uc²,
-    # grouped by (_it, _m): the window's item partitioning satisfies
-    # the grouping's clustering, so no new exchange
-    items = pair.groupBy("_it", "_m").agg(
-        F.sum(F.col("_n").cast(dec) * F.col("_n")).alias("_s2")
-    )
+    # per-item pairable-disagreement mass A_u, grouped by (_it, _m):
+    # the window's item partitioning satisfies the grouping's
+    # clustering, so no new exchange.
+    #   nominal:  A_u = m_u² − Σ_c n_uc²
+    #   interval: A_u = Σ_{c,k} n_uc n_uk (c−k)² = 2(m_u·S2_u − S1_u²)
+    if metric == "interval":
+        items = pair.groupBy("_it", "_m").agg(
+            F.sum(F.col("_n").cast(dec) * F.col("_lb")).alias("_s1"),
+            F.sum(F.col("_n").cast(dec) * F.col("_lb") * F.col("_lb"))
+            .alias("_s2"),
+        ).select(
+            "_it", "_m",
+            (F.lit(2).cast(dec)
+             * (F.col("_m").cast(dec) * F.col("_s2")
+                - F.col("_s1") * F.col("_s1"))).alias("_a"),
+        )
+    else:
+        items = pair.groupBy("_it", "_m").agg(
+            F.sum(F.col("_n").cast(dec) * F.col("_n")).alias("_s2")
+        ).select(
+            "_it", "_m",
+            (F.col("_m").cast(dec) * F.col("_m") - F.col("_s2"))
+            .alias("_a"),
+        )
     bym = items.groupBy("_m").agg(
-        F.sum(F.col("_m").cast(dec) * F.col("_m") - F.col("_s2"))
-        .alias("_sm"),
+        F.sum("_a").alias("_sm"),
         F.count(F.lit(1)).alias("_cnt"),
     )
     mstats = bym.agg(
@@ -664,11 +713,23 @@ def krippendorff_alpha(
             F.collect_list(F.struct(F.col("_m"), F.col("_sm")))
         ).alias("_terms"),
     )
-    marg = pair.groupBy("_lb").agg(F.sum("_n").alias("_nc"))
-    lstats = marg.agg(
-        F.sum(F.col("_nc").cast(dec) * F.col("_nc")).alias("_sum_nc2"),
-        F.count(F.lit(1)).alias("_ncat"),
-    )
+    # expected-disagreement marginals over pairable ratings only:
+    #   nominal:  Σ_c n_c²            (label-keyed small groupBy)
+    #   interval: 2(n·T2 − T1²) from the pooled value moments T1/T2
+    if metric == "interval":
+        lstats = pair.agg(
+            F.sum(F.col("_n").cast(dec) * F.col("_lb")).alias("_t1"),
+            F.sum(F.col("_n").cast(dec) * F.col("_lb") * F.col("_lb"))
+            .alias("_t2"),
+            F.count_distinct(F.col("_lb")).alias("_ncat"),
+        )
+    else:
+        marg = pair.groupBy("_lb").agg(F.sum("_n").alias("_nc"))
+        lstats = marg.agg(
+            F.sum(F.col("_nc").cast(dec) * F.col("_nc"))
+            .alias("_sum_nc2"),
+            F.count(F.lit(1)).alias("_ncat"),
+        )
     one = mstats.crossJoin(lstats)
     guarded = F.when(
         F.size("_terms") <= F.lit(int(max_panel_sizes)), F.col("_terms")
@@ -690,10 +751,14 @@ def krippendorff_alpha(
     )
     n_d = F.col("_nv").cast("double")
     d_o = t / n_d
-    d_e = (
-        (F.col("_nv") * F.col("_nv") - F.col("_sum_nc2")).cast("double")
-        / (n_d * (n_d - F.lit(1.0)))
-    )
+    if metric == "interval":
+        d_e_num = (
+            F.lit(2).cast(dec)
+            * (F.col("_nv") * F.col("_t2") - F.col("_t1") * F.col("_t1"))
+        )
+    else:
+        d_e_num = F.col("_nv") * F.col("_nv") - F.col("_sum_nc2")
+    d_e = d_e_num.cast("double") / (n_d * (n_d - F.lit(1.0)))
     return one.filter(F.col("_ni") > 0).select(
         F.col("_ni").cast("bigint").alias("n_items"),
         F.col("_nv").cast("bigint").alias("n_values"),

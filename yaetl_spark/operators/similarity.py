@@ -514,6 +514,54 @@ def pq_adc_topk(
                           F.col(id_col).asc()).limit(top_k)
 
 
+def ivf_pq_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 8,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    dist_col: str = "adc_dist",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011 §V — the IVFADC
+    system): coarse-probe the ``nprobe`` cells nearest the query
+    (:func:`ivf_topk`'s driver-side centroid scan), then rank ONLY the
+    surviving rows by asymmetric PQ distance (:func:`pq_adc_topk`) —
+    never touching the raw vectors. ``assigned`` carries both the
+    ``_cell`` column (:func:`build_ivf_index`) and the PQ codes
+    (:func:`pq_encode`).
+
+    This is the memory-bandwidth shape ANN runs at 100 TB: with the
+    table written ``partitionBy('_cell')`` the cell filter is
+    partition PRUNING (nprobe/num_cells of the scan), and each scanned
+    row costs ``m`` int lookups instead of ``dim`` float multiplies —
+    the two cuts compose multiplicatively. Plan: pruned scan + ONE
+    global top-k (TakeOrderedAndProject), no shuffle, no join.
+    """
+    def dist(c: list[float]) -> float:
+        # sequential IEEE fold — the ivf_topk determinism rule
+        d = 0.0
+        for a, b in zip(c, query_vec):
+            d += (a - b) * (a - b)
+        return d
+
+    probe = sorted(centroids, key=lambda ic: dist(ic[1]))[:nprobe]
+    cells = [i for i, _ in probe]
+    return pq_adc_topk(
+        assigned.filter(F.col("_cell").isin(cells)),
+        codebooks,
+        query_vec,
+        top_k=k,
+        code_col=code_col,
+        id_col=id_col,
+        dist_col=dist_col,
+        round_to=round_to,
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
