@@ -794,6 +794,30 @@ def test_pq_codes_encode_is_scan_level(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_krippendorff_interval_single_corpus_scan(spark):
+    """Interval metric keeps the nominal shape: ONE corpus scan (the
+    (item,label) partial-count exchange reused by the value-moment
+    branch), no cartesian blow-up in the 1-row combine."""
+    df = entry_mod.queries()["krippendorff_interval"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final
+
+
+def test_ann_ivf_pq_pruned_scan_topk(spark):
+    """IVFADC: the probed-cell filter + ADC rank is a single pruned
+    scan into one global top-k — no join, no key shuffle; the raw
+    vectors never feed the distance (codes only)."""
+    plan = plan_of(spark, "ann_ivf_pq")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_token_estimate_scan_only(spark):
     """token_count_estimate is one fixed-order fold per row — the
     driver query must stay a pure scan (no Exchange, no Generate) with
