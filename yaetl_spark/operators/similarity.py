@@ -356,13 +356,20 @@ def pq_fit(
     Returns ``[codebook_0, ..., codebook_{m-1}]``, each a
     ``[(code, sub_centroid), ...]`` list.
 
-    Scale shape (100 TB): ``m`` independent kmeans_fit runs over
-    SLICES of the same rows — each iteration's shuffle carries
-    ``k × (dim/m)`` partial sums (never raw vectors), and with
-    ``cache=True`` the pruned (id, vec) projection persists once and
-    feeds every subspace's slice instead of re-scanning the source
-    ``m`` times.
+    Scale shape (100 TB): the ``m`` subspace fits are FUSED — every
+    Lloyd's iteration is ONE corpus pass that assigns all ``m``
+    subspaces in the same narrow map and aggregates all update sums in
+    one ``(subspace, cell, dim)``-keyed shuffle of ``k × dim`` partial
+    sums (raw vectors never shuffle). An unfused per-subspace loop
+    would re-scan the corpus ``m`` times per iteration. Values are
+    identical to the per-subspace fit: the assignment rule is the same
+    slice argmin (ties to the lowest code) and the centroid update is
+    the same 1e-9 grid-snapped mean (:func:`kmeans_fit`'s convention,
+    which also absorbs partial-sum order), so the SQL oracle's
+    per-subspace unrolled CTEs still match bit-for-bit.
     """
+    import math as _math
+
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("pq_fit: empty input")
@@ -371,20 +378,69 @@ def pq_fit(
         raise ValueError(
             f"pq_fit: dim={dim} not divisible into m={m} subspaces")
     sub = dim // m
+    base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    if init_ids is not None:
+        rows = base.filter(F.col("cid").isin(list(init_ids))) \
+            .orderBy("cid").collect()
+    else:
+        rows = (
+            base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
+            .limit(k)
+            .collect()
+        )
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_fit: only {len(rows)} init vectors for k={k}")
+    books = [
+        [(i, [float(x) for x in r.cvec[s * sub:(s + 1) * sub]])
+         for i, r in enumerate(rows)]
+        for s in range(m)
+    ]
     work = df.select(id_col, vec_col)
     if cache:
         work = work.persist()
     try:
-        books = []
-        for s in range(m):
-            sliced = work.select(
-                id_col,
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        for _ in range(iters):
+            bests = _pq_best(F.col(vec_col), books)
+            cells = F.array(*[b.getField("cell") for b in bests])
+            sums = (
+                work.withColumn("_cells", cells)
+                .select(
+                    "_cells",
+                    F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+                )
+                .select(
+                    F.floor(F.col("_i") / F.lit(sub)).cast("int")
+                    .alias("_s"),
+                    F.element_at(
+                        "_cells",
+                        F.floor(F.col("_i") / F.lit(sub)).cast("int")
+                        + F.lit(1),
+                    ).alias("_cell"),
+                    "_i",
+                    "_x",
+                )
+                .groupBy("_s", "_cell", "_i")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.col("_x").cast("double")).alias("_sum"),
+                )
+                .collect()
             )
-            books.append(kmeans_fit(
-                sliced, vec_col=vec_col, id_col=id_col, k=k,
-                iters=iters, init_ids=init_ids, seed=seed,
-            ))
+            acc: dict[tuple[int, int], dict[int, float]] = {}
+            for r in sums:
+                acc.setdefault((r._s, r._cell), {})[r._i - r._s * sub] = (
+                    _math.floor(r._sum / r._n * 1e9 + 0.5) / 1e9
+                )
+            books = [
+                [
+                    (cell,
+                     [acc[(s, cell)][i] for i in range(sub)]
+                     if (s, cell) in acc else cv)  # empty cell: keep
+                    for cell, cv in book
+                ]
+                for s, book in enumerate(books)
+            ]
     finally:
         if cache:
             work.unpersist()
