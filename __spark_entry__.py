@@ -3548,6 +3548,23 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "adc_dist")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data
+    (operators/similarity.py hard_negative_mining): per anchor, the 3
+    highest-cosine same-cluster candidates in the [0.2, 0.45) band —
+    informative negatives below the near-dup cut. Same deterministic
+    k-means bucketing as semantic_dedup (quadratic only within a
+    cell); the per-anchor top-n is one anchor-keyed window over the
+    band-filtered pairs."""
+    from yaetl_spark.operators import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb, lo=0.2, hi=0.45, per_anchor=3, k=8, iters=2,
+        init_ids=[0, 1, 2, 3, 4, 5, 6, 7],
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/similarity.py pq_fit /
     pq_encode, Jégou et al. 2011): fit m=2 subspace codebooks (k=4,
@@ -3923,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_estimate": q_token_estimate,
         "krippendorff_interval": q_krippendorff_interval,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "hard_negatives": q_hard_negatives,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3937,12 +3955,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 176 declared queries and 50 slots, a full re-green rotation
-# takes ceil(176/50) = 4 rounds, so the re-check staleness budget is
+# With 177 declared queries and 50 slots, a full re-green rotation
+# takes ceil(177/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50. (r12 owed: 4 a' + 28
-# boundary-(b) = 32 < 50 → growth continues with 5 new queries — the
-# r11 verdict's item-2 pick, its two item-6 candidates, and the two
+# boundary-(b) = 32 < 50 → growth continues with 6 new queries — the
+# r11 verdict's item-2 pick, its two item-6 candidates, and the three
 # adjacent completions below.)
 #
 # History note (r11's window, for auditing CORRECTNESS_r11 against
@@ -3951,7 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # where the listed block (and the arithmetic) held 15 — fixed per the
 # r11 ADVICE; the accounting itself was correct.
 #
-# This round: (a) FIVE new queries (growth per the r11 verdict items
+# This round: (a) SIX new queries (growth per the r11 verdict items
 # 2 and 6, plus two adjacent completions): krippendorff_alpha
 # (ragged-panel agreement — the panels fleiss_kappa correctly
 # refuses, operators/quality.py), pq_codes (product-quantization
@@ -3960,7 +3978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # operators/text.py), krippendorff_interval (the interval metric for
 # numeric Likert-style panels — exact value-moment arithmetic,
 # quality.py), ann_ivf_pq (IVFADC: coarse probe + asymmetric PQ
-# distance, completing the IVF-PQ ANN stack, similarity.py).
+# distance, completing the IVF-PQ ANN stack, similarity.py),
+# hard_negatives (contrastive hard-negative mining in a cosine band,
+# the semantic_dedup bucketing reused anchor-side, similarity.py).
 # (a') FOUR changed queries — the r11 ADVICE fixes touched their
 # operators: random_projection (empty-vector guard changed the
 # projection expression), score_fusion (output-collision ValueError in
@@ -3972,13 +3992,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle.py).
 # Then (b): the 28 r8-stale queries named by the r11 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 13 of the 48 r9-stale queries (alphabetical within the equally-old
-# cohort). 5 + 4 + 28 + 13 = 50, exactly full.
+# 12 of the 48 r9-stale queries (alphabetical within the equally-old
+# cohort). 6 + 4 + 28 + 12 = 50, exactly full.
 #
-# DEFERRED to r13's (b)-block (the 35 remaining r9-stale queries,
+# DEFERRED to r13's (b)-block (the 36 remaining r9-stale queries,
 # 4 rounds old at their r13 check — the staleness-budget boundary,
 # they MUST head r13's (b) after any (a)/(a')):
-#   feature_scale, file_stats, full_join, funnel_steps, gopher_rules,
+#   explode_tokens, feature_scale, file_stats, full_join,
+#   funnel_steps, gopher_rules,
 #   grouping_sets, hash_trick, heavy_hitters, incremental_dedup,
 #   intersect, keep_latest, key_skew, kmeans_assign, ks_drift,
 #   line_dedup, mix_sources, part_promo, percentiles, pivot_counts,
@@ -3988,11 +4009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   validation_suite, vocab_coverage, winsorize.
 # After those, r13 has ~15 slots for the r10 cohort (45 queries) —
 # r13/r14 rotate it within budget, then r14/r15 take the r11+r12
-# cohorts (176 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# cohorts (177 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r12)
     "krippendorff_alpha", "pq_codes", "token_estimate",
-    "krippendorff_interval", "ann_ivf_pq",
+    "krippendorff_interval", "ann_ivf_pq", "hard_negatives",
     # (a') changed since last green (r11 ADVICE fixes)
     "random_projection", "score_fusion", "quantile_strata_sample",
     "shard_dedup",
@@ -4010,7 +4031,7 @@ _DRIVER_WINDOW = [
     "ann_topk", "anti_join", "basket_rules", "bm25_topk",
     "calibration_bins", "category_index", "collect_segments",
     "dup_spans", "embedding_normalize", "embedding_quantize",
-    "event_transitions", "except", "explode_tokens",
+    "event_transitions", "except",
 ]
 
 
@@ -6397,6 +6418,37 @@ def oracle_sql() -> dict[str, str]:
             FROM emb e
             WHERE NOT EXISTS (
                 SELECT 1 FROM losers l WHERE l.vec_id = e.vec_id)
+        """,
+        "hard_negatives": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+                FROM emb WHERE vec_id < 8
+            ),{_km_iter_sql("c0", "a1", "c1")},{_km_iter_sql("c1", "a2", "c2")},{_km_assign_sql("c2", "a3")},
+            banded AS (
+                SELECT x.vec_id AS anchor, y.vec_id AS negative,
+                       round(list_cosine_similarity(ex.v, ey.v), 6)
+                           AS cosine
+                FROM a3 x
+                JOIN a3 y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+                JOIN emb ex ON ex.vec_id = x.vec_id
+                JOIN emb ey ON ey.vec_id = y.vec_id
+                WHERE round(list_cosine_similarity(ex.v, ey.v), 6) >= 0.2
+                  AND round(list_cosine_similarity(ex.v, ey.v), 6) < 0.45
+            )
+            SELECT anchor, negative, cosine,
+                   CAST(neg_rank AS INT) AS neg_rank
+            FROM (
+                SELECT anchor, negative, cosine,
+                       row_number() OVER (PARTITION BY anchor
+                                          ORDER BY cosine DESC,
+                                                   negative ASC)
+                           AS neg_rank
+                FROM banded)
+            WHERE neg_rank <= 3
         """,
         "embedding_lsh": _embedding_lsh_sql(),
         "minhash_neardup": _minhash_sql(),

@@ -1080,6 +1080,45 @@ def test_ivf_pq_topk_prunes_and_ranks(spark):
     assert {r["vec_id"] for r in all3.collect()} == {1, 2, 3}
 
 
+def test_hard_negative_mining_band_and_rank(spark):
+    """Band semantics: near-dups (cosine >= hi) and easy negatives
+    (< lo) are excluded; survivors rank per anchor by cosine desc with
+    id tie-break; per_anchor caps the fan-out; cross-cell candidates
+    never pair. Both directions of a pair appear (anchor-centric)."""
+    from yaetl_spark.operators import hard_negative_mining
+
+    # cell 0 anchor family: v1 ~ v2 (near-dup), v1 vs v3 moderate,
+    # v1 vs v4 orthogonal; v5 sits in the other cell
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])]
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),     # cos(1,2) ~ 0.9999 -> >= hi, out
+        (3, [0.5, 0.86, 0.0]),       # cos(1,3) ~ 0.5 -> in band
+        (4, [0.0, 1.0, 0.0]),        # cos(1,4) = 0 -> < lo, out
+        (5, [0.4, 0.65, 0.1]),       # cos(1,5) ~ 0.52 in band
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = hard_negative_mining(
+        df, lo=0.3, hi=0.95, per_anchor=2, centroids=cents)
+    got = {(r["anchor"], r["negative"]): (r["cosine"], r["neg_rank"])
+           for r in out.collect()}
+    # anchor 1: 5 (cos ~.520) outranks 3 (cos ~.503); 2 excluded as a
+    # near-dup, 4 excluded as orthogonal
+    assert got[(1, 5)][1] == 1 and got[(1, 3)][1] == 2
+    assert all(n not in (2, 4) for a, n in got if a == 1)
+    # anchor-centric both ways: 3's own list is ranked from ITS view
+    # (4 at ~.865 leads) and the per_anchor=2 cut drops 1 and 5
+    assert got[(3, 4)][1] == 1 and (3, 1) not in got
+    # band bounds hold everywhere (rounded cosine in [lo, hi))
+    assert all(0.3 <= c < 0.95 for c, _ in got.values())
+    # per_anchor cap respected
+    from collections import Counter
+    assert max(Counter(a for a, _ in got).values()) <= 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lo"):
+        hard_negative_mining(df, lo=0.9, hi=0.5, centroids=cents)
+
+
 def test_token_count_estimate_bounds_and_edges(spark):
     """vocab_permille=1000 -> every word is 1 token (count == token
     count); =0 -> every word longer than short_len costs

@@ -818,6 +818,18 @@ def test_ann_ivf_pq_pruned_scan_topk(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_hard_negatives_cell_bucketed_pair_join(spark):
+    """The pair compare is cell-bucketed (equi join on the cluster id,
+    never a cartesian/BNLJ over the corpus) with norms hoisted per ROW
+    before the join; the per-anchor top-n is a window, not a global
+    sort."""
+    plan = plan_of(spark, "hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_token_estimate_scan_only(spark):
     """token_count_estimate is one fixed-order fold per row — the
     driver query must stay a pure scan (no Exchange, no Generate) with

@@ -570,6 +570,89 @@ def pq_adc_topk(
                           F.col(id_col).asc()).limit(top_k)
 
 
+def hard_negative_mining(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lo: float = 0.5,
+    hi: float = 0.95,
+    per_anchor: int = 5,
+    k: int = 8,
+    iters: int = 2,
+    init_ids: list[int] | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the
+    in-batch-negatives upgrade used by dense-retriever pipelines, e.g.
+    DPR/ANCE-style training): for every anchor vector, the
+    ``per_anchor`` highest-cosine candidates whose rounded similarity
+    lies in ``[lo, hi)`` — similar enough to be informative, below the
+    near-duplicate band that :func:`semantic_dedup` would drop (a
+    near-dup used as a negative poisons the loss). Returns
+    ``(anchor, negative, cosine, neg_rank)`` with deterministic
+    ordering (cosine desc, negative id asc — same rounded-cosine
+    convention as the dedup stack).
+
+    Scale shape (100 TB): candidates come from the SAME k-means cell
+    as the anchor (the :func:`semantic_dedup` bucketing — quadratic
+    only within a cell, raw vectors never shuffle for the fit), norms
+    are hoisted per row before the self-join, and the per-anchor
+    top-n is one anchor-keyed window over the band-filtered pairs
+    (band selectivity, not cell size, bounds the exchange). Pass
+    precomputed ``centroids`` to reuse one fit across band sweeps.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 <= lo < hi):
+        raise ValueError("need 0 <= lo < hi")
+    if per_anchor < 1:
+        raise ValueError("per_anchor must be >= 1")
+    if centroids is None:
+        cents = kmeans_fit(
+            df, k=k, iters=iters, init_ids=init_ids,
+            vec_col=vec_col, id_col=id_col, cache=True,
+        )
+    else:
+        cents = centroids
+    assigned, _ = build_ivf_index(
+        df, centroids=cents, vec_col=vec_col, id_col=id_col
+    )
+    sides = assigned.select(
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_svec"),
+        norm(F.col(vec_col)).alias("_snorm"),
+        "_cell",
+    )
+    a, b = sides.alias("_a"), sides.alias("_b")
+    denom = F.col("_a._snorm") * F.col("_b._snorm")
+    cos = F.round(
+        F.when(denom == 0, F.lit(0.0)).otherwise(
+            dot_product(F.col("_a._svec"), F.col("_b._svec")) / denom
+        ),
+        round_to,
+    )
+    banded = (
+        a.join(
+            b,
+            (F.col("_a._cell") == F.col("_b._cell"))
+            & (F.col("_a._sid") != F.col("_b._sid")),
+        )
+        .select(
+            F.col("_a._sid").alias("anchor"),
+            F.col("_b._sid").alias("negative"),
+            cos.alias("cosine"),
+        )
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("cosine").desc(), F.col("negative").asc()
+    )
+    return banded.withColumn(
+        "neg_rank", F.row_number().over(w)
+    ).filter(F.col("neg_rank") <= per_anchor)
+
+
 def ivf_pq_topk(
     assigned: DataFrame,
     centroids: list[tuple[int, list[float]]],
