@@ -7962,8 +7962,8 @@ def oracle_sql() -> dict[str, str]:
         "token_estimate": r"""
             WITH toks AS (
                 SELECT doc_id, n_chars,
-                       regexp_extract_all(lower(text),
-                           '[a-z]+|[0-9]|[^a-z0-9\s]') AS t
+                       regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS t
                 FROM documents),
             est AS (
                 SELECT doc_id, n_chars,
@@ -7971,7 +7971,9 @@ def oracle_sql() -> dict[str, str]:
                        list_reduce(list_prepend(CAST(0 AS BIGINT),
                            list_transform(t, w ->
                                CASE WHEN substr(w, 1, 1)
-                                         BETWEEN 'a' AND 'z' THEN
+                                         BETWEEN 'a' AND 'z'
+                                    OR substr(w, 1, 1)
+                                         BETWEEN 'A' AND 'Z' THEN
                                    CASE WHEN length(w) <= 3
                                         THEN CAST(1 AS BIGINT)
                                         WHEN list_reduce(
@@ -7979,7 +7981,8 @@ def oracle_sql() -> dict[str, str]:
                                                 list_transform(
                                                     range(1, length(w) + 1),
                                                     i -> CAST(unicode(substr(
-                                                        w, CAST(i AS INT), 1))
+                                                        lower(w),
+                                                        CAST(i AS INT), 1))
                                                         AS BIGINT))),
                                             (h, c) -> (h * 31 + c)
                                                       % 2147483647)

@@ -198,6 +198,62 @@ def test_driver_window_heads_the_registry():
         f"window queries without oracle_sql: {missing_oracles}")
 
 
+def test_token_estimate_unicode_parity_with_duckdb(spark):
+    """token_count_estimate vs the token_estimate oracle's cost fold on
+    adversarial strings — unicode case-mapping is where engines
+    diverge (Java lowercases U+0130 to TWO codepoints, utf8proc to
+    one), which is exactly why the operator tokenizes the RAW text
+    with pure-ASCII classes and folds case only on ASCII runs. The
+    corpus oracle can't reach these inputs; this fixture can."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from yaetl_spark.operators import token_count_estimate
+
+    cases = [
+        "héllo wörld", "naïve café", "日本語のテキスト", "emoji 🎉🎉 test",
+        "MiXeD CaSe WORDS", "123456 7.89", "tab\tnewline\nspace",
+        "...!!!???", "a", " ", "", "word-with-hyphens and_underscores",
+        "supercalifragilisticexpialidocious", "ß ÄÖÜ İı",
+        "СЛОВО на кириллице", "ｆｕｌｌｗｉｄｔｈ", "İstanbul Iıİi",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], ["id", "t"])
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_estimate(F.col("t")).alias("n")).collect()}
+    sql = r"""
+        SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(
+                regexp_extract_all(?, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                w -> CASE WHEN substr(w, 1, 1) BETWEEN 'a' AND 'z'
+                          OR substr(w, 1, 1) BETWEEN 'A' AND 'Z' THEN
+                        CASE WHEN length(w) <= 3 THEN CAST(1 AS BIGINT)
+                             WHEN list_reduce(
+                                 list_prepend(CAST(0 AS BIGINT),
+                                     list_transform(
+                                         range(1, length(w) + 1),
+                                         i -> CAST(unicode(substr(lower(w),
+                                             CAST(i AS INT), 1)) AS BIGINT))),
+                                 (h, c) -> (h * 31 + c) % 2147483647)
+                                 % 1000 < 700
+                             THEN CAST(1 AS BIGINT)
+                             ELSE CAST(floor((length(w) + 3.0) / 4.0)
+                                       AS BIGINT) END
+                     ELSE CAST(1 AS BIGINT) END)),
+            (a, b) -> a + b)
+    """
+    con = duckdb.connect()
+    try:
+        diffs = []
+        for i, t in enumerate(cases):
+            oracle = con.execute(sql, [t]).fetchone()[0]
+            if oracle != got[i]:
+                diffs.append((t, got[i], oracle))
+    finally:
+        con.close()
+    assert not diffs, f"engine/oracle token-count divergence: {diffs}"
+
+
 def test_km_sql_default_args_unchanged():
     """The r12 tbl/dim parametrization of _km_assign_sql/_km_iter_sql
     (added for the pq_codes oracle) must leave the default-argument

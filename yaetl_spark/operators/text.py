@@ -244,9 +244,12 @@ def token_count_estimate(
     several pieces) and overstate on whitespace-free scripts. Models
     a BPE vocabulary deterministically, with zero fitted state:
 
-    - the text splits into BPE-style primitive tokens: lowercase
-      ASCII letter runs, SINGLE digits (the Llama/GPT-4-style digit
-      split), and single other non-space characters;
+    - the text splits into BPE-style primitive tokens: ASCII letter
+      runs (case-folded AFTER tokenization — the classes are pure
+      ASCII so Java's and utf8proc's divergent case mappings of
+      exotic characters like U+0130 never reach the tokenizer or the
+      hash), SINGLE digits (the Llama/GPT-4-style digit split), and
+      single other non-space characters;
     - a letter run costs 1 token when it is "in vocab": length ≤
       ``short_len`` (every short string is in a real BPE vocab), or
       its 31-bit rolling hash lands in the ``vocab_permille``/1000
@@ -269,18 +272,24 @@ def token_count_estimate(
     if piece_chars < 1:
         raise ValueError("piece_chars must be >= 1")
     toks = F.regexp_extract_all(
-        F.lower(text), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0
+        text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
     )
 
     def cost(t: Column) -> Column:
-        word = t.substr(F.lit(1), F.lit(1)).between("a", "z")
+        # ASCII-first-char test on the RAW token (never on a lowered
+        # string: Java lowercases U+0130 to TWO codepoints while
+        # utf8proc yields one, and a class test on that result would
+        # diverge across engines)
+        first = t.substr(F.lit(1), F.lit(1))
+        word = first.between("a", "z") | first.between("A", "Z")
+        w = F.lower(t)  # pure-ASCII token here — fold is engine-safe
         n = F.length(t)
         pieces = F.floor(
             (n.cast("double") + F.lit(float(piece_chars - 1)))
             / F.lit(float(piece_chars))
         )
         in_vocab = (n <= short_len) | (
-            F.pmod(rolling_hash_raw(t), F.lit(1000)) < vocab_permille
+            F.pmod(rolling_hash_raw(w), F.lit(1000)) < vocab_permille
         )
         return F.when(
             word, F.when(in_vocab, F.lit(1).cast("bigint"))
