@@ -11,6 +11,8 @@ the published recipes (Gopher, CCNet, RefinedWeb) apply them:
 5. source mixing  — per-source caps + nucleus-style top-p share cut,
                     then blend to target weights
 6. dataset split  — deterministic train/val/test assignment
+7. token packing  — tokenizer-aware subword estimates feed the
+                    fixed-budget context-window packer
 
 Every stage is shuffle-frugal (see each operator's docstring for the
 100 TB shape) and RNG-free, so the output corpus is byte-stable across
@@ -39,6 +41,9 @@ from yaetl_spark.operators import (
     dataset_split,
     exact_dedup,
     fleiss_kappa,
+    krippendorff_alpha,
+    pack_documents,
+    token_count_estimate,
     gopher_quality_flags,
     line_dedup,
     mix_sources,
@@ -90,6 +95,26 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         )).alias("label"),
     )
     rater_kappa = fleiss_kappa(rated, "item", "label").first()["kappa"]
+
+    # 0c) the REALISTIC version of the same audit: raters abstain (the
+    #     text-length rater skips short docs, the stripped rater covers
+    #     half the corpus), so the panel is ragged and classic Fleiss
+    #     would refuse — Krippendorff's alpha is the statistic for it
+    ragged = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.col("doc_id").alias("item"),
+        F.explode(F.filter(F.array(
+            _bucket(F.col("n_chars"), 500, 2000),
+            F.when(F.col("n_chars") >= 300,
+                   _bucket(F.length("text"), 520, 1900)),
+            F.when(F.col("doc_id") % 2 == 0,
+                   _bucket(F.length(F.replace(F.col("text"), F.lit(" "),
+                                              F.lit(""))), 420, 1700)),
+        ), lambda x: x.isNotNull())).alias("label"),
+    )
+    rater_alpha = krippendorff_alpha(ragged, "item", "label") \
+        .first()["alpha"]
 
     # 1) quality gate: Gopher + C4 rule batteries, both pure scan-level
     #    expressions — the two filters fuse into ONE scan pass
@@ -181,12 +206,27 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         r["split"]: r["count"]
         for r in final.groupBy("split").count().collect()
     }
+
+    # 7) context-window packing by ESTIMATED tokens: the packer needs
+    #    subword counts, not word counts (a packing plan built on word
+    #    counts overflows windows on long/rare-word documents) — the
+    #    tokenizer-aware estimate is a pure scan fold, then one
+    #    bucketed window assigns budget-sized packs
+    train = final.filter(F.col("split") == "train").withColumn(
+        "n_tokens_est", token_count_estimate(F.col("text")))
+    packed = pack_documents(
+        train, budget=1024, token_col="n_tokens_est", id_col="doc_id",
+        num_buckets=8)
+    n_packs = packed.select("bucket", "pack_id").distinct().count()
+
     return (n_raw, quality.count(), uniq.count(), capped.count(), counts,
-            n_shard_pairs, rater_kappa)
+            n_shard_pairs, rater_kappa, rater_alpha, n_packs)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="curate-example", shuffle_partitions=8)
-    raw, q, u, c, splits, pairs, kappa = main(spark, *(sys.argv[1:2]))
+    (raw, q, u, c, splits, pairs, kappa, alpha, packs) = main(
+        spark, *(sys.argv[1:2]))
     print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits} "
-          f"near_dup_shard_pairs={pairs} rater_kappa={kappa}")
+          f"near_dup_shard_pairs={pairs} rater_kappa={kappa} "
+          f"ragged_rater_alpha={alpha} train_packs={packs}")

@@ -45,7 +45,7 @@ def test_curate_corpus_example(spark, sf_dir):
     finally:
         sys.path.pop(0)
     (raw, quality, uniq, capped, splits, shard_pairs,
-     rater_kappa) = curate_corpus.main(spark, sf_dir)
+     rater_kappa, rater_alpha, n_packs) = curate_corpus.main(spark, sf_dir)
     # each stage is monotone non-increasing
     assert raw >= quality >= uniq >= capped > 0
     # split assignment covers every kept doc
@@ -56,6 +56,10 @@ def test_curate_corpus_example(spark, sf_dir):
     # three correlated-but-distinct length raters agree well above
     # chance on this corpus — and kappa is a real number, not NULL
     assert rater_kappa is not None and 0 < rater_kappa <= 1
+    # the ragged (abstaining) panel is scored by alpha, not refused
+    assert rater_alpha is not None and -1 <= rater_alpha <= 1
+    # packing produced at least one window and no more than one per doc
+    assert 0 < n_packs <= splits.get("train", 0)
 
 
 def test_analyze_events_example(spark, sf_dir):
