@@ -3548,6 +3548,24 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "adc_dist")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (operators/sampling.py
+    leakage_safe_split): every member of a near-dup cluster (the
+    shared _verified_pairs graph resolved by dedup_clusters) lands in
+    the SAME split via the cluster representative's hash; unclustered
+    docs split by their own id — closing the eval-leakage channel
+    row-hash dataset_split cannot see (Lee et al. 2022). One left
+    join against the (small) cluster table + the scan-level hash
+    rule."""
+    from yaetl_spark.operators import dedup_clusters, leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(_verified_pairs(spark, sf_dir))
+    return leakage_safe_split(
+        docs, "doc_id", clusters, weights=(0.9, 0.05, 0.05)
+    ).select("doc_id", "split")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training data
     (operators/similarity.py hard_negative_mining): per anchor, the 3
@@ -3941,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_interval": q_krippendorff_interval,
         "ann_ivf_pq": q_ann_ivf_pq,
         "hard_negatives": q_hard_negatives,
+        "leakage_safe_split": q_leakage_safe_split,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3955,12 +3974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 177 declared queries and 50 slots, a full re-green rotation
-# takes ceil(177/50) = 4 rounds, so the re-check staleness budget is
+# With 178 declared queries and 50 slots, a full re-green rotation
+# takes ceil(178/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50. (r12 owed: 4 a' + 28
-# boundary-(b) = 32 < 50 → growth continues with 6 new queries — the
-# r11 verdict's item-2 pick, its two item-6 candidates, and the three
+# boundary-(b) = 32 < 50 → growth continues with 7 new queries — the
+# r11 verdict's item-2 pick, its two item-6 candidates, and the four
 # adjacent completions below.)
 #
 # History note (r11's window, for auditing CORRECTNESS_r11 against
@@ -3969,7 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # where the listed block (and the arithmetic) held 15 — fixed per the
 # r11 ADVICE; the accounting itself was correct.
 #
-# This round: (a) SIX new queries (growth per the r11 verdict items
+# This round: (a) SEVEN new queries (growth per the r11 verdict items
 # 2 and 6, plus two adjacent completions): krippendorff_alpha
 # (ragged-panel agreement — the panels fleiss_kappa correctly
 # refuses, operators/quality.py), pq_codes (product-quantization
@@ -3980,7 +3999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # quality.py), ann_ivf_pq (IVFADC: coarse probe + asymmetric PQ
 # distance, completing the IVF-PQ ANN stack, similarity.py),
 # hard_negatives (contrastive hard-negative mining in a cosine band,
-# the semantic_dedup bucketing reused anchor-side, similarity.py).
+# the semantic_dedup bucketing reused anchor-side, similarity.py),
+# leakage_safe_split (cluster-atomic train/val/test assignment over
+# the dedup_clusters graph — the eval-leakage guard, sampling.py).
 # (a') FOUR changed queries — the r11 ADVICE fixes touched their
 # operators: random_projection (empty-vector guard changed the
 # projection expression), score_fusion (output-collision ValueError in
@@ -3992,13 +4013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle.py).
 # Then (b): the 28 r8-stale queries named by the r11 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 12 of the 48 r9-stale queries (alphabetical within the equally-old
-# cohort). 6 + 4 + 28 + 12 = 50, exactly full.
+# 11 of the 48 r9-stale queries (alphabetical within the equally-old
+# cohort). 7 + 4 + 28 + 11 = 50, exactly full.
 #
-# DEFERRED to r13's (b)-block (the 36 remaining r9-stale queries,
+# DEFERRED to r13's (b)-block (the 37 remaining r9-stale queries,
 # 4 rounds old at their r13 check — the staleness-budget boundary,
 # they MUST head r13's (b) after any (a)/(a')):
-#   explode_tokens, feature_scale, file_stats, full_join,
+#   except, explode_tokens, feature_scale, file_stats, full_join,
 #   funnel_steps, gopher_rules,
 #   grouping_sets, hash_trick, heavy_hitters, incremental_dedup,
 #   intersect, keep_latest, key_skew, kmeans_assign, ks_drift,
@@ -4009,11 +4030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   validation_suite, vocab_coverage, winsorize.
 # After those, r13 has ~15 slots for the r10 cohort (45 queries) —
 # r13/r14 rotate it within budget, then r14/r15 take the r11+r12
-# cohorts (177 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# cohorts (178 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r12)
     "krippendorff_alpha", "pq_codes", "token_estimate",
     "krippendorff_interval", "ann_ivf_pq", "hard_negatives",
+    "leakage_safe_split",
     # (a') changed since last green (r11 ADVICE fixes)
     "random_projection", "score_fusion", "quantile_strata_sample",
     "shard_dedup",
@@ -4031,7 +4053,7 @@ _DRIVER_WINDOW = [
     "ann_topk", "anti_join", "basket_rules", "bm25_topk",
     "calibration_bins", "category_index", "collect_segments",
     "dup_spans", "embedding_normalize", "embedding_quantize",
-    "event_transitions", "except",
+    "event_transitions",
 ]
 
 
@@ -5991,6 +6013,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_minhash_cands_cte(num_hashes=32, bands=16, bound=100)},
+            grams AS (SELECT DISTINCT doc_id, gram FROM ({grams})),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cands USING (id_a, id_b)
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   CASE WHEN (COALESCE(c.cluster, d.doc_id)
+                              * 2654435761 + 12345) % 10000 < 9000
+                            THEN 'train'
+                        WHEN (COALESCE(c.cluster, d.doc_id)
+                              * 2654435761 + 12345) % 10000 < 9500
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
         """,
         "variant_json": """
             SELECT CAST(floor(CAST(json_extract_string(props, '$.k')

@@ -830,6 +830,22 @@ def test_hard_negatives_cell_bucketed_pair_join(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_leakage_safe_split_broadcast_cluster_join(spark):
+    """The cluster table comes out of connected_components with
+    unknown compile-time stats, so the static plan is an SMJ — AQE
+    must convert it to a BROADCAST left join at runtime once the
+    tiny cluster-side shuffle is measured (and must stay free to keep
+    the SMJ on a heavy-dup corpus where broadcasting would OOM). The
+    split rule itself is scan-level hash arithmetic."""
+    df = entry_mod.queries()["leakage_safe_split"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftOuter" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
 def test_token_estimate_scan_only(spark):
     """token_count_estimate is one fixed-order fold per row — the
     driver query must stay a pure scan (no Exchange, no Generate) with

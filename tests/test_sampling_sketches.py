@@ -651,3 +651,39 @@ def test_quantile_strata_sample_bounds_name_collision(spark):
     assert {r["id"] for r in rows} == \
         set(range(1, 26)) | set(range(76, 101))
     assert all(r["_qs_bounds"] == "caller-owned" for r in rows)
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every member of a cluster gets the representative's split (no
+    near-dup pair may straddle train/test); unclustered rows match
+    plain dataset_split exactly; output row count is unchanged by the
+    left join."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import dataset_split, leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    # clusters: {1, 101, 201} -> rep 1; {7, 57} -> rep 7
+    clusters = spark.createDataFrame(
+        [(1, 1), (101, 1), (201, 1), (7, 7), (57, 7)],
+        ["doc_id", "cluster"])
+    out = leakage_safe_split(
+        docs, "doc_id", clusters, weights=(0.8, 0.1, 0.1))
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 300
+    assert rows[1] == rows[101] == rows[201]
+    assert rows[7] == rows[57]
+    # clustered members take the REPRESENTATIVE's hash, which equals
+    # plain dataset_split of the representative id
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(
+        docs, "doc_id", weights=(0.8, 0.1, 0.1)).collect()}
+    assert rows[101] == plain[1] and rows[57] == plain[7]
+    # unclustered rows are untouched
+    clustered_ids = {1, 101, 201, 7, 57}
+    assert all(rows[i] == plain[i]
+               for i in range(300) if i not in clustered_ids)
+    # determinism across partitioning
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs.repartition(7), "doc_id", clusters,
+        weights=(0.8, 0.1, 0.1)).collect()}
+    assert again == rows

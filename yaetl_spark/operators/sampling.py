@@ -137,6 +137,54 @@ def dataset_split(
     return df.withColumn(split_col, split_column(key, weights, names, **kw))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    weights: Sequence[float] = (0.98, 0.01, 0.01),
+    names: Sequence[str] = ("train", "val", "test"),
+    split_col: str = "split",
+    cluster_id: str = "doc_id",
+    cluster_col: str = "cluster",
+    **kw,
+) -> DataFrame:
+    """Group-aware train/val/test assignment: every member of a
+    near-duplicate CLUSTER lands in the same split, decided by the
+    cluster representative's hash; unclustered rows split by their own
+    id — the rule that closes the leakage channel row-hash
+    :func:`dataset_split` cannot see (a near-dup pair straddling
+    train/test inflates eval scores exactly like verbatim
+    contamination; Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" measures this effect directly).
+
+    ``clusters`` is the ``(doc_id, cluster)`` table from
+    :func:`~yaetl_spark.operators.graph.dedup_clusters` (any near-dup
+    rung: MinHash, SimHash, embedding). Same determinism contract as
+    the other hash splitters: a row's split depends only on its
+    effective key, so assignments are stable across reruns, engines,
+    partitionings, and corpus growth — and a cluster's split never
+    changes when new members join it (the representative is the
+    cluster minimum, stable under growth of non-minimal members).
+
+    Scale shape (100 TB): one LEFT join against the cluster table
+    (clustered docs only — at corpus scale a small fraction, planner
+    broadcast-able), then the scan-level hash split on
+    ``coalesce(cluster, id)``. No shuffle of the corpus beyond the
+    join's own requirement.
+    """
+    c = clusters.select(
+        F.col(cluster_id).alias("_ls_id"),
+        F.col(cluster_col).alias("_ls_cluster"),
+    )
+    joined = df.join(
+        c, df[id_col] == F.col("_ls_id"), "left"
+    ).drop("_ls_id")
+    key = F.coalesce(F.col("_ls_cluster"), F.col(id_col))
+    return joined.withColumn(
+        split_col, split_column(key, weights, names, **kw)
+    ).drop("_ls_cluster")
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key: Column | str,
