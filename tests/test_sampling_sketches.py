@@ -687,3 +687,13 @@ def test_leakage_safe_split_cluster_atomicity(spark):
         docs.repartition(7), "doc_id", clusters,
         weights=(0.8, 0.1, 0.1)).collect()}
     assert again == rows
+    # caller columns named like the internal temps must survive
+    noisy = docs.withColumn("_ls_id", F.lit("mine")) \
+        .withColumn("_ls_cluster", F.lit(7))
+    out2 = leakage_safe_split(
+        noisy, "doc_id", clusters, weights=(0.8, 0.1, 0.1))
+    assert out2.columns.count("_ls_id") == 1
+    assert out2.columns.count("_ls_cluster") == 1
+    r0 = out2.filter(F.col("doc_id") == 101).first()
+    assert r0["_ls_id"] == "mine" and r0["_ls_cluster"] == 7
+    assert r0["split"] == rows[101]

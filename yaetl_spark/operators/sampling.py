@@ -172,17 +172,21 @@ def leakage_safe_split(
     ``coalesce(cluster, id)``. No shuffle of the corpus beyond the
     join's own requirement.
     """
+    # collision-safe temp names (the top_p_filter/quantile_strata
+    # pattern): fixed "_ls_*" names would silently collide with
+    # same-named caller columns
+    jid, jcl = "_ls_id", "_ls_cluster"
+    while jid in df.columns or jcl in df.columns:
+        jid, jcl = "_" + jid, "_" + jcl
     c = clusters.select(
-        F.col(cluster_id).alias("_ls_id"),
-        F.col(cluster_col).alias("_ls_cluster"),
+        F.col(cluster_id).alias(jid),
+        F.col(cluster_col).alias(jcl),
     )
-    joined = df.join(
-        c, df[id_col] == F.col("_ls_id"), "left"
-    ).drop("_ls_id")
-    key = F.coalesce(F.col("_ls_cluster"), F.col(id_col))
+    joined = df.join(c, df[id_col] == F.col(jid), "left").drop(jid)
+    key = F.coalesce(F.col(jcl), F.col(id_col))
     return joined.withColumn(
         split_col, split_column(key, weights, names, **kw)
-    ).drop("_ls_cluster")
+    ).drop(jcl)
 
 
 def weighted_hash_sample(
