@@ -3583,6 +3583,33 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit (operators/similarity.py topk_recall): exact
+    cosine top-20 (brute force) vs the IVF-PQ top-20 from the
+    ann_ivf_pq pipeline — the acceptance metric of the ANN stack.
+    NOTE the two sides rank by DIFFERENT metrics (cosine vs
+    asymmetric L2 on quantized codes), so recall here measures the
+    real end-to-end quality of coarse-probe + PQ compression, not
+    just tie-break agreement. Both sides are k-row sets; the audit
+    itself is one broadcast-sized join + scalar aggregate."""
+    from yaetl_spark.operators import (brute_force_topk, build_ivf_index,
+                                       ivf_pq_topk, pq_encode, pq_fit,
+                                       topk_recall)
+
+    emb = _t(spark, sf_dir, "embeddings", heavy=False)
+    rows = _emb_rows(spark, sf_dir, _IVF_CELLS)
+    cents = [(i, v) for i, (_, v) in enumerate(rows)]
+    qvec = next(v for vid, v in rows if vid == 1)
+    exact = brute_force_topk(emb, qvec, k=20)
+    assigned, cents = build_ivf_index(emb, centroids=cents)
+    books = pq_fit(emb, m=2, k=4, iters=1, init_ids=[0, 1, 2, 3],
+                   cache=True)
+    enc = pq_encode(assigned, books)
+    approx = ivf_pq_topk(enc, cents, books, qvec, k=20,
+                         nprobe=_IVF_PROBE)
+    return topk_recall(exact, approx)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (operators/similarity.py pq_fit /
     pq_encode, Jégou et al. 2011): fit m=2 subspace codebooks (k=4,
@@ -3960,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "hard_negatives": q_hard_negatives,
         "leakage_safe_split": q_leakage_safe_split,
+        "ann_recall": q_ann_recall,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -3974,12 +4002,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 178 declared queries and 50 slots, a full re-green rotation
-# takes ceil(178/50) = 4 rounds, so the re-check staleness budget is
+# With 179 declared queries and 50 slots, a full re-green rotation
+# takes ceil(179/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
 # owed (a)+(a')+(b beyond budget) exceeds 50. (r12 owed: 4 a' + 28
-# boundary-(b) = 32 < 50 → growth continues with 7 new queries — the
-# r11 verdict's item-2 pick, its two item-6 candidates, and the four
+# boundary-(b) = 32 < 50 → growth continues with 8 new queries — the
+# r11 verdict's item-2 pick, its two item-6 candidates, and the five
 # adjacent completions below.)
 #
 # History note (r11's window, for auditing CORRECTNESS_r11 against
@@ -3988,7 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # where the listed block (and the arithmetic) held 15 — fixed per the
 # r11 ADVICE; the accounting itself was correct.
 #
-# This round: (a) SEVEN new queries (growth per the r11 verdict items
+# This round: (a) EIGHT new queries (growth per the r11 verdict items
 # 2 and 6, plus two adjacent completions): krippendorff_alpha
 # (ragged-panel agreement — the panels fleiss_kappa correctly
 # refuses, operators/quality.py), pq_codes (product-quantization
@@ -4001,7 +4029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # hard_negatives (contrastive hard-negative mining in a cosine band,
 # the semantic_dedup bucketing reused anchor-side, similarity.py),
 # leakage_safe_split (cluster-atomic train/val/test assignment over
-# the dedup_clusters graph — the eval-leakage guard, sampling.py).
+# the dedup_clusters graph — the eval-leakage guard, sampling.py),
+# ann_recall (recall@k of the IVF-PQ pipeline vs exact brute force —
+# the ANN acceptance metric, similarity.py).
 # (a') FOUR changed queries — the r11 ADVICE fixes touched their
 # operators: random_projection (empty-vector guard changed the
 # projection expression), score_fusion (output-collision ValueError in
@@ -4013,13 +4043,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # tests/test_oracle.py).
 # Then (b): the 28 r8-stale queries named by the r11 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 11 of the 48 r9-stale queries (alphabetical within the equally-old
-# cohort). 7 + 4 + 28 + 11 = 50, exactly full.
+# 10 of the 48 r9-stale queries (alphabetical within the equally-old
+# cohort). 8 + 4 + 28 + 10 = 50, exactly full.
 #
-# DEFERRED to r13's (b)-block (the 37 remaining r9-stale queries,
+# DEFERRED to r13's (b)-block (the 38 remaining r9-stale queries,
 # 4 rounds old at their r13 check — the staleness-budget boundary,
 # they MUST head r13's (b) after any (a)/(a')):
-#   except, explode_tokens, feature_scale, file_stats, full_join,
+#   event_transitions, except, explode_tokens, feature_scale,
+#   file_stats, full_join,
 #   funnel_steps, gopher_rules,
 #   grouping_sets, hash_trick, heavy_hitters, incremental_dedup,
 #   intersect, keep_latest, key_skew, kmeans_assign, ks_drift,
@@ -4030,12 +4061,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   validation_suite, vocab_coverage, winsorize.
 # After those, r13 has ~15 slots for the r10 cohort (45 queries) —
 # r13/r14 rotate it within budget, then r14/r15 take the r11+r12
-# cohorts (178 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# cohorts (179 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r12)
     "krippendorff_alpha", "pq_codes", "token_estimate",
     "krippendorff_interval", "ann_ivf_pq", "hard_negatives",
-    "leakage_safe_split",
+    "leakage_safe_split", "ann_recall",
     # (a') changed since last green (r11 ADVICE fixes)
     "random_projection", "score_fusion", "quantile_strata_sample",
     "shard_dedup",
@@ -4053,7 +4084,6 @@ _DRIVER_WINDOW = [
     "ann_topk", "anti_join", "basket_rules", "bm25_topk",
     "calibration_bins", "category_index", "collect_segments",
     "dup_spans", "embedding_normalize", "embedding_quantize",
-    "event_transitions",
 ]
 
 
@@ -7976,6 +8006,106 @@ def oracle_sql() -> dict[str, str]:
             JOIN lut1 l1 ON l1.cell = p1.cell
             ORDER BY adc_dist ASC, e.vec_id ASC
             LIMIT 10
+        """,
+        "ann_recall": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM emb WHERE vec_id < {_IVF_CELLS}
+            ),
+            q AS (SELECT v AS qv FROM emb WHERE vec_id = 1),
+            dists AS (
+                SELECT e.vec_id, c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))),
+                           (a, b) -> a + b) AS d
+                FROM emb e CROSS JOIN cents c
+            ),
+            coarse AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cell) AS rk
+                    FROM dists
+                ) WHERE rk = 1
+            ),
+            probe AS (
+                SELECT c.cell,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(range(1, len(c.c) + 1),
+                                   i -> (c.c[i] - q.qv[i]) * (c.c[i] - q.qv[i]))),
+                           (a, b) -> a + b) AS d
+                FROM cents c CROSS JOIN q
+                ORDER BY d, c.cell LIMIT {_IVF_PROBE}
+            ),
+            s0 AS (SELECT vec_id, v[1:32] AS v FROM emb),
+            s1 AS (SELECT vec_id, v[33:64] AS v FROM emb),
+            c0_0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM s0 WHERE vec_id < 4
+            ),
+            c0_1 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS c
+                FROM s1 WHERE vec_id < 4
+            ),{_km_iter_sql("c0_0", "a1_0", "c1_0", tbl="s0", dim=32)},
+            {_km_assign_sql("c1_0", "a2_0", tbl="s0", dim=32)},
+            {_km_iter_sql("c0_1", "a1_1", "c1_1", tbl="s1", dim=32)},
+            {_km_assign_sql("c1_1", "a2_1", tbl="s1", dim=32)},
+            lut0 AS (
+                SELECT c.cell,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 33),
+                               i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))),
+                           (x, y) -> x + y) AS d
+                FROM c1_0 c CROSS JOIN q
+            ),
+            lut1 AS (
+                SELECT c.cell,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(range(1, 33),
+                               i -> (q.qv[32 + i] - c.c[i])
+                                    * (q.qv[32 + i] - c.c[i]))),
+                           (x, y) -> x + y) AS d
+                FROM c1_1 c CROSS JOIN q
+            ),
+            apx AS (
+                SELECT e.vec_id
+                FROM emb e
+                JOIN coarse a ON a.vec_id = e.vec_id
+                JOIN probe p ON p.cell = a.cell
+                JOIN a2_0 p0 ON p0.vec_id = e.vec_id
+                JOIN a2_1 p1 ON p1.vec_id = e.vec_id
+                JOIN lut0 l0 ON l0.cell = p0.cell
+                JOIN lut1 l1 ON l1.cell = p1.cell
+                ORDER BY round(l0.d + l1.d, 6) ASC, e.vec_id ASC
+                LIMIT 20
+            ),
+            exact AS (
+                SELECT e.vec_id
+                FROM emb e CROSS JOIN q
+                ORDER BY round(list_cosine_similarity(e.v, q.qv), 6)
+                             DESC,
+                         e.vec_id ASC
+                LIMIT 20
+            )
+            SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+                   (SELECT COUNT(*) FROM apx) AS n_approx,
+                   (SELECT COUNT(*) FROM exact JOIN apx USING (vec_id))
+                       AS n_overlap,
+                   round(CASE WHEN (SELECT COUNT(*) FROM exact) > 0
+                         THEN CAST((SELECT COUNT(*) FROM exact
+                                    JOIN apx USING (vec_id)) AS DOUBLE)
+                              / (SELECT COUNT(*) FROM exact)
+                         END, 6) AS recall
         """,
         "pq_codes": f"""
             WITH emb AS (

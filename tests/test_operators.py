@@ -1080,6 +1080,28 @@ def test_ivf_pq_topk_prunes_and_ranks(spark):
     assert {r["vec_id"] for r in all3.collect()} == {1, 2, 3}
 
 
+def test_topk_recall_counts_and_edges(spark):
+    """Known overlap arithmetic; duplicate-free counting; empty exact
+    set yields NULL recall instead of an ANSI 0/0."""
+    from yaetl_spark.operators import topk_recall
+
+    exact = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)],
+                                  ["vec_id"])
+    approx = spark.createDataFrame([(i,) for i in (3, 4, 5)],
+                                   ["vec_id"])
+    r = topk_recall(exact, approx).first()
+    assert (r["n_exact"], r["n_approx"], r["n_overlap"]) == (4, 3, 2)
+    assert r["recall"] == 0.5
+    # identical sets -> recall 1; disjoint -> 0
+    assert topk_recall(exact, exact).first()["recall"] == 1.0
+    disjoint = spark.createDataFrame([(9,)], ["vec_id"])
+    assert topk_recall(exact, disjoint).first()["recall"] == 0.0
+    # empty exact side -> NULL recall, zero counts
+    empty = exact.filter("vec_id > 100")
+    re = topk_recall(empty, approx).first()
+    assert re["n_exact"] == 0 and re["recall"] is None
+
+
 def test_hard_negative_mining_band_and_rank(spark):
     """Band semantics: near-dups (cosine >= hi) and easy negatives
     (< lo) are excluded; survivors rank per anchor by cosine desc with

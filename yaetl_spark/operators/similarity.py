@@ -570,6 +570,49 @@ def pq_adc_topk(
                           F.col(id_col).asc()).limit(top_k)
 
 
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Recall@k audit between an EXACT top-k result set and an
+    approximate one (IVF, IVF-PQ, LSH …) — THE acceptance metric for
+    every ANN deployment: what fraction of the true neighbors did the
+    index return. Returns ONE row ``(n_exact, n_approx, n_overlap,
+    recall)`` with ``recall = |exact ∩ approx| / |exact|`` (NULL when
+    the exact set is empty — no 0/0).
+
+    Scale shape: both inputs are k-row result sets, so the overlap is
+    a full outer join of two broadcast-sized relations followed by one
+    scalar aggregate — negligible next to the searches themselves.
+    Deterministic given deterministic inputs (both engine top-ks
+    tie-break on the id).
+    """
+    e = exact.select(F.col(id_col).alias("_id"),
+                     F.lit(1).alias("_in_e"))
+    a = approx.select(F.col(id_col).alias("_id"),
+                      F.lit(1).alias("_in_a"))
+    both = e.join(a, "_id", "full")
+    out = both.agg(
+        F.count("_in_e").alias("n_exact"),
+        F.count("_in_a").alias("n_approx"),
+        F.count(F.when(F.col("_in_e").isNotNull()
+                       & F.col("_in_a").isNotNull(), 1))
+        .alias("n_overlap"),
+    )
+    return out.select(
+        "n_exact", "n_approx", "n_overlap",
+        F.round(
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_overlap").cast("double") / F.col("n_exact"),
+            ),
+            round_to,
+        ).alias("recall"),
+    )
+
+
 def hard_negative_mining(
     df: DataFrame,
     id_col: str = "vec_id",
