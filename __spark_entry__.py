@@ -8157,7 +8157,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, n_chars,
                        regexp_extract_all(text,
-                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS t
+                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]') AS t
                 FROM documents),
             est AS (
                 SELECT doc_id, n_chars,

@@ -1141,6 +1141,91 @@ def test_hard_negative_mining_band_and_rank(spark):
         hard_negative_mining(df, lo=0.9, hi=0.5, centroids=cents)
 
 
+def test_hard_negative_mining_max_cell_guard(spark):
+    """A collapsed fit (one centroid: every vector in one cell) must
+    trip max_cell_rows with the same actionable error semantic_dedup
+    raises, instead of silently planning the all-pairs join; a
+    well-spread fit under the bound passes with the result unchanged
+    (r12 verdict What's-wrong #1)."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import hard_negative_mining
+
+    cents2 = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])]
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.5, 0.86, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.4, 0.65, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    with _pt.raises(ValueError, match="hard_negative_mining cell"):
+        hard_negative_mining(
+            df, lo=0.3, hi=0.95, centroids=[(0, [1.0, 0.0, 0.0])],
+            max_cell_rows=3,
+        )
+    with _pt.raises(ValueError, match="max_cell_rows must be"):
+        hard_negative_mining(df, centroids=cents2, max_cell_rows=0)
+    guarded = hard_negative_mining(
+        df, lo=0.3, hi=0.95, per_anchor=2, centroids=cents2,
+        max_cell_rows=5,
+    )
+    free = hard_negative_mining(
+        df, lo=0.3, hi=0.95, per_anchor=2, centroids=cents2)
+    key = lambda r: (r["anchor"], r["negative"])  # noqa: E731
+    assert sorted(map(key, guarded.collect())) == \
+        sorted(map(key, free.collect()))
+
+
+def test_pq_adc_topk_codebook_mismatch_is_loud(spark):
+    """Codes produced by a DIFFERENT codebook (values outside the
+    map's key set) must raise in-plan, not sort NULL distances into
+    the top-k (r12 ADVICE: asc() puts NULLs first)."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import pq_adc_topk
+
+    books = [
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        [(0, [0.0, 0.0]), (1, [4.0, 0.0])],
+    ]
+    bad = spark.createDataFrame(
+        [(1, [0, 1]), (2, [7, 0])],  # code 7 exists in no codebook
+        "vec_id int, pq_code array<int>",
+    )
+    with _pt.raises(Exception, match="NULL ADC distance"):
+        pq_adc_topk(bad, books, [0.0] * 4, top_k=2).collect()
+    # well-coded rows still rank normally through the guard
+    ok = spark.createDataFrame(
+        [(1, [0, 0]), (2, [1, 1])], "vec_id int, pq_code array<int>")
+    got = [r["vec_id"] for r in
+           pq_adc_topk(ok, books, [0.0] * 4, top_k=2).collect()]
+    assert got == [1, 2]
+
+
+def test_pq_fit_null_vector_probe(spark):
+    """The width probe must skip NULL vectors (a NULL first row used
+    to yield size()=-1 and a misleading divisibility error) and raise
+    a clear diagnostic when NO vector is non-null (r12 ADVICE)."""
+    import pytest as _pt
+
+    from yaetl_spark.operators import pq_fit
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id int, embedding array<double>")
+    with _pt.raises(ValueError, match="no non-null vectors"):
+        pq_fit(all_null, m=2, k=2, iters=1)
+    # NULL-first ordering must not break the probe: dim comes from the
+    # non-null row and the fit proceeds
+    mixed = spark.createDataFrame(
+        [(0, None), (1, [0.0, 0.0, 5.0, 0.0]),
+         (2, [10.0, 10.0, 0.0, 5.0])],
+        "vec_id int, embedding array<double>")
+    books = pq_fit(mixed, m=2, k=2, iters=1, init_ids=[1, 2])
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+
+
 def test_token_count_estimate_bounds_and_edges(spark):
     """vocab_permille=1000 -> every word is 1 token (count == token
     count); =0 -> every word longer than short_len costs

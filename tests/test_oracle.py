@@ -216,6 +216,10 @@ def test_token_estimate_unicode_parity_with_duckdb(spark):
         "...!!!???", "a", " ", "", "word-with-hyphens and_underscores",
         "supercalifragilisticexpialidocious", "ß ÄÖÜ İı",
         "СЛОВО на кириллице", "ｆｕｌｌｗｉｄｔｈ", "İstanbul Iıİi",
+        # U+000B vertical tab: inside Java's \s but NOT RE2's — the
+        # r13 ADVICE parity break; both engines now treat it as a
+        # 1-cost punctuation token via the spelled-out class
+        "vertical\x0btab", "\x0b", "a\x0b\x0bb 12\x0b3",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(cases)], ["id", "t"])
@@ -224,7 +228,7 @@ def test_token_estimate_unicode_parity_with_duckdb(spark):
     sql = r"""
         SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(
-                regexp_extract_all(?, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                regexp_extract_all(?, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]'),
                 w -> CASE WHEN substr(w, 1, 1) BETWEEN 'a' AND 'z'
                           OR substr(w, 1, 1) BETWEEN 'A' AND 'Z' THEN
                         CASE WHEN length(w) <= 3 THEN CAST(1 AS BIGINT)

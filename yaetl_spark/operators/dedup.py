@@ -335,6 +335,15 @@ def shard_minhash_dedup(
     not an attribute, because any transformation of the result would
     produce a new DataFrame and silently drop an attached handle
     (r11 ADVICE). With ``persist=False`` the second element is None.
+
+    Cache lifetime on the DEFAULT path (``persist=True,
+    return_sigs=False``): no handle is returned, so the |shards|-row
+    signature cache cannot be unpersisted by the caller — it lives
+    until Spark's LRU block eviction or ``spark.catalog.clearCache()``
+    reclaims it. That is a deliberate trade (the table is tiny by the
+    definition of a shard); callers needing eager, deterministic
+    release MUST pass ``return_sigs=True`` and ``sigs.unpersist()``
+    themselves.
     """
     if element not in ("token", "content"):
         raise ValueError("element must be 'token' or 'content'")

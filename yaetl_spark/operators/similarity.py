@@ -370,9 +370,17 @@ def pq_fit(
     """
     import math as _math
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # probe the width on a NON-NULL row: a NULL first vector would
+    # yield size()=-1 (or NULL under ANSI) and a misleading
+    # divisibility error instead of this diagnostic
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("pq_fit: empty input")
+        raise ValueError(
+            "pq_fit: no non-null vectors in input")
     dim = int(first.d)
     if m < 1 or dim % m != 0:
         raise ValueError(
@@ -564,9 +572,20 @@ def pq_adc_topk(
         ])
         term = F.element_at(mp, F.element_at(codes, s + 1))
         total = term if total is None else total + term
-    scored = df.filter(codes.isNotNull()).withColumn(
-        dist_col, F.round(total, round_to))
-    return scored.orderBy(F.col(dist_col).asc(),
+    # a code absent from the codebook map makes element_at NULL
+    # (non-ANSI mode; ANSI throws on its own) and asc() sorts NULLS
+    # FIRST — mismatched-codebook rows would silently occupy the
+    # top-k. Fail loud in-plan instead: any NULL distance means the
+    # codes were produced by a different codebook than the one scoring
+    loud = F.when(
+        total.isNull(),
+        F.raise_error(F.lit(
+            "pq_adc_topk: NULL ADC distance — a stored code is absent "
+            "from the codebook (codes and codebooks are from different "
+            "pq_fit runs?)")).cast("double"),
+    ).otherwise(F.round(total, round_to))
+    scored = df.filter(codes.isNotNull()).withColumn(dist_col, loud)
+    return scored.orderBy(F.col(dist_col).asc_nulls_last(),
                           F.col(id_col).asc()).limit(top_k)
 
 
@@ -613,6 +632,39 @@ def topk_recall(
     )
 
 
+def _guard_cell_population(
+    assigned: DataFrame, max_cell_rows: int | None, op_name: str
+) -> None:
+    """Degenerate-fit guard shared by every within-cell quadratic
+    (:func:`semantic_dedup`, :func:`hard_negative_mining`): a collapsed
+    k-means fit can put most vectors in ONE cell and silently
+    reintroduce the O(n²/k) all-pairs join the bucketing exists to
+    prevent. When ``max_cell_rows`` is set, a cheap count-by-cell job
+    (k rows, one partial-agg shuffle of cluster ids) runs before the
+    pair join and raises ``ValueError`` naming the offending cell and
+    its population — an actionable error instead of a blowup at
+    100 TB."""
+    if max_cell_rows is None:
+        return
+    if max_cell_rows < 1:
+        raise ValueError("max_cell_rows must be >= 1")
+    hot = (
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_cell_rows)
+        .orderBy(F.col("_n").desc())
+        .first()
+    )
+    if hot is not None:
+        raise ValueError(
+            f"{op_name} cell {hot['_cell']} holds {hot['_n']} "
+            f"rows (> max_cell_rows={max_cell_rows}): the k-means "
+            "fit is too coarse for a bounded pair join — raise k, "
+            "refit with more iterations/better init_ids, or raise "
+            "max_cell_rows if the quadratic cost is acceptable"
+        )
+
+
 def hard_negative_mining(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -624,6 +676,7 @@ def hard_negative_mining(
     iters: int = 2,
     init_ids: list[int] | None = None,
     centroids: list[tuple[int, list[float]]] | None = None,
+    max_cell_rows: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data (the
@@ -644,6 +697,10 @@ def hard_negative_mining(
     top-n is one anchor-keyed window over the band-filtered pairs
     (band selectivity, not cell size, bounds the exchange). Pass
     precomputed ``centroids`` to reuse one fit across band sweeps.
+    ``max_cell_rows`` is the same degenerate-fit guard as
+    :func:`semantic_dedup`: a collapsed fit silently turns the
+    within-cell self-join back into all-pairs, so bound the cell
+    population and fail loud (see :func:`_guard_cell_population`).
     """
     from pyspark.sql.window import Window
 
@@ -661,6 +718,8 @@ def hard_negative_mining(
     assigned, _ = build_ivf_index(
         df, centroids=cents, vec_col=vec_col, id_col=id_col
     )
+    _guard_cell_population(
+        assigned, max_cell_rows, "hard_negative_mining")
     sides = assigned.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).alias("_svec"),
@@ -804,24 +863,7 @@ def semantic_dedup(
     assigned, _ = build_ivf_index(
         df, centroids=cents, vec_col=vec_col, id_col=id_col
     )
-    if max_cell_rows is not None:
-        if max_cell_rows < 1:
-            raise ValueError("max_cell_rows must be >= 1")
-        hot = (
-            assigned.groupBy("_cell")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_cell_rows)
-            .orderBy(F.col("_n").desc())
-            .first()
-        )
-        if hot is not None:
-            raise ValueError(
-                f"semantic_dedup cell {hot['_cell']} holds {hot['_n']} "
-                f"rows (> max_cell_rows={max_cell_rows}): the k-means "
-                "fit is too coarse for a bounded pair join — raise k, "
-                "refit with more iterations/better init_ids, or raise "
-                "max_cell_rows if the quadratic cost is acceptable"
-            )
+    _guard_cell_population(assigned, max_cell_rows, "semantic_dedup")
     # norms are projected per ROW before the self-join: computing
     # cosine_similarity() inline would re-fold each side's norm once per
     # PAIR (O(pairs·dim) instead of O(rows·dim))

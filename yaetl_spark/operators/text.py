@@ -271,8 +271,12 @@ def token_count_estimate(
         raise ValueError("vocab_permille must be in [0, 1000]")
     if piece_chars < 1:
         raise ValueError("piece_chars must be >= 1")
+    # whitespace spelled out (not \s): Java's \s includes U+000B
+    # (vertical tab) while RE2's does not, so the shorthand silently
+    # diverges between engine and oracle on VT-bearing text — the
+    # explicit class makes VT a 1-cost punctuation token in BOTH
     toks = F.regexp_extract_all(
-        text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+        text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"), 0
     )
 
     def cost(t: Column) -> Column:
