@@ -846,6 +846,31 @@ def test_leakage_safe_split_broadcast_cluster_join(spark):
     assert "CartesianProduct" not in final
 
 
+def test_ann_recall_audit_is_tiny_join_plus_scalar_agg(spark):
+    """The recall audit composes the two already-pinned searches
+    (brute-force cosine and IVF-PQ ADC, one TakeOrderedAndProject
+    each) and must add only a full-outer join of the two k-row sets
+    plus ONE scalar aggregate — no cartesian, no key shuffle of the
+    corpus beyond the searches themselves."""
+    df = entry_mod.queries()["ann_recall"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the two pinned searches, nothing more
+    assert final.count("TakeOrderedAndProject") == 2
+    assert final.count("FileScan parquet") == 2
+    # exactly one audit join, over the limit-k sets, full-outer
+    joins = sum(final.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin"))
+    assert joins == 1 and "FullOuter" in final, final
+    assert "CartesianProduct" not in final
+    # the audit adds no exchange: both sides are single-partition
+    # top-k outputs, the scalar agg is partial+final in place
+    assert "Exchange hashpartitioning" not in final
+    assert final.count("HashAggregate") == 2  # partial + final
+
+
 def test_token_estimate_scan_only(spark):
     """token_count_estimate is one fixed-order fold per row — the
     driver query must stay a pure scan (no Exchange, no Generate) with
