@@ -697,3 +697,146 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     r0 = out2.filter(F.col("doc_id") == 101).first()
     assert r0["_ls_id"] == "mine" and r0["_ls_cluster"] == 7
     assert r0["split"] == rows[101]
+
+
+def _eqd(spark, rows, schema="s string, v double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_equidepth_summary_exact_when_buckets_cover(spark):
+    """B >= n per shard: every value gets its own summary point with
+    weight 1, so the merged quantiles are EXACTLY the discrete
+    quantiles (value at rank ceil(p*N)); NULLs are dropped; weights
+    always sum to the non-null row count."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    rows = [("a", float(v)) for v in (5, 1, 3, 2, 4)] + \
+           [("b", float(v)) for v in (10, 20, 30)] + [("b", None)]
+    summ = equidepth_summary(_eqd(spark, rows), "v", "s", buckets=8)
+    got = summ.collect()
+    assert sum(r["weight"] for r in got) == 8  # NULL dropped
+    assert all(r["weight"] == 1 for r in got)
+    assert sorted(r["value"] for r in got if r["shard"] == "a") == \
+        [1.0, 2.0, 3.0, 4.0, 5.0]
+    q = summary_quantiles(summ, (0.0, 0.5, 0.9, 1.0)).first()
+    pooled = sorted([1, 2, 3, 4, 5, 10, 20, 30])
+    assert q["n_rows"] == 8
+    assert q["p00"] == pooled[0]            # min
+    assert q["p50"] == pooled[4 - 1]        # ceil(.5*8)=4 -> 4.0
+    assert q["p90"] == pooled[8 - 1]        # ceil(.9*8)=8 -> 30.0
+    assert q["p100"] == pooled[-1]          # max
+
+
+def test_equidepth_summary_partition_invariant_and_rank_bound(spark):
+    """The summary is bit-identical under any input partitioning, and
+    a merged quantile's true rank stays within the documented
+    sum-of-ceil(n_s/B) bound at a compressing B."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    rows = [(f"s{i % 7}", float((i * 37) % 1000)) for i in range(1400)]
+    df = _eqd(spark, rows)
+    B = 16
+    a = sorted(map(tuple, equidepth_summary(
+        df.repartition(13), "v", "s", buckets=B).collect()))
+    b = sorted(map(tuple, equidepth_summary(
+        df.coalesce(1), "v", "s", buckets=B).collect()))
+    assert a == b
+    assert len(a) <= 7 * B
+    q = summary_quantiles(
+        equidepth_summary(df, "v", "s", buckets=B), (0.5, 0.9, 0.99)
+    ).first()
+    pooled = sorted(v for _, v in rows)
+    n = len(pooled)
+    bound = sum(math.ceil(200 / B) for _ in range(7))  # n_s=200 per shard
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = math.ceil(p * n)
+        # true rank range of the reported value in the pooled order
+        lo = pooled.index(q[col]) + 1
+        hi = n - pooled[::-1].index(q[col])
+        assert lo - bound <= target <= hi + bound, (p, q[col])
+
+
+def test_summary_quantiles_grouped_keys_and_validation(spark):
+    """Coarse keys derived from the shard name answer per-group
+    quantiles from one summary table; out-of-range probabilities
+    raise."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    rows = [("g1_d1", float(v)) for v in range(1, 11)] + \
+           [("g1_d2", float(v)) for v in range(11, 21)] + \
+           [("g2_d1", float(v)) for v in range(101, 121)]
+    summ = equidepth_summary(_eqd(spark, rows), "v", "s", buckets=32) \
+        .withColumn("grp", F.substring("shard", 1, 2))
+    out = {r["grp"]: r for r in summary_quantiles(
+        summ, (0.5,), keys=["grp"]).collect()}
+    assert out["g1"]["n_rows"] == 20 and out["g1"]["p50"] == 10.0
+    assert out["g2"]["n_rows"] == 20 and out["g2"]["p50"] == 110.0
+    with pytest.raises(ValueError, match="probabilities"):
+        summary_quantiles(summ, (1.5,))
+    with pytest.raises(ValueError, match="buckets"):
+        equidepth_summary(_eqd(spark, rows), "v", "s", buckets=0)
+
+
+def test_equidepth_summary_single_exchange_plan(spark):
+    """The fine pass is ONE shuffle: the per-shard sort window's
+    exchange is reused by the (shard, bucket) aggregate — a second
+    hashpartitioning would double the corpus shuffle at 100 TB."""
+    from yaetl_spark.operators import equidepth_summary
+
+    rows = [(f"s{i % 3}", float(i)) for i in range(60)]
+    plan = equidepth_summary(_eqd(spark, rows), "v", "s", buckets=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cluster_cap_semantics_and_determinism(spark):
+    """Cap=2 keeps exactly 2 members of a 3-cluster (chosen by the
+    deterministic (hash_bucket, id) order — verified against the same
+    Knuth arithmetic in Python), all of a 2-cluster, and every
+    unclustered singleton; rank_col exposes the within-cluster rank;
+    temp names survive a caller column literally named _cc_cluster."""
+    from yaetl_spark.operators import cluster_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, t string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster long")
+    out = cluster_cap(docs, "doc_id", clusters, cap=2, rank_col="rk")
+    got = {r["doc_id"]: r["rk"] for r in out.collect()}
+    expected_order = sorted(
+        [1, 2, 3], key=lambda i: ((i * 2654435761 + 12345) % 1_000_000, i))
+    kept3 = set(expected_order[:2])
+    assert set(got) == kept3 | {10, 11, 99}
+    assert got[99] == 1 and {got[10], got[11]} == {1, 2}
+    # stable under repartitioning
+    got2 = {r["doc_id"] for r in cluster_cap(
+        docs.repartition(5), "doc_id", clusters, cap=2).collect()}
+    assert got2 == set(got)
+    with pytest.raises(ValueError, match="cap"):
+        cluster_cap(docs, "doc_id", clusters, cap=0)
+    # collision-safe temps
+    tricky = docs.withColumn("_cc_cluster", F.lit("x")) \
+        .withColumn("_cc_id", F.lit(7))
+    out2 = cluster_cap(tricky, "doc_id", clusters, cap=2)
+    assert set(out2.columns) == {"doc_id", "t", "_cc_cluster", "_cc_id"}
+    assert {r["doc_id"] for r in out2.collect()} == set(got)
+
+
+def test_cluster_cap_shuffles_only_clustered_rows(spark):
+    """The window exchange hashes on the cluster id of the CLUSTERED
+    branch only; the unclustered branch reaches the union without a
+    window — the property that keeps the shuffle bounded by the
+    near-dup population at 100 TB."""
+    from yaetl_spark.operators import cluster_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "doc_id long, t string")
+    clusters = spark.createDataFrame(
+        [(i, i // 2 * 2) for i in range(10)], "doc_id long, cluster long")
+    plan = cluster_cap(docs, "doc_id", clusters, cap=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one rank window (the clustered branch; WindowGroupLimit rows are
+    # its pushed partial top-k, not a second window), no global sort
+    assert plan.count("Window [") == 1, plan
+    assert "Exchange rangepartitioning" not in plan

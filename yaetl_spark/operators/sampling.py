@@ -189,6 +189,72 @@ def leakage_safe_split(
     ).drop(jcl)
 
 
+def cluster_cap(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    cap: int,
+    cluster_id: str = "doc_id",
+    cluster_col: str = "cluster",
+    buckets: int = 1_000_000,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Balanced per-cluster sampling: keep at most ``cap`` members of
+    every near-duplicate cluster — the training-mix move BETWEEN "drop
+    all duplicates" (:func:`~yaetl_spark.operators.graph.
+    dedup_clusters` + keep-representative) and "keep everything": a
+    bounded number of near-variants per cluster preserves paraphrase
+    diversity without letting a 10k-copy boilerplate cluster dominate
+    the mixture (the cluster-level analogue of
+    :func:`~yaetl_spark.operators.curation.cap_per_group`'s per-source
+    quota).
+
+    ``clusters`` is the ``(doc_id, cluster)`` table from any near-dup
+    rung (MinHash, SimHash, embedding). Selection within a cluster is
+    DETERMINISTIC: rank by ``(hash_bucket(id), id)`` — the
+    :func:`~yaetl_spark.operators.curation.cap_per_group` convention —
+    so the kept set is stable across reruns, engines, partitionings,
+    and corpus growth (new members displace proportionally, never
+    reshuffle the quota). Unclustered rows are singleton clusters and
+    always survive (``cap >= 1``). ``rank_col`` optionally exposes the
+    within-cluster rank (1 for unclustered rows).
+
+    Scale shape (100 TB): the window shuffles ONLY the clustered
+    fraction — rows that miss the (small, broadcast-able) cluster
+    table short-circuit past the exchange entirely, so the shuffle is
+    bounded by the near-dup population, not the corpus. The cost is a
+    second pruned scan for the unclustered branch (cheap, columnar);
+    persist the join output first if the input is itself an expensive
+    lineage.
+    """
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    jid, jcl = "_cc_id", "_cc_cluster"
+    while jid in df.columns or jcl in df.columns:
+        jid, jcl = "_" + jid, "_" + jcl
+    c = clusters.select(
+        F.col(cluster_id).alias(jid),
+        F.col(cluster_col).alias(jcl),
+    )
+    joined = df.join(c, df[id_col] == F.col(jid), "left").drop(jid)
+    rk = "_cc_rank" if rank_col is None else rank_col
+    w = Window.partitionBy(F.col(jcl)).orderBy(
+        hash_bucket(id_col, buckets).asc(), F.col(id_col).asc()
+    )
+    capped = (
+        joined.filter(F.col(jcl).isNotNull())
+        .withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= cap)
+        .drop(jcl)
+    )
+    singles = joined.filter(F.col(jcl).isNull()).drop(jcl) \
+        .withColumn(rk, F.lit(1))
+    out = capped.unionByName(singles)
+    return out.drop(rk) if rank_col is None else out
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key: Column | str,

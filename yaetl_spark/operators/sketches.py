@@ -209,6 +209,154 @@ def kll_merge(
     return out
 
 
+def equidepth_summary(
+    df: DataFrame,
+    col: str,
+    shard_col: str,
+    buckets: int = 64,
+    shard_out: str = "shard",
+    bucket_out: str = "bucket",
+    value_out: str = "value",
+    weight_out: str = "weight",
+) -> DataFrame:
+    """Fine-grain pass of the DETERMINISTIC mergeable quantile summary
+    (the oracle-checkable sibling of :func:`kll_rollup`, whose
+    Datasketches compaction is randomized): per shard, the exact
+    equi-depth summary — ``buckets`` weighted points where point ``b``
+    is the shard's value at sorted position ``floor(b·n/B)`` (an ACTUAL
+    data value, never an interpolation) and its weight is the exact
+    count of ranks it covers. Weights sum to the shard's non-null row
+    count exactly, which is what makes the merge
+    (:func:`summary_quantiles`) exact-rank arithmetic instead of
+    sketch heuristics.
+
+    Mergeability: summaries from any shard partition of the data union
+    into one table and answer any coarser-grain quantile via
+    :func:`summary_quantiles` without re-reading raw data — per-day
+    summaries roll up to quarter-level p99 the same way
+    :func:`hll_rollup` rolls up distincts. Rank error of a merged
+    estimate is bounded by ``Σ_s ceil(n_s/B)`` (≈ N/B + #shards) —
+    choose ``buckets`` for the target grain, e.g. B=200 → ~0.5% rank
+    error, matching KLL's regime while staying bit-deterministic
+    across reruns, partitionings, and engines (rank→bucket uses exact
+    integer arithmetic; the points are raw column values).
+
+    Scale shape (100 TB): ONE shuffle — the per-shard sort window;
+    the (shard, bucket) aggregate reuses the same exchange
+    (hashpartitioning on the shard satisfies the grouping), so the
+    output is |shards|·B rows off a single corpus pass.
+    """
+    from pyspark.sql.window import Window
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    v = F.col(col)
+    src = df.filter(v.isNotNull()).select(
+        F.col(shard_col).alias("_eq_s"), v.alias("_eq_v")
+    )
+    w = Window.partitionBy("_eq_s").orderBy(F.col("_eq_v").asc())
+    staged = src.select(
+        "_eq_s",
+        "_eq_v",
+        F.row_number().over(w).cast("bigint").alias("_eq_rn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+        ).alias("_eq_n"),
+    )
+    # bucket = ceil(rn·B / n) via EXACT integer arithmetic
+    # ((x − x mod n) / n with x = rn·B + n − 1): the double-division
+    # shortcut can straddle a ceil boundary by one ulp and silently
+    # disagree with the SQL oracle's integer division
+    x = F.col("_eq_rn") * F.lit(buckets) + F.col("_eq_n") - F.lit(1)
+    b = ((x - F.pmod(x, F.col("_eq_n"))) / F.col("_eq_n")).cast("bigint")
+    return (
+        staged.withColumn("_eq_b", b)
+        .groupBy("_eq_s", "_eq_b")
+        .agg(
+            F.max_by(F.col("_eq_v"), F.col("_eq_rn")).alias(value_out),
+            F.count(F.lit(1)).cast("bigint").alias(weight_out),
+        )
+        .select(
+            F.col("_eq_s").alias(shard_out),
+            F.col("_eq_b").alias(bucket_out),
+            value_out,
+            weight_out,
+        )
+    )
+
+
+def summary_quantiles(
+    summaries: DataFrame,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+    weight_col: str = "weight",
+    order_cols: Sequence[str] = ("shard", "bucket"),
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """Merge pass of the deterministic quantile summary: take a UNION
+    of :func:`equidepth_summary` outputs (any mix of shards / days /
+    sources) and answer quantiles per coarse ``keys`` group (or
+    globally) by exact weighted-rank arithmetic — order the summary
+    points by value, cumulate their weights, and report the first
+    point whose cumulative weight reaches ``ceil(p·N)``. The shuffle
+    carries |shards|·B summary rows, never raw values: "p99 last
+    quarter" is a merge of per-day summaries, not a re-read.
+
+    Bit-deterministic end to end: probabilities are parsed as DECIMAL
+    literals (``0.99`` → 99/100) and the target rank is computed in
+    exact integer arithmetic, so there is no float-rounding seam
+    between engines; the reported values are raw data values carried
+    through the summary. Quantile columns are named ``p50``-style
+    (the :func:`approx_quantiles` convention); ``p=0`` answers the
+    minimum, ``p=1`` the maximum.
+    """
+    from decimal import Decimal
+
+    from pyspark.sql.window import Window
+
+    keys = list(keys)
+    fracs = []
+    for p in probabilities:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("probabilities must be in [0, 1]")
+        d = Decimal(str(p))
+        exp = -d.as_tuple().exponent
+        den = 10 ** max(exp, 0)
+        fracs.append((int(d * den), den))
+    v = F.col(value_col)
+    wgt = F.col(weight_col).cast("bigint")
+    order = [v.asc()] + [
+        F.col(c).asc() for c in order_cols
+        if c in summaries.columns and c not in keys
+    ]
+    part = [F.col(k) for k in keys]
+    wcum = (
+        Window.partitionBy(*part).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*part)
+    base = summaries.select(
+        *keys,
+        v.alias("_sq_v"),
+        F.sum(wgt).over(wcum).alias("_sq_cum"),
+        F.sum(wgt).over(wtot).alias("_sq_n"),
+    )
+    aggs = [F.max("_sq_n").alias(n_col)]
+    for p, (num, den) in zip(probabilities, fracs):
+        # target = ceil(N·num/den) exactly: (x − x mod den)/den with
+        # x = N·num + den − 1 (N·num stays inside int64 for den ≤ 10^3
+        # up to ~9e15 rows — far past any corpus)
+        x = F.col("_sq_n") * F.lit(num) + F.lit(den - 1)
+        target = ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("bigint")
+        aggs.append(
+            F.min(F.when(F.col("_sq_cum") >= target, F.col("_sq_v")))
+            .alias(f"p{int(p * 100):02d}")
+        )
+    return base.groupBy(*keys).agg(*aggs)
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
