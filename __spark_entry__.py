@@ -3775,6 +3775,46 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile summary (operators/sketches.py
+    equidepth_summary + summary_quantiles — the oracle-checkable
+    sibling of the randomized-compaction kll_rollup): per-SOURCE
+    equi-depth summaries of document lengths (8 weighted points each;
+    actual data values, exact integer rank→bucket arithmetic) merged
+    to global p50/p90/p99 by weighted rank. The 100 TB pattern: the
+    corpus is read ONCE at the finest grain; every coarser percentile
+    report is a merge of |shards|·B summary rows, never a re-read —
+    and unlike KLL the result is bit-identical across reruns,
+    partitionings, and engines (rank error still bounded by
+    Σ ceil(n_s/B))."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "source", "n_chars")
+    summ = equidepth_summary(docs, "n_chars", "source", buckets=8)
+    return summary_quantiles(summ, (0.5, 0.9, 0.99))
+
+
+def q_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-cluster sampling (operators/sampling.py
+    cluster_cap): at most 2 members of every near-dup cluster (the
+    shared _verified_pairs graph resolved by dedup_clusters) survive
+    into the training mix — the middle ground between drop-all-dups
+    and keep-everything that preserves paraphrase diversity without
+    letting a boilerplate cluster dominate. Selection is the
+    deterministic (hash_bucket, doc_id) order (cap_per_group's
+    convention); unclustered docs always survive and NEVER enter the
+    rank shuffle (the exchange is bounded by the clustered
+    population)."""
+    from yaetl_spark.operators import cluster_cap, dedup_clusters
+
+    clusters = dedup_clusters(_verified_pairs(spark, sf_dir))
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "source", "n_chars")
+    return cluster_cap(docs, "doc_id", clusters, cap=2,
+                       rank_col="cluster_rank")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3988,6 +4028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "leakage_safe_split": q_leakage_safe_split,
         "ann_recall": q_ann_recall,
+        # -- round-13 queries (growth per the r12 verdict item 4: the
+        # mergeable-quantile gap and balanced per-cluster sampling) --
+        "sketch_quantiles": q_sketch_quantiles,
+        "cluster_cap": q_cluster_cap,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -6085,6 +6129,83 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'val'
                         ELSE 'test' END AS split
             FROM documents d LEFT JOIN clusters c USING (doc_id)
+        """,
+        "cluster_cap": f"""
+            WITH RECURSIVE {_minhash_cands_cte(num_hashes=32, bands=16, bound=100)},
+            grams AS (SELECT DISTINCT doc_id, gram FROM ({grams})),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM grams a JOIN grams b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cands USING (id_a, id_b)
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(r) AS cluster
+                FROM reach GROUP BY node
+            ),
+            ranked AS (
+                SELECT d.doc_id, d.source, d.n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY COALESCE(c.cluster, d.doc_id)
+                           ORDER BY (d.doc_id * 2654435761 + 12345)
+                                    % 1000000, d.doc_id
+                       ) AS rk
+                FROM documents d LEFT JOIN clusters c USING (doc_id)
+            )
+            SELECT doc_id, source, n_chars,
+                   CAST(rk AS INT) AS cluster_rank
+            FROM ranked WHERE rk <= 2
+        """,
+        "sketch_quantiles": """
+            WITH ranked AS (
+                SELECT source AS s, n_chars AS v,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            summ AS (
+                SELECT s, (rn * 8 + n - 1) // n AS b,
+                       max_by(v, rn) AS value,
+                       COUNT(*) AS weight
+                FROM ranked GROUP BY s, (rn * 8 + n - 1) // n
+            ),
+            cum AS (
+                SELECT value,
+                       SUM(weight) OVER (
+                           ORDER BY value, s, b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+                       SUM(weight) OVER () AS nn
+                FROM summ
+            )
+            SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+                   MIN(CASE WHEN cw >= (nn * 5 + 9) // 10
+                            THEN value END) AS p50,
+                   MIN(CASE WHEN cw >= (nn * 9 + 9) // 10
+                            THEN value END) AS p90,
+                   MIN(CASE WHEN cw >= (nn * 99 + 99) // 100
+                            THEN value END) AS p99
+            FROM cum
         """,
         "variant_json": """
             SELECT CAST(floor(CAST(json_extract_string(props, '$.k')

@@ -871,6 +871,39 @@ def test_ann_recall_audit_is_tiny_join_plus_scalar_agg(spark):
     assert final.count("HashAggregate") == 2  # partial + final
 
 
+def test_sketch_quantiles_one_corpus_exchange(spark):
+    """The fine pass is ONE corpus shuffle (hashpartitioning on the
+    shard) with the per-shard rank window and the (shard, bucket)
+    aggregate fused into the same stage; the merge exchanges ONLY
+    |shards|·B summary rows (SinglePartition); the scan reads just
+    (source, n_chars) with the null filter pushed."""
+    df = entry_mod.queries()["sketch_quantiles"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("FileScan parquet") == 1
+    assert "PushedFilters: [IsNotNull(n_chars)]" in final
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "doc_id" not in read_schema
+    assert "CartesianProduct" not in final
+
+
+def test_cluster_cap_registry_bounded_rank_shuffle(spark):
+    """The rank window exchanges ONLY the clustered branch (one
+    'Window [' node); unclustered docs reach the union through a plain
+    filter — no second window, no cartesian, no global sort of the
+    corpus."""
+    df = entry_mod.queries()["cluster_cap"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Window [row_number()") == 1, final
+    assert "Union" in final
+    assert "CartesianProduct" not in final
+    assert "Exchange rangepartitioning" not in final
+
+
 def test_token_estimate_scan_only(spark):
     """token_count_estimate is one fixed-order fold per row — the
     driver query must stay a pure scan (no Exchange, no Generate) with
