@@ -4038,7 +4038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Round-12 front-of-window.
+# Round-13 front-of-window.
 #
 # EVIDENCE POLICY (unchanged since r9): the driver checks the FIRST 50
 # declared queries each round. Slot priority is
@@ -4046,88 +4046,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 179 declared queries and 50 slots, a full re-green rotation
-# takes ceil(179/50) = 4 rounds, so the re-check staleness budget is
+# With 181 declared queries and 50 slots, a full re-green rotation
+# takes ceil(181/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
-# owed (a)+(a')+(b beyond budget) exceeds 50. (r12 owed: 4 a' + 28
-# boundary-(b) = 32 < 50 → growth continues with 8 new queries — the
-# r11 verdict's item-2 pick, its two item-6 candidates, and the five
-# adjacent completions below.)
+# owed (a)+(a')+(b beyond budget) exceeds 50. (r13 owed: 6 a' + 38
+# boundary-(b) = 44 < 50 → growth continues, capped by the arithmetic
+# at 2 new queries — the r12 verdict's item-4 picks.)
 #
-# History note (r11's window, for auditing CORRECTNESS_r11 against
-# this file's git history): 6 new + 13 changed + 16 r7-boundary +
-# 15 r8-oldest = 50. The r11 comment's prose slip said "17 of the 43"
-# where the listed block (and the arithmetic) held 15 — fixed per the
-# r11 ADVICE; the accounting itself was correct.
+# History note (r12's window, for auditing CORRECTNESS_r12 against
+# this file's git history): 8 new + 4 changed + 28 r8-boundary +
+# 10 r9-oldest = 50. The r12 comment's prose slip said "33 deferred"
+# where the deferral list (and the recomputation in the r12 verdict)
+# held 38 — fixed per that verdict; the list itself and the
+# accounting were correct.
 #
-# This round: (a) EIGHT new queries (growth per the r11 verdict items
-# 2 and 6, plus two adjacent completions): krippendorff_alpha
-# (ragged-panel agreement — the panels fleiss_kappa correctly
-# refuses, operators/quality.py), pq_codes (product-quantization
-# codebooks + encode, operators/similarity.py), token_estimate
-# (tokenizer-aware token-count estimate for packing/cost models,
-# operators/text.py), krippendorff_interval (the interval metric for
-# numeric Likert-style panels — exact value-moment arithmetic,
-# quality.py), ann_ivf_pq (IVFADC: coarse probe + asymmetric PQ
-# distance, completing the IVF-PQ ANN stack, similarity.py),
-# hard_negatives (contrastive hard-negative mining in a cosine band,
-# the semantic_dedup bucketing reused anchor-side, similarity.py),
-# leakage_safe_split (cluster-atomic train/val/test assignment over
-# the dedup_clusters graph — the eval-leakage guard, sampling.py),
-# ann_recall (recall@k of the IVF-PQ pipeline vs exact brute force —
-# the ANN acceptance metric, similarity.py).
-# (a') FOUR changed queries — the r11 ADVICE fixes touched their
-# operators: random_projection (empty-vector guard changed the
-# projection expression), score_fusion (output-collision ValueError in
-# reciprocal_rank_fusion), quantile_strata_sample (collision-safe
-# _qs_bounds temp name), shard_dedup (persist handle now an explicit
-# return, attribute removed). kmeans_assign/semantic_dedup/ann_ivf are
-# NOT (a'): the _km_*_sql parametrization for the pq_codes oracle is
-# byte-identical at the default arguments (asserted in
-# tests/test_oracle.py).
-# Then (b): the 28 r8-stale queries named by the r11 deferral list
+# This round: (a) TWO new queries (growth per the r12 verdict item 4):
+# sketch_quantiles (deterministic mergeable quantile summary —
+# per-shard equi-depth weighted points merged by exact weighted-rank
+# arithmetic, the oracle-checkable sibling of the randomized KLL,
+# operators/sketches.py), cluster_cap (balanced per-cluster sampling
+# — at most N members per near-dup cluster in the deterministic hash
+# order, unclustered rows never enter the rank shuffle,
+# operators/sampling.py).
+# (a') SIX changed queries — the r12 ADVICE/verdict fixes touched
+# their operators: token_estimate (whitespace class spelled out in
+# engine + oracle — the Java-\s-vs-RE2 U+000B parity fix),
+# pq_codes (pq_fit probes vector width on a non-null row),
+# ann_ivf_pq and ann_recall (same pq_fit change, plus pq_adc_topk
+# now raises in-plan on a NULL ADC distance instead of sorting
+# NULLs into the top-k), hard_negatives (max_cell_rows degenerate-
+# fit guard threaded through hard_negative_mining), semantic_dedup
+# (its guard refactored into the shared _guard_cell_population —
+# behavior-identical, but the implementation changed, so it
+# re-checks per the (a') letter).
+# Then (b): the 38 r9-stale queries named by the r12 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 10 of the 48 r9-stale queries (alphabetical within the equally-old
-# cohort). 8 + 4 + 28 + 10 = 50, exactly full.
+# 4 of the 45 r10-stale queries (alphabetical within the equally-old
+# cohort). 2 + 6 + 38 + 4 = 50, exactly full.
 #
-# DEFERRED to r13's (b)-block (the 38 remaining r9-stale queries,
-# 4 rounds old at their r13 check — the staleness-budget boundary,
-# they MUST head r13's (b) after any (a)/(a')):
-#   event_transitions, except, explode_tokens, feature_scale,
-#   file_stats, full_join,
-#   funnel_steps, gopher_rules,
-#   grouping_sets, hash_trick, heavy_hitters, incremental_dedup,
-#   intersect, keep_latest, key_skew, kmeans_assign, ks_drift,
-#   line_dedup, mix_sources, part_promo, percentiles, pivot_counts,
-#   prospects, quality_topk, quantile_transform, retrieval_metrics,
-#   robust_outliers, scd2, score_auc, segment_overlap, source_cap,
-#   stock_value, strip_spans, target_encode, token_entropy,
-#   validation_suite, vocab_coverage, winsorize.
-# After those, r13 has ~15 slots for the r10 cohort (45 queries) —
-# r13/r14 rotate it within budget, then r14/r15 take the r11+r12
-# cohorts (179 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# DEFERRED to r14's (b)-block (the 41 remaining r10-stale queries,
+# 4 rounds old at their r14 check — the staleness-budget boundary,
+# they MUST head r14's (b) after any (a)/(a'); 41 deferred):
+#   categorical_shift, chunk_documents, cohens_kappa, cube_agg,
+#   customer_distribution, daily_active, decontaminate, dedup_clusters,
+#   distinct, distribution_shift, doc_fingerprint, edit_distance,
+#   encoding_scan, equi_width, event_paths, ewma, excess_supply,
+#   fk_integrity, funnel, fuzzy_match, fuzzy_match_pruned, hash_sample,
+#   histogram, image_features, inverted_index, json_extract, late_lines,
+#   local_volume, nation_volume, normalized_dedup, order_priority,
+#   rolling_quantile, tfidf, token_pmi, topk, unpivot_measures,
+#   variant_json, weighted_sample, window_ntile, window_rank,
+#   window_running_sum.
+# After those, r14 has ~9-|a'| slots for the r11 cohort (46 queries)
+# — r14/r15 rotate it within budget, then r15/r16 take the r12+r13
+# cohorts (181 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (declared r12)
-    "krippendorff_alpha", "pq_codes", "token_estimate",
-    "krippendorff_interval", "ann_ivf_pq", "hard_negatives",
-    "leakage_safe_split", "ann_recall",
-    # (a') changed since last green (r11 ADVICE fixes)
-    "random_projection", "score_fusion", "quantile_strata_sample",
-    "shard_dedup",
-    # (b) last checked round 8 (budget boundary — the full r11
+    # (a) never driver-checked (declared r13)
+    "sketch_quantiles", "cluster_cap",
+    # (a') changed since last green (r12 ADVICE/verdict fixes)
+    "token_estimate", "pq_codes", "ann_ivf_pq", "ann_recall",
+    "hard_negatives", "semantic_dedup",
+    # (b) last checked round 9 (budget boundary — the full r12
     # deferral list, non-negotiable)
-    "embedding_neardup", "equi_depth", "frame_sample", "gap_fill",
-    "group_scale", "groupby_agg", "inner_join", "lang_id",
-    "left_join_default", "limit_offset", "ngram_perplexity",
-    "pack_documents", "pagerank", "pii_scan", "profile", "rollup_agg",
-    "salted_join", "scan_filter_project", "seasonal_anomaly",
-    "seasonal_decompose", "semantic_dedup", "semi_join",
-    "simhash_dedup", "stratified_sample", "text_stats", "trend_fit",
-    "union_sources", "url_dedup",
-    # (b) last checked round 9 (oldest remaining; 33 deferred, above)
-    "ann_topk", "anti_join", "basket_rules", "bm25_topk",
-    "calibration_bins", "category_index", "collect_segments",
-    "dup_spans", "embedding_normalize", "embedding_quantize",
+    "event_transitions", "except", "explode_tokens", "feature_scale",
+    "file_stats", "full_join", "funnel_steps", "gopher_rules",
+    "grouping_sets", "hash_trick", "heavy_hitters", "incremental_dedup",
+    "intersect", "keep_latest", "key_skew", "kmeans_assign", "ks_drift",
+    "line_dedup", "mix_sources", "part_promo", "percentiles",
+    "pivot_counts", "prospects", "quality_topk", "quantile_transform",
+    "retrieval_metrics", "robust_outliers", "scd2", "score_auc",
+    "segment_overlap", "source_cap", "stock_value", "strip_spans",
+    "target_encode", "token_entropy", "validation_suite", "vocab_coverage",
+    "winsorize",
+    # (b) last checked round 10 (oldest remaining; 41 deferred, above)
+    "ann_ivf", "bloom_join", "brand_revenue", "break_at",
 ]
 
 
