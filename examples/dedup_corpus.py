@@ -1,6 +1,8 @@
 """End-to-end corpus dedup — the full near-duplicate pipeline a
 training-data curation job runs: LSH candidates → exact-Jaccard verify →
-connected-component clusters → keep one canonical doc per cluster.
+connected-component clusters → keep one canonical doc per cluster, or
+a bounded number of members per cluster (`cluster_cap`) when paraphrase
+diversity is worth keeping.
 
 Run: ``python examples/dedup_corpus.py [sf_dir]``
 """
@@ -20,6 +22,7 @@ from pyspark.sql import functions as F
 
 from yaetl_spark import get_spark
 from yaetl_spark.operators import (
+    cluster_cap,
     dedup_clusters,
     drop_duplicate_members,
     minhash_lsh,
@@ -51,10 +54,17 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     clusters = dedup_clusters(pairs)
     kept = drop_duplicate_members(docs, clusters)
     assert_scales(kept)
-    return docs.count(), clusters.count(), kept.count()
+
+    # 3b) the middle ground: keep up to TWO members per cluster
+    # (deterministic hash order; unclustered docs never enter the rank
+    # shuffle) — bounded near-variant diversity for the training mix
+    capped = cluster_cap(docs, "doc_id", clusters, cap=2)
+    assert_scales(capped)
+    return docs.count(), clusters.count(), kept.count(), capped.count()
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="dedup-example", shuffle_partitions=8)
-    total, clustered, kept = main(spark, *(sys.argv[1:2]))
-    print(f"docs={total} in_dup_clusters={clustered} kept={kept}")
+    total, clustered, kept, capped = main(spark, *(sys.argv[1:2]))
+    print(f"docs={total} in_dup_clusters={clustered} kept={kept} "
+          f"capped2={capped}")

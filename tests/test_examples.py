@@ -21,9 +21,11 @@ def test_dedup_corpus_example(spark, sf_dir):
         import dedup_corpus
     finally:
         sys.path.pop(0)
-    total, clustered, kept = dedup_corpus.main(spark, sf_dir)
+    total, clustered, kept, capped = dedup_corpus.main(spark, sf_dir)
     assert kept + clustered >= total  # every dropped doc was clustered
     assert kept <= total
+    # cap=2 keeps at least the canonical set and never exceeds the corpus
+    assert kept <= capped <= total
 
 
 def test_stream_upsert_example(spark, sf_dir, tmp_path):
