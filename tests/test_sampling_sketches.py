@@ -840,3 +840,16 @@ def test_cluster_cap_shuffles_only_clustered_rows(spark):
     # its pushed partial top-k, not a second window), no global sort
     assert plan.count("Window [") == 1, plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_summary_quantiles_rejects_overfine_probability(spark):
+    """Probabilities finer than 3 decimals would push N*num toward
+    int64 overflow at corpus scale — fail loud instead."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    summ = equidepth_summary(
+        _eqd(spark, [("a", 1.0), ("a", 2.0)]), "v", "s", buckets=4)
+    with pytest.raises(ValueError, match="denominator"):
+        summary_quantiles(summ, (0.9999,))
+    # 3 decimals is fine
+    assert summary_quantiles(summ, (0.999,)).first()["p99"] == 2.0

@@ -210,7 +210,10 @@ def cluster_cap(
     quota).
 
     ``clusters`` is the ``(doc_id, cluster)`` table from any near-dup
-    rung (MinHash, SimHash, embedding). Selection within a cluster is
+    rung (MinHash, SimHash, embedding); it must map each id AT MOST
+    once (:func:`~yaetl_spark.operators.graph.dedup_clusters` emits
+    unique ids) — a duplicate mapping would duplicate rows through
+    the join. Selection within a cluster is
     DETERMINISTIC: rank by ``(hash_bucket(id), id)`` — the
     :func:`~yaetl_spark.operators.curation.cap_per_group` convention —
     so the kept set is stable across reruns, engines, partitionings,

@@ -324,6 +324,13 @@ def summary_quantiles(
         d = Decimal(str(p))
         exp = -d.as_tuple().exponent
         den = 10 ** max(exp, 0)
+        if den > 1000:
+            # keeps N·num inside int64 for any N below ~9e15 rows; a
+            # finer probability than 1/1000 needs a bigger summary
+            # (B >> 1000) to be meaningful anyway
+            raise ValueError(
+                f"probability {p} needs denominator {den} > 1000: use "
+                "at most 3 decimal places")
         fracs.append((int(d * den), den))
     v = F.col(value_col)
     wgt = F.col(weight_col).cast("bigint")
