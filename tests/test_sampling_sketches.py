@@ -853,3 +853,44 @@ def test_summary_quantiles_rejects_overfine_probability(spark):
         summary_quantiles(summ, (0.9999,))
     # 3 decimals is fine
     assert summary_quantiles(summ, (0.999,)).first()["p99"] == 2.0
+
+
+def test_equidepth_summary_rank_bound_property(spark):
+    """Hypothesis drives random value multisets, shard splits, and
+    bucket counts through the summary; the merged estimate for every
+    probability must be an ACTUAL data value whose true rank sits
+    within the documented sum-of-ceil(n_s/B) bound of the target rank
+    — the contract that makes the sketch trustworthy at any scale."""
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-1000, max_value=1000),
+                 min_size=3, max_size=120),
+        st.integers(min_value=1, max_value=5),   # shards
+        st.integers(min_value=1, max_value=9),   # buckets
+        st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+    )
+    def run(values, n_shards, B, p):
+        rows = [(f"s{i % n_shards}", float(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = summary_quantiles(
+            equidepth_summary(df, "v", "s", buckets=B), (p,)
+        ).first()
+        pooled = sorted(v for _, v in rows)
+        n = len(pooled)
+        assert got["n_rows"] == n
+        est = got[f"p{int(p * 100):02d}"]
+        assert est in pooled  # actual data value, never interpolated
+        target = math.ceil(p * n)
+        lo = pooled.index(est) + 1          # best true rank of est
+        hi = n - pooled[::-1].index(est)    # worst true rank of est
+        shard_sizes = [len([1 for i in range(len(values))
+                            if i % n_shards == j]) for j in range(n_shards)]
+        bound = sum(math.ceil(sz / B) for sz in shard_sizes if sz)
+        assert lo - bound <= target <= hi + bound, (
+            values, n_shards, B, p, est)
+
+    run()

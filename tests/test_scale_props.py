@@ -287,6 +287,11 @@ def test_hash_heavy_queries_survive_ansi_mode(spark):
         # re-sums DECIMAL partials into the scalar attach
         "winsorize", "embedding_normalize", "calibration_bins",
         "vocab_coverage", "stock_value",
+        # round-13: cluster_cap ranks by the Knuth product like
+        # source_cap; sketch_quantiles multiplies rank by bucket count
+        # (rn·B + n stays far below 2^62) and target = N·num + den
+        # (den capped at 1000 in-operator)
+        "cluster_cap", "sketch_quantiles",
     ]
     queries = entry_mod.queries()
     _prior_ansi = spark.conf.get("spark.sql.ansi.enabled", "false")
