@@ -894,3 +894,99 @@ def test_equidepth_summary_rank_bound_property(spark):
             values, n_shards, B, p, est)
 
     run()
+
+
+def test_equidepth_summary_cross_engine_parity(spark):
+    """Hypothesis drives tie-heavy random multisets through the Spark
+    summary AND a DuckDB replication of the documented arithmetic
+    (row_number -> integer-div bucket -> max_by/count -> cumulative
+    weighted rank). Full summary tables and merged quantiles must be
+    bit-identical — the same guarantee the registry oracle checks, on
+    inputs the corpus can't reach (all-equal shards, singletons,
+    negative values)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-5, max_value=5),  # heavy ties
+                 min_size=1, max_size=60),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=6),
+    )
+    def run(values, n_shards, B):
+        rows = [(f"s{i % n_shards}", v) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "s string, v long")
+        summ = equidepth_summary(df, "v", "s", buckets=B)
+        got_summary = sorted(map(tuple, summ.collect()))
+        got_q = summary_quantiles(summ, (0.5, 0.9)).first()
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE t (s VARCHAR, v BIGINT)")
+            con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+            sql = f"""
+                WITH ranked AS (
+                    SELECT s, v,
+                           ROW_NUMBER() OVER (PARTITION BY s
+                                              ORDER BY v) AS rn,
+                           COUNT(*) OVER (PARTITION BY s) AS n
+                    FROM t WHERE v IS NOT NULL),
+                summ AS (
+                    SELECT s, (rn * {B} + n - 1) // n AS b,
+                           max_by(v, rn) AS value, COUNT(*) AS weight
+                    FROM ranked GROUP BY s, (rn * {B} + n - 1) // n)
+                SELECT s, b, value, CAST(weight AS BIGINT) FROM summ
+            """
+            want_summary = sorted(map(tuple, con.execute(sql).fetchall()))
+            qsql = f"""
+                WITH ranked AS (
+                    SELECT s, v,
+                           ROW_NUMBER() OVER (PARTITION BY s
+                                              ORDER BY v) AS rn,
+                           COUNT(*) OVER (PARTITION BY s) AS n
+                    FROM t WHERE v IS NOT NULL),
+                summ AS (
+                    SELECT s, (rn * {B} + n - 1) // n AS b,
+                           max_by(v, rn) AS value, COUNT(*) AS weight
+                    FROM ranked GROUP BY s, (rn * {B} + n - 1) // n),
+                cum AS (
+                    SELECT value,
+                           SUM(weight) OVER (ORDER BY value, s, b
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                           SUM(weight) OVER () AS nn
+                    FROM summ)
+                SELECT CAST(MAX(nn) AS BIGINT),
+                       MIN(CASE WHEN cw >= (nn * 5 + 9) // 10
+                                THEN value END),
+                       MIN(CASE WHEN cw >= (nn * 9 + 9) // 10
+                                THEN value END)
+                FROM cum
+            """
+            want_q = con.execute(qsql).fetchone()
+        finally:
+            con.close()
+        assert got_summary == want_summary, (values, n_shards, B)
+        assert (got_q["n_rows"], got_q["p50"], got_q["p90"]) == want_q
+
+    run()
+
+
+def test_summary_union_merge_equals_single_pass(spark):
+    """The mergeability contract stated literally: summaries computed
+    in SEPARATE jobs over disjoint shard sets, unioned as tables,
+    answer exactly what one pass over the full data answers."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    rows_a = [("d1", float((i * 13) % 97)) for i in range(150)]
+    rows_b = [("d2", float((i * 29) % 89)) for i in range(220)]
+    both = _eqd(spark, rows_a + rows_b)
+    sep = equidepth_summary(_eqd(spark, rows_a), "v", "s", buckets=8) \
+        .unionByName(
+            equidepth_summary(_eqd(spark, rows_b), "v", "s", buckets=8))
+    one = equidepth_summary(both, "v", "s", buckets=8)
+    ps = (0.1, 0.5, 0.9, 0.99)
+    assert summary_quantiles(sep, ps).collect() == \
+        summary_quantiles(one, ps).collect()
