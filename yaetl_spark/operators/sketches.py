@@ -244,7 +244,14 @@ def equidepth_summary(
     Scale shape (100 TB): ONE shuffle — the per-shard sort window;
     the (shard, bucket) aggregate reuses the same exchange
     (hashpartitioning on the shard satisfies the grouping), so the
-    output is |shards|·B rows off a single corpus pass.
+    output is |shards|·B rows off a single corpus pass. A
+    pathologically hot shard serializes its sort through one task
+    (the :func:`~yaetl_spark.operators.curation.cap_per_group`
+    caveat) — but here the fix is FREE: salt the hot shard into
+    sub-shards (``concat(shard, pmod(hash(id), k))``) and let
+    :func:`summary_quantiles` merge them back; the merge is exact
+    weighted-rank arithmetic, so sub-shard summaries lose nothing
+    (the error bound just counts k sub-shards instead of one).
     """
     from pyspark.sql.window import Window
 
