@@ -990,3 +990,70 @@ def test_summary_union_merge_equals_single_pass(spark):
     ps = (0.1, 0.5, 0.9, 0.99)
     assert summary_quantiles(sep, ps).collect() == \
         summary_quantiles(one, ps).collect()
+
+
+def test_summary_w1_distance_known_values_and_edges(spark):
+    """Hand-checkable W1 arithmetic on exact summaries (B >= n):
+    identical distributions -> 0; a constant shift by c -> |c|; a
+    known two-step CDF gap -> the integral by hand. Edges: empty or
+    absent side -> NULL; all mass at one shared point -> 0."""
+    from yaetl_spark.operators import equidepth_summary, summary_w1_distance
+
+    def summ(vals):
+        return equidepth_summary(
+            _eqd(spark, [("s", float(v)) for v in vals]), "v", "s",
+            buckets=64)
+
+    a = summ([1, 2, 3, 4])
+    # W1(X, X) = 0
+    r = summary_w1_distance(a, summ([1, 2, 3, 4])).first()
+    assert (r["n_a"], r["n_b"], r["w1_distance"]) == (4, 4, 0.0)
+    # W1(X, X + 10) = 10 (uniform shift)
+    r = summary_w1_distance(a, summ([11, 12, 13, 14])).first()
+    assert r["w1_distance"] == 10.0
+    # hand integral: a = {0, 0}, b = {0, 4}: F_a - F_b = 0.5 on [0, 4)
+    r = summary_w1_distance(summ([0, 0]), summ([0, 4])).first()
+    assert r["w1_distance"] == 2.0
+    # unequal sizes: a = {0}, b = {0,0,4}: gap 1/3 on [0,4) -> 4/3
+    r = summary_w1_distance(summ([0]), summ([0, 0, 4])).first()
+    assert abs(r["w1_distance"] - 4.0 / 3.0) < 1e-8
+    # all mass at one shared point -> zero intervals -> 0.0
+    r = summary_w1_distance(summ([7, 7]), summ([7])).first()
+    assert r["w1_distance"] == 0.0
+    # empty side -> NULL
+    empty = summ([1]).filter("weight < 0")
+    r = summary_w1_distance(a, empty).first()
+    assert r["w1_distance"] is None and r["n_b"] in (None, 0)
+
+
+def test_summary_w1_distance_converges_and_detects_drift(spark):
+    """At compressing B the summarized W1 tracks the raw W1 within the
+    summary's value resolution, orders drifted corpora correctly, and
+    is symmetric."""
+    from yaetl_spark.operators import equidepth_summary, summary_w1_distance
+
+    base = [float((i * 37) % 500) for i in range(800)]
+    near = [v + 5.0 for v in base]       # raw W1 = 5
+    far = [v * 2.0 for v in base]        # much larger drift
+
+    def summ(vals, B):
+        return equidepth_summary(
+            _eqd(spark, [(f"s{i % 4}", v) for i, v in enumerate(vals)]),
+            "v", "s", buckets=B)
+
+    d_near = summary_w1_distance(summ(base, 16), summ(near, 16)) \
+        .first()["w1_distance"]
+    d_far = summary_w1_distance(summ(base, 16), summ(far, 16)) \
+        .first()["w1_distance"]
+    # raw W1(base, near) = 5; value resolution at B=16 over 4 shards of
+    # 200 rows is a few bucket gaps (~500/16 each) — stay within one
+    assert abs(d_near - 5.0) <= 500.0 / 16.0, d_near
+    assert d_far > 3 * d_near
+    # symmetric
+    d_sym = summary_w1_distance(summ(near, 16), summ(base, 16)) \
+        .first()["w1_distance"]
+    assert d_sym == d_near
+    # exact summaries (B >= n_s) give the exact raw W1
+    d_exact = summary_w1_distance(summ(base, 256), summ(near, 256)) \
+        .first()["w1_distance"]
+    assert abs(d_exact - 5.0) < 1e-8

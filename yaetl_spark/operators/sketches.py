@@ -371,6 +371,111 @@ def summary_quantiles(
     return base.groupBy(*keys).agg(*aggs)
 
 
+def summary_w1_distance(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    weight_col: str = "weight",
+    out_col: str = "w1_distance",
+    round_to: int = 9,
+) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between two weighted
+    :func:`equidepth_summary` tables — distribution drift WITHOUT
+    re-reading raw data: ``W1 = ∫|F_a(x) − F_b(x)| dx`` evaluated
+    exactly over the merged summary breakpoints (both empirical CDFs
+    are step functions there). Where the KS battery
+    (:func:`~yaetl_spark.operators.stats.ks_test`) re-aggregates raw
+    columns per comparison, this compares any two PERSISTED summary
+    grains — yesterday vs today, source vs source — at
+    |summary|-sized cost, the same persist-once/compare-many pattern
+    as :func:`hll_rollup`. NOTE the inputs are rank summaries, so the
+    answer is W1 of the summarized distributions; it converges to the
+    raw W1 as B grows (value error ≤ one within-bucket value gap per
+    side).
+
+    Deterministic like the rest of the family: one value-ordered
+    cumulative window over the unioned summary rows, per-interval
+    terms ``|F_a − F_b|·Δx`` rounded to ``round_to`` and summed as
+    DECIMAL(38,*) — order-independent, engine-reproducible. Returns
+    ONE row ``(n_a, n_b, w1_distance)``; NULL distance when either
+    side is empty.
+
+    Scale shape: both inputs are |shards|·B-row summaries, so the
+    union, the single-partition window, and the scalar aggregate are
+    all summary-sized — negligible next to the fine passes that
+    produced them.
+    """
+    from pyspark.sql.window import Window
+
+    va = a.select(
+        F.col(value_col).cast("double").alias("_w1_v"),
+        F.col(weight_col).cast("bigint").alias("_w1_wa"),
+        F.lit(0).cast("bigint").alias("_w1_wb"),
+    )
+    vb = b.select(
+        F.col(value_col).cast("double").alias("_w1_v"),
+        F.lit(0).cast("bigint").alias("_w1_wa"),
+        F.col(weight_col).cast("bigint").alias("_w1_wb"),
+    )
+    # collapse ties FIRST so each breakpoint appears once per side mix
+    pts = (
+        va.unionByName(vb)
+        .groupBy("_w1_v")
+        .agg(F.sum("_w1_wa").alias("_w1_wa"),
+             F.sum("_w1_wb").alias("_w1_wb"))
+    )
+    w = Window.orderBy(F.col("_w1_v").asc())
+    cum = pts.select(
+        "_w1_v",
+        F.sum("_w1_wa").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_w1_ca"),
+        F.sum("_w1_wb").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_w1_cb"),
+        F.lead("_w1_v").over(w).alias("_w1_next"),
+    )
+    full = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    staged = cum.select(
+        "*",
+        F.max("_w1_ca").over(full).alias("_w1_na"),
+        F.max("_w1_cb").over(full).alias("_w1_nb"),
+    )
+    # per-interval |F_a - F_b| * dx, rounded then summed as DECIMAL so
+    # the float fold is order-independent (the stats.py convention);
+    # guarded in-expression: the last breakpoint has no interval
+    # (lead NULL -> term NULL, sum skips it) and an empty side must
+    # never reach the division (Inf would throw on the ANSI cast)
+    term = F.when(
+        (F.col("_w1_na") > 0) & (F.col("_w1_nb") > 0)
+        & F.col("_w1_next").isNotNull(),
+        F.round(
+            F.abs(
+                F.col("_w1_ca").cast("double") / F.col("_w1_na")
+                - F.col("_w1_cb").cast("double") / F.col("_w1_nb")
+            ) * (F.col("_w1_next") - F.col("_w1_v")),
+            round_to,
+        ),
+    ).cast(f"decimal(38,{round_to})")
+    out = staged.agg(
+        F.max("_w1_na").alias("n_a"),
+        F.max("_w1_nb").alias("n_b"),
+        F.sum(term).cast("double").alias(out_col),
+    )
+    # zero intervals (all mass at one point) -> distance 0 when both
+    # sides are present; NULL when either side is empty/absent
+    return out.select(
+        "n_a", "n_b",
+        F.when(
+            F.col("n_a").isNull() | F.col("n_b").isNull()
+            | (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.coalesce(F.col(out_col), F.lit(0.0)))
+        .alias(out_col),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
