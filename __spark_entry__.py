@@ -4100,6 +4100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # After those, r14 has ~9-|a'| slots for the r11 cohort (46 queries)
 # — r14/r15 rotate it within budget, then r15/r16 take the r12+r13
 # cohorts (181 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# r14 growth candidate, already implemented + locally tested this
+# round (declaration deferred because this window is exactly full):
+# sketches.summary_w1_distance — W1 drift between two persisted
+# equidepth summaries; an oracle is straightforward (the same
+# breakpoint-integral arithmetic in SQL over the summary CTEs).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r13)
     "sketch_quantiles", "cluster_cap",
