@@ -1057,3 +1057,87 @@ def test_summary_w1_distance_converges_and_detects_drift(spark):
     d_exact = summary_w1_distance(summ(base, 256), summ(near, 256)) \
         .first()["w1_distance"]
     assert abs(d_exact - 5.0) < 1e-8
+
+
+def test_summary_w1_distance_cross_engine_parity(spark):
+    """The W1 integral replayed in DuckDB over the same summary
+    arithmetic must match bit-for-bit — this doubles as the oracle
+    blueprint for the query's eventual driver declaration (r14)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import equidepth_summary, summary_w1_distance
+
+    B = 4
+    SQL = f"""
+        WITH ranked AS (
+            SELECT side, s, v,
+                   ROW_NUMBER() OVER (PARTITION BY side, s
+                                      ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY side, s) AS n
+            FROM t WHERE v IS NOT NULL),
+        summ AS (
+            SELECT side, s, (rn * {B} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked GROUP BY side, s, (rn * {B} + n - 1) // n),
+        pts AS (
+            SELECT value AS v,
+                   SUM(CASE WHEN side = 'a' THEN weight ELSE 0 END) AS wa,
+                   SUM(CASE WHEN side = 'b' THEN weight ELSE 0 END) AS wb
+            FROM summ GROUP BY value),
+        cum AS (
+            SELECT v,
+                   SUM(wa) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(wb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cb,
+                   LEAD(v) OVER (ORDER BY v) AS nxt,
+                   SUM(wa) OVER () AS na,
+                   SUM(wb) OVER () AS nb
+            FROM pts)
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                   COALESCE(CAST(SUM(CASE WHEN nxt IS NOT NULL THEN
+                       CAST(ROUND(ABS(CAST(ca AS DOUBLE) / na
+                                      - CAST(cb AS DOUBLE) / nb)
+                                  * (nxt - v), 9)
+                            AS DECIMAL(38,9)) END) AS DOUBLE), 0.0)
+               END AS w1_distance
+        FROM cum
+    """
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=3),
+    )
+    def run(vals_a, vals_b, n_shards):
+        rows_a = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_a)]
+        rows_b = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_b)]
+        got = summary_w1_distance(
+            equidepth_summary(_eqd(spark, rows_a), "v", "s", buckets=B),
+            equidepth_summary(_eqd(spark, rows_b), "v", "s", buckets=B),
+        ).first()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE t (side VARCHAR, s VARCHAR, v DOUBLE)")
+            con.executemany(
+                "INSERT INTO t VALUES (?, ?, ?)",
+                [("a", s, v) for s, v in rows_a]
+                + [("b", s, v) for s, v in rows_b])
+            want = con.execute(SQL).fetchone()
+        finally:
+            con.close()
+        assert (got["n_a"], got["n_b"], got["w1_distance"]) == want, (
+            vals_a, vals_b, n_shards)
+
+    run()
