@@ -821,6 +821,17 @@ def test_cluster_cap_semantics_and_determinism(spark):
     out2 = cluster_cap(tricky, "doc_id", clusters, cap=2)
     assert set(out2.columns) == {"doc_id", "t", "_cc_cluster", "_cc_id"}
     assert {r["doc_id"] for r in out2.collect()} == set(got)
+    # a user column literally named _cc_rank survives untouched (the
+    # internal rank temp is uniquified like the join temps) ...
+    ranky = docs.withColumn("_cc_rank", F.lit("keep-me"))
+    out3 = cluster_cap(ranky, "doc_id", clusters, cap=2)
+    assert set(out3.columns) == {"doc_id", "t", "_cc_rank"}
+    assert {r["_cc_rank"] for r in out3.collect()} == {"keep-me"}
+    assert {r["doc_id"] for r in out3.collect()} == set(got)
+    # ... and an EXPLICIT rank_col that collides fails loud instead of
+    # silently overwriting the caller's column
+    with pytest.raises(ValueError, match="rank_col"):
+        cluster_cap(docs, "doc_id", clusters, cap=2, rank_col="t")
 
 
 def test_cluster_cap_shuffles_only_clustered_rows(spark):
@@ -851,8 +862,43 @@ def test_summary_quantiles_rejects_overfine_probability(spark):
         _eqd(spark, [("a", 1.0), ("a", 2.0)]), "v", "s", buckets=4)
     with pytest.raises(ValueError, match="denominator"):
         summary_quantiles(summ, (0.9999,))
-    # 3 decimals is fine
-    assert summary_quantiles(summ, (0.999,)).first()["p99"] == 2.0
+    # 3 decimals is fine — and gets its own non-colliding label
+    assert summary_quantiles(summ, (0.999,)).first()["p99_9"] == 2.0
+
+
+def test_quantile_labels_exact_and_collision_free(spark):
+    """The shared label helper (approx_quantiles / kll_merge /
+    summary_quantiles): IEEE truncation never mislabels (0.29 -> p29,
+    not the int(0.29*100)==28 bug), sub-percent probabilities get
+    distinct labels (0.99 -> p99, 0.999 -> p99_9), and a duplicate
+    label raises instead of emitting an ambiguous schema."""
+    from yaetl_spark.operators import (
+        approx_quantiles,
+        equidepth_summary,
+        summary_quantiles,
+    )
+    from yaetl_spark.operators.sketches import _quantile_labels
+
+    assert _quantile_labels([0.29, 0.57, 0.58]) == ["p29", "p57", "p58"]
+    assert _quantile_labels([0.0, 0.001, 0.99, 0.995, 0.999, 1.0]) == \
+        ["p00", "p00_1", "p99", "p99_5", "p99_9", "p100"]
+    with pytest.raises(ValueError, match="duplicate"):
+        _quantile_labels([0.5, 0.5])
+
+    df = _eqd(spark, [("a", float(v)) for v in range(1, 101)])
+    got = approx_quantiles(df, [], "v", probabilities=(0.29, 0.99, 0.999))
+    assert got.columns == ["p29", "p99", "p99_9"]
+    assert got.first()["p29"] == 29.0
+    summ = equidepth_summary(df, "v", "s", buckets=128)
+    row = summary_quantiles(summ, (0.29, 0.99, 0.999)).first()
+    assert (row["p29"], row["p99"], row["p99_9"]) == (29.0, 99.0, 100.0)
+    with pytest.raises(ValueError, match="duplicate"):
+        summary_quantiles(summ, (0.5, 0.5))
+
+    from yaetl_spark.operators import kll_merge, kll_rollup
+    fine = kll_rollup(df, [], "v", k=200)
+    assert kll_merge(fine, [], probabilities=(0.5, 0.999)).columns == \
+        ["p50", "p99_9"]
 
 
 def test_equidepth_summary_rank_bound_property(spark):

@@ -242,7 +242,18 @@ def cluster_cap(
         F.col(cluster_col).alias(jcl),
     )
     joined = df.join(c, df[id_col] == F.col(jid), "left").drop(jid)
-    rk = "_cc_rank" if rank_col is None else rank_col
+    if rank_col is None:
+        # internal temp: uniquify like jid/jcl so a pre-existing
+        # ``_cc_rank`` user column is never clobbered-then-dropped
+        rk = "_cc_rank"
+        while rk in df.columns:
+            rk = "_" + rk
+    else:
+        if rank_col in df.columns:
+            raise ValueError(
+                f"rank_col {rank_col!r} already exists in the input — "
+                "withColumn would silently overwrite it")
+        rk = rank_col
     w = Window.partitionBy(F.col(jcl)).orderBy(
         hash_bucket(id_col, buckets).asc(), F.col(id_col).asc()
     )

@@ -76,6 +76,49 @@ def hll_merge(
     return out if keep_sketch else out.drop(sketch_col)
 
 
+def _quantile_labels(probabilities: Sequence[float]) -> list[str]:
+    """Output-column labels for the quantile family — exact and
+    collision-free (shared by :func:`approx_quantiles`,
+    :func:`kll_merge`, :func:`summary_quantiles`).
+
+    The naive ``f"p{int(p * 100):02d}"`` had two defects: IEEE
+    truncation mislabels valid inputs (``int(0.29 * 100) == 28`` →
+    column ``p28``), and sub-percent probabilities collide (0.99 and
+    0.999 both → ``p99``, silently yielding duplicate output columns).
+    Labels are instead derived from the exact Decimal parse of each
+    probability: whole-percent values get the classic ``p50`` form,
+    sub-percent precision keeps its fractional digits after an
+    underscore (``0.999`` → ``p99_9``, ``0.001`` → ``p00_1``), and any
+    residual duplicate (e.g. the same probability passed twice) raises
+    instead of emitting an ambiguous schema.
+    """
+    from decimal import Decimal
+
+    labels = []
+    for p in probabilities:
+        pct = format((Decimal(str(p)) * 100).normalize(), "f")
+        whole, _, frac = pct.partition(".")
+        lab = f"p{int(whole):02d}"
+        if frac:
+            lab += f"_{frac}"
+        labels.append(lab)
+    dupes = sorted({l for l in labels if labels.count(l) > 1})
+    if dupes:
+        raise ValueError(
+            f"duplicate quantile column label(s) {dupes} from "
+            f"probabilities {list(probabilities)}")
+    return labels
+
+
+def _exact_ceil_div(x: Column, den: Column) -> Column:
+    """``ceil(x / den)`` for non-negative integer columns via true
+    integral division (``div``) — exact over the whole int64 range,
+    with no double-rounding seam anywhere (the ``(x − x mod n)/n``
+    form used previously was exact only below 2^53 because Spark's
+    ``/`` casts bigint operands to double)."""
+    return F.call_function("div", x + den - F.lit(1).cast("bigint"), den)
+
+
 def approx_quantiles(
     df: DataFrame,
     keys: Sequence[str],
@@ -86,12 +129,13 @@ def approx_quantiles(
     """Per-group approximate percentiles (Greenwald-Khanna sketch,
     bounded memory per group) — the scale path beside the exact
     ``percentile`` oracle mode (see ``aggregates.percentiles``)."""
+    labels = _quantile_labels(probabilities)
     probs = F.array(*[F.lit(float(p)) for p in probabilities])
     agg = F.percentile_approx(F.col(col), probs, F.lit(accuracy))
     # element_at over one shared agg column: the sketch is computed once
     return df.groupBy(*keys).agg(agg.alias("_q")).select(
-        *keys, *[F.element_at(F.col("_q"), i + 1).alias(
-            f"p{int(p * 100):02d}") for i, p in enumerate(probabilities)]
+        *keys, *[F.element_at(F.col("_q"), i + 1).alias(lab)
+                 for i, lab in enumerate(labels)]
     )
 
 
@@ -189,6 +233,7 @@ def kll_merge(
     ``p50``-style quantile columns. The shuffle carries O(k·log n)-byte
     sketch state per fine group — never raw values — so "p99 latency last
     quarter" is a merge of per-day sketches, not a 100 TB re-read."""
+    labels = _quantile_labels(probabilities)
     merged = sketches.groupBy(*keys).agg(
         getattr(F, "kll_merge_agg_double")(F.col(sketch_col)).alias(sketch_col)
     )
@@ -202,8 +247,8 @@ def kll_merge(
             [F.col(sketch_col)] if keep_sketch else []
         ),
         *[
-            F.element_at(F.col("_q"), i + 1).alias(f"p{int(p * 100):02d}")
-            for i, p in enumerate(probabilities)
+            F.element_at(F.col("_q"), i + 1).alias(lab)
+            for i, lab in enumerate(labels)
         ],
     )
     return out
@@ -271,12 +316,12 @@ def equidepth_summary(
                           Window.unboundedFollowing)
         ).alias("_eq_n"),
     )
-    # bucket = ceil(rn·B / n) via EXACT integer arithmetic
-    # ((x − x mod n) / n with x = rn·B + n − 1): the double-division
-    # shortcut can straddle a ceil boundary by one ulp and silently
-    # disagree with the SQL oracle's integer division
-    x = F.col("_eq_rn") * F.lit(buckets) + F.col("_eq_n") - F.lit(1)
-    b = ((x - F.pmod(x, F.col("_eq_n"))) / F.col("_eq_n")).cast("bigint")
+    # bucket = ceil(rn·B / n) via EXACT integer arithmetic (true
+    # integral division — exact over the whole int64 range; the
+    # double-division shortcut can straddle a ceil boundary by one ulp
+    # and silently disagree with the SQL oracle's integer division,
+    # and even the (x − x mod n)/n form only held below 2^53)
+    b = _exact_ceil_div(F.col("_eq_rn") * F.lit(buckets), F.col("_eq_n"))
     return (
         staged.withColumn("_eq_b", b)
         .groupBy("_eq_s", "_eq_b")
@@ -316,7 +361,9 @@ def summary_quantiles(
     exact integer arithmetic, so there is no float-rounding seam
     between engines; the reported values are raw data values carried
     through the summary. Quantile columns are named ``p50``-style
-    (the :func:`approx_quantiles` convention); ``p=0`` answers the
+    (the :func:`approx_quantiles` convention; sub-percent precision
+    keeps its digits — ``0.999`` → ``p99_9`` — and duplicate labels
+    raise, see :func:`_quantile_labels`); ``p=0`` answers the
     minimum, ``p=1`` the maximum.
     """
     from decimal import Decimal
@@ -332,13 +379,14 @@ def summary_quantiles(
         exp = -d.as_tuple().exponent
         den = 10 ** max(exp, 0)
         if den > 1000:
-            # keeps N·num inside int64 for any N below ~9e15 rows; a
-            # finer probability than 1/1000 needs a bigger summary
-            # (B >> 1000) to be meaningful anyway
+            # keeps N·num inside int64 for any N below ~9.2e15 rows
+            # (int64 max / 1000); a finer probability than 1/1000 needs
+            # a bigger summary (B >> 1000) to be meaningful anyway
             raise ValueError(
                 f"probability {p} needs denominator {den} > 1000: use "
                 "at most 3 decimal places")
         fracs.append((int(d * den), den))
+    labels = _quantile_labels(probabilities)
     v = F.col(value_col)
     wgt = F.col(weight_col).cast("bigint")
     order = [v.asc()] + [
@@ -358,15 +406,15 @@ def summary_quantiles(
         F.sum(wgt).over(wtot).alias("_sq_n"),
     )
     aggs = [F.max("_sq_n").alias(n_col)]
-    for p, (num, den) in zip(probabilities, fracs):
-        # target = ceil(N·num/den) exactly: (x − x mod den)/den with
-        # x = N·num + den − 1 (N·num stays inside int64 for den ≤ 10^3
-        # up to ~9e15 rows — far past any corpus)
-        x = F.col("_sq_n") * F.lit(num) + F.lit(den - 1)
-        target = ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("bigint")
+    for lab, (num, den) in zip(labels, fracs):
+        # target = ceil(N·num/den) via true integral division — exact
+        # over the whole int64 range (N·num stays inside int64 for
+        # den ≤ 10^3 up to ~9.2e15 rows — far past any corpus)
+        target = _exact_ceil_div(
+            F.col("_sq_n") * F.lit(num), F.lit(den).cast("bigint"))
         aggs.append(
             F.min(F.when(F.col("_sq_cum") >= target, F.col("_sq_v")))
-            .alias(f"p{int(p * 100):02d}")
+            .alias(lab)
         )
     return base.groupBy(*keys).agg(*aggs)
 
