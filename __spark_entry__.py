@@ -3815,6 +3815,55 @@ def q_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                        rank_col="cluster_rank")
 
 
+def q_summary_w1_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (earth-mover) drift between two PERSISTED quantile summaries
+    (operators/sketches.py summary_w1_distance): the doc-length
+    distribution of even vs odd doc_ids, each summarized per source by
+    equidepth_summary (8 weighted points), compared by the exact
+    ∫|F_a − F_b|dx breakpoint integral over the merged summary rows.
+    The 100 TB pattern: persist per-grain summaries ONCE (the same
+    fine pass sketch_quantiles merges), then answer any drift
+    comparison — yesterday vs today, source vs source — at
+    |summary|-sized cost instead of re-aggregating raw columns per
+    comparison the way the KS battery must."""
+    from yaetl_spark.operators import equidepth_summary, summary_w1_distance
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "source", "n_chars")
+    a = equidepth_summary(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        "n_chars", "source", buckets=8)
+    b = equidepth_summary(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        "n_chars", "source", buckets=8)
+    return summary_w1_distance(a, b)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once dedup on the streaming grammar
+    (streaming/stream.py dedup_within_watermark →
+    dropDuplicatesWithinWatermark): a redelivered event feed (every
+    third event arrives twice — the deterministic stand-in for an
+    at-least-once source) is deduplicated on event identity, then
+    aggregated per event type. Runs identically as a stream — state
+    keyed on event_id, bounded by the watermark horizon instead of
+    growing forever (the property a plain dropDuplicates lacks on
+    unbounded input); batch/stream parity is pinned by
+    tests/test_streaming.py::test_stream_dedup_query_matches_stream."""
+    from yaetl_spark.streaming import dedup_within_watermark
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
+    redelivered = ev.unionByName(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0))
+    clean = dedup_within_watermark(redelivered, ["event_id"], "ts", "1 hour")
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double").alias("sum_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4032,13 +4081,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable-quantile gap and balanced per-cluster sampling) --
         "sketch_quantiles": q_sketch_quantiles,
         "cluster_cap": q_cluster_cap,
+        # -- round-14 queries (growth per the r13 verdict items 1/5: the
+        # pre-built W1 drift declaration and the streaming-grammar
+        # dedup pairing the LLM-dedup battery with §2.11) --
+        "summary_w1_distance": q_summary_w1_distance,
+        "stream_dedup": q_stream_dedup,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
     return ordered
 
 
-# Round-13 front-of-window.
+# Round-14 front-of-window.
 #
 # EVIDENCE POLICY (unchanged since r9): the driver checks the FIRST 50
 # declared queries each round. Slot priority is
@@ -4046,85 +4100,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 181 declared queries and 50 slots, a full re-green rotation
-# takes ceil(181/50) = 4 rounds, so the re-check staleness budget is
+# With 183 declared queries and 50 slots, a full re-green rotation
+# takes ceil(183/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
-# owed (a)+(a')+(b beyond budget) exceeds 50. (r13 owed: 6 a' + 38
-# boundary-(b) = 44 < 50 → growth continues, capped by the arithmetic
-# at 2 new queries — the r12 verdict's item-4 picks.)
+# owed (a)+(a')+(b beyond budget) exceeds 50. (r14 owed: 2 a' + 41
+# boundary-(b) = 43 < 50 → growth continues, capped by the arithmetic
+# at 2 new queries — the r13 verdict's item-1 and item-5 picks.)
 #
-# History note (r12's window, for auditing CORRECTNESS_r12 against
-# this file's git history): 8 new + 4 changed + 28 r8-boundary +
-# 10 r9-oldest = 50. The r12 comment's prose slip said "33 deferred"
-# where the deferral list (and the recomputation in the r12 verdict)
-# held 38 — fixed per that verdict; the list itself and the
-# accounting were correct.
+# History note (r13's window, for auditing CORRECTNESS_r13 against
+# this file's git history): 2 new (sketch_quantiles, cluster_cap) +
+# 6 changed + 38 r9-boundary + 4 r10-oldest = 50.
 #
-# This round: (a) TWO new queries (growth per the r12 verdict item 4):
-# sketch_quantiles (deterministic mergeable quantile summary —
-# per-shard equi-depth weighted points merged by exact weighted-rank
-# arithmetic, the oracle-checkable sibling of the randomized KLL,
-# operators/sketches.py), cluster_cap (balanced per-cluster sampling
-# — at most N members per near-dup cluster in the deterministic hash
-# order, unclustered rows never enter the rank shuffle,
-# operators/sampling.py).
-# (a') SIX changed queries — the r12 ADVICE/verdict fixes touched
-# their operators: token_estimate (whitespace class spelled out in
-# engine + oracle — the Java-\s-vs-RE2 U+000B parity fix),
-# pq_codes (pq_fit probes vector width on a non-null row),
-# ann_ivf_pq and ann_recall (same pq_fit change, plus pq_adc_topk
-# now raises in-plan on a NULL ADC distance instead of sorting
-# NULLs into the top-k), hard_negatives (max_cell_rows degenerate-
-# fit guard threaded through hard_negative_mining), semantic_dedup
-# (its guard refactored into the shared _guard_cell_population —
-# behavior-identical, but the implementation changed, so it
-# re-checks per the (a') letter).
-# Then (b): the 38 r9-stale queries named by the r12 deferral list
+# This round: (a) TWO new queries: summary_w1_distance (W1 drift
+# between two persisted equidepth summaries — the r13 verdict's
+# mandated declaration of the operator pre-built in r13,
+# operators/sketches.py), stream_dedup (at-least-once dedup on the
+# streaming grammar via dropDuplicatesWithinWatermark's batch-parity
+# path — the r13 verdict's item-5 growth pick pairing the LLM-dedup
+# battery with §2.11, streaming/stream.py).
+# (a') TWO changed queries — the r13 ADVICE/verdict fixes touched
+# their operators: sketch_quantiles (quantile labels now derive from
+# the exact Decimal parse via the shared _quantile_labels helper, and
+# the rank→bucket / target-rank ceils use true integral division —
+# exact to int64, not 2^53), cluster_cap (the internal rank temp is
+# collision-proofed and an explicit colliding rank_col raises).
+# percentiles is NOT (a'): it routes through aggregates.percentiles
+# (exact SQL percentile), not the sketch family.
+# Then (b): the 41 r10-stale queries named by the r13 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 4 of the 45 r10-stale queries (alphabetical within the equally-old
-# cohort). 2 + 6 + 38 + 4 = 50, exactly full.
+# 5 of the 46 r11-stale queries (alphabetical within the equally-old
+# cohort). 2 + 2 + 41 + 5 = 50, exactly full.
 #
-# DEFERRED to r14's (b)-block (the 41 remaining r10-stale queries,
-# 4 rounds old at their r14 check — the staleness-budget boundary,
-# they MUST head r14's (b) after any (a)/(a'); 41 deferred):
-#   categorical_shift, chunk_documents, cohens_kappa, cube_agg,
-#   customer_distribution, daily_active, decontaminate, dedup_clusters,
-#   distinct, distribution_shift, doc_fingerprint, edit_distance,
-#   encoding_scan, equi_width, event_paths, ewma, excess_supply,
-#   fk_integrity, funnel, fuzzy_match, fuzzy_match_pruned, hash_sample,
-#   histogram, image_features, inverted_index, json_extract, late_lines,
-#   local_volume, nation_volume, normalized_dedup, order_priority,
-#   rolling_quantile, tfidf, token_pmi, topk, unpivot_measures,
-#   variant_json, weighted_sample, window_ntile, window_rank,
-#   window_running_sum.
-# After those, r14 has ~9-|a'| slots for the r11 cohort (46 queries)
-# — r14/r15 rotate it within budget, then r15/r16 take the r12+r13
-# cohorts (181 ≤ 200 = 4×50 keeps the whole rotation feasible).
-# r14 growth candidate, already implemented + locally tested this
-# round (declaration deferred because this window is exactly full):
-# sketches.summary_w1_distance — W1 drift between two persisted
-# equidepth summaries; an oracle is straightforward (the same
-# breakpoint-integral arithmetic in SQL over the summary CTEs).
+# DEFERRED to r15's (b)-block (the 41 remaining r11-stale queries,
+# 4 rounds old at their r15 check — the staleness-budget boundary,
+# they MUST head r15's (b) after any (a)/(a'); 41 deferred):
+#   c4_rules, chained_join_agg, changepoint, chi_square,
+#   click_attribution, cohort_retention, continue_at, corr_matrix,
+#   cross_join, dataset_split, dedup_exact, dsir, embedding_lsh,
+#   events_lag, events_sessions, events_sliding, events_tumbling,
+#   fleiss_kappa, large_orders, market_share, media_meta,
+#   min_price_supplier, minhash_neardup, ngram_jaccard, ngram_novelty,
+#   orders_by_month, profit_by_nation, promo_share, range_band,
+#   repetition, returned_items, revenue_forecast, sessionize,
+#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
+#   top_p_filter, top_supplier, waiting_suppliers, window_frames.
+# After those, r15 has ~9-|a'| slots for the r12 cohort (44 queries)
+# — r15/r16 rotate it within budget, then r16/r17 take the r13+r14
+# cohorts (183 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (declared r13)
+    # (a) never driver-checked (declared r14)
+    "summary_w1_distance", "stream_dedup",
+    # (a') changed since last green (r13 ADVICE/verdict fixes)
     "sketch_quantiles", "cluster_cap",
-    # (a') changed since last green (r12 ADVICE/verdict fixes)
-    "token_estimate", "pq_codes", "ann_ivf_pq", "ann_recall",
-    "hard_negatives", "semantic_dedup",
-    # (b) last checked round 9 (budget boundary — the full r12
+    # (b) last checked round 10 (budget boundary — the full r13
     # deferral list, non-negotiable)
-    "event_transitions", "except", "explode_tokens", "feature_scale",
-    "file_stats", "full_join", "funnel_steps", "gopher_rules",
-    "grouping_sets", "hash_trick", "heavy_hitters", "incremental_dedup",
-    "intersect", "keep_latest", "key_skew", "kmeans_assign", "ks_drift",
-    "line_dedup", "mix_sources", "part_promo", "percentiles",
-    "pivot_counts", "prospects", "quality_topk", "quantile_transform",
-    "retrieval_metrics", "robust_outliers", "scd2", "score_auc",
-    "segment_overlap", "source_cap", "stock_value", "strip_spans",
-    "target_encode", "token_entropy", "validation_suite", "vocab_coverage",
-    "winsorize",
-    # (b) last checked round 10 (oldest remaining; 41 deferred, above)
-    "ann_ivf", "bloom_join", "brand_revenue", "break_at",
+    "categorical_shift", "chunk_documents", "cohens_kappa", "cube_agg",
+    "customer_distribution", "daily_active", "decontaminate",
+    "dedup_clusters", "distinct", "distribution_shift", "doc_fingerprint",
+    "edit_distance", "encoding_scan", "equi_width", "event_paths", "ewma",
+    "excess_supply", "fk_integrity", "funnel", "fuzzy_match",
+    "fuzzy_match_pruned", "hash_sample", "histogram", "image_features",
+    "inverted_index", "json_extract", "late_lines", "local_volume",
+    "nation_volume", "normalized_dedup", "order_priority",
+    "rolling_quantile", "tfidf", "token_pmi", "topk", "unpivot_measures",
+    "variant_json", "weighted_sample", "window_ntile", "window_rank",
+    "window_running_sum",
+    # (b) last checked round 11 (oldest remaining; 41 deferred, above)
+    "ab_test", "asof_join", "audio_features", "autocorrelation",
+    "blocklist_scan",
 ]
 
 
@@ -6203,6 +6246,65 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN cw >= (nn * 99 + 99) // 100
                             THEN value END) AS p99
             FROM cum
+        """,
+        "summary_w1_distance": """
+            WITH base AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS side,
+                       source AS s, CAST(n_chars AS DOUBLE) AS v
+                FROM documents WHERE n_chars IS NOT NULL
+            ),
+            ranked AS (
+                SELECT side, s, v,
+                       ROW_NUMBER() OVER (PARTITION BY side, s
+                                          ORDER BY v) AS rn,
+                       COUNT(*) OVER (PARTITION BY side, s) AS n
+                FROM base
+            ),
+            summ AS (
+                SELECT side, s, (rn * 8 + n - 1) // n AS b,
+                       max_by(v, rn) AS value, COUNT(*) AS weight
+                FROM ranked GROUP BY side, s, (rn * 8 + n - 1) // n
+            ),
+            pts AS (
+                SELECT value AS v,
+                       SUM(CASE WHEN side = 'a' THEN weight
+                                ELSE 0 END) AS wa,
+                       SUM(CASE WHEN side = 'b' THEN weight
+                                ELSE 0 END) AS wb
+                FROM summ GROUP BY value
+            ),
+            cum AS (
+                SELECT v,
+                       SUM(wa) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS ca,
+                       SUM(wb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cb,
+                       LEAD(v) OVER (ORDER BY v) AS nxt,
+                       SUM(wa) OVER () AS na,
+                       SUM(wb) OVER () AS nb
+                FROM pts
+            )
+            SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+                   CAST(MAX(nb) AS BIGINT) AS n_b,
+                   CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                       COALESCE(CAST(SUM(CASE WHEN nxt IS NOT NULL THEN
+                           CAST(ROUND(ABS(CAST(ca AS DOUBLE) / na
+                                          - CAST(cb AS DOUBLE) / nb)
+                                      * (nxt - v), 9)
+                                AS DECIMAL(38,9)) END) AS DOUBLE), 0.0)
+                   END AS w1_distance
+            FROM cum
+        """,
+        "stream_dedup": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY event_type
         """,
         "variant_json": """
             SELECT CAST(floor(CAST(json_extract_string(props, '$.k')

@@ -165,6 +165,65 @@ def test_dedup_within_watermark_streaming(spark, sf_dir, tmp_path):
     assert len(out) == expect
 
 
+def test_stream_dedup_query_matches_stream(spark, sf_dir, tmp_path):
+    """Batch/stream parity for the stream_dedup driver query: the same
+    redelivered feed (every third event arrives twice) replayed as a
+    REAL multi-trigger stream through dropDuplicatesWithinWatermark
+    must aggregate to exactly the batch query's per-type totals. The
+    stream leg uses a replay-spanning watermark because file replay
+    compresses the feed's months into two triggers; the query's
+    production horizon (1 hour) is redelivery-scale."""
+    import time as _t
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(
+        map(tuple, entry_mod.q_stream_dedup(spark, sf).collect()))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_event_time(
+        spark.read.parquet(f"{sf}/events.parquet")
+    ).select("event_id", "ts", "event_type", "value")
+    redelivered = ev.unionByName(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0))
+    src = str(tmp_path / "feed")
+    redelivered.repartition(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = dedup_within_watermark(
+        stream, ["event_id"], "ts", "3650 days")
+
+    out: list = []
+    q = (deduped.writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, (
+        spark.createDataFrame(out, schema)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_value"),
+        )
+        .collect()
+    )))
+    assert got == want
+
+
 def test_stateful_sessionize_batch_fallback(spark):
     from yaetl_spark.streaming import stateful_sessionize
 
