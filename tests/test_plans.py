@@ -915,3 +915,39 @@ def test_token_estimate_scan_only(spark):
     assert "Generate" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_summary_w1_distance_summary_sized_merge(spark):
+    """Each side's fine pass is its own single corpus exchange (the
+    pinned sketch_quantiles shape, twice); everything after the union
+    is summary-sized — one hash exchange on the breakpoint value plus
+    one SinglePartition window — and both scans stay pruned to
+    (doc_id, source, n_chars) with the null filter pushed."""
+    df = entry_mod.queries()["summary_w1_distance"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # 2 corpus-grain (one per side) + 1 summary-sized breakpoint hash
+    assert final.count("Exchange hashpartitioning") == 3, final
+    assert final.count("Exchange SinglePartition") == 1, final
+    assert final.count("FileScan parquet") == 2
+    assert "IsNotNull(n_chars)" in final.split("PushedFilters:")[1]
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+    assert "CartesianProduct" not in final
+
+
+def test_stream_dedup_two_exchange_shape(spark):
+    """At-least-once dedup is the minimal two-exchange plan: one
+    corpus-grain shuffle on the event identity (with the map-side
+    partial dedup before it), one on the event type for the final
+    aggregate; both scans read only the four projected columns."""
+    df = entry_mod.queries()["stream_dedup"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, final
+    assert "Exchange SinglePartition" not in final
+    assert "CartesianProduct" not in final
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
