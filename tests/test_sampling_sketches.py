@@ -1187,3 +1187,127 @@ def test_summary_w1_distance_cross_engine_parity(spark):
             vals_a, vals_b, n_shards)
 
     run()
+
+
+def test_summary_ks_distance_known_values_and_edges(spark):
+    """Hand-checkable KS arithmetic on exact summaries (B >= n):
+    identical -> 0; disjoint supports -> 1; known CDF gaps; symmetric;
+    agrees with the raw two-sample D computed in Python. Edges: empty
+    or absent side -> NULL; all mass at one shared point -> 0."""
+    from yaetl_spark.operators import equidepth_summary, summary_ks_distance
+
+    def summ(vals):
+        return equidepth_summary(
+            _eqd(spark, [("s", float(v)) for v in vals]), "v", "s",
+            buckets=64)
+
+    a = summ([1, 2, 3, 4])
+    r = summary_ks_distance(a, summ([1, 2, 3, 4])).first()
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (4, 4, 0.0)
+    # disjoint supports -> 1
+    assert summary_ks_distance(a, summ([11, 12])).first()["ks_stat"] == 1.0
+    # a = {0, 0}, b = {0, 4}: at 0, F_a = 1 vs F_b = 0.5 -> D = 0.5
+    assert summary_ks_distance(
+        summ([0, 0]), summ([0, 4])).first()["ks_stat"] == 0.5
+    # unequal sizes: a = {0}, b = {0, 0, 4}: at 0, 1 vs 2/3 -> 1/3
+    got = summary_ks_distance(summ([0]), summ([0, 0, 4])).first()["ks_stat"]
+    assert abs(got - 1.0 / 3.0) < 1e-8
+    # symmetric
+    assert summary_ks_distance(
+        summ([0, 0, 4]), summ([0])).first()["ks_stat"] == got
+    # all mass at one shared point -> 0
+    assert summary_ks_distance(
+        summ([7, 7]), summ([7])).first()["ks_stat"] == 0.0
+    # agrees with the raw two-sample D on exact summaries
+    va, vb = [1, 1, 2, 5, 9], [1, 3, 3, 9]
+    pts = sorted(set(va + vb))
+    want = max(
+        abs(sum(1 for x in va if x <= p) / len(va)
+            - sum(1 for x in vb if x <= p) / len(vb))
+        for p in pts)
+    got = summary_ks_distance(summ(va), summ(vb)).first()["ks_stat"]
+    assert abs(got - want) < 1e-9
+    # empty side -> NULL
+    empty = summ([1]).filter("weight < 0")
+    r = summary_ks_distance(a, empty).first()
+    assert r["ks_stat"] is None and r["n_b"] in (None, 0)
+
+
+def test_summary_ks_distance_cross_engine_parity(spark):
+    """The KS sup-gap replayed in DuckDB over the same summary
+    arithmetic must match bit-for-bit — the oracle blueprint for the
+    query's eventual driver declaration (r15)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import equidepth_summary, summary_ks_distance
+
+    B = 4
+    SQL = f"""
+        WITH ranked AS (
+            SELECT side, s, v,
+                   ROW_NUMBER() OVER (PARTITION BY side, s
+                                      ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY side, s) AS n
+            FROM t WHERE v IS NOT NULL),
+        summ AS (
+            SELECT side, s, (rn * {B} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked GROUP BY side, s, (rn * {B} + n - 1) // n),
+        pts AS (
+            SELECT value AS v,
+                   SUM(CASE WHEN side = 'a' THEN weight ELSE 0 END) AS wa,
+                   SUM(CASE WHEN side = 'b' THEN weight ELSE 0 END) AS wb
+            FROM summ GROUP BY value),
+        cum AS (
+            SELECT v,
+                   SUM(wa) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(wb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cb,
+                   SUM(wa) OVER () AS na,
+                   SUM(wb) OVER () AS nb
+            FROM pts)
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                   MAX(ROUND(ABS(CAST(ca AS DOUBLE) / na
+                                 - CAST(cb AS DOUBLE) / nb), 9))
+               END AS ks_stat
+        FROM cum
+    """
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=3),
+    )
+    def run(vals_a, vals_b, n_shards):
+        rows_a = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_a)]
+        rows_b = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_b)]
+        got = summary_ks_distance(
+            equidepth_summary(_eqd(spark, rows_a), "v", "s", buckets=B),
+            equidepth_summary(_eqd(spark, rows_b), "v", "s", buckets=B),
+        ).first()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE t (side VARCHAR, s VARCHAR, v DOUBLE)")
+            con.executemany(
+                "INSERT INTO t VALUES (?, ?, ?)",
+                [("a", s, v) for s, v in rows_a]
+                + [("b", s, v) for s, v in rows_b])
+            want = con.execute(SQL).fetchone()
+        finally:
+            con.close()
+        assert (got["n_a"], got["n_b"], got["ks_stat"]) == want, (
+            vals_a, vals_b, n_shards)
+
+    run()

@@ -419,6 +419,59 @@ def summary_quantiles(
     return base.groupBy(*keys).agg(*aggs)
 
 
+def _summary_cdf_stage(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Shared staging for the persisted-summary drift family
+    (:func:`summary_w1_distance`, :func:`summary_ks_distance`): union
+    the two weighted summaries, collapse tied breakpoints, and emit one
+    row per distinct breakpoint with both cumulative weights
+    (``_w1_ca``/``_w1_cb``), the next breakpoint (``_w1_next``), and
+    both totals (``_w1_na``/``_w1_nb``). Everything is summary-sized:
+    one hash aggregate on the breakpoint value plus one
+    single-partition window over |summary_a| + |summary_b| rows."""
+    from pyspark.sql.window import Window
+
+    va = a.select(
+        F.col(value_col).cast("double").alias("_w1_v"),
+        F.col(weight_col).cast("bigint").alias("_w1_wa"),
+        F.lit(0).cast("bigint").alias("_w1_wb"),
+    )
+    vb = b.select(
+        F.col(value_col).cast("double").alias("_w1_v"),
+        F.lit(0).cast("bigint").alias("_w1_wa"),
+        F.col(weight_col).cast("bigint").alias("_w1_wb"),
+    )
+    # collapse ties FIRST so each breakpoint appears once per side mix
+    pts = (
+        va.unionByName(vb)
+        .groupBy("_w1_v")
+        .agg(F.sum("_w1_wa").alias("_w1_wa"),
+             F.sum("_w1_wb").alias("_w1_wb"))
+    )
+    w = Window.orderBy(F.col("_w1_v").asc())
+    cum = pts.select(
+        "_w1_v",
+        F.sum("_w1_wa").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_w1_ca"),
+        F.sum("_w1_wb").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_w1_cb"),
+        F.lead("_w1_v").over(w).alias("_w1_next"),
+    )
+    full = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    return cum.select(
+        "*",
+        F.max("_w1_ca").over(full).alias("_w1_na"),
+        F.max("_w1_cb").over(full).alias("_w1_nb"),
+    )
+
+
 def summary_w1_distance(
     a: DataFrame,
     b: DataFrame,
@@ -453,43 +506,7 @@ def summary_w1_distance(
     all summary-sized — negligible next to the fine passes that
     produced them.
     """
-    from pyspark.sql.window import Window
-
-    va = a.select(
-        F.col(value_col).cast("double").alias("_w1_v"),
-        F.col(weight_col).cast("bigint").alias("_w1_wa"),
-        F.lit(0).cast("bigint").alias("_w1_wb"),
-    )
-    vb = b.select(
-        F.col(value_col).cast("double").alias("_w1_v"),
-        F.lit(0).cast("bigint").alias("_w1_wa"),
-        F.col(weight_col).cast("bigint").alias("_w1_wb"),
-    )
-    # collapse ties FIRST so each breakpoint appears once per side mix
-    pts = (
-        va.unionByName(vb)
-        .groupBy("_w1_v")
-        .agg(F.sum("_w1_wa").alias("_w1_wa"),
-             F.sum("_w1_wb").alias("_w1_wb"))
-    )
-    w = Window.orderBy(F.col("_w1_v").asc())
-    cum = pts.select(
-        "_w1_v",
-        F.sum("_w1_wa").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_w1_ca"),
-        F.sum("_w1_wb").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_w1_cb"),
-        F.lead("_w1_v").over(w).alias("_w1_next"),
-    )
-    full = w.rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing)
-    staged = cum.select(
-        "*",
-        F.max("_w1_ca").over(full).alias("_w1_na"),
-        F.max("_w1_cb").over(full).alias("_w1_nb"),
-    )
+    staged = _summary_cdf_stage(a, b, value_col, weight_col)
     # per-interval |F_a - F_b| * dx, rounded then summed as DECIMAL so
     # the float fold is order-independent (the stats.py convention);
     # guarded in-expression: the last breakpoint has no interval
@@ -521,6 +538,67 @@ def summary_w1_distance(
             F.lit(None).cast("double"),
         ).otherwise(F.coalesce(F.col(out_col), F.lit(0.0)))
         .alias(out_col),
+    )
+
+
+def summary_ks_distance(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "value",
+    weight_col: str = "weight",
+    out_col: str = "ks_stat",
+    round_to: int = 9,
+) -> DataFrame:
+    """Kolmogorov-Smirnov statistic between two weighted
+    :func:`equidepth_summary` tables — the sup-gap sibling of
+    :func:`summary_w1_distance`: ``D = max_x |F_a(x) − F_b(x)|``
+    evaluated at every merged summary breakpoint (both empirical CDFs
+    are right-continuous step functions, so the sup over x is attained
+    at a breakpoint). Completes the persisted-summary drift family:
+    where :func:`~yaetl_spark.operators.stats.ks_test` re-aggregates
+    two RAW columns per comparison, this compares any two persisted
+    grains at |summary|-sized cost. NOTE the inputs are rank
+    summaries, so D is the KS of the summarized distributions; it
+    converges to the raw D as B grows (rank resolution ≤ ceil(n_s/B)
+    per shard on each side).
+
+    Deterministic like W1: per-breakpoint gaps are rounded to
+    ``round_to`` before the max — order-independent and
+    engine-reproducible (max needs no DECIMAL re-sum; it is already
+    order-free). Returns ONE row ``(n_a, n_b, ks_stat)``; NULL when
+    either side is empty.
+
+    Scale shape: identical to :func:`summary_w1_distance` — the union,
+    the single-partition window, and the scalar aggregate are all
+    summary-sized (shared staging, :func:`_summary_cdf_stage`).
+    """
+    staged = _summary_cdf_stage(a, b, value_col, weight_col)
+    # |F_a - F_b| at each breakpoint; the empty-side guard keeps the
+    # division unreachable when a total is 0 (ANSI-safe, like W1) —
+    # every breakpoint row is a valid evaluation point (no lead/next
+    # needed: the gap is constant on [v, next) and attained AT v)
+    gap = F.when(
+        (F.col("_w1_na") > 0) & (F.col("_w1_nb") > 0),
+        F.round(
+            F.abs(
+                F.col("_w1_ca").cast("double") / F.col("_w1_na")
+                - F.col("_w1_cb").cast("double") / F.col("_w1_nb")
+            ),
+            round_to,
+        ),
+    )
+    out = staged.agg(
+        F.max("_w1_na").alias("n_a"),
+        F.max("_w1_nb").alias("n_b"),
+        F.max(gap).alias(out_col),
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.when(
+            F.col("n_a").isNull() | F.col("n_b").isNull()
+            | (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col(out_col)).alias(out_col),
     )
 
 
