@@ -4147,12 +4147,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # After those, r15 has ~9-|a'| slots for the r12 cohort (44 queries)
 # — r15/r16 rotate it within budget, then r16/r17 take the r13+r14
 # cohorts (183 ≤ 200 = 4×50 keeps the whole rotation feasible).
-# r15 growth candidate, already implemented + locally tested this
-# round (declaration deferred to keep this window's arithmetic
-# exact): sketches.summary_ks_distance — the KS sup-gap sibling of
-# summary_w1_distance on the same persisted summaries; its oracle is
-# blueprinted by the DuckDB parity test in
-# tests/test_sampling_sketches.py (MAX over the breakpoint CDF gaps).
+# r15 growth candidates, already implemented + locally tested this
+# round (declarations deferred to keep this window's arithmetic
+# exact), completing the persisted-summary drift family:
+# sketches.summary_ks_distance — the KS sup-gap sibling of
+# summary_w1_distance (oracle blueprinted by its DuckDB parity test:
+# MAX over the breakpoint CDF gaps) — and sketches.summary_psi — PSI
+# with reference-quantile cuts + Laplace smoothing (same blueprint
+# pattern, cuts/masses/terms all replicated in SQL in
+# tests/test_sampling_sketches.py).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r14)
     "summary_w1_distance", "stream_dedup",

@@ -1311,3 +1311,164 @@ def test_summary_ks_distance_cross_engine_parity(spark):
             vals_a, vals_b, n_shards)
 
     run()
+
+
+def test_summary_psi_known_values_and_validation(spark):
+    """PSI semantics on exact summaries (B >= n): identical -> 0;
+    matches a pure-Python reference implementation with the same
+    reference-quantile cuts + Laplace smoothing; a big shift scores
+    past the 0.25 action threshold while a mild one stays moderate;
+    empty side -> NULL; bad bins/laplace raise."""
+    from yaetl_spark.operators import equidepth_summary, summary_psi
+
+    def summ(vals):
+        return equidepth_summary(
+            _eqd(spark, [("s", float(v)) for v in vals]), "v", "s",
+            buckets=256)
+
+    def psi_ref(va, vb, bins, lap=0.5):
+        sa = sorted(va)
+        na, nb = len(va), len(vb)
+        cuts = [sa[math.ceil(na * i / bins) - 1] for i in range(1, bins)]
+        ma = [0] * (bins + 1)
+        mb = [0] * (bins + 1)
+        for v in va:
+            ma[1 + sum(1 for e in cuts if v > e)] += 1
+        for v in vb:
+            mb[1 + sum(1 for e in cuts if v > e)] += 1
+        tot = 0.0
+        for i in range(1, bins + 1):
+            pa = (ma[i] + lap) / (na + lap * bins)
+            pb = (mb[i] + lap) / (nb + lap * bins)
+            tot += round((pa - pb) * math.log(pa / pb), 9)
+        return tot
+
+    base = [float((i * 37) % 200) for i in range(120)]
+    r = summary_psi(summ(base), summ(base), bins=10).first()
+    assert (r["n_a"], r["n_b"], r["psi"]) == (120, 120, 0.0)
+    # reference agreement on exact summaries (two shapes, two bins)
+    drifted = [v * 1.3 + 11 for v in base]
+    for vb, bins in ((drifted, 10), (base[::2] + [500.0] * 20, 4)):
+        got = summary_psi(summ(base), summ(vb), bins=bins).first()["psi"]
+        assert abs(got - psi_ref(base, vb, bins)) < 1e-9, (bins, got)
+    # magnitude anchors: big shift -> action band, identical -> stable
+    big = summary_psi(summ(base), summ([v + 150 for v in base])).first()
+    assert big["psi"] > 0.25
+    # empty side -> NULL
+    empty = summ([1]).filter("weight < 0")
+    r = summary_psi(summ(base), empty).first()
+    assert r["psi"] is None
+    with pytest.raises(ValueError, match="bins"):
+        summary_psi(summ(base), summ(base), bins=1)
+    with pytest.raises(ValueError, match="laplace"):
+        summary_psi(summ(base), summ(base), laplace=0.0)
+
+
+def test_summary_psi_cross_engine_parity(spark):
+    """The PSI arithmetic replayed in DuckDB over the same summary +
+    reference-cut + Laplace arithmetic must match bit-for-bit — the
+    oracle blueprint for an eventual driver declaration."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import equidepth_summary, summary_psi
+
+    B, BINS = 4, 4
+    SQL = f"""
+        WITH ranked AS (
+            SELECT side, s, v,
+                   ROW_NUMBER() OVER (PARTITION BY side, s
+                                      ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY side, s) AS n
+            FROM t WHERE v IS NOT NULL),
+        summ AS (
+            SELECT side, s, (rn * {B} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked GROUP BY side, s, (rn * {B} + n - 1) // n),
+        pts AS (
+            SELECT value AS v,
+                   SUM(CASE WHEN side = 'a' THEN weight ELSE 0 END) AS wa,
+                   SUM(CASE WHEN side = 'b' THEN weight ELSE 0 END) AS wb
+            FROM summ GROUP BY value),
+        cum AS (
+            SELECT v, wa, wb,
+                   SUM(wa) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(wa) OVER () AS na,
+                   SUM(wb) OVER () AS nb
+            FROM pts),
+        cuts AS (
+            SELECT MAX(na) AS na, MAX(nb) AS nb,
+                   MIN(CASE WHEN ca >= (na * 1 + {BINS - 1}) // {BINS}
+                            THEN v END) AS e1,
+                   MIN(CASE WHEN ca >= (na * 2 + {BINS - 1}) // {BINS}
+                            THEN v END) AS e2,
+                   MIN(CASE WHEN ca >= (na * 3 + {BINS - 1}) // {BINS}
+                            THEN v END) AS e3
+            FROM cum),
+        binned AS (
+            SELECT 1 + (CASE WHEN c.e1 IS NOT NULL AND p.v > c.e1
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN c.e2 IS NOT NULL AND p.v > c.e2
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN c.e3 IS NOT NULL AND p.v > c.e3
+                             THEN 1 ELSE 0 END) AS bin,
+                   p.wa, p.wb
+            FROM pts p CROSS JOIN cuts c),
+        masses AS (
+            SELECT sp.bin,
+                   COALESCE(SUM(bn.wa), 0) AS ma,
+                   COALESCE(SUM(bn.wb), 0) AS mb
+            FROM generate_series(1, {BINS}) sp(bin)
+            LEFT JOIN binned bn ON bn.bin = sp.bin
+            GROUP BY sp.bin),
+        terms AS (
+            SELECT c.na, c.nb,
+                   (CAST(m.ma AS DOUBLE) + 0.5)
+                       / (CAST(c.na AS DOUBLE) + 0.5 * {BINS}) AS pa,
+                   (CAST(m.mb AS DOUBLE) + 0.5)
+                       / (CAST(c.nb AS DOUBLE) + 0.5 * {BINS}) AS pb
+            FROM masses m CROSS JOIN cuts c)
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                   CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE)
+               END AS psi
+        FROM terms
+    """
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.lists(st.integers(min_value=-9, max_value=9),
+                 min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=3),
+    )
+    def run(vals_a, vals_b, n_shards):
+        rows_a = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_a)]
+        rows_b = [(f"s{i % n_shards}", float(v))
+                  for i, v in enumerate(vals_b)]
+        got = summary_psi(
+            equidepth_summary(_eqd(spark, rows_a), "v", "s", buckets=B),
+            equidepth_summary(_eqd(spark, rows_b), "v", "s", buckets=B),
+            bins=BINS,
+        ).first()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE t (side VARCHAR, s VARCHAR, v DOUBLE)")
+            con.executemany(
+                "INSERT INTO t VALUES (?, ?, ?)",
+                [("a", s, v) for s, v in rows_a]
+                + [("b", s, v) for s, v in rows_b])
+            want = con.execute(SQL).fetchone()
+        finally:
+            con.close()
+        assert (got["n_a"], got["n_b"], got["psi"]) == want, (
+            vals_a, vals_b, n_shards)
+
+    run()

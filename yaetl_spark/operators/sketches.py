@@ -426,13 +426,15 @@ def _summary_cdf_stage(
     weight_col: str,
 ) -> DataFrame:
     """Shared staging for the persisted-summary drift family
-    (:func:`summary_w1_distance`, :func:`summary_ks_distance`): union
-    the two weighted summaries, collapse tied breakpoints, and emit one
-    row per distinct breakpoint with both cumulative weights
-    (``_w1_ca``/``_w1_cb``), the next breakpoint (``_w1_next``), and
-    both totals (``_w1_na``/``_w1_nb``). Everything is summary-sized:
-    one hash aggregate on the breakpoint value plus one
-    single-partition window over |summary_a| + |summary_b| rows."""
+    (:func:`summary_w1_distance`, :func:`summary_ks_distance`,
+    :func:`summary_psi`): union the two weighted summaries, collapse
+    tied breakpoints, and emit one row per distinct breakpoint with
+    both point weights (``_w1_wa``/``_w1_wb``), both cumulative
+    weights (``_w1_ca``/``_w1_cb``), the next breakpoint
+    (``_w1_next``), and both totals (``_w1_na``/``_w1_nb``).
+    Everything is summary-sized: one hash aggregate on the breakpoint
+    value plus one single-partition window over
+    |summary_a| + |summary_b| rows."""
     from pyspark.sql.window import Window
 
     va = a.select(
@@ -455,6 +457,8 @@ def _summary_cdf_stage(
     w = Window.orderBy(F.col("_w1_v").asc())
     cum = pts.select(
         "_w1_v",
+        "_w1_wa",
+        "_w1_wb",
         F.sum("_w1_wa").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("_w1_ca"),
@@ -591,6 +595,124 @@ def summary_ks_distance(
         F.max("_w1_na").alias("n_a"),
         F.max("_w1_nb").alias("n_b"),
         F.max(gap).alias(out_col),
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.when(
+            F.col("n_a").isNull() | F.col("n_b").isNull()
+            | (F.col("n_a") == 0) | (F.col("n_b") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col(out_col)).alias(out_col),
+    )
+
+
+def summary_psi(
+    a: DataFrame,
+    b: DataFrame,
+    bins: int = 10,
+    value_col: str = "value",
+    weight_col: str = "weight",
+    out_col: str = "psi",
+    round_to: int = 9,
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two weighted
+    :func:`equidepth_summary` tables — the industry-standard drift
+    score on the persisted-summary pattern, completing the family
+    beside :func:`summary_w1_distance` (magnitude in value units) and
+    :func:`summary_ks_distance` (worst single gap):
+    ``PSI = Σ_bins (p_a − p_b)·ln(p_a / p_b)``.
+
+    Bins are the REFERENCE side's quantile cuts at mass ``i/bins``
+    (deciles by default) — the textbook PSI binning, which equi-depth
+    summaries answer natively via the same exact weighted-rank
+    arithmetic as :func:`summary_quantiles`; side ``a`` is the
+    reference. Bin masses get Laplace smoothing ``laplace`` (> 0
+    required) so empty bins never reach ``ln(0)`` — the usual PSI
+    practice for sparse cells; PSI is symmetric in (a, b) given the
+    same cuts, and heavy ties that collapse adjacent cuts simply
+    leave smoothed-empty bins. Interpretation anchors (industry rule
+    of thumb): < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
+
+    Deterministic like the siblings: cuts from exact integral-division
+    rank targets, integer bin masses, per-bin terms rounded to
+    ``round_to`` then summed as DECIMAL (order-independent,
+    engine-reproducible). Returns ONE row ``(n_a, n_b, psi)``; NULL
+    when either side is empty. NOTE the inputs are rank summaries, so
+    this is the PSI of the summarized distributions; it converges to
+    the raw PSI as B grows.
+
+    Scale shape: identical to the siblings — staging, the one-row cut
+    aggregate, the broadcast bin assignment, and the ``bins``-row
+    spine are all summary-sized (:func:`_summary_cdf_stage`).
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not laplace > 0:
+        raise ValueError(
+            "laplace must be > 0 (smoothing keeps empty bins out of "
+            "ln(0) — pass e.g. 0.5)")
+    staged = _summary_cdf_stage(a, b, value_col, weight_col)
+    # one aggregate row: both totals + the bins-1 reference cuts (the
+    # summary_quantiles arithmetic at p = i/bins over side a's CDF)
+    cut_aggs = [
+        F.max("_w1_na").alias("_psi_na"),
+        F.max("_w1_nb").alias("_psi_nb"),
+    ]
+    for i in range(1, bins):
+        target = _exact_ceil_div(
+            F.col("_w1_na") * F.lit(i), F.lit(bins).cast("bigint"))
+        cut_aggs.append(
+            F.min(F.when(F.col("_w1_ca") >= target, F.col("_w1_v")))
+            .alias(f"_psi_e{i}")
+        )
+    cuts = staged.agg(*cut_aggs)
+    edge_arr = F.array(*[F.col(f"_psi_e{i}") for i in range(1, bins)])
+    # bin(v) = 1 + #cuts strictly below v — broadcast of the 1-row cuts
+    binned = (
+        staged.select("_w1_v", "_w1_wa", "_w1_wb")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "_w1_wa",
+            "_w1_wb",
+            (F.lit(1) + F.size(F.filter(
+                edge_arr,
+                lambda e: e.isNotNull() & (F.col("_w1_v") > e),
+            ))).alias("_psi_bin"),
+        )
+    )
+    masses = binned.groupBy("_psi_bin").agg(
+        F.sum("_w1_wa").alias("_psi_ma"),
+        F.sum("_w1_wb").alias("_psi_mb"),
+    )
+    # full bin spine: a zero-mass bin still contributes its smoothed
+    # term (the sides' smoothed floors differ when n_a != n_b)
+    spine = cuts.select(
+        F.explode(F.sequence(F.lit(1), F.lit(bins))).alias("_psi_bin"),
+        "_psi_na",
+        "_psi_nb",
+    )
+    full = spine.join(masses, "_psi_bin", "left").select(
+        "_psi_na",
+        "_psi_nb",
+        F.coalesce(F.col("_psi_ma"), F.lit(0)).cast("bigint").alias("_psi_ma"),
+        F.coalesce(F.col("_psi_mb"), F.lit(0)).cast("bigint").alias("_psi_mb"),
+    )
+    lap = F.lit(float(laplace))
+    pa = (F.col("_psi_ma").cast("double") + lap) / (
+        F.col("_psi_na").cast("double") + lap * F.lit(float(bins)))
+    pb = (F.col("_psi_mb").cast("double") + lap) / (
+        F.col("_psi_nb").cast("double") + lap * F.lit(float(bins)))
+    # guarded in-expression like the siblings: an empty side must never
+    # reach the division/log (the result is NULLed anyway)
+    term = F.when(
+        (F.col("_psi_na") > 0) & (F.col("_psi_nb") > 0),
+        F.round((pa - pb) * F.log(pa / pb), round_to),
+    ).cast(f"decimal(38,{round_to})")
+    out = full.agg(
+        F.max("_psi_na").alias("n_a"),
+        F.max("_psi_nb").alias("n_b"),
+        F.sum(term).cast("double").alias(out_col),
     )
     return out.select(
         "n_a", "n_b",
