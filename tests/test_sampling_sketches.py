@@ -1472,3 +1472,58 @@ def test_summary_psi_cross_engine_parity(spark):
             vals_a, vals_b, n_shards)
 
     run()
+
+
+def test_equidepth_summary_salted_hot_shard(spark):
+    """salt=k splits a hot shard's sort across k sub-shards while
+    losing NOTHING the merge cares about: weights still sum to the
+    exact per-shard row counts under the original shard name, the
+    summary stays bit-identical across input partitionings, merged
+    quantiles stay inside the (now k·|shards|-term) rank bound — and
+    in the exact regime (B >= n_sub) they equal the unsalted answers
+    exactly. Validation: salt < 1 and salt > 1 without a key raise."""
+    from yaetl_spark.operators import equidepth_summary, summary_quantiles
+
+    rows = [(i, "hot" if i % 10 else "cold", float((i * 37) % 1000))
+            for i in range(1, 1201)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+
+    salted = equidepth_summary(
+        df, "v", "s", buckets=16, salt=4, salt_key="id")
+    got = salted.collect()
+    # original shard names, exact per-shard weight totals
+    per_shard = {}
+    for r in got:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["weight"]
+    want = {"hot": sum(1 for _, s, _ in rows if s == "hot"),
+            "cold": sum(1 for _, s, _ in rows if s == "cold")}
+    assert per_shard == want
+    # (shard, bucket) unique after the salt_idx*B + b remap
+    keys = [(r["shard"], r["bucket"]) for r in got]
+    assert len(keys) == len(set(keys))
+    # deterministic under repartitioning
+    again = equidepth_summary(
+        df.repartition(13), "v", "s", buckets=16, salt=4, salt_key="id")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    # merged quantiles within the salted rank bound of the exact answer
+    q = summary_quantiles(salted, (0.5, 0.9)).first()
+    pooled = sorted(v for _, _, v in rows)
+    n = len(pooled)
+    # <= 2 shards * 4 sub-shards, each ceil(n_sub/16)
+    bound = 8 * math.ceil(math.ceil(n / 2) / 4 / 16) + 8
+    for p, col in ((0.5, "p50"), (0.9, "p90")):
+        target = math.ceil(p * n)
+        lo = pooled.index(q[col]) + 1
+        hi = n - pooled[::-1].index(q[col])
+        assert lo - bound <= target <= hi + bound, (p, q[col])
+    # exact regime: B >= every sub-shard size -> salted == unsalted
+    exact_salted = summary_quantiles(
+        equidepth_summary(df, "v", "s", buckets=2048, salt=4,
+                          salt_key="id"), (0.25, 0.5, 0.99))
+    exact_plain = summary_quantiles(
+        equidepth_summary(df, "v", "s", buckets=2048), (0.25, 0.5, 0.99))
+    assert exact_salted.collect() == exact_plain.collect()
+    with pytest.raises(ValueError, match="salt must"):
+        equidepth_summary(df, "v", "s", salt=0)
+    with pytest.raises(ValueError, match="salt_key"):
+        equidepth_summary(df, "v", "s", salt=4)

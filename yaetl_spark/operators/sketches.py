@@ -263,6 +263,8 @@ def equidepth_summary(
     bucket_out: str = "bucket",
     value_out: str = "value",
     weight_out: str = "weight",
+    salt: int = 1,
+    salt_key: str | Column | None = None,
 ) -> DataFrame:
     """Fine-grain pass of the DETERMINISTIC mergeable quantile summary
     (the oracle-checkable sibling of :func:`kll_rollup`, whose
@@ -292,23 +294,44 @@ def equidepth_summary(
     output is |shards|·B rows off a single corpus pass. A
     pathologically hot shard serializes its sort through one task
     (the :func:`~yaetl_spark.operators.curation.cap_per_group`
-    caveat) — but here the fix is FREE: salt the hot shard into
-    sub-shards (``concat(shard, pmod(hash(id), k))``) and let
-    :func:`summary_quantiles` merge them back; the merge is exact
-    weighted-rank arithmetic, so sub-shard summaries lose nothing
-    (the error bound just counts k sub-shards instead of one).
+    caveat) — the fix is the ``salt`` parameter: ``salt=k`` with a
+    stable per-row ``salt_key`` (e.g. the document id) splits every
+    shard's sort across k sub-shards (``pmod(xxhash64(key), k)``)
+    while the OUTPUT keeps the original shard name — sub-shard
+    summaries are just more summary rows under the same shard, and
+    every merge (:func:`summary_quantiles`, the drift family) is
+    exact weighted-rank arithmetic over (value, weight), so salting
+    loses nothing: weights still sum to the shard's exact row count
+    and the rank-error bound simply counts k·|shards| sub-shards
+    (choose B per sub-shard accordingly). Bucket ids are made unique
+    per (shard, sub-shard) as ``salt_idx·B + b``; the salted summary
+    stays deterministic across reruns and partitionings (xxhash64 is
+    a pure key function), though its ROW composition is Spark-hash-
+    specific — merged answers remain engine-checkable as always.
     """
     from pyspark.sql.window import Window
 
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and salt_key is None:
+        raise ValueError(
+            "salt > 1 needs a stable per-row salt_key (e.g. the id "
+            "column) to split hot shards deterministically")
     v = F.col(col)
-    src = df.filter(v.isNotNull()).select(
-        F.col(shard_col).alias("_eq_s"), v.alias("_eq_v")
-    )
-    w = Window.partitionBy("_eq_s").orderBy(F.col("_eq_v").asc())
+    cols = [F.col(shard_col).alias("_eq_s"), v.alias("_eq_v")]
+    part = ["_eq_s"]
+    if salt > 1:
+        k = F.col(salt_key) if isinstance(salt_key, str) else salt_key
+        cols.append(
+            F.pmod(F.xxhash64(k), F.lit(salt)).cast("bigint")
+            .alias("_eq_salt"))
+        part.append("_eq_salt")
+    src = df.filter(v.isNotNull()).select(*cols)
+    w = Window.partitionBy(*part).orderBy(F.col("_eq_v").asc())
     staged = src.select(
-        "_eq_s",
+        *part,
         "_eq_v",
         F.row_number().over(w).cast("bigint").alias("_eq_rn"),
         F.count(F.lit(1)).over(
@@ -322,16 +345,20 @@ def equidepth_summary(
     # and silently disagree with the SQL oracle's integer division,
     # and even the (x − x mod n)/n form only held below 2^53)
     b = _exact_ceil_div(F.col("_eq_rn") * F.lit(buckets), F.col("_eq_n"))
+    out_bucket = (
+        F.col("_eq_b") if salt == 1
+        else F.col("_eq_salt") * F.lit(buckets) + F.col("_eq_b")
+    )
     return (
         staged.withColumn("_eq_b", b)
-        .groupBy("_eq_s", "_eq_b")
+        .groupBy(*part, "_eq_b")
         .agg(
             F.max_by(F.col("_eq_v"), F.col("_eq_rn")).alias(value_out),
             F.count(F.lit(1)).cast("bigint").alias(weight_out),
         )
         .select(
             F.col("_eq_s").alias(shard_out),
-            F.col("_eq_b").alias(bucket_out),
+            out_bucket.alias(bucket_out),
             value_out,
             weight_out,
         )
