@@ -15,6 +15,12 @@ new snapshot before letting it into the training mix:
    `seasonal_decompose` splits daily volume into trend + seasonal +
    residual, `changepoints` flags the most likely mean-shift day —
    anomalies judged AFTER the weekly rhythm is explained away
+6. persisted-summary drift — `equidepth_summary` computes one exact
+   mergeable length summary per (snapshot, source) — persist THESE at
+   ingest time — and every later comparison is summary-sized:
+   `summary_quantiles` for the merged p50/p99, `summary_w1_distance` /
+   `summary_ks_distance` / `summary_psi` for W1, KS, and PSI drift
+   between snapshots without ever re-reading the corpus
 
 Everything is deterministic and pre-flighted with the 100×-scale plan
 gate. Run: ``python examples/monitor_ingest.py [sf_dir]``
@@ -36,7 +42,10 @@ from pyspark.sql import functions as F
 from yaetl_spark import CollectSink, ParquetSource, Pipeline, get_spark
 from yaetl_spark.operators import (autocorrelation, categorical_shift,
                                    changepoints, distribution_shift,
-                                   ewma, seasonal_decompose)
+                                   equidepth_summary, ewma,
+                                   seasonal_decompose, summary_ks_distance,
+                                   summary_psi, summary_quantiles,
+                                   summary_w1_distance)
 from yaetl_spark.plans import assert_scales
 from yaetl_spark.session import ensure_event_time
 
@@ -104,14 +113,32 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     assert_scales(cp_df, max_shuffles=2)
     shifts = cp_df.filter("is_change").collect()
 
+    # 6) persisted-summary drift: ONE fine pass per snapshot produces
+    # the per-source summaries (persist these tables in production);
+    # every later question — merged percentiles, W1/KS/PSI vs any
+    # other snapshot — is answered from the summaries alone
+    summ_ref = equidepth_summary(ref, "n_chars", "source", buckets=8)
+    summ_cur = equidepth_summary(cur, "n_chars", "source", buckets=8)
+    merged_q = summary_quantiles(
+        summ_ref.unionByName(summ_cur), (0.5, 0.99)).first()
+    w1 = summary_w1_distance(summ_ref, summ_cur).first()
+    ks = summary_ks_distance(summ_ref, summ_cur).first()
+    psi = summary_psi(summ_ref, summ_cur, bins=8).first()
+    summary_drift = {
+        "n_rows": merged_q["n_rows"], "p50": merged_q["p50"],
+        "p99": merged_q["p99"], "w1": w1["w1_distance"],
+        "ks": ks["ks_stat"], "psi": psi["psi"],
+    }
+
     return (report, quarantine, num_drift, cat_drift, smoothed,
-            acf_peak, worst_resid, shifts)
+            acf_peak, worst_resid, shifts, summary_drift)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="monitor-example", shuffle_partitions=8)
     (report, quarantine, num_drift, cat_drift, smoothed,
-     acf_peak, worst_resid, shifts) = main(spark, *(sys.argv[1:2]))
+     acf_peak, worst_resid, shifts, summary_drift) = main(
+        spark, *(sys.argv[1:2]))
     print("kept:", report["num_records"],
           "quarantined:", report["num_rejected"])
     print("length drift:", {k: num_drift[k] for k in ("psi", "kl_ref_cur", "js")})
@@ -125,3 +152,4 @@ if __name__ == "__main__":
            for r in worst_resid])
     print("level shifts:",
           [(r["event_type"], r["cp_index"], r["score"]) for r in shifts])
+    print("summary drift (persist-once/compare-many):", summary_drift)

@@ -106,7 +106,8 @@ def test_monitor_ingest_example(spark, sf_dir):
     finally:
         sys.path.pop(0)
     (report, quarantine, num_drift, cat_drift, smoothed,
-     acf_peak, worst_resid, shifts) = monitor_ingest.main(spark, sf_dir)
+     acf_peak, worst_resid, shifts, summary_drift) = monitor_ingest.main(
+        spark, sf_dir)
     assert report["status"] == "clean"
     assert report["num_records"] + report["num_rejected"] > 0
     assert len(quarantine.rows or []) == report["num_rejected"]
@@ -124,6 +125,13 @@ def test_monitor_ingest_example(spark, sf_dir):
     assert acf_peak[0]["lag"] >= 2
     assert all(r["residual"] is not None for r in worst_resid)
     assert all(r["score"] > 0 and r["is_change"] for r in shifts)
+    # persisted-summary drift block: merged percentiles ordered, all
+    # three drift scores present and in-range on the same halves
+    assert summary_drift["p50"] <= summary_drift["p99"]
+    assert summary_drift["n_rows"] > 0
+    assert summary_drift["w1"] >= 0.0
+    assert 0.0 <= summary_drift["ks"] <= 1.0
+    assert summary_drift["psi"] >= 0.0
 
 
 def test_prepare_features_example(spark, sf_dir):
