@@ -1527,3 +1527,40 @@ def test_equidepth_summary_salted_hot_shard(spark):
         equidepth_summary(df, "v", "s", salt=0)
     with pytest.raises(ValueError, match="salt_key"):
         equidepth_summary(df, "v", "s", salt=4)
+
+
+def test_summary_drift_grouped_keys_match_filtered(spark):
+    """Grouped drift (keys=...): each key group's W1/KS/PSI must equal
+    the ungrouped operator run on that key's rows alone — one pass
+    answers 'which SOURCE drifted?' — and a key present on only one
+    side reports NULL."""
+    from yaetl_spark.operators import (
+        equidepth_summary,
+        summary_ks_distance,
+        summary_psi,
+        summary_w1_distance,
+    )
+
+    def summ(rows):
+        return equidepth_summary(_eqd(spark, rows), "v", "s", buckets=8)
+
+    rows_a = [(f"s{i % 3}", float((i * 37) % 100)) for i in range(90)]
+    rows_b = [(f"s{i % 3}", float((i * 53) % 140)) for i in range(120)] \
+        + [("only_b", 1.0), ("only_b", 5.0)]
+    sa, sb = summ(rows_a), summ(rows_b)
+
+    for op, metric, kw in (
+        (summary_w1_distance, "w1_distance", {}),
+        (summary_ks_distance, "ks_stat", {}),
+        (summary_psi, "psi", {"bins": 4}),
+    ):
+        grouped = {r["shard"]: r for r in
+                   op(sa, sb, keys=["shard"], **kw).collect()}
+        assert set(grouped) == {"s0", "s1", "s2", "only_b"}
+        assert grouped["only_b"][metric] is None
+        for k in ("s0", "s1", "s2"):
+            solo = op(sa.filter(F.col("shard") == k),
+                      sb.filter(F.col("shard") == k), **kw).first()
+            got = grouped[k]
+            assert (got["n_a"], got["n_b"], got[metric]) == \
+                (solo["n_a"], solo["n_b"], solo[metric]), (metric, k)

@@ -451,6 +451,7 @@ def _summary_cdf_stage(
     b: DataFrame,
     value_col: str,
     weight_col: str,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Shared staging for the persisted-summary drift family
     (:func:`summary_w1_distance`, :func:`summary_ks_distance`,
@@ -459,17 +460,22 @@ def _summary_cdf_stage(
     both point weights (``_w1_wa``/``_w1_wb``), both cumulative
     weights (``_w1_ca``/``_w1_cb``), the next breakpoint
     (``_w1_next``), and both totals (``_w1_na``/``_w1_nb``).
-    Everything is summary-sized: one hash aggregate on the breakpoint
-    value plus one single-partition window over
-    |summary_a| + |summary_b| rows."""
+    With ``keys`` everything is evaluated per key group (both inputs
+    must carry the key columns; a key present on only one side gets a
+    zero total on the other, which the callers NULL out). Everything
+    is summary-sized: one hash aggregate on (keys, breakpoint) plus
+    one keys-partitioned window over |summary_a| + |summary_b| rows."""
     from pyspark.sql.window import Window
 
+    keys = list(keys)
     va = a.select(
+        *keys,
         F.col(value_col).cast("double").alias("_w1_v"),
         F.col(weight_col).cast("bigint").alias("_w1_wa"),
         F.lit(0).cast("bigint").alias("_w1_wb"),
     )
     vb = b.select(
+        *keys,
         F.col(value_col).cast("double").alias("_w1_v"),
         F.lit(0).cast("bigint").alias("_w1_wa"),
         F.col(weight_col).cast("bigint").alias("_w1_wb"),
@@ -477,12 +483,14 @@ def _summary_cdf_stage(
     # collapse ties FIRST so each breakpoint appears once per side mix
     pts = (
         va.unionByName(vb)
-        .groupBy("_w1_v")
+        .groupBy(*keys, "_w1_v")
         .agg(F.sum("_w1_wa").alias("_w1_wa"),
              F.sum("_w1_wb").alias("_w1_wb"))
     )
-    w = Window.orderBy(F.col("_w1_v").asc())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("_w1_v").asc())
     cum = pts.select(
+        *keys,
         "_w1_v",
         "_w1_wa",
         "_w1_wb",
@@ -510,6 +518,7 @@ def summary_w1_distance(
     weight_col: str = "weight",
     out_col: str = "w1_distance",
     round_to: int = 9,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """1-Wasserstein (earth-mover) distance between two weighted
     :func:`equidepth_summary` tables — distribution drift WITHOUT
@@ -530,14 +539,17 @@ def summary_w1_distance(
     terms ``|F_a − F_b|·Δx`` rounded to ``round_to`` and summed as
     DECIMAL(38,*) — order-independent, engine-reproducible. Returns
     ONE row ``(n_a, n_b, w1_distance)``; NULL distance when either
-    side is empty.
+    side is empty. With ``keys`` (both summary tables must carry
+    them): one row per key group — the "which SOURCE drifted?" form;
+    a key present on only one side reports NULL.
 
     Scale shape: both inputs are |shards|·B-row summaries, so the
-    union, the single-partition window, and the scalar aggregate are
-    all summary-sized — negligible next to the fine passes that
-    produced them.
+    union, the (keys-partitioned) window, and the aggregate are all
+    summary-sized — negligible next to the fine passes that produced
+    them.
     """
-    staged = _summary_cdf_stage(a, b, value_col, weight_col)
+    keys = list(keys)
+    staged = _summary_cdf_stage(a, b, value_col, weight_col, keys)
     # per-interval |F_a - F_b| * dx, rounded then summed as DECIMAL so
     # the float fold is order-independent (the stats.py convention);
     # guarded in-expression: the last breakpoint has no interval
@@ -554,7 +566,7 @@ def summary_w1_distance(
             round_to,
         ),
     ).cast(f"decimal(38,{round_to})")
-    out = staged.agg(
+    out = staged.groupBy(*keys).agg(
         F.max("_w1_na").alias("n_a"),
         F.max("_w1_nb").alias("n_b"),
         F.sum(term).cast("double").alias(out_col),
@@ -562,6 +574,7 @@ def summary_w1_distance(
     # zero intervals (all mass at one point) -> distance 0 when both
     # sides are present; NULL when either side is empty/absent
     return out.select(
+        *keys,
         "n_a", "n_b",
         F.when(
             F.col("n_a").isNull() | F.col("n_b").isNull()
@@ -579,6 +592,7 @@ def summary_ks_distance(
     weight_col: str = "weight",
     out_col: str = "ks_stat",
     round_to: int = 9,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Kolmogorov-Smirnov statistic between two weighted
     :func:`equidepth_summary` tables — the sup-gap sibling of
@@ -597,13 +611,15 @@ def summary_ks_distance(
     ``round_to`` before the max — order-independent and
     engine-reproducible (max needs no DECIMAL re-sum; it is already
     order-free). Returns ONE row ``(n_a, n_b, ks_stat)``; NULL when
-    either side is empty.
+    either side is empty. With ``keys``: one row per key group, NULL
+    for keys present on only one side.
 
     Scale shape: identical to :func:`summary_w1_distance` — the union,
-    the single-partition window, and the scalar aggregate are all
+    the (keys-partitioned) window, and the aggregate are all
     summary-sized (shared staging, :func:`_summary_cdf_stage`).
     """
-    staged = _summary_cdf_stage(a, b, value_col, weight_col)
+    keys = list(keys)
+    staged = _summary_cdf_stage(a, b, value_col, weight_col, keys)
     # |F_a - F_b| at each breakpoint; the empty-side guard keeps the
     # division unreachable when a total is 0 (ANSI-safe, like W1) —
     # every breakpoint row is a valid evaluation point (no lead/next
@@ -618,12 +634,13 @@ def summary_ks_distance(
             round_to,
         ),
     )
-    out = staged.agg(
+    out = staged.groupBy(*keys).agg(
         F.max("_w1_na").alias("n_a"),
         F.max("_w1_nb").alias("n_b"),
         F.max(gap).alias(out_col),
     )
     return out.select(
+        *keys,
         "n_a", "n_b",
         F.when(
             F.col("n_a").isNull() | F.col("n_b").isNull()
@@ -642,6 +659,7 @@ def summary_psi(
     out_col: str = "psi",
     round_to: int = 9,
     laplace: float = 0.5,
+    keys: Sequence[str] = (),
 ) -> DataFrame:
     """Population Stability Index between two weighted
     :func:`equidepth_summary` tables — the industry-standard drift
@@ -665,9 +683,11 @@ def summary_psi(
     rank targets, integer bin masses, per-bin terms rounded to
     ``round_to`` then summed as DECIMAL (order-independent,
     engine-reproducible). Returns ONE row ``(n_a, n_b, psi)``; NULL
-    when either side is empty. NOTE the inputs are rank summaries, so
-    this is the PSI of the summarized distributions; it converges to
-    the raw PSI as B grows.
+    when either side is empty. With ``keys``: one row per key group
+    with that group's own reference cuts, NULL for keys present on
+    only one side. NOTE the inputs are rank summaries, so this is the
+    PSI of the summarized distributions; it converges to the raw PSI
+    as B grows.
 
     Scale shape: identical to the siblings — staging, the one-row cut
     aggregate, the broadcast bin assignment, and the ``bins``-row
@@ -679,9 +699,11 @@ def summary_psi(
         raise ValueError(
             "laplace must be > 0 (smoothing keeps empty bins out of "
             "ln(0) — pass e.g. 0.5)")
-    staged = _summary_cdf_stage(a, b, value_col, weight_col)
-    # one aggregate row: both totals + the bins-1 reference cuts (the
-    # summary_quantiles arithmetic at p = i/bins over side a's CDF)
+    keys = list(keys)
+    staged = _summary_cdf_stage(a, b, value_col, weight_col, keys)
+    # one aggregate row per key group: both totals + the bins-1
+    # reference cuts (the summary_quantiles arithmetic at p = i/bins
+    # over side a's CDF)
     cut_aggs = [
         F.max("_w1_na").alias("_psi_na"),
         F.max("_w1_nb").alias("_psi_nb"),
@@ -693,33 +715,38 @@ def summary_psi(
             F.min(F.when(F.col("_w1_ca") >= target, F.col("_w1_v")))
             .alias(f"_psi_e{i}")
         )
-    cuts = staged.agg(*cut_aggs)
+    cuts = staged.groupBy(*keys).agg(*cut_aggs)
     edge_arr = F.array(*[F.col(f"_psi_e{i}") for i in range(1, bins)])
-    # bin(v) = 1 + #cuts strictly below v — broadcast of the 1-row cuts
-    binned = (
-        staged.select("_w1_v", "_w1_wa", "_w1_wb")
-        .crossJoin(F.broadcast(cuts))
-        .select(
-            "_w1_wa",
-            "_w1_wb",
-            (F.lit(1) + F.size(F.filter(
-                edge_arr,
-                lambda e: e.isNotNull() & (F.col("_w1_v") > e),
-            ))).alias("_psi_bin"),
-        )
+    # bin(v) = 1 + #cuts strictly below v — broadcast of the
+    # one-row-per-key cuts
+    pts = staged.select(*keys, "_w1_v", "_w1_wa", "_w1_wb")
+    joined = (
+        pts.join(F.broadcast(cuts), keys) if keys
+        else pts.crossJoin(F.broadcast(cuts))
     )
-    masses = binned.groupBy("_psi_bin").agg(
+    binned = joined.select(
+        *keys,
+        "_w1_wa",
+        "_w1_wb",
+        (F.lit(1) + F.size(F.filter(
+            edge_arr,
+            lambda e: e.isNotNull() & (F.col("_w1_v") > e),
+        ))).alias("_psi_bin"),
+    )
+    masses = binned.groupBy(*keys, "_psi_bin").agg(
         F.sum("_w1_wa").alias("_psi_ma"),
         F.sum("_w1_wb").alias("_psi_mb"),
     )
     # full bin spine: a zero-mass bin still contributes its smoothed
     # term (the sides' smoothed floors differ when n_a != n_b)
     spine = cuts.select(
+        *keys,
         F.explode(F.sequence(F.lit(1), F.lit(bins))).alias("_psi_bin"),
         "_psi_na",
         "_psi_nb",
     )
-    full = spine.join(masses, "_psi_bin", "left").select(
+    full = spine.join(masses, [*keys, "_psi_bin"], "left").select(
+        *keys,
         "_psi_na",
         "_psi_nb",
         F.coalesce(F.col("_psi_ma"), F.lit(0)).cast("bigint").alias("_psi_ma"),
@@ -736,12 +763,13 @@ def summary_psi(
         (F.col("_psi_na") > 0) & (F.col("_psi_nb") > 0),
         F.round((pa - pb) * F.log(pa / pb), round_to),
     ).cast(f"decimal(38,{round_to})")
-    out = full.agg(
+    out = full.groupBy(*keys).agg(
         F.max("_psi_na").alias("n_a"),
         F.max("_psi_nb").alias("n_b"),
         F.sum(term).cast("double").alias(out_col),
     )
     return out.select(
+        *keys,
         "n_a", "n_b",
         F.when(
             F.col("n_a").isNull() | F.col("n_b").isNull()
