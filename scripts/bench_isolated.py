@@ -59,22 +59,48 @@ def main() -> None:
         materialize(spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1))
     warm.orderBy("r_regionkey").limit(1).collect()
 
+    import re
+
+    def plan_sig(df) -> dict:
+        """Executed-plan fingerprint (AQE-final): join strategies,
+        exchange counts, scan count — enough to tell a plan flip from
+        ambient noise without reading the full plan dump."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return {
+            "joins": re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                r"BroadcastNestedLoopJoin|CartesianProduct)", final),
+            "exchanges": final.count("Exchange hashpartitioning"),
+            "single_partition": final.count("Exchange SinglePartition"),
+            "scans": final.count("FileScan parquet"),
+        }
+
     out = {}
     for name in names:
         fn = queries[name]
         t0 = time.monotonic()
-        materialize(fn(spark, SF_DIR))
+        df = fn(spark, SF_DIR)
+        materialize(df)
         cold = round(time.monotonic() - t0, 3)
+        sig_cold = plan_sig(df)
         runs = []
+        sig_flip = None
         for _ in range(n_warm):
             t0 = time.monotonic()
-            materialize(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            materialize(df)
             runs.append(time.monotonic() - t0)
+            sig = plan_sig(df)
+            if sig != sig_cold and sig_flip is None:
+                sig_flip = sig  # first warm run whose plan diverged
         out[name] = {
             "median": round(statistics.median(runs), 3),
             "spread": [round(min(runs), 3), round(max(runs), 3)],
             "cold": cold,
             "n": n_warm,
+            "plan": sig_cold,
+            "plan_flip": sig_flip,  # null = stable across all runs
         }
     print(json.dumps(out, indent=1, sort_keys=True))
 
