@@ -541,6 +541,51 @@ def test_mix_sources_hits_target_proportions(spark):
         mix_sources(df, {"s0": 0.0})
 
 
+def test_mix_sources_token_weighted(spark):
+    """weight_col switches the mixture unit to token mass: with equal
+    weights, a long-doc source keeps far fewer DOCS than a short-doc
+    source but ~equal TOKENS; the keep-all source's token total is
+    exact; selection stays deterministic across partitionings; and the
+    row-based default on the same corpus lands at a visibly different
+    (doc-balanced, token-skewed) mixture."""
+    from pyspark.sql import functions as F
+
+    from yaetl_spark.operators import mix_sources
+
+    # s_long: 1000 docs x 100 tokens; s_short: 2000 docs x 10 tokens
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("s_long"))
+        .otherwise(F.lit("s_short")).alias("source"),
+        F.when(F.col("id") < 1000, F.lit(100))
+        .otherwise(F.lit(10)).cast("bigint").alias("n_tokens"),
+    )
+    out = mix_sources(df, {"s_long": 0.5, "s_short": 0.5},
+                      weight_col="n_tokens")
+    tok = {r["source"]: r["t"] for r in out.groupBy("source")
+           .agg(F.sum("n_tokens").alias("t")).collect()}
+    # W_long=100k, W_short=20k -> T=40k; short binds (keep-all, 20k
+    # tokens exact), long keeps ~20k of its 100k
+    assert tok["s_short"] == 20_000
+    assert abs(tok["s_long"] - 20_000) <= 2_000
+    docs = {r["source"]: r["count"] for r in out.groupBy("source")
+            .count().collect()}
+    assert docs["s_short"] == 2000          # keep-all
+    assert abs(docs["s_long"] - 200) <= 20  # ~1/5 of the long docs
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mix_sources(
+        df.repartition(11), {"s_long": 0.5, "s_short": 0.5},
+        weight_col="n_tokens").collect())
+    assert a == b
+    # the row-based default on the same corpus balances DOCS instead:
+    # long binds (1000 docs), short keeps ~1000 of 2000 — token-heavy
+    rows = mix_sources(df, {"s_long": 0.5, "s_short": 0.5})
+    rtok = {r["source"]: r["t"] for r in rows.groupBy("source")
+            .agg(F.sum("n_tokens").alias("t")).collect()}
+    assert rtok["s_long"] == 100_000 and rtok["s_short"] < 15_000
+
+
 def test_dsir_score_prefers_target_like_docs(spark):
     from pyspark.sql import functions as F
 

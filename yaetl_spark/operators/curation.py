@@ -871,6 +871,7 @@ def mix_sources(
     key_col: str = "doc_id",
     buckets: int = 100_000,
     string_key: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Blend a multi-source corpus to TARGET mixture proportions by
     deterministic downsampling — the "dataset mixing" step every
@@ -894,6 +895,18 @@ def mix_sources(
     proportions are exact up to hash-bucket granularity (~1/buckets
     relative error) — hash sampling trades exact counts for
     partition-independence, the right trade for training data.
+
+    ``weight_col`` switches the mixture UNIT from rows to that
+    column's mass — pass the token count and the proportions become
+    TOKEN shares (what pretraining weight tables actually mean: LLaMA
+    and Dolma mix by tokens, not documents): per-source totals are
+    ``Σ weight_col``, the feasible total is ``min_s(W_s/w_s)`` in
+    token units, and each source keeps the hash-sampled row subset
+    whose expected token mass is its quota. Selection stays row-level
+    and deterministic; achieved token shares are exact up to sampling
+    variation (rows are kept independently of their length, so the
+    kept fraction of tokens concentrates on the kept fraction of rows
+    for any corpus big enough to need mixing).
 
     A source NAMED in ``weights`` but holding ZERO rows forces
     ``T = 0`` and the result is EMPTY: the largest corpus achievable at
@@ -924,10 +937,15 @@ def mix_sources(
     wt = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in weights.items()], [source_col, "_w"]
     )
+    mass = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.coalesce(F.col(weight_col).cast("double"),
+                              F.lit(0.0)))
+    )
     counts = (
         df.filter(s.isin(*weights.keys()))
         .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(mass.alias("_n"))
         .join(wt, source_col, "right")
         .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
     )
