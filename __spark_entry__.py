@@ -4155,7 +4155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # MAX over the breakpoint CDF gaps) — and sketches.summary_psi — PSI
 # with reference-quantile cuts + Laplace smoothing (same blueprint
 # pattern, cuts/masses/terms all replicated in SQL in
-# tests/test_sampling_sketches.py).
+# tests/test_sampling_sketches.py). Both also take keys=[...] for the
+# per-source drift form, and mix_sources' new weight_col (token-unit
+# mixing) is a third candidate if the slate wants a curation entry.
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r14)
     "summary_w1_distance", "stream_dedup",
