@@ -22,15 +22,22 @@ def _plan(df) -> str:
 def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
     """Two tables bucketed on the join key join with NO Exchange — the
     write-once/read-many co-location contract at 100 TB."""
+    import os
+    import uuid
+
     orders = spark.read.parquet(table_path("orders"))
     cust = spark.read.parquet(table_path("customer"))
-    BucketedTableSink("b_orders", ["o_custkey"], num_buckets=8,
+    # session-unique table names: the warehouse dir is shared across
+    # concurrently-running test sessions, and fixed names collide
+    tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    t_o, t_c = f"b_orders_{tag}", f"b_customer_{tag}"
+    BucketedTableSink(t_o, ["o_custkey"], num_buckets=8,
                       sort_by=["o_custkey"]).write(orders)
-    BucketedTableSink("b_customer", ["c_custkey"], num_buckets=8,
+    BucketedTableSink(t_c, ["c_custkey"], num_buckets=8,
                       sort_by=["c_custkey"]).write(cust)
     try:
-        bo = spark.table("b_orders")
-        bc = spark.table("b_customer")
+        bo = spark.table(t_o)
+        bc = spark.table(t_c)
         # force a non-broadcast join so the bucketing is what's tested
         joined = bo.hint("merge").join(
             bc, bo.o_custkey == bc.c_custkey, "inner")
@@ -42,8 +49,8 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path_factory):
                   .count())
         assert n == expect
     finally:
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
 
 
 def test_unbucketed_merge_join_has_shuffle(spark):
