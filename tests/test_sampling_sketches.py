@@ -1564,3 +1564,55 @@ def test_summary_drift_grouped_keys_match_filtered(spark):
             got = grouped[k]
             assert (got["n_a"], got["n_b"], got[metric]) == \
                 (solo["n_a"], solo["n_b"], solo[metric]), (metric, k)
+
+
+def test_summary_drift_metric_properties(spark):
+    """Mathematical contracts of the drift family on exact summaries,
+    hypothesis-driven: W1 and KS satisfy the triangle inequality (up
+    to the per-term rounding), KS stays in [0, 1], PSI is non-negative
+    and zero iff the binned masses coincide, and all three are
+    symmetric (PSI given the same cuts, i.e. identical totals)."""
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import (
+        equidepth_summary,
+        summary_ks_distance,
+        summary_psi,
+        summary_w1_distance,
+    )
+
+    def summ(vals):
+        return equidepth_summary(
+            _eqd(spark, [("s", float(v)) for v in vals]), "v", "s",
+            buckets=64)
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-8, max_value=8),
+                 min_size=2, max_size=12),
+        st.lists(st.integers(min_value=-8, max_value=8),
+                 min_size=2, max_size=12),
+        st.lists(st.integers(min_value=-8, max_value=8),
+                 min_size=2, max_size=12),
+    )
+    def run(va, vb, vc):
+        sa, sb, sc = summ(va), summ(vb), summ(vc)
+        w_ab = summary_w1_distance(sa, sb).first()["w1_distance"]
+        w_bc = summary_w1_distance(sb, sc).first()["w1_distance"]
+        w_ac = summary_w1_distance(sa, sc).first()["w1_distance"]
+        assert w_ac <= w_ab + w_bc + 1e-6, (va, vb, vc)
+        k_ab = summary_ks_distance(sa, sb).first()["ks_stat"]
+        k_bc = summary_ks_distance(sb, sc).first()["ks_stat"]
+        k_ac = summary_ks_distance(sa, sc).first()["ks_stat"]
+        assert 0.0 <= k_ac <= 1.0
+        assert k_ac <= k_ab + k_bc + 1e-6, (va, vb, vc)
+        # symmetry
+        assert summary_w1_distance(sb, sa).first()["w1_distance"] == w_ab
+        assert summary_ks_distance(sb, sa).first()["ks_stat"] == k_ab
+        # PSI non-negative; zero iff identical sample (same multiset)
+        p_ab = summary_psi(sa, sb, bins=4).first()["psi"]
+        assert p_ab >= 0.0
+        if sorted(va) == sorted(vb):
+            assert p_ab == 0.0
+
+    run()
