@@ -951,3 +951,23 @@ def test_stream_dedup_two_exchange_shape(spark):
     assert "CartesianProduct" not in final
     read_schema = final.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_basket_rules_no_stream_self_join(spark):
+    """frequent_itemsets' pair generation is scan-level array expansion
+    over the per-basket grouped frame — NEVER a stream self-join or
+    cartesian: the raw stream shuffles once on the basket key, the
+    basket-count scalar arrives as a broadcast, and no join in the
+    executed plan is between two corpus-sized inputs."""
+    df = entry_mod.queries()["basket_rules"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final, final  # no corpus self-join
+    # two pruned scans max: the basket stream and the basket-count
+    # scalar leg (2-column columnar reads — cheap; the hazard this
+    # gate guards is a JOIN between corpus-sized inputs, not a rescan)
+    assert final.count("FileScan parquet") <= 2
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" not in read_schema and "l_comment" not in read_schema
