@@ -64,8 +64,24 @@ def main() -> None:
     def plan_sig(df) -> dict:
         """Executed-plan fingerprint (AQE-final): join strategies,
         exchange counts, scan count — enough to tell a plan flip from
-        ambient noise without reading the full plan dump."""
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        ambient noise without reading the full plan dump.
+
+        The timed noop write runs through its OWN QueryExecution, so
+        the df's executedPlan() would still be the un-finalized
+        AdaptiveSparkPlan (isFinalPlan=false — the static pre-AQE
+        plan, blind to runtime join-strategy flips). Finalize the
+        df's own QueryExecution first with a JVM-side toRdd().count()
+        — full execution, no rows shipped to Python — OUTSIDE the
+        timed region, then fingerprint the '== Final Plan ==' section.
+        AQE decisions are deterministic given the same data + session
+        confs, so this capture run sees the same final plan as the
+        timed write."""
+        jqe = df._jdf.queryExecution()
+        jqe.toRdd().count()  # finalize AQE on df's own QueryExecution
+        plan = jqe.executedPlan().toString()
+        assert "isFinalPlan=false" not in plan, (
+            "plan capture ran but AQE did not finalize — fingerprint "
+            "would be the static plan; refusing to record it")
         final = plan.split("== Initial Plan ==")[0]
         return {
             "joins": re.findall(

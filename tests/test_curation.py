@@ -586,6 +586,37 @@ def test_mix_sources_token_weighted(spark):
     assert rtok["s_long"] == 100_000 and rtok["s_short"] < 15_000
 
 
+def test_mix_sources_weight_col_guards(spark):
+    """Negative weight_col values FAIL the job (the in-plan assert —
+    a negative token count would silently skew the mass), NULL weights
+    count as 0 mass, and a source whose weights are ALL NULL/0 has
+    mass 0 → T = 0 → EMPTY result, mirroring the zero-rows contract."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from yaetl_spark.operators import mix_sources
+
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "a", -3), (2, "b", 5)],
+        "doc_id long, source string, n_tokens long")
+    with pytest.raises(SparkRuntimeException, match="negative"):
+        mix_sources(df, {"a": 0.5, "b": 0.5},
+                    weight_col="n_tokens").collect()
+    # NULLs pass the guard as 0 mass; an all-NULL/0 source zero-masses
+    # the feasibility bound and empties the result
+    dead = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", None), (2, "b", 0)],
+        "doc_id long, source string, n_tokens long")
+    assert mix_sources(dead, {"a": 0.5, "b": 0.5},
+                       weight_col="n_tokens").count() == 0
+    # a merely PARTIALLY-null source still mixes on its non-null mass
+    part = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", None), (2, "b", 10)],
+        "doc_id long, source string, n_tokens long")
+    got = mix_sources(part, {"a": 0.5, "b": 0.5}, weight_col="n_tokens")
+    assert got.filter(F.col("source") == "b").count() >= 1
+
+
 def test_dsir_score_prefers_target_like_docs(spark):
     from pyspark.sql import functions as F
 

@@ -906,7 +906,14 @@ def mix_sources(
     and deterministic; achieved token shares are exact up to sampling
     variation (rows are kept independently of their length, so the
     kept fraction of tokens concentrates on the kept fraction of rows
-    for any corpus big enough to need mixing).
+    for any corpus big enough to need mixing). ``weight_col`` values
+    must be ``>= 0`` — a negative token count would silently skew the
+    per-source mass and the feasibility bound, so the plan asserts
+    non-negativity row-by-row (JVM-side, inside the counts scan) and
+    the job FAILS on the first negative value; NULL weights count as
+    0 mass. A source whose weights are ALL NULL/0 therefore has mass
+    0 and — exactly like the zero-ROWS case below — forces ``T = 0``
+    and an EMPTY result: zero mass cannot anchor a nonzero share.
 
     A source NAMED in ``weights`` but holding ZERO rows forces
     ``T = 0`` and the result is EMPTY: the largest corpus achievable at
@@ -937,11 +944,21 @@ def mix_sources(
     wt = df.sparkSession.createDataFrame(
         [(k, float(v)) for k, v in weights.items()], [source_col, "_w"]
     )
-    mass = (
-        F.count(F.lit(1)) if weight_col is None
-        else F.sum(F.coalesce(F.col(weight_col).cast("double"),
-                              F.lit(0.0)))
-    )
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+    else:
+        wc = F.col(weight_col).cast("double")
+        # assert_true returns NULL when the condition holds and throws
+        # otherwise, so coalesce(assert, value) evaluates the guard on
+        # every row inside the counts scan (JVM-side, codegen'd) and
+        # yields the value; NULL weights pass the guard and count as 0
+        mass = F.sum(F.coalesce(
+            F.assert_true(
+                wc.isNull() | (wc >= 0),
+                F.lit(f"mix_sources: negative {weight_col!r} value — "
+                      "weight_col must be >= 0 (NULL counts as 0)")),
+            F.coalesce(wc, F.lit(0.0)),
+        ))
     counts = (
         df.filter(s.isin(*weights.keys()))
         .groupBy(source_col)

@@ -112,10 +112,13 @@ def _quantile_labels(probabilities: Sequence[float]) -> list[str]:
 
 def _exact_ceil_div(x: Column, den: Column) -> Column:
     """``ceil(x / den)`` for non-negative integer columns via true
-    integral division (``div``) — exact over the whole int64 range,
-    with no double-rounding seam anywhere (the ``(x − x mod n)/n``
-    form used previously was exact only below 2^53 because Spark's
-    ``/`` casts bigint operands to double)."""
+    integral division (``div``) — exact for ``x ≤ int64max − den + 1``
+    (the ``x + den − 1`` pre-add overflows past that; under this
+    engine's ANSI sessions that THROWS rather than wrapping to a wrong
+    answer), with no double-rounding seam anywhere (the
+    ``(x − x mod n)/n`` form used previously was exact only below 2^53
+    because Spark's ``/`` casts bigint operands to double). All current
+    callers pass row counts / rank targets, far below the boundary."""
     return F.call_function("div", x + den - F.lit(1).cast("bigint"), den)
 
 
