@@ -3864,6 +3864,73 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_length_summaries(spark: SparkSession, sf_dir: str, buckets: int = 8):
+    """Shared fixture for the r15 persisted-summary drift queries
+    (summary_ks_distance / summary_psi / summary_psi_by_source) —
+    byte-identical to the grains q_summary_w1_distance (r14) builds
+    inline (left untouched there so that query's code is verifiably
+    unchanged since its green row): the doc-length distribution of
+    even vs odd doc_ids, each summarized per source by
+    equidepth_summary — the same two persisted grains compared three
+    ways, exactly the persist-once/compare-many pattern the family
+    exists for."""
+    from yaetl_spark.operators import equidepth_summary
+
+    docs = _t(spark, sf_dir, "documents", heavy=False).select(
+        "doc_id", "source", "n_chars")
+    a = equidepth_summary(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        "n_chars", "source", buckets=buckets)
+    b = equidepth_summary(
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        "n_chars", "source", buckets=buckets)
+    return a, b
+
+
+def q_summary_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS sup-gap drift between two PERSISTED quantile summaries
+    (operators/sketches.py summary_ks_distance) — the worst single CDF
+    gap sibling of summary_w1_distance on the same even/odd doc-length
+    grains: D = max over merged summary breakpoints of |F_a − F_b|
+    (both CDFs are right-continuous step functions, so the sup is
+    attained at a breakpoint — no interval/lead term needed). Same
+    100 TB shape as W1: the compare costs |summary|, not a raw rescan
+    per comparison."""
+    from yaetl_spark.operators import summary_ks_distance
+
+    a, b = _doc_length_summaries(spark, sf_dir)
+    return summary_ks_distance(a, b)
+
+
+def q_summary_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two PERSISTED quantile
+    summaries (operators/sketches.py summary_psi) — the industry
+    drift score completing the family beside W1 (magnitude in value
+    units) and KS (worst single gap): reference-decile cuts from side
+    a's exact weighted-rank arithmetic, Laplace-smoothed bin masses,
+    Σ (p_a − p_b)·ln(p_a/p_b). Everything after the persisted fine
+    passes is summary-sized: the one-row cut aggregate broadcasts
+    onto the |summary| points and the bin spine is 10 rows."""
+    from yaetl_spark.operators import summary_psi
+
+    a, b = _doc_length_summaries(spark, sf_dir)
+    return summary_psi(a, b, bins=10)
+
+
+def q_summary_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED drift — 'which SOURCE drifted?' in one pass
+    (operators/sketches.py summary_psi keys=['shard']): the same two
+    persisted grains, but PSI evaluated per source with that source's
+    OWN reference cuts (bins=4), one row per source. The monitoring
+    shape at 100 TB: per-grain summaries persist once, and the per-key
+    drift table for EVERY source costs one keys-partitioned
+    summary-sized pass instead of |sources| separate comparisons."""
+    from yaetl_spark.operators import summary_psi
+
+    a, b = _doc_length_summaries(spark, sf_dir)
+    return summary_psi(a, b, bins=4, keys=["shard"])
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4086,6 +4153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup pairing the LLM-dedup battery with §2.11) --
         "summary_w1_distance": q_summary_w1_distance,
         "stream_dedup": q_stream_dedup,
+        # -- round-15 queries (growth per the r14 verdict items 2/5:
+        # driver declarations for the r14-built drift siblings and the
+        # grouped per-source drift form) --
+        "summary_ks_distance": q_summary_ks_distance,
+        "summary_psi": q_summary_psi,
+        "summary_psi_by_source": q_summary_psi_by_source,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
@@ -4100,91 +4173,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 183 declared queries and 50 slots, a full re-green rotation
-# takes ceil(183/50) = 4 rounds, so the re-check staleness budget is
+# With 186 declared queries and 50 slots, a full re-green rotation
+# takes ceil(186/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
-# owed (a)+(a')+(b beyond budget) exceeds 50. (r14 owed: 2 a' + 41
-# boundary-(b) = 43 < 50 → growth continues, capped by the arithmetic
-# at 2 new queries — the r13 verdict's item-1 and item-5 picks.)
+# owed (a)+(a')+(b beyond budget) exceeds 50. (r15 owed: 1 a' + 41
+# boundary-(b) = 42 < 50 → growth continues, capped by the arithmetic
+# at 3 new queries — the r14 verdict's item-2 and item-5 picks.)
 #
-# History note (r13's window, for auditing CORRECTNESS_r13 against
-# this file's git history): 2 new (sketch_quantiles, cluster_cap) +
-# 6 changed + 38 r9-boundary + 4 r10-oldest = 50.
+# History notes (for auditing older CORRECTNESS files against this
+# file's git history): r13's window = 2 new (sketch_quantiles,
+# cluster_cap) + 6 changed + 38 r9-boundary + 4 r10-oldest; r14's =
+# 2 new (summary_w1_distance, stream_dedup) + 2 changed
+# (sketch_quantiles, cluster_cap) + 41 r10-boundary + 5 r11-oldest.
 #
-# This round: (a) TWO new queries: summary_w1_distance (W1 drift
-# between two persisted equidepth summaries — the r13 verdict's
-# mandated declaration of the operator pre-built in r13,
-# operators/sketches.py), stream_dedup (at-least-once dedup on the
-# streaming grammar via dropDuplicatesWithinWatermark's batch-parity
-# path — the r13 verdict's item-5 growth pick pairing the LLM-dedup
-# battery with §2.11, streaming/stream.py).
-# (a') TWO changed queries — the r13 ADVICE/verdict fixes touched
-# their operators: sketch_quantiles (quantile labels now derive from
-# the exact Decimal parse via the shared _quantile_labels helper, and
-# the rank→bucket / target-rank ceils use true integral division —
-# exact to int64, not 2^53), cluster_cap (the internal rank temp is
-# collision-proofed and an explicit colliding rank_col raises).
-# percentiles is NOT (a'): it routes through aggregates.percentiles
-# (exact SQL percentile), not the sketch family.
-# Then (b): the 41 r10-stale queries named by the r13 deferral list
+# This round (r15): (a) THREE new queries — the r14 verdict's items
+# 2 and 5: summary_ks_distance (KS sup-gap between two persisted
+# equidepth summaries — built+parity-tested in r14,
+# operators/sketches.py:588), summary_psi (PSI with reference-decile
+# cuts + Laplace smoothing between the same grains, sketches.py:653),
+# summary_psi_by_source (the GROUPED keys=['shard'] per-source drift
+# form — 'which source drifted?' in one keys-partitioned pass).
+# (a') ONE changed query: mix_sources — the pre-declared r14 debt
+# (weight_col grew after the r14 window froze) PLUS this round's r14
+# ADVICE fix (in-plan assert_true rejecting negative weight_col
+# values; the driver query's default row-unit path is byte-identical,
+# oracle re-verified locally and by the full adversarial corpus).
+# Then (b): the 41 r11-stale queries named by the r14 deferral list
 # (4 rounds old — the budget boundary, they MUST re-check now), then
-# 5 of the 46 r11-stale queries (alphabetical within the equally-old
-# cohort). 2 + 2 + 41 + 5 = 50, exactly full.
+# 5 of the 44 r12-stale queries (alphabetical within the equally-old
+# cohort, pre-paying the r16 bulge). 3 + 1 + 41 + 5 = 50, exactly
+# full. No other operator changed this round: the other r14 ADVICE
+# fixes touch only a docstring (_exact_ceil_div) and the bench probe
+# script, neither of which alters any query's plan or results.
 #
-# DEFERRED to r15's (b)-block (the 41 remaining r11-stale queries,
-# 4 rounds old at their r15 check — the staleness-budget boundary,
-# they MUST head r15's (b) after any (a)/(a'); 41 deferred):
-#   c4_rules, chained_join_agg, changepoint, chi_square,
-#   click_attribution, cohort_retention, continue_at, corr_matrix,
-#   cross_join, dataset_split, dedup_exact, dsir, embedding_lsh,
-#   events_lag, events_sessions, events_sliding, events_tumbling,
-#   fleiss_kappa, large_orders, market_share, media_meta,
-#   min_price_supplier, minhash_neardup, ngram_jaccard, ngram_novelty,
-#   orders_by_month, profit_by_nation, promo_share, range_band,
-#   repetition, returned_items, revenue_forecast, sessionize,
-#   shipping_priority, small_qty_revenue, supplier_cnt, table_diff,
-#   top_p_filter, top_supplier, waiting_suppliers, window_frames.
-# After those, r15 has ~9-|a'| slots for the r12 cohort (44 queries)
-# — r15/r16 rotate it within budget, then r16/r17 take the r13+r14
-# cohorts (183 ≤ 200 = 4×50 keeps the whole rotation feasible).
-# r15 growth candidates, already implemented + locally tested this
-# round (declarations deferred to keep this window's arithmetic
-# exact), completing the persisted-summary drift family:
-# sketches.summary_ks_distance — the KS sup-gap sibling of
-# summary_w1_distance (oracle blueprinted by its DuckDB parity test:
-# MAX over the breakpoint CDF gaps) — and sketches.summary_psi — PSI
-# with reference-quantile cuts + Laplace smoothing (same blueprint
-# pattern, cuts/masses/terms all replicated in SQL in
-# tests/test_sampling_sketches.py). Both also take keys=[...] for the
-# per-source drift form, and mix_sources' new weight_col (token-unit
-# mixing) is a third candidate if the slate wants a curation entry.
-# KNOWN r15 (a') DEBT, pre-declared: mix_sources — its operator grew
-# weight_col in r14 AFTER the window was fixed (default path
-# byte-identical, oracle re-verified locally), and its query is not in
-# the r14 window, so it re-checks as (a') at r15 per the policy
-# letter. Every other operator changed in r14 has its queries in the
-# r14 window (sketch_quantiles, cluster_cap, summary_w1_distance).
+# DEFERRED to r16's (b)-block (the 39 remaining r12-stale queries,
+# 4 rounds old at their r16 check — the staleness-budget boundary,
+# they MUST head r16's (b) after any (a)/(a'); 39 deferred):
+#   category_index, collect_segments, dup_spans, embedding_neardup,
+#   embedding_normalize, embedding_quantize, equi_depth, frame_sample,
+#   gap_fill, group_scale, groupby_agg, inner_join,
+#   krippendorff_alpha, krippendorff_interval, lang_id,
+#   leakage_safe_split, left_join_default, limit_offset,
+#   ngram_perplexity, pack_documents, pagerank, pii_scan, profile,
+#   quantile_strata_sample, random_projection, rollup_agg,
+#   salted_join, scan_filter_project, score_fusion, seasonal_anomaly,
+#   seasonal_decompose, semi_join, shard_dedup, simhash_dedup,
+#   stratified_sample, text_stats, trend_fit, union_sources,
+#   url_dedup.
+# After those, r16 has ~11-|a'| slots for the 48-query r13 cohort;
+# r16/r17 rotate it, then r17/r18 take the r14+r15 cohorts
+# (186 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (declared r14)
-    "summary_w1_distance", "stream_dedup",
-    # (a') changed since last green (r13 ADVICE/verdict fixes)
-    "sketch_quantiles", "cluster_cap",
-    # (b) last checked round 10 (budget boundary — the full r13
+    # (a) never driver-checked (declared r15 — the persisted-summary
+    # drift family's remaining members + the grouped form)
+    "summary_ks_distance", "summary_psi", "summary_psi_by_source",
+    # (a') changed since last green (pre-declared r14 weight_col debt
+    # + this round's negative-weight guard)
+    "mix_sources",
+    # (b) last checked round 11 (budget boundary — the full r14
     # deferral list, non-negotiable)
-    "categorical_shift", "chunk_documents", "cohens_kappa", "cube_agg",
-    "customer_distribution", "daily_active", "decontaminate",
-    "dedup_clusters", "distinct", "distribution_shift", "doc_fingerprint",
-    "edit_distance", "encoding_scan", "equi_width", "event_paths", "ewma",
-    "excess_supply", "fk_integrity", "funnel", "fuzzy_match",
-    "fuzzy_match_pruned", "hash_sample", "histogram", "image_features",
-    "inverted_index", "json_extract", "late_lines", "local_volume",
-    "nation_volume", "normalized_dedup", "order_priority",
-    "rolling_quantile", "tfidf", "token_pmi", "topk", "unpivot_measures",
-    "variant_json", "weighted_sample", "window_ntile", "window_rank",
-    "window_running_sum",
-    # (b) last checked round 11 (oldest remaining; 41 deferred, above)
-    "ab_test", "asof_join", "audio_features", "autocorrelation",
-    "blocklist_scan",
+    "c4_rules", "chained_join_agg", "changepoint", "chi_square",
+    "click_attribution", "cohort_retention", "continue_at", "corr_matrix",
+    "cross_join", "dataset_split", "dedup_exact", "dsir", "embedding_lsh",
+    "events_lag", "events_sessions", "events_sliding", "events_tumbling",
+    "fleiss_kappa", "large_orders", "market_share", "media_meta",
+    "min_price_supplier", "minhash_neardup", "ngram_jaccard",
+    "ngram_novelty", "orders_by_month", "profit_by_nation", "promo_share",
+    "range_band", "repetition", "returned_items", "revenue_forecast",
+    "sessionize", "shipping_priority", "small_qty_revenue", "supplier_cnt",
+    "table_diff", "top_p_filter", "top_supplier", "waiting_suppliers",
+    "window_frames",
+    # (b) last checked round 12 (oldest remaining; 39 deferred, above)
+    "ann_topk", "anti_join", "basket_rules", "bm25_topk",
+    "calibration_bins",
 ]
 
 
@@ -4772,6 +4833,111 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
               FROM documents WHERE doc_id < 100) d
     """
+
+    # Shared staging for the persisted-summary drift oracles
+    # (summary_w1_distance r14; summary_ks_distance / summary_psi /
+    # summary_psi_by_source r15): replays the even/odd doc-length
+    # equidepth_summary fixture (B=8, per-source shards) and the
+    # tie-collapsed breakpoint/cumulative stage in DuckDB — the exact
+    # arithmetic pinned bit-for-bit by the cross-engine parity tests
+    # in tests/test_sampling_sketches.py.
+    drift_stage = """
+        WITH base AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                       AS side,
+                   source AS s, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        ranked AS (
+            SELECT side, s, v,
+                   ROW_NUMBER() OVER (PARTITION BY side, s
+                                      ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY side, s) AS n
+            FROM base
+        ),
+        summ AS (
+            SELECT side, s, (rn * 8 + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked GROUP BY side, s, (rn * 8 + n - 1) // n
+        )"""
+
+    def _psi_oracle(bins: int, grouped: bool) -> str:
+        """PSI oracle at the given bin count, globally or per source
+        (the grouped keys=['shard'] form — every stage gains the shard
+        partition/group key). Mirrors summary_psi term-for-term:
+        reference cuts at ceil(na·i/bins) via integer arithmetic,
+        +0.5 Laplace smoothing, full bin spine, terms rounded to 9
+        then summed as DECIMAL(38,9)."""
+        g = "s, " if grouped else ""
+        part = "PARTITION BY s " if grouped else ""
+        cuts_cols = ",\n                   ".join(
+            f"MIN(CASE WHEN ca >= (na * {i} + {bins - 1}) // {bins} "
+            f"THEN v END) AS e{i}" for i in range(1, bins))
+        bin_expr = "\n                     + ".join(
+            f"(CASE WHEN c.e{i} IS NOT NULL AND p.v > c.e{i} "
+            f"THEN 1 ELSE 0 END)" for i in range(1, bins))
+        cuts_join = "ON p.s = c.s AND" if grouped else "ON"
+        spine_src = (
+            "(SELECT DISTINCT s FROM cum) ks CROSS JOIN "
+            f"generate_series(1, {bins}) sp(bin)" if grouped
+            else f"generate_series(1, {bins}) sp(bin)")
+        spine_key = "ks.s, " if grouped else ""
+        spine_on = "bn.s = ks.s AND " if grouped else ""
+        mass_join = "m.s = c.s" if grouped else "1 = 1"
+        out_key = "s AS shard, " if grouped else ""
+        grp = "GROUP BY s" if grouped else ""
+        return f"""{drift_stage},
+        pts AS (
+            SELECT {g}value AS v,
+                   SUM(CASE WHEN side = 'a' THEN weight
+                            ELSE 0 END) AS wa,
+                   SUM(CASE WHEN side = 'b' THEN weight
+                            ELSE 0 END) AS wb
+            FROM summ GROUP BY {g}value
+        ),
+        cum AS (
+            SELECT {g}v, wa, wb,
+                   SUM(wa) OVER ({part}ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(wa) OVER ({part.strip() or ""}) AS na,
+                   SUM(wb) OVER ({part.strip() or ""}) AS nb
+            FROM pts
+        ),
+        cuts AS (
+            SELECT {g}MAX(na) AS na, MAX(nb) AS nb,
+                   {cuts_cols}
+            FROM cum {grp}
+        ),
+        binned AS (
+            SELECT {"p.s, " if grouped else ""}1 + {bin_expr} AS bin,
+                   p.wa, p.wb
+            FROM pts p JOIN cuts c {cuts_join} 1 = 1
+        ),
+        masses AS (
+            SELECT {spine_key}sp.bin,
+                   COALESCE(SUM(bn.wa), 0) AS ma,
+                   COALESCE(SUM(bn.wb), 0) AS mb
+            FROM {spine_src}
+            LEFT JOIN binned bn ON {spine_on}bn.bin = sp.bin
+            GROUP BY {spine_key}sp.bin
+        ),
+        terms AS (
+            SELECT {"c.s, " if grouped else ""}c.na, c.nb,
+                   (CAST(m.ma AS DOUBLE) + 0.5)
+                       / (CAST(c.na AS DOUBLE) + 0.5 * {bins}) AS pa,
+                   (CAST(m.mb AS DOUBLE) + 0.5)
+                       / (CAST(c.nb AS DOUBLE) + 0.5 * {bins}) AS pb
+            FROM masses m JOIN cuts c ON {mass_join}
+        )
+        SELECT {out_key}CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                   CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE)
+               END AS psi
+        FROM terms {grp}"""
+
     return {
         "scan_filter_project": """
             SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
@@ -6315,6 +6481,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS w1_distance
             FROM cum
         """,
+        "summary_ks_distance": f"""{drift_stage},
+        pts AS (
+            SELECT value AS v,
+                   SUM(CASE WHEN side = 'a' THEN weight
+                            ELSE 0 END) AS wa,
+                   SUM(CASE WHEN side = 'b' THEN weight
+                            ELSE 0 END) AS wb
+            FROM summ GROUP BY value
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(wa) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+                   SUM(wb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cb,
+                   SUM(wa) OVER () AS na,
+                   SUM(wb) OVER () AS nb
+            FROM pts
+        )
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+                   MAX(ROUND(ABS(CAST(ca AS DOUBLE) / na
+                                 - CAST(cb AS DOUBLE) / nb), 9))
+               END AS ks_stat
+        FROM cum
+        """,
+        "summary_psi": _psi_oracle(10, False),
+        "summary_psi_by_source": _psi_oracle(4, True),
         "stream_dedup": """
             SELECT event_type,
                    COUNT(*) AS n_events,

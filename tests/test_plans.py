@@ -937,6 +937,62 @@ def test_summary_w1_distance_summary_sized_merge(spark):
     assert "CartesianProduct" not in final
 
 
+def test_summary_ks_distance_summary_sized_merge(spark):
+    """KS shares W1's staging and drops the lead/interval term, so the
+    plan is the same summary-sized shape: two corpus-grain fine passes,
+    one breakpoint hash exchange, one SinglePartition window over the
+    |summary| rows; scans pruned + null filter pushed; no join at all
+    (the sup-gap needs no interval, hence no lead — and no cuts
+    broadcast like PSI)."""
+    df = entry_mod.queries()["summary_ks_distance"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 3, final
+    assert final.count("Exchange SinglePartition") == 1, final
+    assert final.count("FileScan parquet") == 2
+    assert "IsNotNull(n_chars)" in final.split("PushedFilters:")[1]
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema and "lang" not in read_schema
+    assert "Join" not in final  # no cuts broadcast, no interval join
+
+
+def test_summary_psi_cuts_broadcast_summary_sized(spark):
+    """PSI adds exactly two summary-sized joins to the family shape:
+    the one-row cuts table broadcasts onto the |summary| points (a
+    1-row crossJoin → BroadcastNestedLoopJoin, the accepted pattern)
+    and the bins-row spine left-joins the binned masses (broadcast).
+    Nothing shuffles beyond the fine passes + summary-sized exchanges;
+    no CartesianProduct (the crossJoin IS broadcast)."""
+    df = entry_mod.queries()["summary_psi"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # the only BNLJ is the declared 1-row cuts broadcast
+    assert final.count("BroadcastNestedLoopJoin") == 1, final
+    assert "BroadcastExchange" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "IsNotNull(n_chars)" in final.split("PushedFilters:")[1]
+
+
+def test_summary_psi_by_source_grouped_no_global_window(spark):
+    """The grouped keys=['shard'] form must keep every stage
+    key-partitioned: NO SinglePartition exchange anywhere (the global
+    form's one-partition window is replaced by the shard-partitioned
+    window), the cuts join is a broadcast equi-join on the key (no
+    BNLJ — grouped cuts join on shard), and no corpus-grain artifacts
+    beyond the fine passes."""
+    df = entry_mod.queries()["summary_psi_by_source"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") == 0, final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+
+
 def test_stream_dedup_two_exchange_shape(spark):
     """At-least-once dedup is the minimal two-exchange plan: one
     corpus-grain shuffle on the event identity (with the map-side
