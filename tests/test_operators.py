@@ -56,6 +56,83 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any(4 in p for p in got)  # unrelated doc not paired
 
 
+def test_minhash_probe_matches_lsh_cross_pairs(spark):
+    """index(old) probed with new == minhash_lsh(old ∪ new) restricted
+    to cross (old, new) pairs — same signatures, same band keys, same
+    slot-agreement sims (pins _banded_signatures' arithmetic to
+    _lsh_band_pairs' inline band_key); deterministic under
+    repartitioning of either side."""
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    docs = _docs(spark)
+    old = docs.filter("doc_id <= 3")
+    new = docs.filter("doc_id >= 4")
+    kw = dict(num_hashes=64, bands=32, shingle_size=2)
+    idx = minhash_index(old, **kw)
+    got = {(r["probe_id"], r["index_id"]): r["jaccard_sim"]
+           for r in minhash_probe(idx, new, jaccard_threshold=0.3,
+                                  **kw).collect()}
+    want = {(r["id_b"], r["id_a"]): r["jaccard_sim"]
+            for r in minhash_lsh(docs, jaccard_threshold=0.3,
+                                 **kw).collect()
+            if r["id_a"] <= 3 and r["id_b"] >= 4}
+    assert got == want and (5, 1) in got  # ws/case dup of doc 1 found
+    assert not any(p == 4 for p, _ in got)  # unrelated doc matches nothing
+    again = {(r["probe_id"], r["index_id"]): r["jaccard_sim"]
+             for r in minhash_probe(idx.repartition(7), new.repartition(5),
+                                    jaccard_threshold=0.3, **kw).collect()}
+    assert again == got
+
+
+def test_minhash_probe_same_id_and_threshold_handling(spark):
+    """Re-delivered docs (incoming ∩ index) self-match at sim 1.0 —
+    excluded by default, visible with exclude_same_id=False; threshold
+    None returns every candidate; num_hashes % bands validates; empty
+    shingle sets (empty text) never reach the join."""
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    docs = _docs(spark)
+    kw = dict(num_hashes=32, bands=16, shingle_size=2)
+    idx = minhash_index(docs, **kw)
+    redelivered = docs.filter("doc_id in (1, 4)")
+    got = minhash_probe(idx, redelivered, jaccard_threshold=None,
+                        exclude_same_id=False, **kw)
+    sims = {(r["probe_id"], r["index_id"]): r["jaccard_sim"]
+            for r in got.collect()}
+    assert sims[(1, 1)] == 1.0 and sims[(4, 4)] == 1.0
+    dropped = {(r["probe_id"], r["index_id"])
+               for r in minhash_probe(idx, redelivered,
+                                      jaccard_threshold=None,
+                                      **kw).collect()}
+    assert (1, 1) not in dropped and (4, 4) not in dropped
+    assert (1, 2) in dropped  # true cross dup survives the exclusion
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_probe(idx, redelivered, num_hashes=32, bands=5)
+    empty = spark.createDataFrame([(9, "")], "doc_id bigint, text string")
+    assert minhash_probe(idx, empty, jaccard_threshold=None,
+                         **kw).count() == 0
+
+
+def test_minhash_probe_rolling_mode_oracle_family(spark):
+    """hash_fn='rolling' (the SQL-replicable family) carries through
+    index+probe: band keys are the raw slot strings and the probe
+    agrees with minhash_lsh's cross pairs in the same mode."""
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    docs = _docs(spark)
+    kw = dict(num_hashes=32, bands=8, shingle_size=2, hash_fn="rolling")
+    idx = minhash_index(docs.filter("doc_id <= 3"), **kw)
+    assert dict(idx.dtypes)["bhash"] == "string"  # raw slot-string keys
+    got = {(r["probe_id"], r["index_id"]): r["jaccard_sim"]
+           for r in minhash_probe(idx, docs.filter("doc_id >= 4"),
+                                  jaccard_threshold=0.25, **kw).collect()}
+    want = {(r["id_b"], r["id_a"]): r["jaccard_sim"]
+            for r in minhash_lsh(docs, jaccard_threshold=0.25,
+                                 **kw).collect()
+            if r["id_a"] <= 3 and r["id_b"] >= 4}
+    assert got == want and got  # non-empty: the ws/case dup crosses
+
+
 def test_simhash_dedup_collapses_exact_dups(spark):
     out = sorted(r["doc_id"] for r in simhash_dedup(_docs(spark)).collect())
     assert 1 in out and 4 in out and 2 not in out and 5 not in out

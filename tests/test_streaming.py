@@ -577,3 +577,114 @@ def test_stream_to_sink_rejects_overwrite_sinks(spark):
         spark.readStream.format("rate").load())
     with _pytest.raises(ValueError, match="LAST micro-batch"):
         p.to_sink(CsvSink("/tmp/nope.csv"))
+
+
+def _psi_python(ref_pts, stream_vals, bins, lap=0.5):
+    """Pure-Python replica of stream_psi's arithmetic (the operator's
+    pin): exact integer cut targets, strict-> binning, Laplace
+    smoothing, per-term HALF_UP round to 9 (Spark's F.round mode, NOT
+    Python's banker's round), decimal-exact bin-ordered sum."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pts = {}
+    for v, w in ref_pts:
+        pts[float(v)] = pts.get(float(v), 0) + int(w)
+    n_ref = sum(pts.values())
+    vals = sorted(pts)
+    cum, cum_at = 0, []
+    for v in vals:
+        cum += pts[v]
+        cum_at.append((v, cum))
+    cuts = [next(v for v, c in cum_at if c >= (n_ref * i + bins - 1) // bins)
+            for i in range(1, bins)]
+    ma = [0] * (bins + 1)
+    for v in vals:
+        ma[1 + sum(1 for e in cuts if v > e)] += pts[v]
+    mb = [0] * (bins + 1)
+    for v in stream_vals:
+        mb[1 + sum(1 for e in cuts if float(v) > e)] += 1
+    n = len(stream_vals)
+    tot = Decimal(0)
+    for i in range(1, bins + 1):
+        pa = (ma[i] + lap) / (n_ref + lap * bins)
+        pb = (mb[i] + lap) / (n + lap * bins)
+        t = (pa - pb) * math.log(pa / pb)
+        tot += Decimal(repr(t)).quantize(
+            Decimal(1).scaleb(-9), rounding=ROUND_HALF_UP)
+    return float(tot)
+
+
+def test_stream_psi_batch_values_and_validation(spark):
+    """Batch semantics pin: per-window psi equals the pure-Python
+    replica bit-for-bit; an identically-distributed window scores 0.0,
+    a shifted window crosses the 0.25 action line; NULL values drop;
+    bad bins/laplace/empty-reference raise."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from yaetl_spark.streaming import stream_psi
+
+    ref_pts = [(float(v), 1) for v in range(100)]
+    ref = spark.createDataFrame(ref_pts, "value double, weight bigint")
+    d1, d2 = dt.datetime(2024, 1, 1, 3), dt.datetime(2024, 1, 2, 3)
+    day1 = [float(v) for v in range(100)]          # same distribution
+    day2 = [float(v) + 200.0 for v in range(100)]  # hard shift
+    rows = ([(d1, v) for v in day1] + [(d2, v) for v in day2]
+            + [(d1, None)])                        # NULL drops
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["window_start"]: r for r in
+           stream_psi(df, ref, "value", "ts", "1 day", bins=10).collect()}
+    assert len(got) == 2
+    day1_key, day2_key = sorted(got)
+    assert got[day1_key]["n_events"] == 100       # the NULL dropped
+    assert got[day1_key]["psi"] == _psi_python(ref_pts, day1, 10) == 0.0
+    assert got[day2_key]["psi"] == _psi_python(ref_pts, day2, 10)
+    assert got[day2_key]["psi"] > 0.25
+    # determinism under repartitioning
+    again = {r["window_start"]: r["psi"] for r in
+             stream_psi(df.repartition(7), ref, "value", "ts", "1 day",
+                        bins=10).collect()}
+    assert again == {k: v["psi"] for k, v in got.items()}
+    with _pytest.raises(ValueError, match="bins"):
+        stream_psi(df, ref, "value", "ts", bins=1)
+    with _pytest.raises(ValueError, match="laplace"):
+        stream_psi(df, ref, "value", "ts", laplace=0.0)
+    with _pytest.raises(ValueError, match="empty"):
+        stream_psi(df, ref.filter("weight < 0"), "value", "ts")
+    with _pytest.raises(ValueError, match="negative"):
+        stream_psi(df, spark.createDataFrame(
+            [(1.0, -2)], "value double, weight bigint"), "value", "ts")
+
+
+def test_stream_psi_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The same stream_psi call runs as a REAL multi-trigger stream
+    (complete mode, memory sink) and lands exactly the batch windows —
+    the family's batch-verifiability invariant, so the eventual driver
+    query's oracle covers the streaming path too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from yaetl_spark.streaming import stream_psi
+
+    raw = ensure_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ref = (raw.filter(F.col("event_type") == "purchase")
+           .select(F.col("value").cast("double").alias("value"),
+                   F.lit(1).cast("bigint").alias("weight"))
+           .filter(F.col("value").isNotNull()))
+    expected = sorted(
+        map(tuple, stream_psi(raw, ref, "value", "ts", "7 days",
+                              bins=8).collect()))
+    q = (
+        StreamPipeline(spark)
+        .from_files(_stage_dir(tmp_path, f"{sf_dir}/events.parquet"),
+                    fmt="parquet", schema=spark.read.parquet(
+                        f"{sf_dir}/events.parquet").schema)
+        .transform(ensure_event_time)
+        .transform(lambda df: stream_psi(df, ref, "value", "ts",
+                                         "7 days", bins=8))
+        .to_memory("stream_psi_test", output_mode="complete")
+    )
+    _wait_done(q)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM stream_psi_test").collect()))
+    assert got == expected and got

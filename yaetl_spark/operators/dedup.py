@@ -286,6 +286,175 @@ def _lsh_band_pairs(
     return out
 
 
+def _banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """``(_id, _sig)`` → ``(_id, _sig, band, bhash)``: the band-key
+    explosion, arithmetic-IDENTICAL to :func:`_lsh_band_pairs`'
+    inline ``band_key`` (deliberately duplicated rather than factored
+    out of it, so adding the index/probe pair cannot perturb
+    :func:`minhash_lsh`'s / :func:`shard_minhash_dedup`'s plans;
+    the equivalence is pinned by
+    ``tests/test_dedup.py::test_minhash_probe_matches_lsh_cross_pairs``)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    def band_key(b: Column) -> Column:
+        slot_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        if hash_fn == "rolling":
+            return slot_str.alias("bhash")
+        return F.xxhash64(slot_str).alias("bhash")
+
+    return sigs.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), band_key(b)),
+            )
+        ).alias("_bucket"),
+    ).select("_id", "_sig", "_bucket.band", "_bucket.bhash")
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Persistable MinHash-LSH index over a corpus: one row per
+    (document, band) — ``(id_col, band, bhash, sig)``. Build it ONCE
+    from the existing corpus, persist it, and match every future
+    shard against it with :func:`minhash_probe` — the incremental
+    near-dup pattern :func:`minhash_lsh` cannot give you (its
+    self-join recompares corpus-vs-corpus on every run).
+
+    Scale notes for 100 TB: the index is |corpus|·bands rows but only
+    (id, band, bhash, 8·num_hashes B sig) wide. Write it
+    ``partitionBy('band')`` (or bucketed by ``(band, bhash)``) so a
+    probe's bucket join prunes to the probed bands' files and
+    co-locates without shuffling the index side. Signatures ride
+    along so the probe's verify step needs no second corpus join.
+
+    All signature/banding parameters must be recorded with the index
+    — a probe with different values produces garbage, not an error
+    (``bhash``/``sig`` are pure arithmetic of them).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
+            hash_fn,
+        ).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
+    banded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
+    return banded.select(
+        F.col("_id").alias(id_col), "band", "bhash",
+        F.col("_sig").alias("sig"),
+    )
+
+
+def minhash_probe(
+    index: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = 0.8,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
+    index_id_col: str = "doc_id",
+    exclude_same_id: bool = True,
+    broadcast_probe: bool = False,
+) -> DataFrame:
+    """Near-dup matches of an INCOMING shard against a persisted
+    :func:`minhash_index` — incremental dedup without re-scanning or
+    self-joining the existing corpus: only the (typically small)
+    incoming shard is tokenized/signatured, banded identically, and
+    bucket-joined against the index on ``(band, bhash)``; candidate
+    pairs verify by signature slot agreement exactly like
+    :func:`minhash_lsh`. Anti-join the result's ``probe_id`` against
+    ``incoming`` to keep only novel documents.
+
+    Returns ``(probe_id, index_id, jaccard_sim)`` (distinct pairs,
+    post-``jaccard_threshold`` when given). The signature parameters
+    MUST match the ones the index was built with.
+    ``exclude_same_id`` drops pairs whose two ids are equal — the
+    no-op matches you get when the incoming shard was already
+    indexed (re-delivery); ids from disjoint ranges are unaffected.
+    ``broadcast_probe`` force-broadcasts the banded incoming side so
+    a band-partitioned index never shuffles at all — turn it on when
+    the shard is ≪ the executor memory budget, leave AQE to decide
+    otherwise.
+
+    Within-shard duplicates are deliberately out of scope (run
+    :func:`minhash_lsh` on the shard for those — same signatures,
+    composable by construction).
+    """
+    sigs = incoming.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
+            hash_fn,
+        ).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
+    banded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
+    probe_side = banded.select(
+        F.col("_id").alias("_p_id"),
+        F.col("_sig").alias("_p_sig"),
+        F.col("band").alias("_p_band"),
+        F.col("bhash").alias("_p_bhash"),
+    )
+    if broadcast_probe:
+        probe_side = F.broadcast(probe_side)
+    cond = (F.col("_p_band") == F.col("band")) & (
+        F.col("_p_bhash") == F.col("bhash")
+    )
+    if exclude_same_id:
+        cond = cond & (F.col("_p_id") != F.col(index_id_col))
+    candidates = (
+        probe_side.join(index, cond)
+        .select(
+            F.col("_p_id").alias("probe_id"),
+            F.col(index_id_col).alias("index_id"),
+            F.col("_p_sig").alias("sig_p"),
+            F.col("sig").alias("sig_i"),
+        )
+        .dropDuplicates(["probe_id", "index_id"])
+    )
+    sim = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_p", "sig_i", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    out = candidates.select(
+        "probe_id", "index_id", F.round(sim, 6).alias("jaccard_sim")
+    )
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard_sim") >= jaccard_threshold)
+    return out
+
+
 def shard_minhash_dedup(
     df: DataFrame,
     shard_col: str,

@@ -133,6 +133,131 @@ def dedup_within_watermark(
     return df.dropDuplicates(keys)
 
 
+def stream_psi(
+    df: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    duration: str = "1 day",
+    bins: int = 10,
+    laplace: float = 0.5,
+    watermark: str | None = None,
+    ref_value_col: str = "value",
+    ref_weight_col: str = "weight",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-event-time-window PSI drift of a (possibly streaming) value
+    column against a PERSISTED reference distribution — the live
+    monitoring form of
+    :func:`~yaetl_spark.operators.sketches.summary_psi`: build the
+    reference summary once (:func:`~yaetl_spark.operators.sketches.
+    equidepth_summary` on the blessed corpus/period), persist it, and
+    watch every window of the feed score against it.
+
+    ``reference`` is any weighted value table (the equidepth summary's
+    ``(value, weight)`` grain). Its quantile cuts at mass ``i/bins``
+    and its per-bin masses are computed ONCE at plan time with the
+    same exact integer arithmetic as ``summary_psi`` (targets
+    ``ceil(n_ref·i/bins)``, bin = 1 + #cuts strictly below v, Laplace
+    smoothing, bin-ordered DECIMAL(38,round_to) term sum — so a SQL
+    oracle reproduces psi bit-for-bit) and embedded as LITERALS: the
+    streaming plan has NO join and its only state is the windowed
+    aggregate's ``bins + 1`` counters per window — the same
+    bounded-state shape as :func:`tumbling_window_agg`. The driver
+    action on ``reference`` is |summary|-sized (the codebook-literal
+    pattern), never the raw corpus.
+
+    Emits ``(window_start, window_end, n_events, psi)`` per window
+    (epoch seconds, engine-portable); windows only exist where at
+    least one non-NULL value arrived, so ``psi`` is never NULL.
+    Interpretation anchors as in ``summary_psi``: < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 action.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not laplace > 0:
+        raise ValueError(
+            "laplace must be > 0 (smoothing keeps empty bins out of "
+            "ln(0) — pass e.g. 0.5)")
+    # ---- plan-time reference digest (|summary|-bounded collect) ----
+    pts: dict[float, int] = {}
+    for r in reference.select(ref_value_col, ref_weight_col).collect():
+        if r[0] is None or r[1] is None:
+            continue
+        w = int(r[1])
+        if w < 0:
+            raise ValueError(
+                f"negative {ref_weight_col!r} in reference summary")
+        v = float(r[0])
+        pts[v] = pts.get(v, 0) + w
+    n_ref = sum(pts.values())
+    if n_ref <= 0:
+        raise ValueError("reference summary is empty (zero total weight)")
+    vals = sorted(pts)
+    cum_at = []
+    cum = 0
+    for v in vals:
+        cum += pts[v]
+        cum_at.append((v, cum))
+    cuts = []
+    for i in range(1, bins):
+        target = (n_ref * i + bins - 1) // bins  # exact ceil, int64-safe
+        cuts.append(next(v for v, c in cum_at if c >= target))
+    ref_mass = [0] * (bins + 1)
+    for v in vals:
+        ref_mass[1 + sum(1 for e in cuts if v > e)] += pts[v]
+    p_ref = [
+        (ref_mass[i] + laplace) / (n_ref + laplace * bins)
+        for i in range(1, bins + 1)
+    ]
+    # ---- the (batch- and stream-compatible) windowed score ----
+    df = _watermarkable(df, time_col)
+    if watermark and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    val = F.col(value_col).cast("double")
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    binned = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_psi_bin",
+        F.lit(1) + F.size(F.filter(cuts_arr, lambda e: val > e)),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        F.sum(F.when(F.col("_psi_bin") == i, 1).otherwise(0))
+        .cast("bigint").alias(f"_mb{i}")
+        for i in range(1, bins + 1)
+    ]
+    out = binned.groupBy(
+        F.window(F.col(time_col), duration).alias("_w")
+    ).agg(*aggs)
+    n = F.col("n_events").cast("double")
+    terms = []
+    for i in range(1, bins + 1):
+        pb = (F.col(f"_mb{i}").cast("double") + F.lit(laplace)) / (
+            n + F.lit(laplace * bins))
+        pa = F.lit(p_ref[i - 1])
+        # DECIMAL(20,9), NOT (38,9): this is a row-wise fixed-order
+        # FOLD (the bins are columns of one row), and Spark's decimal
+        # addition grows precision by 1 per add — at (38,9) the very
+        # first add overflows precision 38 and silently SHRINKS the
+        # scale toward 6 (DecimalPrecision adjustedScale), corrupting
+        # psi in the 6th decimal. At (20,9) the fold ends at
+        # (20+bins-1, 9): scale-exact for any practical bins, and 11
+        # integer digits dwarf any PSI term. The siblings' F.sum
+        # aggregates keep (38,9) because SUM widens without chaining.
+        terms.append(
+            F.round((pa - pb) * F.log(pa / pb), round_to)
+            .cast(f"decimal({11 + round_to},{round_to})"))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    ntz = is_ntz(df, time_col)
+    return out.select(
+        epoch_seconds(F.col("_w.start"), ntz=ntz).alias("window_start"),
+        epoch_seconds(F.col("_w.end"), ntz=ntz).alias("window_end"),
+        F.col("n_events"),
+        psi.cast("double").alias("psi"),
+    )
+
+
 def running_totals(
     df: DataFrame,
     keys: list[str],
