@@ -4223,6 +4223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # After those, r16 has ~11-|a'| slots for the 48-query r13 cohort;
 # r16/r17 rotate it, then r17/r18 take the r14+r15 cohorts
 # (186 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# r16 growth candidates, already implemented + locally tested this
+# round (declarations deferred to keep this window's arithmetic
+# exact): dedup.minhash_probe — incremental near-dup of an incoming
+# shard against a persisted minhash_index, no corpus self-join
+# (oracle blueprinted by its DuckDB parity test: the _minhash_cands
+# family restricted to cross (index, incoming) pairs) — and
+# streaming.stream_psi — per-event-time-window PSI drift against a
+# persisted reference summary, reference cuts/masses as plan-time
+# literals so the stream plan is join-free (oracle blueprinted by its
+# parity test: summary-digest CTE + windowed binning + the PSI term
+# sum, all exact arithmetic shared with summary_psi).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r15 — the persisted-summary
     # drift family's remaining members + the grouped form)

@@ -1371,3 +1371,54 @@ def test_reciprocal_rank_fusion_rejects_output_collisions(spark):
     got = reciprocal_rank_fusion(
         base, "query_id", "doc_id", ["bm25"]).collect()
     assert got[0]["fused_rank"] == 1
+
+
+def test_minhash_probe_cross_engine_parity(spark, sf_dir):
+    """DuckDB replays the index+probe pipeline bit-for-bit in rolling
+    mode: full-corpus LSH candidates (the oracle family
+    __spark_entry__._minhash_cands_cte) restricted to cross
+    (index, incoming) pairs equal minhash_probe(index(old), new) on the
+    real documents table — the oracle blueprint for the query's
+    eventual driver declaration (r16)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    # bands=16 (2 slot rows per band) makes the sf0.001 corpus collide
+    # richly — ~200 cross pairs, so the parity is exercised, not vacuous
+    nh, nb, thr, split, bound = 32, 16, 0.1, 250, 350
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=nh, bands=nb, shingle_size=2, hash_fn="rolling")
+    idx = minhash_index(docs.filter(f"doc_id < {split}"), **kw)
+    got = sorted(
+        (r["probe_id"], r["index_id"], r["jaccard_sim"])
+        for r in minhash_probe(
+            idx, docs.filter(f"doc_id >= {split} and doc_id < {bound}"),
+            jaccard_threshold=thr, **kw).collect())
+    assert len(got) > 100  # the parity must cover a real pair set
+
+    sql = f"""
+        WITH {entry_mod._minhash_cands_cte(nh, nb, bound=bound)}
+        SELECT id_b AS probe_id, id_a AS index_id,
+               round(list_sum(list_transform(range(1, {nh} + 1),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                               THEN 1 ELSE 0 END)) / {float(nh)}, 6)
+                   AS jaccard_sim
+        FROM cands
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+        WHERE id_a < {split} AND id_b >= {split}
+          AND list_sum(list_transform(range(1, {nh} + 1),
+                  i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+              / {float(nh)} >= {thr}
+    """
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert got == want

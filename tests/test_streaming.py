@@ -688,3 +688,98 @@ def test_stream_psi_stream_matches_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple,
                      spark.sql("SELECT * FROM stream_psi_test").collect()))
     assert got == expected and got
+
+
+def test_stream_psi_cross_engine_parity(spark, sf_dir):
+    """DuckDB replays the whole stream_psi batch path bit-for-bit on
+    the real events table: equidepth reference summary → tie-collapsed
+    digest (exact integer cut targets, strict-> binning, Laplace) →
+    per-7-day-window masses → HALF_UP 9-decimal terms summed as
+    DECIMAL — the oracle blueprint for the query's eventual driver
+    declaration (r16)."""
+    import duckdb
+
+    from yaetl_spark.operators import equidepth_summary
+    from yaetl_spark.streaming import stream_psi
+
+    B, BINS, WIN = 32, 8, 7 * 86400
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ref = equidepth_summary(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("value").cast("double").alias("v"),
+            F.lit("all").alias("s")),
+        "v", "s", buckets=B)
+    got = sorted(map(tuple, stream_psi(
+        ev, ref, "value", "ts", "7 days", bins=BINS).collect()))
+    assert len(got) >= 4  # several non-vacuous windows
+
+    cuts_cols = ",\n                   ".join(
+        f"MIN(CASE WHEN c >= (na * {i} + {BINS - 1}) // {BINS} "
+        f"THEN v END) AS e{i}" for i in range(1, BINS))
+    bin_of = lambda v: " + ".join(  # noqa: E731
+        f"(CASE WHEN {v} > c.e{i} THEN 1 ELSE 0 END)"
+        for i in range(1, BINS))
+    sql = f"""
+        WITH ref_ranked AS (
+            SELECT CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (ORDER BY CAST(value AS DOUBLE)) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL),
+        ref_summ AS (
+            SELECT (rn * {B} + n - 1) // n AS b, max_by(v, rn) AS value,
+                   COUNT(*) AS weight
+            FROM ref_ranked GROUP BY (rn * {B} + n - 1) // n),
+        ref_pts AS (
+            SELECT value AS v, SUM(weight) AS w
+            FROM ref_summ GROUP BY value),
+        ref_cum AS (
+            SELECT v, w,
+                   SUM(w) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c,
+                   SUM(w) OVER () AS na
+            FROM ref_pts),
+        cuts AS (
+            SELECT MAX(na) AS na,
+                   {cuts_cols}
+            FROM ref_cum),
+        rmass AS (
+            SELECT 1 + {bin_of('p.v')} AS bin, SUM(p.w) AS ma
+            FROM ref_pts p CROSS JOIN cuts c
+            GROUP BY 1),
+        ev_binned AS (
+            SELECT (CAST(epoch(e.ts) AS BIGINT) // {WIN}) * {WIN} AS ws,
+                   1 + {bin_of('CAST(e.value AS DOUBLE)')} AS bin
+            FROM events e CROSS JOIN cuts c
+            WHERE e.value IS NOT NULL),
+        win AS (SELECT ws, COUNT(*) AS n FROM ev_binned GROUP BY ws),
+        wmass AS (SELECT ws, bin, COUNT(*) AS mb
+                  FROM ev_binned GROUP BY ws, bin),
+        terms AS (
+            SELECT s.ws, s.n,
+                   (COALESCE(rm.ma, 0) + 0.5)
+                       / (c.na + 0.5 * {BINS}) AS pa,
+                   (COALESCE(wm.mb, 0) + 0.5)
+                       / (s.n + 0.5 * {BINS}) AS pb
+            FROM (SELECT w.ws, w.n, sp.bin
+                  FROM win w CROSS JOIN generate_series(1, {BINS})
+                       sp(bin)) s
+            LEFT JOIN wmass wm ON wm.ws = s.ws AND wm.bin = s.bin
+            LEFT JOIN rmass rm ON rm.bin = s.bin
+            CROSS JOIN cuts c)
+        SELECT ws AS window_start, ws + {WIN} AS window_end,
+               MAX(n) AS n_events,
+               CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS psi
+        FROM terms GROUP BY ws
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf_dir}/events.parquet'")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert got == want
