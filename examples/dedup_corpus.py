@@ -2,7 +2,9 @@
 training-data curation job runs: LSH candidates → exact-Jaccard verify →
 connected-component clusters → keep one canonical doc per cluster, or
 a bounded number of members per cluster (`cluster_cap`) when paraphrase
-diversity is worth keeping.
+diversity is worth keeping — plus the DAY-2 form: persist a MinHash
+index once and match every future shard against it incrementally
+(`minhash_index`/`minhash_probe`), never re-comparing corpus-vs-corpus.
 
 Run: ``python examples/dedup_corpus.py [sf_dir]``
 """
@@ -25,7 +27,9 @@ from yaetl_spark.operators import (
     cluster_cap,
     dedup_clusters,
     drop_duplicate_members,
+    minhash_index,
     minhash_lsh,
+    minhash_probe,
     ngram_jaccard_pairs,
 )
 from yaetl_spark.plans import assert_scales
@@ -60,11 +64,28 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     # shuffle) — bounded near-variant diversity for the training mix
     capped = cluster_cap(docs, "doc_id", clusters, cap=2)
     assert_scales(capped)
-    return docs.count(), clusters.count(), kept.count(), capped.count()
+
+    # 4) day-2 ingestion: the existing corpus's LSH index persists ONCE
+    # (production: .write.partitionBy('band'), probes prune to the
+    # touched bands); each new shard signatures itself and probes the
+    # index — no corpus re-scan, no corpus self-join — then anti-joins
+    # the matches away to keep only novel documents
+    old, shard = docs.filter("doc_id < 400"), docs.filter("doc_id >= 400")
+    idx = minhash_index(old, num_hashes=32, bands=16, shingle_size=2)
+    matches = minhash_probe(idx, shard, num_hashes=32, bands=16,
+                            shingle_size=2, jaccard_threshold=0.5)
+    assert_scales(matches)
+    novel = shard.join(matches.select("probe_id").distinct(),
+                       shard.doc_id == F.col("probe_id"), "left_anti")
+    return (docs.count(), clusters.count(), kept.count(), capped.count(),
+            shard.count(), novel.count())
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="dedup-example", shuffle_partitions=8)
-    total, clustered, kept, capped = main(spark, *(sys.argv[1:2]))
+    (total, clustered, kept, capped,
+     shard_n, novel_n) = main(spark, *(sys.argv[1:2]))
     print(f"docs={total} in_dup_clusters={clustered} kept={kept} "
           f"capped2={capped}")
+    print(f"day-2 shard: {shard_n} incoming, {novel_n} novel after "
+          f"probing the persisted index")

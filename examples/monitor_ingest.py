@@ -48,6 +48,7 @@ from yaetl_spark.operators import (autocorrelation, categorical_shift,
                                    summary_w1_distance)
 from yaetl_spark.plans import assert_scales
 from yaetl_spark.session import ensure_event_time
+from yaetl_spark.streaming import stream_psi
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
@@ -130,14 +131,32 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         "ks": ks["ks_stat"], "psi": psi["psi"],
     }
 
+    # 7) live-window drift: the same PSI arithmetic as a STREAMING
+    # monitor — stream_psi scores every 7-day event-time window of the
+    # value feed against a persisted reference summary; the reference's
+    # cuts/masses are digested ONCE at plan time (|summary|-bounded)
+    # into literals, so the plan is join-free with one windowed
+    # aggregate — swap the batch read for readStream and the identical
+    # call runs as a live monitor (parity pinned in test_streaming.py)
+    ref_vals = equidepth_summary(
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("value").cast("double").alias("v"),
+                F.lit("all").alias("s")),
+        "v", "s", buckets=32)
+    windows = stream_psi(ev, ref_vals, "value", "ts", "7 days", bins=8)
+    assert_scales(windows, max_shuffles=1)  # scan -> one windowed agg
+    window_drift = sorted(
+        (r["window_start"], r["n_events"], r["psi"])
+        for r in windows.collect())
+
     return (report, quarantine, num_drift, cat_drift, smoothed,
-            acf_peak, worst_resid, shifts, summary_drift)
+            acf_peak, worst_resid, shifts, summary_drift, window_drift)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="monitor-example", shuffle_partitions=8)
     (report, quarantine, num_drift, cat_drift, smoothed,
-     acf_peak, worst_resid, shifts, summary_drift) = main(
+     acf_peak, worst_resid, shifts, summary_drift, window_drift) = main(
         spark, *(sys.argv[1:2]))
     print("kept:", report["num_records"],
           "quarantined:", report["num_rejected"])
@@ -153,3 +172,5 @@ if __name__ == "__main__":
     print("level shifts:",
           [(r["event_type"], r["cp_index"], r["score"]) for r in shifts])
     print("summary drift (persist-once/compare-many):", summary_drift)
+    print("windowed PSI vs reference (streaming-ready):",
+          [(ws, n, p) for ws, n, p in window_drift[:4]])

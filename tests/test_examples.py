@@ -21,11 +21,14 @@ def test_dedup_corpus_example(spark, sf_dir):
         import dedup_corpus
     finally:
         sys.path.pop(0)
-    total, clustered, kept, capped = dedup_corpus.main(spark, sf_dir)
+    (total, clustered, kept, capped,
+     shard_n, novel_n) = dedup_corpus.main(spark, sf_dir)
     assert kept + clustered >= total  # every dropped doc was clustered
     assert kept <= total
     # cap=2 keeps at least the canonical set and never exceeds the corpus
     assert kept <= capped <= total
+    # day-2 probe: novel docs are a subset of the shard
+    assert 0 <= novel_n <= shard_n and shard_n > 0
 
 
 def test_stream_upsert_example(spark, sf_dir, tmp_path):
@@ -105,8 +108,8 @@ def test_monitor_ingest_example(spark, sf_dir):
         import monitor_ingest
     finally:
         sys.path.pop(0)
-    (report, quarantine, num_drift, cat_drift, smoothed,
-     acf_peak, worst_resid, shifts, summary_drift) = monitor_ingest.main(
+    (report, quarantine, num_drift, cat_drift, smoothed, acf_peak,
+     worst_resid, shifts, summary_drift, window_drift) = monitor_ingest.main(
         spark, sf_dir)
     assert report["status"] == "clean"
     assert report["num_records"] + report["num_rejected"] > 0
@@ -132,6 +135,11 @@ def test_monitor_ingest_example(spark, sf_dir):
     assert summary_drift["w1"] >= 0.0
     assert 0.0 <= summary_drift["ks"] <= 1.0
     assert summary_drift["psi"] >= 0.0
+    # streaming-ready windowed PSI: several windows, counts positive,
+    # scores finite and non-negative (PSI >= 0 by Gibbs' inequality...
+    # per-term rounding can dip a hair under 0 — allow the epsilon)
+    assert len(window_drift) >= 2
+    assert all(n > 0 and p >= -1e-8 for _, n, p in window_drift)
 
 
 def test_prepare_features_example(spark, sf_dir):
