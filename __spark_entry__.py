@@ -4233,7 +4233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # persisted reference summary, reference cuts/masses as plan-time
 # literals so the stream plan is join-free (oracle blueprinted by its
 # parity test: summary-digest CTE + windowed binning + the PSI term
-# sum, all exact arithmetic shared with summary_psi).
+# sum, all exact arithmetic shared with summary_psi). Third candidate:
+# text.bpe_train — distributed Sennrich BPE merge learning (one
+# corpus shuffle for the word-frequency table, vocab-sized
+# checkpointed iterations, one-row driver argmax per merge) — exact
+# merge-sequence + vocab parity against the published algorithm is
+# pinned in tests/test_operators.py; as an ITERATIVE algorithm it
+# would declare with the weaker rows-only driver check unless the
+# unrolled-CTE DuckDB replica proves practical at declaration time.
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r15 — the persisted-summary
     # drift family's remaining members + the grouped form)

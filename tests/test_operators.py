@@ -1422,3 +1422,98 @@ def test_minhash_probe_cross_engine_parity(spark, sf_dir):
     finally:
         con.close()
     assert got == want
+
+
+def _ref_bpe(word_counts, k, eow="</w>"):
+    """Pure-Python Sennrich BPE (the published algorithm, verbatim):
+    char init with end-of-word marker, most-frequent pair fused per
+    round (count desc, then (left, right) lexicographic), leftmost
+    non-overlapping application."""
+    vocab = {}
+    for w, n in word_counts.items():
+        syms = tuple(list(w[:-1]) + [w[-1] + eow])
+        vocab[syms] = vocab.get(syms, 0) + n
+    merges = []
+    for _ in range(k):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n)
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p[0], p[1]))
+        merges.append((best[0], best[1], pairs[best]))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference_algorithm(spark, sf_dir):
+    """The distributed trainer reproduces the published Sennrich
+    algorithm EXACTLY on the real documents table: same merge
+    sequence with same counts, same final segmentation of every word
+    — and is deterministic under repartitioning."""
+    from collections import Counter
+
+    from yaetl_spark.operators import bpe_train, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 120")
+    toks = [t for r in docs.select(
+        tokenize(F.col("text")).alias("t")).collect() for t in r["t"]]
+    want_merges, want_vocab = _ref_bpe(Counter(toks), 24)
+
+    merges, vocab = bpe_train(docs, num_merges=24, return_vocab=True)
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == want_merges
+    got_vocab = {tuple(r["pieces"]): 0 for r in vocab.collect()}
+    for r in vocab.collect():
+        got_vocab[tuple(r["pieces"])] = (
+            got_vocab.get(tuple(r["pieces"]), 0) + r["n_words"])
+    assert {k: v for k, v in got_vocab.items() if v} == dict(want_vocab)
+    again = bpe_train(docs.repartition(13), num_merges=24)
+    assert [(r["left"], r["right"], r["pair_count"])
+            for r in again.orderBy("rank").collect()] == want_merges
+
+
+def test_bpe_train_exhaustion_min_count_and_validation(spark):
+    """A corpus that fuses completely stops early (merge table shorter
+    than num_merges, every word one piece); min_count excludes rare
+    words from TRAINING but still segments them in the vocab; exact
+    token counting via the vocab join works as documented; bad
+    num_merges/min_count raise."""
+    from yaetl_spark.operators import bpe_train, tokenize
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa aaa zq")], "doc_id long, text string")
+    merges, vocab = bpe_train(df, num_merges=50, min_count=2,
+                              return_vocab=True)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    # only 'aaa' trains (zq is rare): a+a, aa+a</w> — then exhaustion
+    assert rules == [("a", "a"), ("aa", "a</w>")]
+    pieces = {r["word"]: list(r["pieces"]) for r in vocab.collect()}
+    assert pieces["aaa"] == ["aaa</w>"]
+    assert pieces["zq"] == ["z", "q</w>"]  # segmented, just not trained
+    # exact per-doc token count = explode -> vocab join -> sum sizes
+    toks = df.select("doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+    counted = (toks.join(F.broadcast(vocab), "word")
+               .groupBy("doc_id")
+               .agg(F.sum(F.size("pieces")).alias("n_tokens")).first())
+    assert counted["n_tokens"] == 3 * 1 + 2
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(df, num_merges=0)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe_train(df, min_count=0)

@@ -305,6 +305,135 @@ def token_count_estimate(
     )
 
 
+def _bpe_merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge rule to a symbol array: leftmost-first,
+    non-overlapping (the Sennrich scan order) as a single fold —
+    replace-last is safe because within one pass the merged symbol
+    ``left+right`` can never equal ``left`` (``right`` is non-empty),
+    so a freshly-merged symbol can never chain-trigger the same rule."""
+    merged = F.array(F.lit(left + right))
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.lit(-1)) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 64,
+    pattern: str = r"[^a-z0-9]+",
+    min_count: int = 1,
+    end_of_word: str = "</w>",
+    return_vocab: bool = False,
+):
+    """Learn a BPE merge table from the corpus, distributed — the
+    actual subword-tokenizer TRAINING step (Sennrich, Haddow & Birch
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units") that :func:`token_count_estimate` only models: start from
+    characters (last character carries ``end_of_word``, the classic
+    word-boundary marker), repeatedly find the corpus-most-frequent
+    adjacent symbol pair and fuse it, ``num_merges`` times.
+
+    Returns the merge table ``(rank, left, right, pair_count)`` in
+    learned order (fewer rows than ``num_merges`` if the corpus runs
+    out of pairs); with ``return_vocab=True`` returns
+    ``(merges, vocab)`` where vocab is ``(word, n_words, pieces)`` —
+    every distinct word with its corpus count and trained
+    segmentation. Exact token counts under the learned tokenizer are
+    then one broadcast join away: explode the corpus's tokens, join
+    vocab on the word, ``size(pieces)`` per hit (out-of-vocab words —
+    only possible when scoring a DIFFERENT corpus — fall back to
+    character count, the no-merges segmentation).
+
+    Scale shape at 100 TB: the corpus is touched ONCE (tokenize →
+    explode → word-count groupBy, the only corpus-grain shuffle);
+    every iteration then works on the Zipf-bounded word-frequency
+    table — a pair explode + sum aggregate + a ONE-row driver argmax
+    (count desc, then (left, right) lexicographic — fully
+    deterministic) + a scan-level fold applying the rule, with an
+    eager localCheckpoint per iteration so the loop's lineage stays
+    flat (the pagerank discipline). Driver traffic is one row per
+    merge; nothing unbounded ever collects. Determinism: exact
+    integer counts, total-order tiebreak, and the fold's fixed scan
+    order make the merge table reproducible across partitionings and
+    engines — pinned against a pure-Python reference implementation
+    in tests/test_operators.py.
+
+    ``min_count`` drops words rarer than the threshold from TRAINING
+    (standard practice; they still segment in the returned vocab).
+    With the default ``pattern``, tokens are lowercase alphanumeric
+    runs, so ``end_of_word`` can never collide with in-word text; pass
+    a custom marker if a custom pattern admits ``<``, ``/``, ``>``.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col), pattern)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    chars = F.split(F.col("_w"), "")
+    vocab = words.select(
+        "_w",
+        "_n",
+        F.concat(
+            F.slice(chars, 1, F.size(chars) - 1),
+            F.array(F.concat(F.element_at(chars, F.lit(-1)),
+                             F.lit(end_of_word))),
+        ).alias("_syms"),
+    ).localCheckpoint(eager=True)
+    trainable = vocab if min_count == 1 else vocab.filter(
+        F.col("_n") >= min_count)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = trainable.select(
+            "_n",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_syms"), 1, F.size("_syms") - 1),
+                    F.slice(F.col("_syms"), 2, F.size("_syms") - 1),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("_p"),
+        )
+        best = (
+            pairs.groupBy(F.col("_p.l").alias("_l"),
+                          F.col("_p.r").alias("_r"))
+            .agg(F.sum("_n").alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_l").asc(),
+                     F.col("_r").asc())
+            .first()
+        )
+        if best is None:
+            break  # every word is a single symbol — nothing to fuse
+        left, right, cnt = best["_l"], best["_r"], int(best["_c"])
+        merges.append((rank, left, right, cnt))
+        vocab = vocab.withColumn(
+            "_syms", _bpe_merge_pair(F.col("_syms"), left, right)
+        ).localCheckpoint(eager=True)
+        trainable = vocab if min_count == 1 else vocab.filter(
+            F.col("_n") >= min_count)
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint")
+    if not return_vocab:
+        return merges_df
+    return merges_df, vocab.select(
+        F.col("_w").alias("word"),
+        F.col("_n").alias("n_words"),
+        F.col("_syms").alias("pieces"),
+    )
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-grams (array<string>) of the normalized text. Empty
     array when the text is shorter than ``n``."""
