@@ -4238,9 +4238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # corpus shuffle for the word-frequency table, vocab-sized
 # checkpointed iterations, one-row driver argmax per merge) — exact
 # merge-sequence + vocab parity against the published algorithm is
-# pinned in tests/test_operators.py; as an ITERATIVE algorithm it
-# would declare with the weaker rows-only driver check unless the
-# unrolled-CTE DuckDB replica proves practical at declaration time.
+# pinned in tests/test_operators.py, and a FULL DuckDB oracle is
+# already proven practical (test_bpe_train_cross_engine_parity: an
+# unrolled MATERIALIZED-CTE replica — wrapped-symbol replace() makes
+# string replacement exactly the greedy merge scan — matches the
+# merge table AND every final segmentation bit-for-bit), so the r16
+# declaration gets the strong check, not rows-only.
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r15 — the persisted-summary
     # drift family's remaining members + the grouped form)

@@ -1517,3 +1517,92 @@ def test_bpe_train_exhaustion_min_count_and_validation(spark):
         bpe_train(df, num_merges=0)
     with pytest.raises(ValueError, match="min_count"):
         bpe_train(df, min_count=0)
+
+
+def _bpe_oracle_sql(k, bound, sep="\x1f"):
+    """Unrolled-CTE DuckDB replica of bpe_train (the r16 oracle
+    blueprint): each symbol wraps as ``SEP+sym+SEP`` so adjacent
+    replacements never share separator characters — string
+    ``replace()`` is then EXACTLY the leftmost non-overlapping greedy
+    merge scan — and every merge round is pairs-count → total-order
+    argmax → replace, one CTE triple per rank. Every CTE is
+    MATERIALIZED: default inlining would re-expand v_i (and the base
+    scan) exponentially across the unrolled rounds."""
+    parts = [f"""
+    words AS MATERIALIZED (
+        SELECT t AS w, COUNT(*) AS n
+        FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS t
+              FROM documents WHERE doc_id < {bound})
+        GROUP BY t),
+    v0 AS MATERIALIZED (
+        SELECT n, list_reduce(
+            list_transform(
+                list_concat(
+                    [substr(w, i, 1) for i in range(1, length(w))],
+                    [substr(w, length(w), 1) || '</w>']),
+                s -> '{sep}' || s || '{sep}'),
+            (a, b) -> a || b) AS s
+        FROM words)"""]
+    for i in range(k):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT l, r, SUM(n) AS c
+        FROM (
+            SELECT n,
+                   unnest(toks[1:len(toks)-1]) AS l,
+                   unnest(toks[2:len(toks)]) AS r
+            FROM (SELECT n, str_split(trim(s, '{sep}'),
+                                      '{sep}{sep}') AS toks
+                  FROM v{i})
+        ) GROUP BY l, r),
+    b{i} AS MATERIALIZED (
+        SELECT l, r, c FROM p{i}
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    v{i + 1} AS MATERIALIZED (
+        SELECT n, replace(s,
+            '{sep}' || (SELECT l FROM b{i}) || '{sep}{sep}'
+                    || (SELECT r FROM b{i}) || '{sep}',
+            '{sep}' || (SELECT l || r FROM b{i}) || '{sep}') AS s
+        FROM v{i})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}" for i in range(k))
+    return f"WITH {','.join(parts)} SELECT * FROM ({sel}) ORDER BY rank"
+
+
+def test_bpe_train_cross_engine_parity(spark, sf_dir):
+    """DuckDB replays the whole iterative trainer bit-for-bit on the
+    real documents table — merge sequence AND final segmentations —
+    via the wrapped-symbol replace trick, proving the r16 driver
+    declaration can use a FULL oracle rather than a rows-only check."""
+    import duckdb
+
+    from yaetl_spark.operators import bpe_train
+
+    K, BOUND, SEP = 8, 120, "\x1f"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(f"doc_id < {BOUND}")
+    merges, vocab = bpe_train(docs, num_merges=K, return_vocab=True)
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = [tuple(r) for r in
+                con.execute(_bpe_oracle_sql(K, BOUND, SEP)).fetchall()]
+        # final segmentations too: vK holds every word's merged string
+        seg_sql = _bpe_oracle_sql(K, BOUND, SEP).split("SELECT * FROM")[0] \
+            + (f"SELECT w.w AS word, str_split(trim(v.s, '{SEP}'), "
+               f"'{SEP}{SEP}') AS pieces "
+               f"FROM v{K} v POSITIONAL JOIN words w")
+        want_seg = {r[0]: list(r[1])
+                    for r in con.execute(seg_sql).fetchall()}
+    finally:
+        con.close()
+    assert got == want and len(got) == K
+    got_seg = {r["word"]: list(r["pieces"]) for r in vocab.collect()}
+    assert got_seg == want_seg
