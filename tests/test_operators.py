@@ -1606,3 +1606,67 @@ def test_bpe_train_cross_engine_parity(spark, sf_dir):
     assert got == want and len(got) == K
     got_seg = {r["word"]: list(r["pieces"]) for r in vocab.collect()}
     assert got_seg == want_seg
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Hypothesis fuzz: on arbitrary tiny corpora (repeats, ties,
+    single-char words, full fusions) the distributed trainer's merge
+    sequence equals the verbatim published algorithm's — the tiebreak
+    total order and the greedy fold have no input-shaped blind spots."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import bpe_train
+
+    word = st.text(alphabet="ab", min_size=1, max_size=4)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=12),
+           st.integers(min_value=1, max_value=4))
+    def run(words, k):
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)],
+            "doc_id long, text string")
+        got = [(r["left"], r["right"], r["pair_count"])
+               for r in bpe_train(df, num_merges=k).orderBy("rank")
+               .collect()]
+        assert got == _ref_bpe(Counter(words), k)[0], (words, k)
+
+    run()
+
+
+def test_minhash_probe_property_random_split(spark):
+    """Hypothesis fuzz: for random corpora and random split points,
+    probe(index(old), new) always equals minhash_lsh(corpus)'s cross
+    pairs — banding equivalence holds for every corpus shape, not just
+    the curated fixture."""
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    word = st.sampled_from(["quick", "brown", "fox", "lazy", "dog"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8), st.data())
+    def run(texts, data):
+        split = data.draw(st.integers(min_value=1,
+                                      max_value=len(texts) - 1))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        kw = dict(num_hashes=16, bands=8, shingle_size=2,
+                  hash_fn="rolling")
+        got = {(r["probe_id"], r["index_id"]): r["jaccard_sim"]
+               for r in minhash_probe(
+                   minhash_index(df.filter(f"doc_id < {split}"), **kw),
+                   df.filter(f"doc_id >= {split}"),
+                   jaccard_threshold=None, **kw).collect()}
+        want = {(r["id_b"], r["id_a"]): r["jaccard_sim"]
+                for r in minhash_lsh(df, jaccard_threshold=None,
+                                     **kw).collect()
+                if r["id_a"] < split <= r["id_b"]}
+        assert got == want, (texts, split)
+
+    run()
