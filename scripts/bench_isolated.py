@@ -61,27 +61,58 @@ def main() -> None:
 
     import re
 
-    def plan_sig(df) -> dict:
-        """Executed-plan fingerprint (AQE-final): join strategies,
-        exchange counts, scan count — enough to tell a plan flip from
-        ambient noise without reading the full plan dump.
+    # ---- plan capture: listen to the TIMED noop write itself -------
+    # The write runs through its own QueryExecution, so fingerprinting
+    # the df's executedPlan() would either see the un-finalized
+    # AdaptiveSparkPlan (isFinalPlan=false — blind to runtime
+    # join-strategy flips) or require a full re-execution per run
+    # (the pre-r16 toRdd().count() approach, which doubled bench
+    # wall-clock). A QueryExecutionListener instead hands us the
+    # write's OWN QueryExecution after it completes — same
+    # executedPlan().toString() format as before (fingerprints stay
+    # comparable with PLANS.md pins), zero extra executions. The
+    # listener bus is async, so captures are awaited OUTSIDE the
+    # timed region and matched on the NoopWrite wrapper (queries that
+    # internally collect — guard counts, codebook literals — emit
+    # their own onSuccess events first).
+    from pyspark.java_gateway import ensure_callback_server_started
 
-        The timed noop write runs through its OWN QueryExecution, so
-        the df's executedPlan() would still be the un-finalized
-        AdaptiveSparkPlan (isFinalPlan=false — the static pre-AQE
-        plan, blind to runtime join-strategy flips). Finalize the
-        df's own QueryExecution first with a JVM-side toRdd().count()
-        — full execution, no rows shipped to Python — OUTSIDE the
-        timed region, then fingerprint the '== Final Plan ==' section.
-        AQE decisions are deterministic given the same data + session
-        confs, so this capture run sees the same final plan as the
-        timed write."""
-        jqe = df._jdf.queryExecution()
-        jqe.toRdd().count()  # finalize AQE on df's own QueryExecution
-        plan = jqe.executedPlan().toString()
+    ensure_callback_server_started(spark.sparkContext._gateway)
+    noop_plans: list[str] = []
+
+    class _PlanListener:
+        def onSuccess(self, funcName, qe, durationNs):
+            plan = qe.executedPlan().toString()
+            if "NoopWrite" in plan.split("\n", 1)[0]:
+                noop_plans.append(plan)
+
+        def onFailure(self, funcName, qe, exception):
+            pass
+
+        class Java:
+            implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    spark._jsparkSession.listenerManager().register(_PlanListener())
+
+    def plan_sig(base: int) -> dict:
+        """Executed-plan fingerprint (AQE-final) of the noop write
+        issued after ``base`` captures existed: join strategies,
+        exchange counts, scan count — enough to tell a plan flip from
+        ambient noise without reading the full plan dump. Snapshot
+        ``base = len(noop_plans)`` BEFORE materialize() (the listener
+        bus is async — the capture may land before or after the write
+        call returns), then call this right after."""
+        deadline = time.monotonic() + 30
+        while len(noop_plans) <= base:
+            if time.monotonic() > deadline:
+                raise AssertionError(
+                    "QueryExecutionListener never delivered the noop "
+                    "write's plan — cannot fingerprint this run")
+            time.sleep(0.02)
+        plan = noop_plans[-1]
         assert "isFinalPlan=false" not in plan, (
-            "plan capture ran but AQE did not finalize — fingerprint "
-            "would be the static plan; refusing to record it")
+            "captured plan is not AQE-final — fingerprint would be "
+            "the static plan; refusing to record it")
         final = plan.split("== Initial Plan ==")[0]
         return {
             "joins": re.findall(
@@ -95,19 +126,21 @@ def main() -> None:
     out = {}
     for name in names:
         fn = queries[name]
+        base = len(noop_plans)
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         materialize(df)
         cold = round(time.monotonic() - t0, 3)
-        sig_cold = plan_sig(df)
+        sig_cold = plan_sig(base)
         runs = []
         sig_flip = None
         for _ in range(n_warm):
+            base = len(noop_plans)
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
             materialize(df)
             runs.append(time.monotonic() - t0)
-            sig = plan_sig(df)
+            sig = plan_sig(base)
             if sig != sig_cold and sig_flip is None:
                 sig_flip = sig  # first warm run whose plan diverged
         out[name] = {

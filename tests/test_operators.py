@@ -1519,6 +1519,40 @@ def test_bpe_train_exhaustion_min_count_and_validation(spark):
         bpe_train(df, min_count=0)
 
 
+def test_bpe_train_256_merges_lineage_stays_flat(spark):
+    """The documented operating envelope, pinned: a 256-merge run (4×
+    the default, inside the ~64–1024 range the docstring declares)
+    still reproduces the published algorithm EXACTLY, and the
+    per-iteration eager localCheckpoint keeps the returned vocab's
+    plan at CONSTANT depth — 256 merge folds never stack 256
+    projections, so lineage (and with it driver plan memory /
+    optimizer time) is flat in num_merges."""
+    from collections import Counter
+
+    from yaetl_spark.operators import bpe_train
+
+    words = [
+        "".join(chr(97 + ((i * 131 + j * 17 + (i * j * j) % 101) % 26))
+                for j in range(10))
+        for i in range(120)
+    ]
+    want_merges, _ = _ref_bpe(Counter(words), 256)
+    assert len(want_merges) == 256  # the corpus sustains the full run
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    merges, vocab = bpe_train(df, num_merges=256, return_vocab=True)
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == want_merges
+    # lineage discipline: the returned vocab reads the LAST checkpoint
+    # — a few plan lines over an in-memory scan, however many merges
+    # ran — instead of a num_merges-deep withColumn tower.
+    plan = vocab._jdf.queryExecution().analyzed().toString()
+    assert len(plan.splitlines()) < 10, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
 def _bpe_oracle_sql(k, bound, sep="\x1f"):
     """Unrolled-CTE DuckDB replica of bpe_train (the r16 oracle
     blueprint): each symbol wraps as ``SEP+sym+SEP`` so adjacent

@@ -658,6 +658,44 @@ def test_stream_psi_batch_values_and_validation(spark):
             [(1.0, -2)], "value double, weight bigint"), "value", "ts")
 
 
+def test_stream_psi_guards_raw_corpus_and_decimal_overflow(spark):
+    """The misuse guards: a reference wider than max_reference_rows
+    raises an actionable error BEFORE the driver collect (passing a
+    raw corpus where a persisted summary belongs must never OOM the
+    driver), the guard is opt-out-able for callers who already
+    counted, and a bins/round_to pair whose decimal fold would pass
+    precision 38 (silent scale loss) raises up front."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from yaetl_spark.streaming import stream_psi
+
+    ref = spark.createDataFrame(
+        [(float(v), 1) for v in range(50)], "value double, weight bigint")
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 3), float(v)) for v in range(50)],
+        "ts timestamp, value double")
+    with _pytest.raises(ValueError, match="persisted summary"):
+        stream_psi(df, ref, "value", "ts", max_reference_rows=10)
+    # opt-out (caller already knows the size) and a generous bound
+    # both proceed to a normal score
+    assert stream_psi(df, ref, "value", "ts",
+                      max_reference_rows=None).count() == 1
+    assert stream_psi(df, ref, "value", "ts",
+                      max_reference_rows=50).count() == 1
+    # decimal-fold ceiling: 11 + round_to + bins - 1 > 38 rejected
+    with _pytest.raises(ValueError, match="decimal fold"):
+        stream_psi(df, ref, "value", "ts", bins=20, round_to=9)
+    with _pytest.raises(ValueError, match="decimal fold"):
+        stream_psi(df, ref, "value", "ts", bins=25, round_to=6)
+    # the widest VALID folds still run: bins = 28 - round_to
+    assert stream_psi(df, ref, "value", "ts", bins=19,
+                      round_to=9).count() == 1
+    assert stream_psi(df, ref, "value", "ts", bins=22,
+                      round_to=6).count() == 1
+
+
 def test_stream_psi_stream_matches_batch(spark, sf_dir, tmp_path):
     """The same stream_psi call runs as a REAL multi-trigger stream
     (complete mode, memory sink) and lands exactly the batch windows —

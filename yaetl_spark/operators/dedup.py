@@ -295,7 +295,7 @@ def _banded_signatures(
     out of it, so adding the index/probe pair cannot perturb
     :func:`minhash_lsh`'s / :func:`shard_minhash_dedup`'s plans;
     the equivalence is pinned by
-    ``tests/test_dedup.py::test_minhash_probe_matches_lsh_cross_pairs``)."""
+    ``tests/test_operators.py::test_minhash_probe_matches_lsh_cross_pairs``)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands

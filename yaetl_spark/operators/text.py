@@ -371,6 +371,21 @@ def bpe_train(
     With the default ``pattern``, tokens are lowercase alphanumeric
     runs, so ``end_of_word`` can never collide with in-word text; pass
     a custom marker if a custom pattern admits ``<``, ``/``, ``>``.
+
+    Operating envelope: each merge is one Spark job plus a one-row
+    ``first()`` — sequential BY THE ALGORITHM (merge k+1's counts
+    depend on merge k's fold), so wall-clock is linear in
+    ``num_merges`` with a per-iteration floor of one job-submission
+    round-trip. The intended range is vocabulary prototyping and
+    analysis merges (~64–1024, validated by the 256-merge lineage
+    property test in tests/test_operators.py); a production 32k-merge
+    tokenizer would mean 32k sequential jobs and belongs to a batched
+    multi-merge-per-sweep variant (fuse the top-N pairwise-disjoint
+    pairs per sweep, trading exact Sennrich merge order for N× fewer
+    sweeps) — the documented follow-up, not this operator's contract.
+    The word-frequency table the loop iterates on is Zipf-bounded
+    (distinct words, not corpus rows), so num_merges — never corpus
+    size — is the knob that decides whether this operator fits.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")

@@ -145,6 +145,7 @@ def stream_psi(
     ref_value_col: str = "value",
     ref_weight_col: str = "weight",
     round_to: int = 9,
+    max_reference_rows: int = 100_000,
 ) -> DataFrame:
     """Per-event-time-window PSI drift of a (possibly streaming) value
     column against a PERSISTED reference distribution — the live
@@ -172,13 +173,50 @@ def stream_psi(
     least one non-NULL value arrived, so ``psi`` is never NULL.
     Interpretation anchors as in ``summary_psi``: < 0.1 stable,
     0.1–0.25 moderate shift, > 0.25 action.
+
+    ``max_reference_rows`` bounds the plan-time digest: passing a raw
+    corpus instead of a summary raises an actionable ``ValueError``
+    (one cheap count job) rather than OOMing the driver on the
+    collect. Set ``None`` to skip the probe when the caller has
+    already counted. ``bins``/``round_to`` are validated against the
+    decimal-fold precision ceiling (``11 + round_to + bins - 1 <= 38``)
+    so an over-wide fold raises instead of silently losing scale.
     """
     if bins < 2:
         raise ValueError("bins must be >= 2")
+    if 11 + round_to + bins - 1 > 38:
+        # The per-window psi is a fixed-order column FOLD of
+        # decimal(11+round_to, round_to) terms (see below), and Spark's
+        # decimal addition grows precision by 1 per add: past precision
+        # 38 it silently SHRINKS the scale (DecimalPrecision
+        # adjustedScale) instead of erroring, corrupting psi exactly
+        # where the rounding contract promises round_to digits.
+        raise ValueError(
+            f"bins={bins} with round_to={round_to} overflows the "
+            f"decimal fold (11 + round_to + bins - 1 = "
+            f"{11 + round_to + bins - 1} > 38): lower bins to at most "
+            f"{28 - round_to} or lower round_to"
+        )
     if not laplace > 0:
         raise ValueError(
             "laplace must be > 0 (smoothing keeps empty bins out of "
             "ln(0) — pass e.g. 0.5)")
+    if max_reference_rows is not None:
+        # Misuse guard: `reference` is contractually a PERSISTED
+        # summary (|summary| rows), and the digest below is a driver
+        # collect. Passing the raw 100 TB corpus here would OOM the
+        # driver, not raise — turn that into an actionable error first
+        # (one bounded count job; same philosophy as
+        # similarity._guard_cell_population).
+        probe = reference.limit(max_reference_rows + 1).count()
+        if probe > max_reference_rows:
+            raise ValueError(
+                f"reference has more than {max_reference_rows} rows — "
+                "stream_psi expects a persisted summary (e.g. "
+                "equidepth_summary output), not a raw corpus; "
+                "summarize the reference first, or raise "
+                "max_reference_rows if the driver can hold it"
+            )
     # ---- plan-time reference digest (|summary|-bounded collect) ----
     pts: dict[float, int] = {}
     for r in reference.select(ref_value_col, ref_weight_col).collect():
@@ -240,9 +278,11 @@ def stream_psi(
         # first add overflows precision 38 and silently SHRINKS the
         # scale toward 6 (DecimalPrecision adjustedScale), corrupting
         # psi in the 6th decimal. At (20,9) the fold ends at
-        # (20+bins-1, 9): scale-exact for any practical bins, and 11
-        # integer digits dwarf any PSI term. The siblings' F.sum
-        # aggregates keep (38,9) because SUM widens without chaining.
+        # (20+bins-1, 9): scale-exact up to the validated ceiling
+        # (the bins/round_to guard above rejects folds that would pass
+        # precision 38), and 11 integer digits dwarf any PSI term. The
+        # siblings' F.sum aggregates keep (38,9) because SUM widens
+        # without chaining.
         terms.append(
             F.round((pa - pb) * F.log(pa / pb), round_to)
             .cast(f"decimal({11 + round_to},{round_to})"))
