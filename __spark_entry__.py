@@ -3931,6 +3931,57 @@ def q_summary_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_psi(a, b, bins=4, keys=["shard"])
 
 
+def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH near-dup: a persisted MinHash index over the
+    existing corpus (doc_id < 150) probed with an incoming shard
+    (150 ≤ doc_id < 250) — only the shard is signatured; the corpus is
+    never re-scanned or self-joined (yaetl_spark/operators/dedup.py:
+    minhash_index/minhash_probe; equivalence to minhash_lsh's cross
+    pairs pinned in tests/test_operators.py). Oracle-checkable
+    ``hash_fn='rolling'`` family, same parameters as q_minhash_neardup."""
+    from yaetl_spark.operators import minhash_index, minhash_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(num_hashes=32, bands=8, shingle_size=2, hash_fn="rolling")
+    idx = minhash_index(docs.filter(F.col("doc_id") < 150), **kw)
+    incoming = docs.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    return minhash_probe(idx, incoming, jaccard_threshold=0.25, **kw)
+
+
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor, exercised on its batch-identical path
+    (stream == batch pinned by tests/test_streaming.py's multi-trigger
+    parity): per-7-day-window PSI of the events value stream against a
+    persisted equidepth summary of the 'purchase' population. The
+    reference digest is |summary|-bounded and becomes plan-time
+    literals — the windowed plan is JOIN-FREE with bins+1 counters per
+    window (yaetl_spark/streaming/stream.py: stream_psi)."""
+    from yaetl_spark.operators import equidepth_summary
+    from yaetl_spark.streaming import stream_psi
+
+    ev = _events(spark, sf_dir)
+    ref = equidepth_summary(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("value").cast("double").alias("v"),
+            F.lit("all").alias("s")),
+        "v", "s", buckets=32)
+    return stream_psi(ev, ref, "value", "ts", "7 days", bins=8)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) over the
+    first 120 documents: one corpus-grain shuffle for the word
+    frequency table, then Zipf-bounded per-merge iterations with a
+    one-row driver argmax each and eager lineage checkpoints
+    (yaetl_spark/operators/text.py: bpe_train; published-algorithm and
+    DuckDB unrolled-CTE parity pinned in tests/test_operators.py)."""
+    from yaetl_spark.operators import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return bpe_train(docs, num_merges=8)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4159,13 +4210,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_ks_distance": q_summary_ks_distance,
         "summary_psi": q_summary_psi,
         "summary_psi_by_source": q_summary_psi_by_source,
+        # -- round-16 queries (the r15-built growth trio, pre-staged
+        # with proven oracles per the r15 verdict items 1: incremental
+        # LSH probe, streaming drift monitor, distributed BPE) --
+        "minhash_probe": q_minhash_probe,
+        "stream_psi": q_stream_psi,
+        "bpe_train": q_bpe_train,
     }
     ordered = {k: q[k] for k in _DRIVER_WINDOW if k in q}
     ordered.update(q)
     return ordered
 
 
-# Round-14 front-of-window.
+# Round-16 front-of-window.
 #
 # EVIDENCE POLICY (unchanged since r9): the driver checks the FIRST 50
 # declared queries each round. Slot priority is
@@ -4173,100 +4230,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   (a') queries whose implementation OR oracle changed since their
 #        last green row — always next;
 #   (b) remaining slots to oldest-evidence-first re-checks.
-# With 186 declared queries and 50 slots, a full re-green rotation
-# takes ceil(186/50) = 4 rounds, so the re-check staleness budget is
+# With 189 declared queries and 50 slots, a full re-green rotation
+# takes ceil(189/50) = 4 rounds, so the re-check staleness budget is
 # FOUR rounds; (a)/(a') never wait. Query-count growth is PAUSED while
-# owed (a)+(a')+(b beyond budget) exceeds 50. (r15 owed: 1 a' + 41
-# boundary-(b) = 42 < 50 → growth continues, capped by the arithmetic
-# at 3 new queries — the r14 verdict's item-2 and item-5 picks.)
+# owed (a)+(a')+(b beyond budget) exceeds 50. (r16 owed: 3 a + 39
+# boundary-(b) = 42 < 50 → growth continues; the 3 new declarations
+# are exactly the r15 verdict's item-1 orders.)
 #
 # History notes (for auditing older CORRECTNESS files against this
 # file's git history): r13's window = 2 new (sketch_quantiles,
 # cluster_cap) + 6 changed + 38 r9-boundary + 4 r10-oldest; r14's =
 # 2 new (summary_w1_distance, stream_dedup) + 2 changed
-# (sketch_quantiles, cluster_cap) + 41 r10-boundary + 5 r11-oldest.
+# (sketch_quantiles, cluster_cap) + 41 r10-boundary + 5 r11-oldest;
+# r15's = 3 new (summary_ks_distance, summary_psi,
+# summary_psi_by_source) + 1 changed (mix_sources) + 41 r11-boundary
+# + 5 r12-oldest.
 #
-# This round (r15): (a) THREE new queries — the r14 verdict's items
-# 2 and 5: summary_ks_distance (KS sup-gap between two persisted
-# equidepth summaries — built+parity-tested in r14,
-# operators/sketches.py:588), summary_psi (PSI with reference-decile
-# cuts + Laplace smoothing between the same grains, sketches.py:653),
-# summary_psi_by_source (the GROUPED keys=['shard'] per-source drift
-# form — 'which source drifted?' in one keys-partitioned pass).
-# (a') ONE changed query: mix_sources — the pre-declared r14 debt
-# (weight_col grew after the r14 window froze) PLUS this round's r14
-# ADVICE fix (in-plan assert_true rejecting negative weight_col
-# values; the driver query's default row-unit path is byte-identical,
-# oracle re-verified locally and by the full adversarial corpus).
-# Then (b): the 41 r11-stale queries named by the r14 deferral list
-# (4 rounds old — the budget boundary, they MUST re-check now), then
-# 5 of the 44 r12-stale queries (alphabetical within the equally-old
-# cohort, pre-paying the r16 bulge). 3 + 1 + 41 + 5 = 50, exactly
-# full. No other operator changed this round: the other r14 ADVICE
-# fixes touch only a docstring (_exact_ceil_div) and the bench probe
-# script, neither of which alters any query's plan or results.
+# This round (r16): (a) THREE new queries — the r15-built growth trio
+# the r15 verdict orders declared, each with its already-proven
+# oracle: minhash_probe (incremental LSH near-dup of an incoming
+# shard against a persisted index, dedup.py; oracle = the
+# _minhash_cands family restricted to cross (index, incoming) pairs),
+# stream_psi (per-event-time-window PSI drift against a persisted
+# reference summary, streaming/stream.py; oracle = summary-digest CTE
+# + windowed binning + the decimal-exact PSI term sum, proven in
+# tests/test_streaming.py::test_stream_psi_cross_engine_parity), and
+# bpe_train (distributed Sennrich BPE merge learning, text.py; oracle
+# = the unrolled MATERIALIZED-CTE wrapped-symbol replace() replica
+# proven in tests/test_operators.py::test_bpe_train_cross_engine_
+# parity). (a') NONE: this round's stream_psi guards (raw-corpus
+# probe, decimal-fold ceiling) and the bpe_train envelope docs touch
+# no previously-declared query's plan or results, and the bench probe
+# rewrite is script-only. Then (b): ALL 39 r12-stale queries named by
+# the r15 deferral list (4 rounds old — the budget boundary, they
+# MUST re-check now), then the 8 alphabetically-first queries of the
+# 47-query r13 cohort (pre-paying the r17 bulge: 47 → 39).
+# 3 + 39 + 8 = 50, exactly full.
 #
-# DEFERRED to r16's (b)-block (the 39 remaining r12-stale queries,
-# 4 rounds old at their r16 check — the staleness-budget boundary,
-# they MUST head r16's (b) after any (a)/(a'); 39 deferred):
-#   category_index, collect_segments, dup_spans, embedding_neardup,
-#   embedding_normalize, embedding_quantize, equi_depth, frame_sample,
-#   gap_fill, group_scale, groupby_agg, inner_join,
-#   krippendorff_alpha, krippendorff_interval, lang_id,
-#   leakage_safe_split, left_join_default, limit_offset,
-#   ngram_perplexity, pack_documents, pagerank, pii_scan, profile,
-#   quantile_strata_sample, random_projection, rollup_agg,
-#   salted_join, scan_filter_project, score_fusion, seasonal_anomaly,
-#   seasonal_decompose, semi_join, shard_dedup, simhash_dedup,
-#   stratified_sample, text_stats, trend_fit, union_sources,
-#   url_dedup.
-# After those, r16 has ~11-|a'| slots for the 48-query r13 cohort;
-# r16/r17 rotate it, then r17/r18 take the r14+r15 cohorts
-# (186 ≤ 200 = 4×50 keeps the whole rotation feasible).
-# r16 growth candidates, already implemented + locally tested this
-# round (declarations deferred to keep this window's arithmetic
-# exact): dedup.minhash_probe — incremental near-dup of an incoming
-# shard against a persisted minhash_index, no corpus self-join
-# (oracle blueprinted by its DuckDB parity test: the _minhash_cands
-# family restricted to cross (index, incoming) pairs) — and
-# streaming.stream_psi — per-event-time-window PSI drift against a
-# persisted reference summary, reference cuts/masses as plan-time
-# literals so the stream plan is join-free (oracle blueprinted by its
-# parity test: summary-digest CTE + windowed binning + the PSI term
-# sum, all exact arithmetic shared with summary_psi). Third candidate:
-# text.bpe_train — distributed Sennrich BPE merge learning (one
-# corpus shuffle for the word-frequency table, vocab-sized
-# checkpointed iterations, one-row driver argmax per merge) — exact
-# merge-sequence + vocab parity against the published algorithm is
-# pinned in tests/test_operators.py, and a FULL DuckDB oracle is
-# already proven practical (test_bpe_train_cross_engine_parity: an
-# unrolled MATERIALIZED-CTE replica — wrapped-symbol replace() makes
-# string replacement exactly the greedy merge scan — matches the
-# merge table AND every final segmentation bit-for-bit), so the r16
-# declaration gets the strong check, not rows-only.
+# DEFERRED to r17's (b)-block (the 39 remaining r13-stale queries,
+# 4 rounds old at their r17 check — the staleness-budget boundary,
+# they MUST head r17's (b) after any (a)/(a'); 39 deferred):
+#   explode_tokens, feature_scale, file_stats, full_join,
+#   funnel_steps, gopher_rules, grouping_sets, hard_negatives,
+#   hash_trick, heavy_hitters, incremental_dedup, intersect,
+#   keep_latest, key_skew, kmeans_assign, ks_drift, line_dedup,
+#   part_promo, percentiles, pivot_counts, pq_codes, prospects,
+#   quality_topk, quantile_transform, retrieval_metrics,
+#   robust_outliers, scd2, score_auc, segment_overlap, semantic_dedup,
+#   source_cap, stock_value, strip_spans, target_encode, token_entropy,
+#   token_estimate, validation_suite, vocab_coverage, winsorize.
+# After those, r17 has ~11-|a'| slots for the 50-query r14 cohort;
+# r17/r18 rotate it, then r18/r19 take the r15+r16 cohorts
+# (189 ≤ 200 = 4×50 keeps the whole rotation feasible).
 _DRIVER_WINDOW = [
-    # (a) never driver-checked (declared r15 — the persisted-summary
-    # drift family's remaining members + the grouped form)
-    "summary_ks_distance", "summary_psi", "summary_psi_by_source",
-    # (a') changed since last green (pre-declared r14 weight_col debt
-    # + this round's negative-weight guard)
-    "mix_sources",
-    # (b) last checked round 11 (budget boundary — the full r14
+    # (a) never driver-checked (declared r16 — the r15-built growth
+    # trio, per the r15 verdict item 1)
+    "minhash_probe", "stream_psi", "bpe_train",
+    # (b) last checked round 12 (budget boundary — the full r15
     # deferral list, non-negotiable)
-    "c4_rules", "chained_join_agg", "changepoint", "chi_square",
-    "click_attribution", "cohort_retention", "continue_at", "corr_matrix",
-    "cross_join", "dataset_split", "dedup_exact", "dsir", "embedding_lsh",
-    "events_lag", "events_sessions", "events_sliding", "events_tumbling",
-    "fleiss_kappa", "large_orders", "market_share", "media_meta",
-    "min_price_supplier", "minhash_neardup", "ngram_jaccard",
-    "ngram_novelty", "orders_by_month", "profit_by_nation", "promo_share",
-    "range_band", "repetition", "returned_items", "revenue_forecast",
-    "sessionize", "shipping_priority", "small_qty_revenue", "supplier_cnt",
-    "table_diff", "top_p_filter", "top_supplier", "waiting_suppliers",
-    "window_frames",
-    # (b) last checked round 12 (oldest remaining; 39 deferred, above)
-    "ann_topk", "anti_join", "basket_rules", "bm25_topk",
-    "calibration_bins",
+    "category_index", "collect_segments", "dup_spans",
+    "embedding_neardup", "embedding_normalize", "embedding_quantize",
+    "equi_depth", "frame_sample", "gap_fill", "group_scale",
+    "groupby_agg", "inner_join", "krippendorff_alpha",
+    "krippendorff_interval", "lang_id", "leakage_safe_split",
+    "left_join_default", "limit_offset", "ngram_perplexity",
+    "pack_documents", "pagerank", "pii_scan", "profile",
+    "quantile_strata_sample", "random_projection", "rollup_agg",
+    "salted_join", "scan_filter_project", "score_fusion",
+    "seasonal_anomaly", "seasonal_decompose", "semi_join", "shard_dedup",
+    "simhash_dedup", "stratified_sample", "text_stats", "trend_fit",
+    "union_sources", "url_dedup",
+    # (b) last checked round 13 (oldest remaining; 39 deferred, above)
+    "ann_ivf", "ann_ivf_pq", "ann_recall", "bloom_join",
+    "brand_revenue", "break_at", "event_transitions", "except",
 ]
 
 
@@ -4563,6 +4599,162 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, seed: int = 42,
                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
                   / {float(num_hashes)} >= {threshold}
     """
+
+
+def _minhash_probe_sql(num_hashes: int = 32, bands: int = 8,
+                       seed: int = 42, split: int = 150, bound: int = 250,
+                       threshold: float = 0.25) -> str:
+    """DuckDB replica of minhash_probe(minhash_index(old), new) in the
+    rolling family: reuse _minhash_cands_cte's sigs/banded chain over
+    BOTH sides (banding arithmetic is identical for index and probe —
+    pinned by tests/test_operators.py::
+    test_minhash_probe_matches_lsh_cross_pairs) and keep only cross
+    (index < split ≤ probe) bucket collisions."""
+    sim = (f"list_sum(list_transform(range(1, {num_hashes} + 1), "
+           f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) "
+           f"/ {float(num_hashes)}")
+    return f"""
+        WITH {_minhash_cands_cte(num_hashes, bands, seed, bound=bound)},
+        cross_cands AS (
+            SELECT DISTINCT b.doc_id AS probe_id, a.doc_id AS index_id
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bhash = b.bhash
+            WHERE a.doc_id < {split} AND b.doc_id >= {split}
+        )
+        SELECT probe_id, index_id, round({sim}, 6) AS jaccard_sim
+        FROM cross_cands
+        JOIN sigs sa ON sa.doc_id = index_id
+        JOIN sigs sb ON sb.doc_id = probe_id
+        WHERE {sim} >= {threshold}
+    """
+
+
+def _stream_psi_sql(buckets: int = 32, bins: int = 8,
+                    win: int = 7 * 86400) -> str:
+    """DuckDB replica of q_stream_psi's whole batch-identical path:
+    equidepth reference summary of the purchase population →
+    tie-collapsed digest (exact integer cut targets, strict-> binning,
+    Laplace smoothing) → per-window masses → HALF_UP 9-decimal terms
+    summed as DECIMAL(38,9) — arithmetic proven bit-for-bit in
+    tests/test_streaming.py::test_stream_psi_cross_engine_parity."""
+    cuts_cols = ",\n                   ".join(
+        f"MIN(CASE WHEN c >= (na * {i} + {bins - 1}) // {bins} "
+        f"THEN v END) AS e{i}" for i in range(1, bins))
+
+    def bin_of(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {v} > c.e{i} THEN 1 ELSE 0 END)"
+            for i in range(1, bins))
+
+    return f"""
+        WITH ref_ranked AS (
+            SELECT CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (ORDER BY CAST(value AS DOUBLE)) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL),
+        ref_summ AS (
+            SELECT (rn * {buckets} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ref_ranked GROUP BY (rn * {buckets} + n - 1) // n),
+        ref_pts AS (
+            SELECT value AS v, SUM(weight) AS w
+            FROM ref_summ GROUP BY value),
+        ref_cum AS (
+            SELECT v, w,
+                   SUM(w) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS c,
+                   SUM(w) OVER () AS na
+            FROM ref_pts),
+        cuts AS (
+            SELECT MAX(na) AS na,
+                   {cuts_cols}
+            FROM ref_cum),
+        rmass AS (
+            SELECT 1 + {bin_of('p.v')} AS bin, SUM(p.w) AS ma
+            FROM ref_pts p CROSS JOIN cuts c
+            GROUP BY 1),
+        ev_binned AS (
+            SELECT (CAST(epoch(e.ts) AS BIGINT) // {win}) * {win} AS ws,
+                   1 + {bin_of('CAST(e.value AS DOUBLE)')} AS bin
+            FROM events e CROSS JOIN cuts c
+            WHERE e.value IS NOT NULL),
+        win AS (SELECT ws, COUNT(*) AS n FROM ev_binned GROUP BY ws),
+        wmass AS (SELECT ws, bin, COUNT(*) AS mb
+                  FROM ev_binned GROUP BY ws, bin),
+        terms AS (
+            SELECT s.ws, s.n,
+                   (COALESCE(rm.ma, 0) + 0.5)
+                       / (c.na + 0.5 * {bins}) AS pa,
+                   (COALESCE(wm.mb, 0) + 0.5)
+                       / (s.n + 0.5 * {bins}) AS pb
+            FROM (SELECT w.ws, w.n, sp.bin
+                  FROM win w CROSS JOIN generate_series(1, {bins})
+                       sp(bin)) s
+            LEFT JOIN wmass wm ON wm.ws = s.ws AND wm.bin = s.bin
+            LEFT JOIN rmass rm ON rm.bin = s.bin
+            CROSS JOIN cuts c)
+        SELECT ws AS window_start, ws + {win} AS window_end,
+               MAX(n) AS n_events,
+               CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 9)
+                             AS DECIMAL(38,9))) AS DOUBLE) AS psi
+        FROM terms GROUP BY ws
+    """
+
+
+def _bpe_train_sql(k: int = 8, bound: int = 120, sep: str = "\x1f") -> str:
+    """Unrolled MATERIALIZED-CTE DuckDB replica of q_bpe_train: each
+    symbol wraps as ``SEP+sym+SEP`` so adjacent replacements never
+    share separator characters — string ``replace()`` is then EXACTLY
+    the leftmost non-overlapping greedy merge scan — and every merge
+    round is pairs-count → total-order argmax → replace, one CTE
+    triple per rank (proven bit-for-bit in tests/test_operators.py::
+    test_bpe_train_cross_engine_parity, merge table AND final
+    segmentations). MATERIALIZED is load-bearing: default inlining
+    would re-expand v_i exponentially across the unrolled rounds."""
+    parts = [f"""
+    words AS MATERIALIZED (
+        SELECT t AS w, COUNT(*) AS n
+        FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS t
+              FROM documents WHERE doc_id < {bound})
+        GROUP BY t),
+    v0 AS MATERIALIZED (
+        SELECT n, list_reduce(
+            list_transform(
+                list_concat(
+                    [substr(w, i, 1) for i in range(1, length(w))],
+                    [substr(w, length(w), 1) || '</w>']),
+                s -> '{sep}' || s || '{sep}'),
+            (a, b) -> a || b) AS s
+        FROM words)"""]
+    for i in range(k):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+        SELECT l, r, SUM(n) AS c
+        FROM (
+            SELECT n,
+                   unnest(toks[1:len(toks)-1]) AS l,
+                   unnest(toks[2:len(toks)]) AS r
+            FROM (SELECT n, str_split(trim(s, '{sep}'),
+                                      '{sep}{sep}') AS toks
+                  FROM v{i})
+        ) GROUP BY l, r),
+    b{i} AS MATERIALIZED (
+        SELECT l, r, c FROM p{i}
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    v{i + 1} AS MATERIALIZED (
+        SELECT n, replace(s,
+            '{sep}' || (SELECT l FROM b{i}) || '{sep}{sep}'
+                    || (SELECT r FROM b{i}) || '{sep}',
+            '{sep}' || (SELECT l || r FROM b{i}) || '{sep}') AS s
+        FROM v{i})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}" for i in range(k))
+    return f"WITH {','.join(parts)} SELECT * FROM ({sel}) ORDER BY rank"
 
 
 def _shard_minhash_sql(num_hashes: int = 32, bands: int = 8,
@@ -8748,4 +8940,7 @@ def oracle_sql() -> dict[str, str]:
                    fused_rank
             FROM topped WHERE fused_rank <= 10
         """,
+        "minhash_probe": _minhash_probe_sql(),
+        "stream_psi": _stream_psi_sql(),
+        "bpe_train": _bpe_train_sql(),
     }
