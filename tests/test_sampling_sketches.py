@@ -462,6 +462,208 @@ def test_semantic_dedup_partition_invariant(spark):
     assert a == b == [1, 20, 30]
 
 
+def test_shuffle_shards_contract_and_determinism(spark):
+    """(shard, pos) is a reproducible permutation: every row keeps its
+    pair across partitionings and reruns, pos is dense 0..n_shard-1
+    within every shard, shards cover [0, num_shards), a different salt
+    draws a different permutation, and validation raises."""
+    import pytest as _pytest
+
+    from yaetl_spark.operators import shuffle_shards
+
+    rows = [(i, f"doc {i}") for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = shuffle_shards(df, "doc_id", num_shards=7, salt=11)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    assert len(got) == 97
+    by_shard: dict[int, list[int]] = {}
+    for s, p in got.values():
+        assert 0 <= s < 7
+        by_shard.setdefault(s, []).append(p)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense, 0-based
+    again = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_shards(df.repartition(13), "doc_id",
+                                     num_shards=7, salt=11).collect()}
+    assert again == got
+    other = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shuffle_shards(df, "doc_id", num_shards=7,
+                                     salt=12).collect()}
+    assert other != got  # a new salt draws a new permutation
+    skey = {r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_shards(df.repartition(5), "text",
+                                    num_shards=7, string_key=True,
+                                    salt=11).collect()}
+    assert skey == {r["doc_id"]: (r["shard"], r["pos"])
+                    for r in shuffle_shards(df, "text", num_shards=7,
+                                            string_key=True,
+                                            salt=11).collect()}
+    with _pytest.raises(ValueError, match="num_shards"):
+        shuffle_shards(df, "doc_id", num_shards=0)
+
+
+def test_shuffle_shards_cross_engine_and_plan(spark, sf_dir):
+    """DuckDB replays the whole permutation bit-for-bit on the real
+    documents table (Knuth hash → pmod shard → row_number pos — the
+    r17 oracle blueprint), and the executed plan is the contract
+    shape: exactly ONE exchange (the window's shard hash
+    partitioning), no range partitioning / global sort."""
+    import duckdb
+
+    from yaetl_spark.operators import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shuffle_shards(docs.select("doc_id", "source"), "doc_id",
+                         num_shards=8)
+    got = sorted((int(r["doc_id"]), int(r["shard"]), int(r["pos"]))
+                 for r in out.collect())
+    sql = """
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   (doc_id * 2654435761 + 12345) % 1000000007 AS rk
+            FROM documents),
+        sharded AS (
+            SELECT doc_id, rk, CAST(rk % 8 AS INT) AS shard
+            FROM ranked)
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY rk ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+        FROM sharded
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert got == want and got
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_semantic_decontaminate_flags_paraphrase_leak(spark):
+    """Known-answer fixture: a corpus row that is a near-copy of a
+    benchmark embedding flags with the right bench_id and rounded
+    cosine; mode='clean' drops exactly it and keeps the original
+    columns; zero-norm rows score 0.0 everywhere; validation raises."""
+    import pytest as _pytest
+
+    from yaetl_spark.operators import semantic_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], "keep"),
+            (2, [0.001, 0.999, 0.0, 0.0], "leak"),   # ≈ bench 101
+            (3, [0.0, 0.0, 0.0, 0.0], "zero"),        # zero norm
+        ],
+        "doc_id bigint, embedding array<double>, tag string")
+    bench = spark.createDataFrame(
+        [(100, [0.0, 0.0, 1.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id bigint, embedding array<double>")
+    got = {r["doc_id"]: (r["bench_id"], r["max_cosine"])
+           for r in semantic_decontaminate(
+               docs, bench, threshold=0.95).collect()}
+    assert set(got) == {2} and got[2][0] == 101
+    assert got[2][1] == round(0.999 / (0.001**2 + 0.999**2) ** 0.5, 6)
+    clean = semantic_decontaminate(docs, bench, threshold=0.95,
+                                   mode="clean")
+    assert clean.columns == docs.columns
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_decontaminate(docs, bench, threshold=0.0)
+    with _pytest.raises(ValueError, match="mode"):
+        semantic_decontaminate(docs, bench, mode="drop")
+    with _pytest.raises(ValueError, match="broadcasts"):
+        semantic_decontaminate(docs, bench, max_benchmark_rows=1)
+
+
+def test_semantic_decontaminate_tiebreak_and_partition_invariance(spark):
+    """Two benchmark rows at the SAME rounded cosine to a doc → the
+    smaller bench id wins, under any partitioning of either side (the
+    fold's total order makes collect_list's nondeterministic order
+    unobservable)."""
+    from yaetl_spark.operators import semantic_decontaminate
+
+    docs = spark.createDataFrame(
+        [(7, [1.0, 1.0, 0.0, 0.0])],
+        "doc_id bigint, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(202, [1.0, 0.0, 0.0, 0.0]), (201, [0.0, 1.0, 0.0, 0.0])],
+        "doc_id bigint, embedding array<double>")
+    for bp in (1, 5):
+        r = semantic_decontaminate(
+            docs, bench.repartition(bp), threshold=0.5).first()
+        assert (r["bench_id"], r["max_cosine"]) == (201, 0.707107)
+
+
+def test_semantic_decontaminate_cross_engine_and_plan(spark, sf_dir):
+    """DuckDB replays flag mode bit-for-bit on the real embeddings
+    table (sequential left folds — the score_fusion oracle
+    discipline), proving the r17 driver declaration gets the strong
+    hash check; and the executed plan is the contract shape: the
+    corpus side never shuffles (zero hashpartitioning exchanges), the
+    benchmark reduces to ONE broadcast row (1 SinglePartition
+    exchange, 1 BroadcastNestedLoopJoin), no UDF."""
+    import duckdb
+
+    from yaetl_spark.operators import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = emb.filter("vec_id < 400")
+    bench = emb.filter("vec_id >= 400")
+    out = semantic_decontaminate(docs, bench, id_col="vec_id",
+                                 threshold=0.4)
+    got = sorted((int(r["vec_id"]), int(r["bench_id"]),
+                  float(r["max_cosine"])) for r in out.collect())
+
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, len({a}) + 1), i -> {expr})), "
+            "(x, y) -> x + y)")
+    dot = fold.format(a="dv", expr="dv[i] * bv[i]")
+    nd = "sqrt(" + fold.format(a="dv", expr="dv[i] * dv[i]") + ")"
+    nb = "sqrt(" + fold.format(a="bv", expr="bv[i] * bv[i]") + ")"
+    sql = f"""
+        WITH d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS dv
+                   FROM embeddings WHERE vec_id < 400),
+        b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+              FROM embeddings WHERE vec_id >= 400),
+        scored AS (
+            SELECT did, bid,
+                   round(CASE WHEN {nd} * {nb} = 0 THEN 0.0
+                              ELSE {dot} / ({nd} * {nb}) END, 6) AS cos
+            FROM d CROSS JOIN b),
+        best AS (
+            SELECT did AS vec_id, bid AS bench_id, cos AS max_cosine,
+                   ROW_NUMBER() OVER (PARTITION BY did
+                       ORDER BY cos DESC, bid ASC) AS rn
+            FROM scored)
+        SELECT vec_id, bench_id, max_cosine
+        FROM best WHERE rn = 1 AND max_cosine >= 0.4
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{sf_dir}/embeddings.parquet'")
+        want = sorted((int(a), int(b), float(c))
+                      for a, b, c in con.execute(sql).fetchall())
+    finally:
+        con.close()
+    assert got == want and got  # non-empty at the fixture threshold
+
+    # AQE-final section only (the string repeats shapes in the
+    # '== Initial Plan ==' tail)
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "BatchEvalPython" not in plan
+
+
 def test_heavy_hitters_keeps_exact_threshold_item(spark):
     from yaetl_spark.operators import heavy_hitters
 

@@ -369,3 +369,74 @@ def quantile_strata_sample(
     if stratum_col is not None:
         tagged = tagged.withColumn(stratum_col, k.cast("int"))
     return tagged.filter(hb < thr).drop(bounds_col)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: Column | str,
+    num_shards: int,
+    salt: int = _SALT,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    string_key: bool = False,
+    buckets: int = 1_000_000_007,
+) -> DataFrame:
+    """Deterministic global shuffle into ``num_shards`` export shards —
+    the last step of a training-data pipeline: every row gets a
+    ``(shard, pos)`` pair that together define a reproducible
+    pseudo-random total order (shard-major), so N output files can be
+    written with a seeded shuffle and re-produced bit-for-bit on any
+    rerun, engine, cluster size, or partitioning.
+
+    ``df.orderBy(rand())`` is deliberately not this: per-task RNG
+    streams change with partitioning, and a global ``orderBy`` is a
+    range-partitioned full sort. Here the permutation rank is the same
+    hash arithmetic as :func:`hash_bucket` (Knuth multiplicative for
+    integer keys, md5-prefix for strings — SQL-replicable), vary
+    ``salt`` to draw a different permutation:
+
+    - ``shard = rank_hash mod num_shards`` — uniform, key-stable;
+    - ``pos`` = dense 0-based row_number within the shard, ordered by
+      ``(rank_hash, key)`` (the key tiebreak makes hash collisions
+      harmless — the order stays total and deterministic).
+
+    Scale shape (100 TB): ONE shuffle, keyed on the shard id (the
+    window's hash partitioning), and one within-shard sort — exactly
+    the exchange+sort a sharded writer needs anyway; there is no
+    global range partitioning, no sampling pass, no skew (hash
+    uniformity), no driver action. Size ``num_shards`` so one shard's
+    rows fit an executor's sort-spill budget (at 100 TB, tens of
+    thousands of shards). Write with
+    ``.repartition(num_shards, shard).sortWithinPartitions(pos)
+    .write.partitionBy(shard)`` to land one ordered file per shard
+    without re-shuffling.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    c = F.col(key) if isinstance(key, str) else key
+    if string_key:
+        # fold the salt into the hashed string so string permutations
+        # re-draw with salt exactly like integer ones
+        rank_hash = hash_bucket_str(
+            F.concat_ws("\x1f", c, F.lit(str(salt))), buckets
+        )
+    else:
+        rank_hash = hash_bucket(c, buckets, salt=salt)
+    rk = "_sh_rank"
+    while rk in df.columns:  # collision-safe temp (leakage_safe_split)
+        rk = "_" + rk
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.col(shard_col))
+        .orderBy(F.col(rk).asc(), c.asc())
+    )
+    return (
+        df.withColumn(rk, rank_hash)
+        .withColumn(
+            shard_col,
+            F.pmod(F.col(rk), F.lit(num_shards)).cast("int"),
+        )
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
+        .drop(rk)
+    )

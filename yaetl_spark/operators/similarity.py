@@ -895,6 +895,133 @@ def semantic_dedup(
     return out if keep_cols else out.select(id_col)
 
 
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    bench_vec_col: str | None = None,
+    bench_id_col: str | None = None,
+    threshold: float = 0.95,
+    mode: str = "flag",
+    max_benchmark_rows: int | None = 100_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    sibling of :func:`~yaetl_spark.operators.dedup.decontaminate`'s
+    n-gram check: flag every training row whose embedding's best
+    cosine against ANY benchmark embedding reaches ``threshold``
+    (paraphrased eval leakage that exact n-gram overlap misses; the
+    embedding-similarity decontamination used by open-data efforts
+    such as Dolma/FineWeb).
+
+    ``mode='flag'`` returns ``(id_col, bench_id, max_cosine)`` for the
+    contaminated rows — ``bench_id`` is the argmax benchmark row
+    (rounded-cosine desc, benchmark id asc: a total order, so the
+    result is deterministic even though the benchmark fold order is
+    not). ``mode='clean'`` returns ``docs`` filtered to rows BELOW the
+    threshold — a per-row predicate, not an anti-join.
+
+    Scale shape (100 TB corpus): the benchmark side is small by
+    construction — it reduces to ONE |bench|-bounded row of
+    ``(id, vec, norm)`` structs (norms precomputed per benchmark row,
+    not per pair) that BROADCASTS; the corpus is then a single narrow
+    scan with a per-row fold over the benchmark array (O(|bench|·dim)
+    per row, whole-stage-codegen, no UDF) and NO shuffle of any kind —
+    there is no groupBy, no join keyed on corpus rows, no anti-join.
+    ``max_benchmark_rows`` guards the broadcast the same way
+    :func:`~yaetl_spark.streaming.stream_psi` guards its reference
+    collect: passing a corpus where the benchmark belongs raises an
+    actionable error (one bounded count job) instead of materializing
+    an unbounded single row. 100k rows × 64 dims ≈ 50 MB — at larger
+    benchmarks, pre-reduce with :func:`semantic_dedup` or shard the
+    benchmark and union the flag sets.
+
+    Cosines are rounded to 6 decimals before the compare (the ANN
+    oracle convention) so flag/clean decisions reproduce bit-for-bit
+    across engines and partitionings. Zero-norm vectors score 0.0 on
+    every pair (the :func:`cosine_similarity` convention).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if mode not in ("flag", "clean"):
+        raise ValueError(f"unknown mode {mode!r}")
+    bvec = bench_vec_col or vec_col
+    bid = bench_id_col or id_col
+    if max_benchmark_rows is not None:
+        probe = benchmark.limit(max_benchmark_rows + 1).count()
+        if probe > max_benchmark_rows:
+            raise ValueError(
+                f"benchmark has more than {max_benchmark_rows} rows — "
+                "semantic_decontaminate broadcasts the whole benchmark "
+                "as one row of (id, vec, norm) structs; pass the "
+                "(small) eval set here and the corpus as docs, shard "
+                "the benchmark, or raise max_benchmark_rows if the "
+                "memory math holds"
+            )
+    bench_row = benchmark.agg(
+        F.collect_list(
+            F.struct(
+                F.col(bid).cast("bigint").alias("bid"),
+                F.transform(
+                    F.col(bvec), lambda x: x.cast("double")
+                ).alias("bv"),
+                norm(F.col(bvec)).alias("bn"),
+            )
+        ).alias("_bench")
+    )
+    # corpus norm projected once per ROW (the semantic_dedup
+    # discipline: an inline cosine would re-fold it once per pair)
+    with_norm = docs.withColumn("_dn", norm(F.col(vec_col)))
+    paired = with_norm.crossJoin(F.broadcast(bench_row))
+    # One fold over the benchmark array per corpus row. The
+    # accumulator is (max_cosine, bench_id); the update is a pure
+    # total-order max (rounded-cos desc, bid asc), so the fold is
+    # order-insensitive — collect_list's nondeterministic order can
+    # never change the answer.
+    dvec = F.col(vec_col)
+    init = F.struct(
+        F.lit(None).cast("double").alias("max_cosine"),
+        F.lit(None).cast("bigint").alias("bench_id"),
+    )
+
+    def fold_step(acc: Column, b: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(
+                dvec, b["bv"], lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        den = F.col("_dn") * b["bn"]
+        c = F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(d / den), 6
+        )
+        take = (
+            acc["max_cosine"].isNull()
+            | (c > acc["max_cosine"])
+            | ((c == acc["max_cosine"]) & (b["bid"] < acc["bench_id"]))
+        )
+        return F.when(
+            take,
+            F.struct(c.alias("max_cosine"), b["bid"].alias("bench_id")),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("_bench"), init, fold_step)
+    scored = paired.withColumn("_best", best)
+    if mode == "clean":
+        return scored.filter(
+            F.col("_best.max_cosine").isNull()
+            | (F.col("_best.max_cosine") < F.lit(float(threshold)))
+        ).drop("_dn", "_bench", "_best")
+    return scored.filter(
+        F.col("_best.max_cosine") >= F.lit(float(threshold))
+    ).select(
+        F.col(id_col),
+        F.col("_best.bench_id").alias("bench_id"),
+        F.col("_best.max_cosine").alias("max_cosine"),
+    )
+
+
 def retrieval_metrics(
     df: DataFrame,
     queries_df: DataFrame,
