@@ -51,6 +51,7 @@ from yaetl_spark.operators import (
     normalized_dedup,
     quantile_strata_sample,
     shard_minhash_dedup,
+    shuffle_shards,
     strip_duplicate_spans,
     top_p_filter,
 )
@@ -219,14 +220,24 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
         num_buckets=8)
     n_packs = packed.select("bucket", "pack_id").distinct().count()
 
+    # 8) export shuffle: a seeded, reproducible global permutation into
+    #    N shards — (shard, pos) define the training order bit-stably
+    #    across reruns/engines, with ONE shuffle (no orderBy(rand())).
+    #    Production writes with .repartition(n, 'shard')
+    #    .sortWithinPartitions('pos').write.partitionBy('shard').
+    sharded = shuffle_shards(train, "doc_id", num_shards=4, salt=7)
+    n_shards_used = sharded.select("shard").distinct().count()
+
     return (n_raw, quality.count(), uniq.count(), capped.count(), counts,
-            n_shard_pairs, rater_kappa, rater_alpha, n_packs)
+            n_shard_pairs, rater_kappa, rater_alpha, n_packs,
+            n_shards_used)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="curate-example", shuffle_partitions=8)
-    (raw, q, u, c, splits, pairs, kappa, alpha, packs) = main(
+    (raw, q, u, c, splits, pairs, kappa, alpha, packs, shards) = main(
         spark, *(sys.argv[1:2]))
     print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits} "
           f"near_dup_shard_pairs={pairs} rater_kappa={kappa} "
-          f"ragged_rater_alpha={alpha} train_packs={packs}")
+          f"ragged_rater_alpha={alpha} train_packs={packs} "
+          f"export_shards={shards}")

@@ -30,6 +30,7 @@ from yaetl_spark.operators import (
     minhash_index,
     minhash_lsh,
     minhash_probe,
+    semantic_decontaminate,
     ngram_jaccard_pairs,
 )
 from yaetl_spark.plans import assert_scales
@@ -77,14 +78,46 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     assert_scales(matches)
     novel = shard.join(matches.select("probe_id").distinct(),
                        shard.doc_id == F.col("probe_id"), "left_anti")
+
+    # 4b) the same probe as a LIVE ingest service: stream_minhash_probe
+    # runs the identical signature/band/bucket-join pipeline on a
+    # readStream feed (stream-static join against the persisted index,
+    # pair dedup bounded by the watermark). Here it runs on the batch
+    # shard — batch and stream paths are row-for-row identical by
+    # contract (tests/test_streaming.py) — with an event-time column a
+    # real feed would carry.
+    from yaetl_spark.streaming import stream_minhash_probe
+
+    feed = shard.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")))
+    live_matches = stream_minhash_probe(
+        feed, idx, num_hashes=32, bands=16, shingle_size=2,
+        jaccard_threshold=0.5)
+    assert_scales(live_matches)
+
+    # 5) semantic decontamination: the embedding-level leak check the
+    # n-gram rungs cannot see (paraphrases). The benchmark (eval) set
+    # broadcasts as ONE row of (id, vec, norm) structs; the corpus side
+    # never shuffles. Threshold is fixture-tuned (synthetic embeddings
+    # are near-orthogonal); production paraphrase leaks sit >= 0.95.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus_vecs = emb.filter("vec_id < 400")
+    bench_vecs = emb.filter("vec_id >= 400")
+    leaks = semantic_decontaminate(
+        corpus_vecs, bench_vecs, id_col="vec_id", threshold=0.4)
+    # the operator's ONLY join is the declared one-row benchmark
+    # broadcast (a BroadcastNestedLoopJoin by plan shape) — allow it
+    assert_scales(leaks, allow_nested_loop=True, max_shuffles=1)
+
     return (docs.count(), clusters.count(), kept.count(), capped.count(),
-            shard.count(), novel.count())
+            shard.count(), novel.count(), live_matches.count(),
+            leaks.count())
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="dedup-example", shuffle_partitions=8)
-    (total, clustered, kept, capped,
-     shard_n, novel_n) = main(spark, *(sys.argv[1:2]))
+    (total, clustered, kept, capped, shard_n, novel_n,
+     live_n, leak_n) = main(spark, *(sys.argv[1:2]))
     print(f"docs={total} in_dup_clusters={clustered} kept={kept} "
           f"capped2={capped}")
     print(f"day-2 shard: {shard_n} incoming, {novel_n} novel after "

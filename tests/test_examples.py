@@ -21,14 +21,19 @@ def test_dedup_corpus_example(spark, sf_dir):
         import dedup_corpus
     finally:
         sys.path.pop(0)
-    (total, clustered, kept, capped,
-     shard_n, novel_n) = dedup_corpus.main(spark, sf_dir)
+    (total, clustered, kept, capped, shard_n, novel_n,
+     live_n, leak_n) = dedup_corpus.main(spark, sf_dir)
     assert kept + clustered >= total  # every dropped doc was clustered
     assert kept <= total
     # cap=2 keeps at least the canonical set and never exceeds the corpus
     assert kept <= capped <= total
     # day-2 probe: novel docs are a subset of the shard
     assert 0 <= novel_n <= shard_n and shard_n > 0
+    # the live-feed probe's batch path matches the batch probe's pair
+    # count (row-for-row identity is pinned in tests/test_streaming.py)
+    assert live_n >= shard_n - novel_n > 0
+    # semantic decontamination flagged a bounded, non-negative leak set
+    assert 0 <= leak_n <= 400
 
 
 def test_stream_upsert_example(spark, sf_dir, tmp_path):
@@ -50,7 +55,8 @@ def test_curate_corpus_example(spark, sf_dir):
     finally:
         sys.path.pop(0)
     (raw, quality, uniq, capped, splits, shard_pairs,
-     rater_kappa, rater_alpha, n_packs) = curate_corpus.main(spark, sf_dir)
+     rater_kappa, rater_alpha, n_packs,
+     n_shards_used) = curate_corpus.main(spark, sf_dir)
     # each stage is monotone non-increasing
     assert raw >= quality >= uniq >= capped > 0
     # split assignment covers every kept doc
@@ -65,6 +71,8 @@ def test_curate_corpus_example(spark, sf_dir):
     assert rater_alpha is not None and -1 <= rater_alpha <= 1
     # packing produced at least one window and no more than one per doc
     assert 0 < n_packs <= splits.get("train", 0)
+    # the export shuffle landed every train doc in a valid shard
+    assert 0 < n_shards_used <= 4
 
 
 def test_analyze_events_example(spark, sf_dir):

@@ -224,6 +224,97 @@ def test_stream_dedup_query_matches_stream(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def _probe_feed(spark):
+    """Index corpus (ids 1-3) + incoming feed (ids 4-8, with known
+    near/exact dups of the index side) + event times."""
+    import datetime as dt
+
+    idx_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "completely different text about spark engines"),
+    ]
+    feed_rows = [
+        (4, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+        (5, "the quick brown fox jumps over the lazy cat"),   # near 1
+        (6, "pack my box with five dozen liquor jugs"),        # dup of 2
+        (7, "unrelated text mentioning nothing in common"),
+        (8, "the quick brown fox jumps over the lazy dog"),    # dup of 1
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    feed = [(i, t, t0 + dt.timedelta(minutes=i)) for i, t in feed_rows]
+    idx_df = spark.createDataFrame(idx_rows, "doc_id bigint, text string")
+    feed_df = spark.createDataFrame(
+        feed, "doc_id bigint, text string, ts timestamp")
+    return idx_df, feed_df
+
+
+def test_stream_minhash_probe_batch_matches_minhash_probe(spark):
+    """The batch path is row-for-row minhash_probe (the family's
+    batch-verifiability invariant): same pairs, same sims, threshold
+    and same-id exclusion behave identically."""
+    from yaetl_spark.operators import minhash_index, minhash_probe
+    from yaetl_spark.streaming import stream_minhash_probe
+
+    idx_df, feed_df = _probe_feed(spark)
+    kw = dict(num_hashes=32, bands=16, shingle_size=2)
+    index = minhash_index(idx_df, **kw)
+    got = sorted(map(tuple, stream_minhash_probe(
+        feed_df, index, jaccard_threshold=0.3, **kw).collect()))
+    want = sorted(map(tuple, minhash_probe(
+        index, feed_df.drop("ts"), jaccard_threshold=0.3,
+        **kw).collect()))
+    assert got == want and got
+    pairs = {(p, i) for p, i, _ in got}
+    assert {(4, 1), (6, 2), (8, 1)} <= pairs  # exact dups always hit
+    assert not any(p == 7 for p, _ in pairs)  # unrelated doc matches none
+
+
+def test_stream_minhash_probe_multi_trigger_collapses_redelivery(
+        spark, tmp_path):
+    """The same probe runs as a REAL multi-trigger stream against the
+    static index: a redelivered feed (one doc arrives twice, landing
+    in different triggers) emits every matched pair EXACTLY ONCE
+    within the watermark horizon, and the emitted set equals the
+    batch path on the deduplicated feed."""
+    import time as _t
+
+    from yaetl_spark.operators import minhash_index
+    from yaetl_spark.streaming import stream_minhash_probe
+
+    idx_df, feed_df = _probe_feed(spark)
+    kw = dict(num_hashes=32, bands=16, shingle_size=2)
+    index = minhash_index(idx_df, **kw)
+    redelivered = feed_df.unionByName(feed_df.filter("doc_id = 4"))
+    want = sorted(map(tuple, stream_minhash_probe(
+        feed_df, index, jaccard_threshold=0.3, **kw).collect()))
+
+    src = str(tmp_path / "probe_feed")
+    redelivered.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out: list = []
+    q = (stream_minhash_probe(stream, index, watermark="3650 days",
+                              jaccard_threshold=0.3, **kw)
+         .writeStream
+         .foreachBatch(lambda df, _e: out.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "probe_ck"))
+         .start())
+    try:
+        deadline = _t.monotonic() + 120
+        while _t.monotonic() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+    finally:
+        q.stop()
+    got = sorted(map(tuple, out))
+    assert got == want
+    assert len({(p, i) for p, i, _ in got}) == len(got)  # no re-emits
+
+
 def test_stateful_sessionize_batch_fallback(spark):
     from yaetl_spark.streaming import stateful_sessionize
 

@@ -287,7 +287,8 @@ def _lsh_band_pairs(
 
 
 def _banded_signatures(
-    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str
+    sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(_id, _sig)`` → ``(_id, _sig, band, bhash)``: the band-key
     explosion, arithmetic-IDENTICAL to :func:`_lsh_band_pairs`'
@@ -295,7 +296,10 @@ def _banded_signatures(
     out of it, so adding the index/probe pair cannot perturb
     :func:`minhash_lsh`'s / :func:`shard_minhash_dedup`'s plans;
     the equivalence is pinned by
-    ``tests/test_operators.py::test_minhash_probe_matches_lsh_cross_pairs``)."""
+    ``tests/test_operators.py::test_minhash_probe_matches_lsh_cross_pairs``).
+    ``carry`` names extra ``sigs`` columns to ride along unchanged
+    (the streaming probe threads its event-time column through); the
+    default () path selects exactly what it always did."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -313,6 +317,7 @@ def _banded_signatures(
         return F.xxhash64(slot_str).alias("bhash")
 
     return sigs.select(
+        *carry,
         "_id",
         "_sig",
         F.explode(
@@ -321,7 +326,7 @@ def _banded_signatures(
                 lambda b: F.struct(b.alias("band"), band_key(b)),
             )
         ).alias("_bucket"),
-    ).select("_id", "_sig", "_bucket.band", "_bucket.bhash")
+    ).select(*carry, "_id", "_sig", "_bucket.band", "_bucket.bhash")
 
 
 def minhash_index(

@@ -6,6 +6,7 @@ from .stream import (
     session_window_agg,
     sliding_window_agg,
     stateful_sessionize,
+    stream_minhash_probe,
     stream_psi,
     tumbling_window_agg,
 )
@@ -19,5 +20,6 @@ __all__ = [
     "interval_join",
     "running_totals",
     "stateful_sessionize",
+    "stream_minhash_probe",
     "stream_psi",
 ]

@@ -298,6 +298,111 @@ def stream_psi(
     )
 
 
+def stream_minhash_probe(
+    stream: DataFrame,
+    index: DataFrame,
+    time_col: str = "ts",
+    watermark: str = "1 day",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = 0.8,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_fn: str = "xxhash",
+    index_id_col: str = "doc_id",
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Near-dup matches of a LIVE document feed against a persisted
+    :func:`~yaetl_spark.operators.dedup.minhash_index` — the streaming
+    form of :func:`~yaetl_spark.operators.dedup.minhash_probe`, and
+    the shape a deduplicating ingest service actually runs: build the
+    index once from the blessed corpus, then every micro-batch of the
+    feed is signatured (pure narrow expressions — stream-safe),
+    banded identically, and stream-static equi-joined against the
+    index on ``(band, bhash)``; candidate pairs verify by signature
+    slot agreement exactly like the batch probe.
+
+    Emits ``(probe_id, index_id, jaccard_sim)`` per matched pair.
+    Multi-band hits of the same pair are collapsed by a
+    ``dropDuplicatesWithinWatermark`` keyed on the pair — state is one
+    row per EMITTED pair inside the watermark horizon (match rarity
+    keeps it tiny), and a pair re-delivered beyond the horizon may
+    re-emit (the at-least-once contract shared with
+    :func:`dedup_within_watermark`). ``jaccard_sim`` is identical for
+    every duplicate of a pair (same signatures), so which arrival the
+    state keeps is unobservable in the output.
+
+    On a BATCH ``stream`` this is row-for-row
+    ``minhash_probe(index, stream, ...)`` (pinned by
+    tests/test_streaming.py) — the family's batch-verifiability
+    invariant, so a SQL oracle covers the streaming path too.
+
+    Scale shape: the stream side is per-batch-sized; the index side is
+    the static ~|corpus|·bands table — persist it
+    ``partitionBy('band')``/bucketed by ``(band, bhash)`` so each
+    micro-batch's join prunes to the probed bands' files. Signature
+    parameters MUST match the ones the index was built with (they are
+    pure arithmetic — a mismatch is garbage, not an error).
+    """
+    from ..operators.dedup import _banded_signatures, minhash_signature
+
+    df = _watermarkable(stream, time_col)
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    sigs = df.select(
+        F.col(time_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed,
+            shingle_mode, hash_fn,
+        ).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
+    banded = _banded_signatures(
+        sigs, num_hashes, bands, hash_fn, carry=("_ts",))
+    probe_side = banded.select(
+        F.col("_ts"),
+        F.col("_id").alias("_p_id"),
+        F.col("_sig").alias("_p_sig"),
+        F.col("band").alias("_p_band"),
+        F.col("bhash").alias("_p_bhash"),
+    )
+    cond = (F.col("_p_band") == F.col("band")) & (
+        F.col("_p_bhash") == F.col("bhash")
+    )
+    if exclude_same_id:
+        cond = cond & (F.col("_p_id") != F.col(index_id_col))
+    sim = (
+        F.size(
+            F.filter(
+                F.zip_with("_p_sig", "sig", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    matches = (
+        probe_side.join(index, cond)
+        .select(
+            F.col("_ts"),
+            F.col("_p_id").alias("probe_id"),
+            F.col(index_id_col).alias("index_id"),
+            F.round(sim, 6).alias("jaccard_sim"),
+        )
+    )
+    if jaccard_threshold is not None:
+        matches = matches.filter(
+            F.col("jaccard_sim") >= jaccard_threshold)
+    if matches.isStreaming:
+        deduped = matches.dropDuplicatesWithinWatermark(
+            ["probe_id", "index_id"])
+    else:
+        deduped = matches.dropDuplicates(["probe_id", "index_id"])
+    return deduped.select("probe_id", "index_id", "jaccard_sim")
+
+
 def running_totals(
     df: DataFrame,
     keys: list[str],
