@@ -4282,6 +4282,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # After those, r17 has ~11-|a'| slots for the 50-query r14 cohort;
 # r17/r18 rotate it, then r18/r19 take the r15+r16 cohorts
 # (189 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# r17 growth candidates, already implemented + locally tested this
+# round (declarations deferred to keep this window's arithmetic
+# exact): similarity.semantic_decontaminate — embedding-level
+# benchmark leak check, one broadcast benchmark row, corpus never
+# shuffles (oracle blueprinted by its DuckDB parity test in
+# tests/test_sampling_sketches.py: cross join + sequential-fold
+# cosine + argmax window, bit-exact); sampling.shuffle_shards —
+# deterministic seeded export shuffle into N shards, one exchange
+# (oracle blueprinted likewise: Knuth-hash rank → pmod shard →
+# row_number pos); streaming.stream_minhash_probe — live-feed
+# near-dup against a persisted minhash_index, batch path row-for-row
+# minhash_probe (so the _minhash_probe_sql oracle family covers it;
+# multi-trigger redelivery-collapse parity pinned in
+# tests/test_streaming.py); text.bpe_apply — exact per-doc token
+# counts under a learned bpe_train merge table (train-once/score-many;
+# Zipf-bounded distinct-word fold, broadcast vocab join; oracle
+# blueprinted by tests/test_operators.py::
+# test_bpe_apply_cross_engine_parity — the _bpe_apply_oracle_sql
+# train+score unrolled-CTE chain, bit-exact incl. OOV segmentation).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r16 — the r15-built growth
     # trio, per the r15 verdict item 1)

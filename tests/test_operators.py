@@ -1642,6 +1642,269 @@ def test_bpe_train_cross_engine_parity(spark, sf_dir):
     assert got_seg == want_seg
 
 
+def _ref_bpe_apply(rules, word, eow="</w>"):
+    """Pure-Python application of an ordered merge-rule list to one
+    word: char init + leftmost non-overlapping scan per rule — the
+    published tokenize step bpe_apply's nested fold must reproduce."""
+    syms = list(word[:-1]) + [word[-1] + eow]
+    for left, right in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == (left, right)):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _ref_bpe_batched(word_counts, k, n_per_sweep, window=None,
+                     eow="</w>"):
+    """Pure-Python reference of bpe_train's batched contract: per
+    sweep, scan the top-``window`` pairs in (count desc, left, right)
+    order and greedily keep up to N whose {left, right, left+right}
+    trios are pairwise disjoint; fuse kept rules in kept order."""
+    window = window or 8 * n_per_sweep
+    vocab = {}
+    for w, n in word_counts.items():
+        syms = tuple(list(w[:-1]) + [w[-1] + eow])
+        vocab[syms] = vocab.get(syms, 0) + n
+    merges = []
+    while len(merges) < k:
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        ordered = sorted(pairs, key=lambda p: (-pairs[p], p[0], p[1]))
+        picked, used = [], set()
+        for p in ordered[:window]:
+            if len(picked) == min(n_per_sweep, k - len(merges)):
+                break
+            trio = {p[0], p[1], p[0] + p[1]}
+            if trio & used:
+                continue
+            picked.append(p)
+            used |= trio
+        for p in picked:
+            merges.append((p[0], p[1], pairs[p]))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = list(syms)
+            for rule in picked:
+                out = _apply_one_bpe_rule(out, rule)
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _apply_one_bpe_rule(syms, rule):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == rule:
+            out.append(rule[0] + rule[1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_apply_matches_train_vocab(spark, sf_dir):
+    """bpe_apply on the TRAINING corpus reproduces bpe_train's own
+    vocab segmentation bit-for-bit (the single-fold-over-rules
+    expression equals the trainer's per-merge fold sequence), and the
+    per-doc counts equal an independent explode→join→sum recompute."""
+    from yaetl_spark.operators import bpe_apply, bpe_train, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 120")
+    merges, tvocab = bpe_train(docs, num_merges=16, return_vocab=True)
+    counts, avocab = bpe_apply(docs, merges, return_vocab=True)
+    want_seg = {r["word"]: list(r["pieces"]) for r in tvocab.collect()}
+    got_seg = {r["word"]: list(r["pieces"]) for r in avocab.collect()}
+    assert got_seg == want_seg
+    want_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("word"))
+        .join(tvocab, "word")
+        .groupBy("doc_id").agg(F.sum(F.size("pieces")).alias("n"))
+        .collect()}
+    got_counts = {r["doc_id"]: r["bpe_token_count"]
+                  for r in counts.collect()}
+    # every doc present; token-free docs count 0, the rest match
+    assert set(got_counts) == {
+        r["doc_id"] for r in docs.select("doc_id").collect()}
+    for d, n in got_counts.items():
+        assert n == want_counts.get(d, 0), d
+
+
+def test_bpe_apply_oov_nulls_zero_rules_and_guard(spark):
+    """Scoring a DIFFERENT corpus: unseen words segment from chars
+    through whatever merges fire (pure-Python reference parity), null
+    and token-free texts count 0, a plain (left, right) list works as
+    the merge table, zero rules give character counts, and the
+    max_merges literal guard raises actionably."""
+    import pytest
+
+    from yaetl_spark.operators import bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer new newest lower")],
+        "doc_id bigint, text string")
+    score = spark.createDataFrame(
+        [(10, "low newest slower"), (11, ""), (12, None),
+         (13, "zzz")],
+        "doc_id bigint, text string")
+    merges = bpe_train(train, num_merges=10)
+    rules = [(r["left"], r["right"])
+             for r in merges.orderBy("rank").collect()]
+    counts, vocab = bpe_apply(score, merges, return_vocab=True)
+    got_seg = {r["word"]: list(r["pieces"]) for r in vocab.collect()}
+    for w in ["low", "newest", "slower", "zzz"]:
+        assert got_seg[w] == _ref_bpe_apply(rules, w), w
+    got = {r["doc_id"]: r["bpe_token_count"] for r in counts.collect()}
+    want10 = sum(len(_ref_bpe_apply(rules, w))
+                 for w in ["low", "newest", "slower"])
+    assert got == {10: want10, 11: 0, 12: 0,
+                   13: len(_ref_bpe_apply(rules, "zzz"))}
+    # a plain ordered list is accepted and equals the DataFrame path
+    got_list = {r["doc_id"]: r["bpe_token_count"]
+                for r in bpe_apply(score, rules).collect()}
+    assert got_list == got
+    # zero rules → the no-merges segmentation: one piece per char
+    got0 = {r["doc_id"]: r["bpe_token_count"]
+            for r in bpe_apply(score, []).collect()}
+    assert got0 == {10: len("lownewestslower"), 11: 0, 12: 0, 13: 3}
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_apply(score, rules, max_merges=3)
+
+
+def test_bpe_train_batched_matches_reference(spark, sf_dir):
+    """merges_per_sweep>1 follows the batched contract EXACTLY (pure-
+    Python reference parity on the real documents table: same rules,
+    same counts, same final segmentations), merges_per_sweep=1 is the
+    exact-Sennrich path unchanged, and the validation raises."""
+    from collections import Counter
+
+    import pytest
+
+    from yaetl_spark.operators import bpe_apply, bpe_train, tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter("doc_id < 120")
+    toks = [t for r in docs.select(
+        tokenize(F.col("text")).alias("t")).collect() for t in r["t"]]
+    want_merges, want_vocab = _ref_bpe_batched(Counter(toks), 24, 4)
+    merges, vocab = bpe_train(docs, num_merges=24, merges_per_sweep=4,
+                              return_vocab=True)
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == want_merges
+    got_vocab: dict = {}
+    for r in vocab.collect():
+        k = tuple(r["pieces"])
+        got_vocab[k] = got_vocab.get(k, 0) + r["n_words"]
+    assert got_vocab == dict(want_vocab)
+    # sweep=1 param goes through the unchanged exact-Sennrich path
+    exact = bpe_train(docs, num_merges=8)
+    one = bpe_train(docs, num_merges=8, merges_per_sweep=1)
+    assert [tuple(r) for r in one.collect()] == \
+        [tuple(r) for r in exact.collect()]
+    # the batched table applies cleanly: bpe_apply(train corpus)
+    # reproduces the batched trainer's own segmentations
+    _, avocab = bpe_apply(docs, merges, return_vocab=True)
+    assert {r["word"]: list(r["pieces"]) for r in avocab.collect()} == \
+        {r["word"]: list(r["pieces"]) for r in vocab.collect()}
+    with pytest.raises(ValueError, match="merges_per_sweep"):
+        bpe_train(docs, merges_per_sweep=0)
+    with pytest.raises(ValueError, match="candidate_window"):
+        bpe_train(docs, merges_per_sweep=4, candidate_window=2)
+
+
+def _bpe_apply_oracle_sql(k, train_bound, score_bound, sep="\x1f"):
+    """Unrolled-CTE DuckDB replica of bpe_train(train)+bpe_apply(score)
+    — the r17 driver-oracle blueprint: the :func:`_bpe_oracle_sql`
+    train chain derives the merge rules (b0..b{k-1}), then a second
+    wrapped-symbol replace chain applies them IN RANK ORDER to the
+    SCORED corpus's distinct words (char-BPE OOV semantics: unseen
+    words enter at s0 and segment through whatever rules fire), and
+    per-doc counts come from a token join with token-free/null docs
+    kept at 0."""
+    base = _bpe_oracle_sql(k, train_bound, sep).split("SELECT * FROM")[0]
+    split = ("list_filter(regexp_split_to_array(lower(text), "
+             "'[^a-z0-9]+'), x -> x <> '')")
+    parts = [f"""
+    sw AS MATERIALIZED (
+        SELECT DISTINCT t AS w
+        FROM (SELECT unnest({split}) AS t
+              FROM documents WHERE doc_id < {score_bound})),
+    s0 AS MATERIALIZED (
+        SELECT w, list_reduce(
+            list_transform(
+                list_concat(
+                    [substr(w, i, 1) for i in range(1, length(w))],
+                    [substr(w, length(w), 1) || '</w>']),
+                s -> '{sep}' || s || '{sep}'),
+            (a, b) -> a || b) AS s
+        FROM sw)"""]
+    for i in range(k):
+        parts.append(f"""
+    s{i + 1} AS MATERIALIZED (
+        SELECT w, replace(s,
+            '{sep}' || (SELECT l FROM b{i}) || '{sep}{sep}'
+                    || (SELECT r FROM b{i}) || '{sep}',
+            '{sep}' || (SELECT l || r FROM b{i}) || '{sep}') AS s
+        FROM s{i})""")
+    parts.append(f"""
+    wp AS (SELECT w, len(str_split(trim(s, '{sep}'),
+                                   '{sep}{sep}')) AS np
+           FROM s{k}),
+    tok AS (SELECT doc_id, unnest({split}) AS t
+            FROM documents WHERE doc_id < {score_bound})""")
+    return f"""{base.rstrip()}, {','.join(parts)}
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(wp.np), 0) AS BIGINT) AS bpe_token_count
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {score_bound}) d
+    LEFT JOIN tok ON tok.doc_id = d.doc_id
+    LEFT JOIN wp ON wp.w = tok.t
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
+def test_bpe_apply_cross_engine_parity(spark, sf_dir):
+    """DuckDB replays train-then-apply bit-for-bit on the real
+    documents table, scoring a STRICT SUPERSET of the training range
+    (so OOV segmentation is exercised) — proving the r17 bpe_apply
+    declaration can use a FULL hash oracle."""
+    import duckdb
+
+    from yaetl_spark.operators import bpe_apply, bpe_train
+
+    K, TRAIN, SCORE = 8, 120, 200
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs.filter(f"doc_id < {TRAIN}"), num_merges=K)
+    got = sorted(
+        (r["doc_id"], r["bpe_token_count"])
+        for r in bpe_apply(docs.filter(f"doc_id < {SCORE}"),
+                           merges).collect())
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = [tuple(r) for r in con.execute(
+            _bpe_apply_oracle_sql(K, TRAIN, SCORE)).fetchall()]
+    finally:
+        con.close()
+    assert got == want and len(got) == SCORE
+
+
 def test_bpe_train_property_random_corpora(spark):
     """Hypothesis fuzz: on arbitrary tiny corpora (repeats, ties,
     single-char words, full fusions) the distributed trainer's merge

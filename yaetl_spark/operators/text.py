@@ -324,6 +324,44 @@ def _bpe_merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _bpe_rules_lit(rules) -> Column:
+    """ORDERED merge rules as an ``array<struct<l,r>>`` plan literal —
+    the bounded-literal class (codebook literals precedent): callers
+    guarantee ``len(rules)`` is merge-table-sized, never corpus-sized."""
+    if not rules:
+        return F.array().cast("array<struct<l:string,r:string>>")
+    return F.array(*[
+        F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+        for l, r in rules
+    ])
+
+
+def _bpe_fold_rules(syms: Column, rules: Column) -> Column:
+    """Apply an ORDERED array of merge rules (``array<struct<l,r>>``)
+    to a symbol array in ONE depth-2 expression: outer fold over the
+    rules, inner fold arithmetic-identical to :func:`_bpe_merge_pair`
+    with the rule's fields in place of the literals (equality pinned by
+    tests/test_operators.py::test_bpe_apply_matches_train_vocab). The
+    depth stays 2 whatever ``len(rules)`` is — chaining
+    :func:`_bpe_merge_pair` N times would nest N aggregates and blow
+    past codegen limits at real merge counts."""
+    return F.aggregate(
+        rules,
+        syms,
+        lambda acc, m: F.aggregate(
+            acc,
+            F.array().cast("array<string>"),
+            lambda out, s: F.when(
+                (F.size(out) > 0)
+                & (F.element_at(out, F.lit(-1)) == m["l"])
+                & (s == m["r"]),
+                F.concat(F.slice(out, 1, F.size(out) - 1),
+                         F.array(F.concat(m["l"], m["r"]))),
+            ).otherwise(F.concat(out, F.array(s))),
+        ),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -332,6 +370,8 @@ def bpe_train(
     min_count: int = 1,
     end_of_word: str = "</w>",
     return_vocab: bool = False,
+    merges_per_sweep: int = 1,
+    candidate_window: int | None = None,
 ):
     """Learn a BPE merge table from the corpus, distributed — the
     actual subword-tokenizer TRAINING step (Sennrich, Haddow & Birch
@@ -372,25 +412,41 @@ def bpe_train(
     runs, so ``end_of_word`` can never collide with in-word text; pass
     a custom marker if a custom pattern admits ``<``, ``/``, ``>``.
 
-    Operating envelope: each merge is one Spark job plus a one-row
-    ``first()`` — sequential BY THE ALGORITHM (merge k+1's counts
-    depend on merge k's fold), so wall-clock is linear in
-    ``num_merges`` with a per-iteration floor of one job-submission
-    round-trip. The intended range is vocabulary prototyping and
-    analysis merges (~64–1024, validated by the 256-merge lineage
-    property test in tests/test_operators.py); a production 32k-merge
-    tokenizer would mean 32k sequential jobs and belongs to a batched
-    multi-merge-per-sweep variant (fuse the top-N pairwise-disjoint
-    pairs per sweep, trading exact Sennrich merge order for N× fewer
-    sweeps) — the documented follow-up, not this operator's contract.
-    The word-frequency table the loop iterates on is Zipf-bounded
-    (distinct words, not corpus rows), so num_merges — never corpus
-    size — is the knob that decides whether this operator fits.
+    Operating envelope: each sweep is one Spark job plus a bounded
+    driver collect, and sweeps are sequential BY THE ALGORITHM (sweep
+    k+1's counts depend on sweep k's fold), so wall-clock is linear in
+    ``num_merges / merges_per_sweep`` with a per-sweep floor of one
+    job-submission round-trip. The default ``merges_per_sweep=1`` is
+    EXACT Sennrich (one merge per job, a one-row ``first()``; intended
+    range ~64–1024, validated by the 256-merge lineage property test
+    in tests/test_operators.py). ``merges_per_sweep=N>1`` is the
+    batched variant a production 32k-merge tokenizer needs: per sweep,
+    scan the top ``candidate_window`` (default ``8*N``) pairs in
+    (count desc, left, right) order and greedily keep up to N whose
+    symbol trios ``{left, right, left+right}`` are pairwise disjoint —
+    disjoint consumption means each kept pair's count is exact at
+    selection time and the kept rules commute, so fusing them in kept
+    order in ONE fold pass (plus one checkpoint) is N merges for one
+    job. The trade: merge RANKS may deviate from exact Sennrich order
+    when a sweep's later picks outrank a pair the earlier picks would
+    have created (the standard batched-BPE trade-off); counts stay
+    exact and determinism holds (total-order scan + deterministic
+    greedy filter). The word-frequency table the loop iterates on is
+    Zipf-bounded (distinct words, not corpus rows), so
+    num_merges/merges_per_sweep — never corpus size — is the knob that
+    decides whether this operator fits. Apply the learned table to any
+    corpus with :func:`bpe_apply`.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    if merges_per_sweep < 1:
+        raise ValueError("merges_per_sweep must be >= 1")
+    if candidate_window is not None and candidate_window < merges_per_sweep:
+        raise ValueError(
+            "candidate_window must be >= merges_per_sweep (it bounds the "
+            "per-sweep driver collect the greedy disjoint filter scans)")
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokenize(F.col(text_col), pattern)).alias("_w"))
@@ -410,7 +466,7 @@ def bpe_train(
     trainable = vocab if min_count == 1 else vocab.filter(
         F.col("_n") >= min_count)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
         pairs = trainable.select(
             "_n",
             F.explode(
@@ -421,20 +477,41 @@ def bpe_train(
                 )
             ).alias("_p"),
         )
-        best = (
+        ordered = (
             pairs.groupBy(F.col("_p.l").alias("_l"),
                           F.col("_p.r").alias("_r"))
             .agg(F.sum("_n").alias("_c"))
             .orderBy(F.col("_c").desc(), F.col("_l").asc(),
                      F.col("_r").asc())
-            .first()
         )
-        if best is None:
+        n_want = min(merges_per_sweep, num_merges - len(merges))
+        if n_want == 1:
+            best = ordered.first()
+            picked = [] if best is None else [best]
+        else:
+            window = candidate_window or 8 * merges_per_sweep
+            cands = ordered.limit(window).collect()
+            picked, used = [], set()
+            for c in cands:
+                if len(picked) == n_want:
+                    break
+                trio = {c["_l"], c["_r"], c["_l"] + c["_r"]}
+                if trio & used:
+                    continue
+                picked.append(c)
+                used |= trio
+        if not picked:
             break  # every word is a single symbol — nothing to fuse
-        left, right, cnt = best["_l"], best["_r"], int(best["_c"])
-        merges.append((rank, left, right, cnt))
+        rules: list[tuple[str, str]] = []
+        for c in picked:
+            merges.append((len(merges), c["_l"], c["_r"], int(c["_c"])))
+            rules.append((c["_l"], c["_r"]))
+        if len(rules) == 1:
+            folded = _bpe_merge_pair(F.col("_syms"), *rules[0])
+        else:
+            folded = _bpe_fold_rules(F.col("_syms"), _bpe_rules_lit(rules))
         vocab = vocab.withColumn(
-            "_syms", _bpe_merge_pair(F.col("_syms"), left, right)
+            "_syms", folded
         ).localCheckpoint(eager=True)
         trainable = vocab if min_count == 1 else vocab.filter(
             F.col("_n") >= min_count)
@@ -447,6 +524,98 @@ def bpe_train(
         F.col("_n").alias("n_words"),
         F.col("_syms").alias("pieces"),
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = r"[^a-z0-9]+",
+    end_of_word: str = "</w>",
+    broadcast_vocab: bool = True,
+    max_merges: int = 65536,
+    return_vocab: bool = False,
+):
+    """EXACT per-document token counts under a LEARNED
+    :func:`bpe_train` merge table — the production tokenize-and-count
+    step (train once on the blessed corpus, score every corpus after):
+    what :func:`token_count_estimate` models and :func:`bpe_token_count`
+    approximates at the word level, computed for real. Returns
+    ``(id_col, bpe_token_count)`` covering EVERY input row (token-free
+    and null texts count 0); with ``return_vocab=True`` also returns
+    ``(word, pieces)`` — this corpus's distinct words with their
+    segmentations (char-BPE has no OOV: an unseen word still segments,
+    starting from characters, through whatever merges fire).
+
+    ``merges`` is the :func:`bpe_train` output DataFrame (ordered by
+    ``rank``) or an already-ordered sequence of ``(left, right)``
+    pairs. ``pattern`` / ``end_of_word`` MUST match training (pure
+    arithmetic — a mismatch is garbage, not an error).
+
+    Scale shape at 100 TB: the corpus is touched ONCE (tokenize →
+    explode, narrow); the merge fold runs per DISTINCT word — the
+    Zipf-bounded vocabulary, not the token stream — as ONE depth-2
+    expression over the rules literal (:func:`_bpe_fold_rules`; cost
+    per word is O(merges × len²) on a table millions of times smaller
+    than the corpus). The merge table collects to a plan literal —
+    bounded by construction (≤ num_merges rows; ``max_merges`` guards
+    the misuse of passing something corpus-sized, the
+    ``_guard_cell_population`` error style). The vocabulary joins back
+    to the token stream broadcast by default (``broadcast_vocab=False``
+    shuffles both sides on the word instead, for billion-word
+    vocabularies); the only corpus-grain shuffles are the vocabulary
+    ``distinct`` and the per-doc ``groupBy`` sum. ``id_col`` must be
+    unique per row (the repo-wide contract).
+
+    Segmentation parity with training is pinned bit-for-bit
+    (tests/test_operators.py::test_bpe_apply_matches_train_vocab), and
+    the whole path replays in DuckDB via the same wrapped-symbol
+    replace trick as :func:`bpe_train`'s oracle.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").limit(max_merges + 1).collect()
+        rules = [(r["left"], r["right"]) for r in rows]
+    else:
+        rules = [(left, right) for left, right in merges]
+    if len(rules) > max_merges:
+        raise ValueError(
+            f"bpe_apply got {len(rules)}+ merge rules (max_merges="
+            f"{max_merges}): the merge table becomes a plan literal, so "
+            "pass a bpe_train merge table (num_merges-bounded), not a "
+            "corpus-sized DataFrame; raise max_merges only if the table "
+            "really is a trained vocabulary that size")
+    rules_lit = _bpe_rules_lit(rules)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(tokenize(F.col(text_col), pattern)).alias("_w"),
+    )
+    chars = F.split(F.col("_w"), "")
+    syms = F.concat(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, F.lit(-1)),
+                         F.lit(end_of_word))),
+    )
+    vocab = (
+        toks.filter(F.col("_w").isNotNull())
+        .select("_w")
+        .distinct()
+        .select("_w", _bpe_fold_rules(syms, rules_lit).alias("_pieces"))
+    )
+    sized = vocab.select(
+        "_w", F.size("_pieces").cast("bigint").alias("_np"))
+    rhs = F.broadcast(sized) if broadcast_vocab else sized
+    counts = (
+        toks.join(rhs, "_w", "left")
+        .groupBy("_id")
+        .agg(F.sum(F.coalesce(F.col("_np"), F.lit(0)))
+             .cast("bigint").alias("bpe_token_count"))
+        .select(F.col("_id").alias(id_col), "bpe_token_count")
+    )
+    if not return_vocab:
+        return counts
+    return counts, vocab.select(
+        F.col("_w").alias("word"), F.col("_pieces").alias("pieces"))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
