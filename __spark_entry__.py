@@ -4279,9 +4279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #   robust_outliers, scd2, score_auc, segment_overlap, semantic_dedup,
 #   source_cap, stock_value, strip_spans, target_encode, token_entropy,
 #   token_estimate, validation_suite, vocab_coverage, winsorize.
-# After those, r17 has ~11-|a'| slots for the 50-query r14 cohort;
-# r17/r18 rotate it, then r18/r19 take the r15+r16 cohorts
-# (189 ≤ 200 = 4×50 keeps the whole rotation feasible).
+# After those 39 (b) and the (a) growth declarations below (up to 5,
+# taking declared queries to ≤194), r17 has ~6-|a'| spare slots to
+# start the 50-query r14 cohort due at r18; r18/r19 then rotate the
+# r14 and r15/r16 cohorts (194 ≤ 200 = 4×50 keeps the whole rotation
+# feasible — if slots run short, declare only the 3 highest-value
+# growth queries and hold the rest at their local-oracle evidence).
 # r17 growth candidates, already implemented + locally tested this
 # round (declarations deferred to keep this window's arithmetic
 # exact): similarity.semantic_decontaminate — embedding-level
@@ -4300,7 +4303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Zipf-bounded distinct-word fold, broadcast vocab join; oracle
 # blueprinted by tests/test_operators.py::
 # test_bpe_apply_cross_engine_parity — the _bpe_apply_oracle_sql
-# train+score unrolled-CTE chain, bit-exact incl. OOV segmentation).
+# train+score unrolled-CTE chain, bit-exact incl. OOV segmentation);
+# sampling.curriculum_shards — deterministic score-ordered export
+# sharding (equidepth-summary cuts, no global sort / no sampled
+# repartitionByRange; accepts a persisted summary for stable
+# incremental boundaries; oracle blueprinted bit-exact by
+# tests/test_sampling_sketches.py::
+# test_curriculum_shards_cross_engine_and_plan).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r16 — the r15-built growth
     # trio, per the r15 verdict item 1)

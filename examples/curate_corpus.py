@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from yaetl_spark import get_spark
 from yaetl_spark.operators import (
     c4_quality_flags,
+    curriculum_shards,
     cap_per_group,
     dataset_split,
     exact_dedup,
@@ -178,6 +179,13 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     keepers = exact_dedup(despanned, text_col="text", id_col="doc_id")
     uniq = despanned.join(keepers, "doc_id", "left_semi")
     uniq = normalized_dedup(uniq, text_col="text", id_col="doc_id")
+    # materialize the curated table once before the selection stages —
+    # exactly where a production pipeline writes it out. Every stage
+    # below (and its count) then plans against this leaf instead of
+    # re-deriving the full quality+dedup ladder per action; without it
+    # the ladder's plan is re-optimized for each downstream action and
+    # driver-side planning dominates the example's wall-clock.
+    uniq = uniq.localCheckpoint()
 
     # 5) source mixing: first a hard per-source cap (no domain may
     #    dominate), then blend three named sources to 50/30/20 target
@@ -228,16 +236,29 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     sharded = shuffle_shards(train, "doc_id", num_shards=4, salt=7)
     n_shards_used = sharded.select("shard").distinct().count()
 
+    # 9) curriculum export: the ORDERED sibling — shard boundaries
+    #    partition the global perplexity order (easy→hard) from an
+    #    equidepth-summary pass, deterministically and with no global
+    #    sort; (shard, pos) again define the write order bit-stably.
+    #    The input is checkpointed first: the operator makes two passes
+    #    (summary, then assignment), and re-deriving the whole ladder
+    #    above per pass would pay its plan twice (a production run
+    #    would equally score from the WRITTEN curated table).
+    cur_in = train.join(ppl, "doc_id").localCheckpoint()
+    cur = curriculum_shards(cur_in, "ppl", num_shards=4,
+                            buckets=64, summary_partitions=8)
+    n_cur_shards = cur.select("shard").distinct().count()
+
     return (n_raw, quality.count(), uniq.count(), capped.count(), counts,
             n_shard_pairs, rater_kappa, rater_alpha, n_packs,
-            n_shards_used)
+            n_shards_used, n_cur_shards)
 
 
 if __name__ == "__main__":
     spark = get_spark(app_name="curate-example", shuffle_partitions=8)
-    (raw, q, u, c, splits, pairs, kappa, alpha, packs, shards) = main(
-        spark, *(sys.argv[1:2]))
+    (raw, q, u, c, splits, pairs, kappa, alpha, packs, shards,
+     cur_shards) = main(spark, *(sys.argv[1:2]))
     print(f"raw={raw} quality={q} unique={u} capped={c} splits={splits} "
           f"near_dup_shard_pairs={pairs} rater_kappa={kappa} "
           f"ragged_rater_alpha={alpha} train_packs={packs} "
-          f"export_shards={shards}")
+          f"export_shards={shards} curriculum_shards={cur_shards}")

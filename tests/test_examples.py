@@ -55,8 +55,8 @@ def test_curate_corpus_example(spark, sf_dir):
     finally:
         sys.path.pop(0)
     (raw, quality, uniq, capped, splits, shard_pairs,
-     rater_kappa, rater_alpha, n_packs,
-     n_shards_used) = curate_corpus.main(spark, sf_dir)
+     rater_kappa, rater_alpha, n_packs, n_shards_used,
+     n_cur_shards) = curate_corpus.main(spark, sf_dir)
     # each stage is monotone non-increasing
     assert raw >= quality >= uniq >= capped > 0
     # split assignment covers every kept doc
@@ -73,6 +73,8 @@ def test_curate_corpus_example(spark, sf_dir):
     assert 0 < n_packs <= splits.get("train", 0)
     # the export shuffle landed every train doc in a valid shard
     assert 0 < n_shards_used <= 4
+    # the curriculum export produced valid score-ordered shards too
+    assert 0 < n_cur_shards <= 4
 
 
 def test_analyze_events_example(spark, sf_dir):

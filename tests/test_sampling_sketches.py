@@ -545,6 +545,245 @@ def test_shuffle_shards_cross_engine_and_plan(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def _ref_curriculum(rows, num_shards, buckets, parts, salt=12345,
+                    ascending=True):
+    """Pure-Python replica of curriculum_shards: Knuth sub-shard →
+    per-sub equi-depth summary (ceil(rn·B/n) buckets, value at max
+    rank) → merged CDF → exact rank-target cuts → count(cut < v) →
+    within-shard (score, id) positions. Uses a ONE-LEVEL cut scan, so
+    matching it also proves the operator's two-level search exact."""
+    kn, c0 = 2654435761, salt
+    subs: dict[int, list[float]] = {}
+    live = []
+    for i, sc in rows:
+        if sc is None:
+            continue
+        cv = float(sc) if ascending else -float(sc)
+        live.append((i, cv))
+        subs.setdefault((i * kn + c0) % parts, []).append(cv)
+    summ: dict[float, int] = {}
+    for vals in subs.values():
+        vals.sort()
+        nloc = len(vals)
+        byb: dict[int, list[tuple[int, float]]] = {}
+        for rn, v in enumerate(vals, 1):
+            byb.setdefault(-((-rn * buckets) // nloc), []).append((rn, v))
+        for lst in byb.values():
+            v = max(lst)[1]
+            summ[v] = summ.get(v, 0) + len(lst)
+    n = sum(summ.values())
+    targets = [-((-n * i) // num_shards) for i in range(1, num_shards)]
+    cuts, c, ti = [], 0, 0
+    for v in sorted(summ):
+        c += summ[v]
+        while ti < len(targets) and c >= targets[ti]:
+            cuts.append(v)
+            ti += 1
+    shard = {i: sum(1 for e in cuts if e < cv) for i, cv in live}
+    pos: dict[int, int] = {}
+    by_shard: dict[int, list[tuple[float, int]]] = {}
+    for i, cv in live:
+        by_shard.setdefault(shard[i], []).append((cv, i))
+    for lst in by_shard.values():
+        for p, (_, i) in enumerate(sorted(lst)):
+            pos[i] = p
+    return shard, pos
+
+
+def test_curriculum_shards_contract_and_reference_parity(spark):
+    """Shard boundaries partition the global score order (monotone
+    across shards, ties to the lower shard), pos is the dense (score,
+    id) order within each shard, NULL scores are excluded, the result
+    is bit-stable under repartitioning, descending flips the order,
+    and the whole pipeline — including the two-level sorted-array
+    search — equals the one-level pure-Python replica exactly. With
+    buckets ≥ n and distinct scores the summary is exact, so shard
+    sizes hit the exact rank-target differences."""
+    import pytest as _pytest
+
+    from yaetl_spark.operators import curriculum_shards
+
+    rows = [(i, float((i * 37) % 101) + (1 if i % 9 < 3 else 0))
+            for i in range(173)] + [(997, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    kw = dict(num_shards=7, buckets=16, summary_partitions=5)
+    out = curriculum_shards(df, "score", num_shards=7, buckets=16,
+                            summary_partitions=5)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    assert 997 not in got and len(got) == 173  # NULL score excluded
+    want_shard, want_pos = _ref_curriculum(rows, 7, 16, 5)
+    assert got == {i: (want_shard[i], want_pos[i]) for i in want_shard}
+    by_shard: dict[int, list[float]] = {}
+    score = dict(rows)
+    for i, (s, _) in got.items():
+        by_shard.setdefault(s, []).append(score[i])
+    for s in range(max(by_shard) or 0):
+        if s in by_shard and s + 1 in by_shard:
+            assert max(by_shard[s]) <= min(by_shard[s + 1])
+    again = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in curriculum_shards(
+                 df.repartition(13), "score", **kw).collect()}
+    assert again == got
+    desc = {r["doc_id"]: (r["shard"], r["pos"])
+            for r in curriculum_shards(
+                df, "score", ascending=False, **kw).collect()}
+    d_shard, d_pos = _ref_curriculum(rows, 7, 16, 5, ascending=False)
+    assert desc == {i: (d_shard[i], d_pos[i]) for i in d_shard}
+    # exact-summary regime: distinct scores + buckets ≥ n ⇒ shard
+    # sizes are exactly the rank-target differences
+    exact_rows = [(i, float(i)) for i in range(100)]
+    edf = spark.createDataFrame(exact_rows, "doc_id bigint, score double")
+    sizes = [0] * 4
+    for r in curriculum_shards(edf, "score", num_shards=4, buckets=128,
+                               summary_partitions=3).collect():
+        sizes[r["shard"]] += 1
+    assert sizes == [25, 25, 25, 25]
+    single = curriculum_shards(edf, "score", num_shards=1)
+    assert {r["shard"] for r in single.collect()} == {0}
+    with _pytest.raises(ValueError, match="num_shards"):
+        curriculum_shards(df, "score", num_shards=0)
+    with _pytest.raises(ValueError, match="buckets"):
+        curriculum_shards(df, "score", buckets=0)
+    with _pytest.raises(ValueError, match="summary_partitions"):
+        curriculum_shards(df, "score", summary_partitions=0)
+    with _pytest.raises(ValueError, match="_cur_v"):
+        curriculum_shards(df.withColumn("_cur_v", F.lit(1)), "score")
+
+
+def test_curriculum_shards_persisted_summary_and_properties(spark):
+    """A persisted equidepth_summary over the raw score drives the
+    SAME boundaries as the internal pass (when built with the same
+    sub-sharding), incremental day-2 assignment against day-1's
+    summary keeps day-1 boundaries stable, and hypothesis fuzz pins
+    the invariants (dense per-shard positions, monotone boundaries
+    with ties to the lower shard, reference parity) across ties,
+    negatives, and degenerate corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from yaetl_spark.operators import (
+        curriculum_shards, equidepth_summary, hash_bucket)
+
+    rows = [(i, float((i * 13) % 37)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    kw = dict(num_shards=5, buckets=16, summary_partitions=4)
+    inline = {(r["doc_id"], r["shard"], r["pos"])
+              for r in curriculum_shards(df, "score", **kw).collect()}
+    # externally-built summary with the SAME sub-sharding → identical
+    summ = equidepth_summary(
+        df.select(F.col("score").alias("v"),
+                  hash_bucket(F.col("doc_id"), 4).alias("sb")),
+        col="v", shard_col="sb", buckets=16)
+    via_summary = {(r["doc_id"], r["shard"], r["pos"])
+                   for r in curriculum_shards(
+                       df, "score", num_shards=5,
+                       summary=summ).collect()}
+    assert via_summary == inline
+    # day-2 rows against day-1's summary: boundaries stay day-1's
+    day2 = spark.createDataFrame(
+        [(1000 + i, float(i % 40)) for i in range(60)],
+        "doc_id bigint, score double")
+    d2 = curriculum_shards(day2, "score", num_shards=5, summary=summ)
+    d1_cutmax: dict[int, float] = {}
+    for i, (s, _) in {r[0]: (r[1], r[2]) for r in inline}.items():
+        sc = dict(rows)[i]
+        d1_cutmax[s] = max(d1_cutmax.get(s, sc), sc)
+    for r in d2.collect():
+        s = r["shard"]
+        # a day-2 score inside day-1 shard s's range lands in s
+        if s + 1 in d1_cutmax and s in d1_cutmax:
+            assert r["score"] <= d1_cutmax[s + 1]
+
+    word = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                     width=32)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=40),
+           st.integers(min_value=1, max_value=6))
+    def run(scores, n_shards):
+        rws = [(i, round(float(s), 2)) for i, s in enumerate(scores)]
+        sdf = spark.createDataFrame(rws, "doc_id bigint, score double")
+        got = {r["doc_id"]: (r["shard"], r["pos"])
+               for r in curriculum_shards(
+                   sdf, "score", num_shards=n_shards, buckets=8,
+                   summary_partitions=3).collect()}
+        w_shard, w_pos = _ref_curriculum(rws, n_shards, 8, 3)
+        assert got == {i: (w_shard[i], w_pos[i]) for i in w_shard}, (
+            rws, n_shards)
+
+    run()
+
+
+def test_curriculum_shards_cross_engine_and_plan(spark, sf_dir):
+    """DuckDB replays the whole pipeline bit-for-bit on the real
+    documents table (Knuth sub-shard → equi-depth summary → exact
+    rank-target cuts → one-level cut count → row_number pos — the r17
+    oracle blueprint), and the executed plan is the contract shape:
+    corpus-grain exchanges only for the two windows, the cuts reach
+    the corpus as a one-row broadcast (the declared BNLJ), and there
+    is no range partitioning / global sort."""
+    import duckdb
+
+    from yaetl_spark.operators import curriculum_shards
+
+    P, B, N = 4, 32, 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curriculum_shards(docs.select("doc_id", "n_chars"), "n_chars",
+                            num_shards=N, buckets=B,
+                            summary_partitions=P)
+    got = sorted((int(r["doc_id"]), int(r["shard"]), int(r["pos"]))
+                 for r in out.collect())
+    sql = f"""
+        WITH base AS (
+            SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL),
+        ranked AS (
+            SELECT v,
+                   ROW_NUMBER() OVER (PARTITION BY
+                       (id * 2654435761 + 12345) % {P} ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY
+                       (id * 2654435761 + 12345) % {P}) AS n,
+                   (id * 2654435761 + 12345) % {P} AS sb
+            FROM base),
+        summ AS (
+            SELECT sb, (rn * {B} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked GROUP BY sb, (rn * {B} + n - 1) // n),
+        pts AS (
+            SELECT value AS pv, SUM(weight) AS w
+            FROM summ GROUP BY value),
+        cum AS (
+            SELECT pv, SUM(w) OVER (ORDER BY pv) AS c,
+                   SUM(w) OVER () AS nn
+            FROM pts),
+        cuts AS (
+            SELECT i, MIN(CASE WHEN c >= (nn * i + {N} - 1) // {N}
+                          THEN pv END) AS cv
+            FROM cum, range(1, {N}) r(i) GROUP BY i),
+        arr AS (SELECT list(cv ORDER BY i) AS a FROM cuts),
+        assigned AS (
+            SELECT id, v,
+                   len(list_filter(arr.a, e -> e < v)) AS shard
+            FROM base, arr)
+        SELECT id AS doc_id, CAST(shard AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY v, id) - 1 AS BIGINT) AS pos
+        FROM assigned ORDER BY doc_id
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert got == want and got
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cuts bcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_semantic_decontaminate_flags_paraphrase_leak(spark):
     """Known-answer fixture: a corpus row that is a near-copy of a
     benchmark embedding flags with the right bench_id and rounded

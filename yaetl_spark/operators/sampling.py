@@ -440,3 +440,177 @@ def shuffle_shards(
         .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
         .drop(rk)
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    buckets: int = 256,
+    summary_partitions: int = 32,
+    ascending: bool = True,
+    salt: int = _SALT,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    string_key: bool = False,
+    summary: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic SCORE-ORDERED export sharding — the curriculum
+    sibling of :func:`shuffle_shards`: every row gets a ``(shard,
+    pos)`` pair where shard boundaries partition the GLOBAL score
+    order (shard 0 = lowest scores with ``ascending=True``, easy→hard;
+    ``ascending=False`` flips it) and ``pos`` is the dense 0-based
+    within-shard order by ``(score, id)`` — together a reproducible
+    curriculum total order, bit-stable across reruns, engines, and
+    partitionings. Rows with NULL score are EXCLUDED (score first).
+
+    Pass ``summary`` (an :func:`~yaetl_spark.operators.sketches
+    .equidepth_summary` with ``value``/``weight`` columns over the RAW
+    score — the persisted-summary pattern the drift family uses) to
+    skip the summary pass entirely: boundaries then come from the
+    persisted distribution, so incremental daily exports keep STABLE
+    shard boundaries while only the new day's rows are assigned and
+    positioned (one corpus pass total). ``ascending`` still applies —
+    the summary's values are re-oriented internally.
+
+    This is a global sort at 100 TB without a global sort (and without
+    ``repartitionByRange``'s nondeterministic sampling): boundaries
+    come from a :func:`~yaetl_spark.operators.sketches
+    .equidepth_summary` pass — sub-sharded by the same Knuth/md5 hash
+    arithmetic as :func:`hash_bucket` (SQL-replicable, unlike an
+    xxhash salt) — and cut ``i`` is the summary value at exact
+    integer rank target ``ceil(n·i/num_shards)``; shard sizes are
+    balanced to within the summary's rank-error bound
+    (≈ n/buckets per sub-shard, plus tie mass — heavy ties at a cut
+    all land in the LOWER shard, deterministically). Raise ``buckets``
+    /``summary_partitions`` for tighter balance.
+
+    Scale shape: TWO corpus passes. Pass 1 is the summary (one
+    exchange: the sub-shard sort window; the bucket aggregate reuses
+    it). The cut table then stays summary-sized end to end — a
+    single-partition CDF window over ≤ ``summary_partitions·buckets``
+    points, each point emitting exactly the cut indices whose rank
+    target it covers via EXACT integral division (no per-cut unrolled
+    aggregates, no |cuts|×|points| theta join) — and reaches pass 2 as
+    a ONE-ROW broadcast (the declared 1-row
+    BroadcastNestedLoopJoin, the :func:`summary_psi` cuts pattern;
+    no driver collect anywhere). Pass 2 assigns shards with a
+    TWO-LEVEL sorted-array search (√M coarse probes + one √M fine
+    slice instead of an O(num_shards) scan per row), then one
+    exchange for the within-shard position window. Size
+    ``num_shards`` so one shard fits an executor's sort-spill budget
+    — shards are balanced by construction, so this turns the global
+    sort into ``num_shards`` even task-local sorts (the TeraSort
+    shape). Write with ``.repartition(num_shards, shard)
+    .sortWithinPartitions(pos).write.partitionBy(shard)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from .sketches import equidepth_summary
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if summary_partitions < 1:
+        raise ValueError("summary_partitions must be >= 1")
+    for t in ("_cur_v", "_cur_arr"):
+        if t in df.columns:
+            raise ValueError(
+                f"curriculum_shards uses internal column {t!r}; rename "
+                "it in the input")
+    key = F.col(id_col)
+    if string_key:
+        sub = hash_bucket_str(
+            F.concat_ws("\x1f", key, F.lit(str(salt))), summary_partitions)
+    else:
+        sub = hash_bucket(key, summary_partitions, salt=salt)
+    v = F.col(score_col).cast("double")
+    cv = v if ascending else -v
+    base = df.filter(v.isNotNull())
+
+    if summary is None:
+        summ = equidepth_summary(
+            base.select(cv.alias("_cur_v"), sub.alias("_cur_sub")),
+            col="_cur_v", shard_col="_cur_sub", buckets=buckets)
+        pt_v = F.col("value")
+    else:
+        summ = summary
+        pt_v = (F.col("value").cast("double") if ascending
+                else -F.col("value").cast("double"))
+    pts = summ.groupBy(pt_v.alias("_cur_pv")).agg(
+        F.sum(F.col("weight").cast("bigint")).alias("_cur_w"))
+    cw = Window.orderBy(F.col("_cur_pv").asc())
+    cum = pts.select(
+        "_cur_pv",
+        "_cur_w",
+        F.sum("_cur_w").over(
+            cw.rowsBetween(Window.unboundedPreceding, 0)).alias("_cur_c"),
+        F.sum("_cur_w").over(
+            cw.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("_cur_n"),
+    )
+    # cut i's value is the min summary point with cum weight ≥ the
+    # exact rank target ceil(n·i/N) — so the point with cumulative
+    # range (c_prev, c] covers exactly i ∈ [⌊c_prev·N/n⌋+1, ⌊c·N/n⌋]
+    # (integral division; products stay far inside int64)
+    big_n = F.lit(num_shards).cast("bigint")
+    i_hi = F.least(
+        F.lit(num_shards - 1).cast("bigint"),
+        F.call_function("div", F.col("_cur_c") * big_n, F.col("_cur_n")))
+    i_lo = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.call_function(
+            "div",
+            (F.col("_cur_c") - F.col("_cur_w")) * big_n, F.col("_cur_n"))
+        + F.lit(1).cast("bigint"))
+    cuts = cum.select(
+        "_cur_pv",
+        F.when(i_hi >= i_lo, F.sequence(i_lo, i_hi))
+        .otherwise(F.array().cast("array<bigint>")).alias("_cur_is"),
+    ).select(F.explode("_cur_is").alias("_cur_i"), "_cur_pv")
+    cuts_row = cuts.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_cur_i"),
+                                        F.col("_cur_pv")))),
+            lambda s: s["_cur_pv"],
+        ).alias("_cur_arr"))
+    # eager ONE-ROW checkpoint: without it the broadcast side embeds
+    # the whole upstream lineage, so the final plan carries the corpus
+    # chain TWICE — on deep pipeline lineages Catalyst/AQE bookkeeping
+    # over that doubled tree dominates wall-clock (observed: minutes of
+    # driver-side collectFirst on the curation example). The summary
+    # pass must execute before assignment anyway, so materializing the
+    # single cuts row here costs nothing extra and keeps the output
+    # plan linear in the input lineage.
+    cuts_row = cuts_row.localCheckpoint(eager=True)
+
+    m = num_shards - 1
+    vrow = F.col("_cur_v")
+    arr = F.col("_cur_arr")
+    if m == 0:
+        shard_expr = F.lit(0)
+    else:
+        step = max(1, math.isqrt(m))
+        nseg = m // step
+        coarse = F.transform(
+            F.sequence(F.lit(1), F.lit(nseg)),
+            lambda j: F.element_at(arr, (j * step).cast("int")))
+        cidx = F.size(F.filter(coarse, lambda e: e < vrow))
+        fine = F.slice(arr, cidx * F.lit(step) + 1, step)
+        shard_expr = (
+            cidx * F.lit(step)
+            + F.size(F.filter(fine, lambda e: e < vrow)))
+    w = (Window.partitionBy(F.col(shard_col))
+         .orderBy(F.col("_cur_v").asc(), key.asc()))
+    return (
+        base.withColumn("_cur_v", cv)
+        .crossJoin(F.broadcast(cuts_row))
+        .withColumn(shard_col, shard_expr.cast("int"))
+        .withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_cur_v", "_cur_arr")
+    )
