@@ -993,6 +993,28 @@ def test_summary_psi_by_source_grouped_no_global_window(spark):
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
 
 
+def test_minhash_probe_bucket_join_shape(spark):
+    """The incremental probe meets the persisted index ONLY through
+    the banded (band, bhash) bucket equi-join — exactly one hash join
+    (broadcast at this fixture via the broadcast_probe knob's default
+    heuristics), no cartesian / nested-loop, one dedup exchange, and
+    both sides' scans pruned to the id+text columns with the two
+    banding explodes as the only Generates."""
+    df = entry_mod.queries()["minhash_probe"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 1, final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("FileScan parquet") == 2
+    assert final.count("Generate") == 2  # one banding explode per side
+    read_schema = final.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
 def test_stream_dedup_two_exchange_shape(spark):
     """At-least-once dedup is the minimal two-exchange plan: one
     corpus-grain shuffle on the event identity (with the map-side
