@@ -713,6 +713,179 @@ def test_curriculum_shards_persisted_summary_and_properties(spark):
     run()
 
 
+def _deinterleave(z, bits, ncols):
+    bs = [0] * ncols
+    shift = bits * ncols - 1
+    for _ in range(bits):
+        for c in range(ncols):
+            bs[c] = (bs[c] << 1) | ((z >> shift) & 1)
+            shift -= 1
+    return bs
+
+
+def test_zorder_key_morton_contract(spark):
+    """Exact-summary regime (all 2^bits values present once per
+    column, buckets ≥ n): the key IS the textbook Morton code of the
+    per-column values; NULLs bucket 0; bit-stable under
+    repartitioning; validation and collision guards raise."""
+    import pytest as _pytest
+
+    from yaetl_spark.operators import zorder_key
+
+    rows = [(i, float(i % 16), float(i // 16)) for i in range(256)]
+    df = spark.createDataFrame(rows, "doc_id bigint, x double, y double")
+    got = {r["doc_id"]: r["zorder"]
+           for r in zorder_key(df, ["x", "y"], bits=4,
+                               summary_partitions=4,
+                               buckets=256).collect()}
+
+    def morton(a, b):
+        z = 0
+        for bb in range(3, -1, -1):
+            z = z * 2 + ((a >> bb) & 1)
+            z = z * 2 + ((b >> bb) & 1)
+        return z
+
+    assert all(got[i] == morton(i % 16, i // 16) for i in range(256))
+    again = {r["doc_id"]: r["zorder"]
+             for r in zorder_key(df.repartition(7), ["x", "y"], bits=4,
+                                 summary_partitions=4,
+                                 buckets=256).collect()}
+    assert again == got
+    # NULL → bucket 0 in that column's bit positions
+    with_null = spark.createDataFrame(
+        rows + [(999, None, 3.0)], "doc_id bigint, x double, y double")
+    z999 = {r["doc_id"]: r["zorder"]
+            for r in zorder_key(with_null, ["x", "y"], bits=4,
+                                summary_partitions=4,
+                                buckets=256).collect()}[999]
+    bx, _ = _deinterleave(z999, 4, 2)
+    assert bx == 0
+    with _pytest.raises(ValueError, match="cols"):
+        zorder_key(df, [])
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key(df, ["x"], bits=0)
+    with _pytest.raises(ValueError, match="62"):
+        zorder_key(df, ["x", "y"], bits=32)
+    with _pytest.raises(ValueError, match="collide"):
+        zorder_key(df.withColumn("zorder", F.lit(1)), ["x", "y"])
+
+
+def test_zorder_key_clusters_every_column(spark, sf_dir):
+    """The layout property the key exists for: sort the real orders
+    table by the 2-column z-key, slice into chunks (files), and each
+    chunk's min/max range is FAR tighter — for BOTH columns — than
+    the natural-order baseline, so zonemaps prune filters on either
+    column. Quantile bucketing makes this hold despite the skewed
+    o_totalprice distribution."""
+    from yaetl_spark.operators import zorder_key
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    out = zorder_key(orders, ["o_custkey", "o_totalprice"], bits=6,
+                     id_col="o_orderkey", summary_partitions=8)
+    rows = [(r["zorder"], r["o_custkey"], r["o_totalprice"])
+            for r in out.collect()]
+    n_chunks = 16
+
+    def range_sum(ordered, idx):
+        chunk = max(1, len(ordered) // n_chunks)
+        tot = 0.0
+        for s in range(0, len(ordered), chunk):
+            part = [t[idx] for t in ordered[s:s + chunk]]
+            tot += max(part) - min(part)
+        return tot
+
+    zsorted = sorted(rows)
+    baseline = rows  # natural key order (o_orderkey-ish arrival)
+    for idx in (1, 2):
+        assert range_sum(zsorted, idx) < 0.5 * range_sum(baseline, idx), \
+            ("column", idx, range_sum(zsorted, idx),
+             range_sum(baseline, idx))
+
+
+def test_zorder_key_cross_engine_parity(spark, sf_dir):
+    """DuckDB replays the whole key bit-for-bit on the real orders
+    table — per-column Knuth sub-shard → equi-depth summary → exact
+    rank-target cuts → bucket → MSB-first interleave (the melted
+    single-pass summary partitions by (col, sub), so per-column
+    independent SQL chains are arithmetic-identical)."""
+    import duckdb
+
+    from yaetl_spark.operators import zorder_key
+
+    P, BITS, B = 4, 4, 64
+    NB = 1 << BITS
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    out = zorder_key(orders, ["o_custkey", "o_totalprice"], bits=BITS,
+                     id_col="o_orderkey", summary_partitions=P,
+                     buckets=B)
+    got = sorted((int(r["o_orderkey"]), int(r["zorder"]))
+                 for r in out.collect())
+
+    def cut_chain(tag, vcol):
+        return f"""
+        base_{tag} AS (
+            SELECT o_orderkey AS id, CAST({vcol} AS DOUBLE) AS v
+            FROM orders WHERE {vcol} IS NOT NULL),
+        ranked_{tag} AS (
+            SELECT v,
+                   (id * 2654435761 + 12345) % {P} AS sb,
+                   ROW_NUMBER() OVER (PARTITION BY
+                       (id * 2654435761 + 12345) % {P} ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY
+                       (id * 2654435761 + 12345) % {P}) AS n
+            FROM base_{tag}),
+        summ_{tag} AS (
+            SELECT sb, (rn * {B} + n - 1) // n AS b,
+                   max_by(v, rn) AS value, COUNT(*) AS weight
+            FROM ranked_{tag}
+            GROUP BY sb, (rn * {B} + n - 1) // n),
+        pts_{tag} AS (
+            SELECT value AS pv, SUM(weight) AS w
+            FROM summ_{tag} GROUP BY value),
+        cum_{tag} AS (
+            SELECT pv, SUM(w) OVER (ORDER BY pv) AS c,
+                   SUM(w) OVER () AS nn
+            FROM pts_{tag}),
+        cuts_{tag} AS (
+            SELECT i, MIN(CASE WHEN c >= (nn * i + {NB} - 1) // {NB}
+                          THEN pv END) AS cv
+            FROM cum_{tag}, range(1, {NB}) r(i) GROUP BY i),
+        arr_{tag} AS (SELECT list(cv ORDER BY i) AS a FROM cuts_{tag})"""
+
+    interleave = "CAST(0 AS BIGINT)"
+    for b in range(BITS - 1, -1, -1):
+        for tag in ("k", "p"):
+            interleave = (f"({interleave}) * 2 + ((b_{tag} >> {b}) & 1)")
+    sql = f"""
+        WITH {cut_chain('k', 'o_custkey')},
+        {cut_chain('p', 'o_totalprice')},
+        assigned AS (
+            SELECT o.o_orderkey,
+                   CASE WHEN o.o_custkey IS NULL THEN 0 ELSE
+                       len(list_filter(ak.a,
+                           e -> e < CAST(o.o_custkey AS DOUBLE)))
+                   END AS b_k,
+                   CASE WHEN o.o_totalprice IS NULL THEN 0 ELSE
+                       len(list_filter(ap.a,
+                           e -> e < CAST(o.o_totalprice AS DOUBLE)))
+                   END AS b_p
+            FROM orders o, arr_k ak, arr_p ap)
+        SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zorder
+        FROM assigned ORDER BY o_orderkey
+    """
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE VIEW orders AS SELECT * FROM "
+                    f"'{sf_dir}/orders.parquet'")
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert got == want and got
+
+
 def test_curriculum_shards_cross_engine_and_plan(spark, sf_dir):
     """DuckDB replays the whole pipeline bit-for-bit on the real
     documents table (Knuth sub-shard → equi-depth summary → exact

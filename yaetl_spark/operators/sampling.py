@@ -442,6 +442,199 @@ def shuffle_shards(
     )
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    id_col: str = "doc_id",
+    summary_partitions: int = 32,
+    buckets: int | None = None,
+    salt: int = _SALT,
+    string_key: bool = False,
+    out_col: str = "zorder",
+) -> DataFrame:
+    """Multi-column Z-ORDER (Morton) layout key for data-skipping
+    file layout — the lakehouse `OPTIMIZE ZORDER BY` primitive, built
+    deterministically: each column is quantile-bucketed into
+    ``2^bits`` equi-depth buckets and the bucket indices' bits are
+    interleaved MSB-first (column order = priority order within each
+    bit level) into one ``bigint``. Files written in ``out_col`` order
+    keep EVERY listed column's values locally clustered, so parquet
+    min/max zonemaps prune scans filtered on ANY of the columns — the
+    multi-dimensional generalization of sorting by one column.
+
+    Quantile bucketing (not fixed-width) makes the key skew-immune:
+    each bucket holds ~1/2^bits of the rows whatever the distribution,
+    which is what makes the interleaving balanced and the layout worth
+    writing. NULL values bucket 0 (sort first). Deterministic across
+    reruns, engines, and partitionings — same discipline as
+    :func:`curriculum_shards`, whose machinery this shares.
+
+    Scale shape at 100 TB: ONE melted corpus pass computes every
+    column's equi-depth summary together (explode to (col, value),
+    one sub-sharded sort window — the :func:`hash_bucket` sub-shard
+    arithmetic, SQL-replicable); cuts stay summary-sized
+    (:func:`_rank_cut_row` per column off that one summary) and reach
+    the corpus as a ONE-ROW eagerly-checkpointed broadcast; per-row
+    assignment is a narrow map (two-level search per column,
+    :func:`_count_below`, then pure bit arithmetic). No corpus
+    shuffle at all in the assignment pass. Write the layout with
+    ``curriculum_shards(zorder_key(df, cols), "zorder")`` — balanced
+    z-ordered shards — or ``.sortWithinPartitions(out_col)`` for a
+    per-file ordering.
+
+    ``bits`` trades layout resolution against key width
+    (``len(cols)·bits ≤ 62``); ``buckets`` (default ``4·2^bits``) is
+    the summary points per (column, sub-shard) — raise for tighter
+    bucket balance.
+    """
+    from .sketches import equidepth_summary
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    if bits < 1:
+        raise ValueError("bits must be >= 1")
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"len(cols)*bits = {len(cols) * bits} exceeds 62 — the "
+            "interleaved key must fit a bigint; lower bits or drop "
+            "columns")
+    if summary_partitions < 1:
+        raise ValueError("summary_partitions must be >= 1")
+    n_buckets = 1 << bits
+    if buckets is None:
+        buckets = 4 * n_buckets
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    clash = [c for c in df.columns
+             if c == out_col or c.startswith("_zo_")]
+    if clash:
+        raise ValueError(
+            f"zorder_key would collide with input column(s) {clash}; "
+            "rename them or pass a different out_col")
+    key = F.col(id_col)
+    if string_key:
+        sub = hash_bucket_str(
+            F.concat_ws("\x1f", key, F.lit(str(salt))), summary_partitions)
+    else:
+        sub = hash_bucket(key, summary_partitions, salt=salt)
+
+    melted = df.select(
+        sub.alias("_zo_sub"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("c"),
+                     F.col(c).cast("double").alias("v"))
+            for i, c in enumerate(cols)
+        ])).alias("_zo_m"),
+    ).select(
+        (F.col("_zo_m.c").cast("bigint")
+         * F.lit(summary_partitions).cast("bigint")
+         + F.col("_zo_sub").cast("bigint")).alias("_zo_cs"),
+        F.col("_zo_m.v").alias("_zo_v"),
+    )
+    summ = equidepth_summary(
+        melted, col="_zo_v", shard_col="_zo_cs", buckets=buckets)
+    col_of = F.call_function(
+        "div", F.col("shard").cast("bigint"),
+        F.lit(summary_partitions).cast("bigint"))
+    row = None
+    for i in range(len(cols)):
+        r = _rank_cut_row(
+            summ.filter(col_of == i), F.col("value"), n_buckets,
+            f"_zo_arr{i}")
+        row = r if row is None else row.crossJoin(r)
+    row = row.localCheckpoint(eager=True)  # one row; see curriculum_shards
+
+    out = df.crossJoin(F.broadcast(row))
+    for i, c in enumerate(cols):
+        out = out.withColumn(
+            f"_zo_b{i}",
+            _count_below(F.col(f"_zo_arr{i}"), F.col(c).cast("double"),
+                         n_buckets - 1).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for b in range(bits - 1, -1, -1):
+        for i in range(len(cols)):
+            z = (z * F.lit(2).cast("bigint")
+                 + F.shiftright(F.col(f"_zo_b{i}"), b)
+                 .bitwiseAND(F.lit(1).cast("bigint")))
+    return out.withColumn(out_col, z).drop(
+        *[f"_zo_arr{i}" for i in range(len(cols))],
+        *[f"_zo_b{i}" for i in range(len(cols))])
+
+
+def _rank_cut_row(
+    summ: DataFrame, pt_v: Column, n_buckets: int, arr_name: str
+) -> DataFrame:
+    """ONE-ROW frame whose ``arr_name`` column holds the sorted array
+    of ``n_buckets − 1`` exact rank-target cut values derived from an
+    equi-depth summary's ``(value, weight)`` points: cut ``i`` is the
+    min point whose cumulative weight reaches ``ceil(n·i/n_buckets)``.
+    Everything is summary-sized — a single-partition CDF window, then
+    each point emits exactly the cut indices whose rank target falls
+    in its cumulative range (c_prev, c], i.e. i ∈
+    [⌊c_prev·N/n⌋+1, ⌊c·N/n⌋] via EXACT integral division (no per-cut
+    unrolled aggregates, no |cuts|×|points| theta join; products stay
+    far inside int64). Callers broadcast the row and usually eagerly
+    localCheckpoint it first (see :func:`curriculum_shards`)."""
+    from pyspark.sql import Window
+
+    pts = summ.groupBy(pt_v.alias("_rc_pv")).agg(
+        F.sum(F.col("weight").cast("bigint")).alias("_rc_w"))
+    cw = Window.orderBy(F.col("_rc_pv").asc())
+    cum = pts.select(
+        "_rc_pv",
+        "_rc_w",
+        F.sum("_rc_w").over(
+            cw.rowsBetween(Window.unboundedPreceding, 0)).alias("_rc_c"),
+        F.sum("_rc_w").over(
+            cw.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("_rc_n"),
+    )
+    big_n = F.lit(n_buckets).cast("bigint")
+    i_hi = F.least(
+        F.lit(n_buckets - 1).cast("bigint"),
+        F.call_function("div", F.col("_rc_c") * big_n, F.col("_rc_n")))
+    i_lo = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.call_function(
+            "div",
+            (F.col("_rc_c") - F.col("_rc_w")) * big_n, F.col("_rc_n"))
+        + F.lit(1).cast("bigint"))
+    cuts = cum.select(
+        "_rc_pv",
+        F.when(i_hi >= i_lo, F.sequence(i_lo, i_hi))
+        .otherwise(F.array().cast("array<bigint>")).alias("_rc_is"),
+    ).select(F.explode("_rc_is").alias("_rc_i"), "_rc_pv")
+    return cuts.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rc_i"),
+                                        F.col("_rc_pv")))),
+            lambda s: s["_rc_pv"],
+        ).alias(arr_name))
+
+
+def _count_below(arr: Column, v: Column, m: int) -> Column:
+    """Count of the sorted ``m``-element array's values strictly below
+    ``v`` — a TWO-LEVEL search (≈2·√m coarse probes + one fine slice
+    instead of an O(m) scan per row; at m in the thousands the flat
+    scan is the difference between a narrow map and a hot spot). NULL
+    ``v`` counts 0 (null comparisons drop out of the filter)."""
+    if m <= 0:
+        return F.lit(0)
+    import math
+
+    step = max(1, math.isqrt(m))
+    nseg = m // step
+    coarse = F.transform(
+        F.sequence(F.lit(1), F.lit(nseg)),
+        lambda j: F.element_at(arr, (j * step).cast("int")))
+    cidx = F.size(F.filter(coarse, lambda e: e < v))
+    fine = F.slice(arr, cidx * F.lit(step) + 1, step)
+    return cidx * F.lit(step) + F.size(F.filter(fine, lambda e: e < v))
+
+
 def curriculum_shards(
     df: DataFrame,
     score_col: str,
@@ -505,8 +698,6 @@ def curriculum_shards(
     shape). Write with ``.repartition(num_shards, shard)
     .sortWithinPartitions(pos).write.partitionBy(shard)``.
     """
-    import math
-
     from pyspark.sql import Window
 
     from .sketches import equidepth_summary
@@ -541,44 +732,7 @@ def curriculum_shards(
         summ = summary
         pt_v = (F.col("value").cast("double") if ascending
                 else -F.col("value").cast("double"))
-    pts = summ.groupBy(pt_v.alias("_cur_pv")).agg(
-        F.sum(F.col("weight").cast("bigint")).alias("_cur_w"))
-    cw = Window.orderBy(F.col("_cur_pv").asc())
-    cum = pts.select(
-        "_cur_pv",
-        "_cur_w",
-        F.sum("_cur_w").over(
-            cw.rowsBetween(Window.unboundedPreceding, 0)).alias("_cur_c"),
-        F.sum("_cur_w").over(
-            cw.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing)).alias("_cur_n"),
-    )
-    # cut i's value is the min summary point with cum weight ≥ the
-    # exact rank target ceil(n·i/N) — so the point with cumulative
-    # range (c_prev, c] covers exactly i ∈ [⌊c_prev·N/n⌋+1, ⌊c·N/n⌋]
-    # (integral division; products stay far inside int64)
-    big_n = F.lit(num_shards).cast("bigint")
-    i_hi = F.least(
-        F.lit(num_shards - 1).cast("bigint"),
-        F.call_function("div", F.col("_cur_c") * big_n, F.col("_cur_n")))
-    i_lo = F.greatest(
-        F.lit(1).cast("bigint"),
-        F.call_function(
-            "div",
-            (F.col("_cur_c") - F.col("_cur_w")) * big_n, F.col("_cur_n"))
-        + F.lit(1).cast("bigint"))
-    cuts = cum.select(
-        "_cur_pv",
-        F.when(i_hi >= i_lo, F.sequence(i_lo, i_hi))
-        .otherwise(F.array().cast("array<bigint>")).alias("_cur_is"),
-    ).select(F.explode("_cur_is").alias("_cur_i"), "_cur_pv")
-    cuts_row = cuts.groupBy().agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_cur_i"),
-                                        F.col("_cur_pv")))),
-            lambda s: s["_cur_pv"],
-        ).alias("_cur_arr"))
+    cuts_row = _rank_cut_row(summ, pt_v, num_shards, "_cur_arr")
     # eager ONE-ROW checkpoint: without it the broadcast side embeds
     # the whole upstream lineage, so the final plan carries the corpus
     # chain TWICE — on deep pipeline lineages Catalyst/AQE bookkeeping
@@ -589,22 +743,8 @@ def curriculum_shards(
     # plan linear in the input lineage.
     cuts_row = cuts_row.localCheckpoint(eager=True)
 
-    m = num_shards - 1
-    vrow = F.col("_cur_v")
-    arr = F.col("_cur_arr")
-    if m == 0:
-        shard_expr = F.lit(0)
-    else:
-        step = max(1, math.isqrt(m))
-        nseg = m // step
-        coarse = F.transform(
-            F.sequence(F.lit(1), F.lit(nseg)),
-            lambda j: F.element_at(arr, (j * step).cast("int")))
-        cidx = F.size(F.filter(coarse, lambda e: e < vrow))
-        fine = F.slice(arr, cidx * F.lit(step) + 1, step)
-        shard_expr = (
-            cidx * F.lit(step)
-            + F.size(F.filter(fine, lambda e: e < vrow)))
+    shard_expr = _count_below(
+        F.col("_cur_arr"), F.col("_cur_v"), num_shards - 1)
     w = (Window.partitionBy(F.col(shard_col))
          .orderBy(F.col("_cur_v").asc(), key.asc()))
     return (
