@@ -4310,6 +4310,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # incremental boundaries; oracle blueprinted bit-exact by
 # tests/test_sampling_sketches.py::
 # test_curriculum_shards_cross_engine_and_plan).
+# Built r16 but held at LOCAL evidence by design (rotation budget):
+# sampling.zorder_key — Z-order layout keys, one melted corpus pass,
+# bit-exact DuckDB parity + clustering-effectiveness test in
+# tests/test_sampling_sketches.py; declare only if the rotation
+# frees a slot (194 declared-after-r17 of the 200 = 4×50 cap).
 _DRIVER_WINDOW = [
     # (a) never driver-checked (declared r16 — the r15-built growth
     # trio, per the r15 verdict item 1)
