@@ -502,55 +502,56 @@ def autocorrelation(
         )
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
-    dec = "decimal(38,9)"
+    # Expression trees below are assembled as one-shot SQL parses
+    # (F.expr) rather than nested Column calls: every Column operation
+    # is a Python->JVM round trip, and this operator's ~4·max_lag
+    # aggregates plus the per-lag recombination array cost ~1 s of pure
+    # driver time per plan build when built call-by-call (guide §7.3:
+    # avoid generating gigantic expression trees in loops). The parsed
+    # SQL produces the IDENTICAL expressions (same round/cast/decimal
+    # semantics) — pinned by the bit-exact oracle test.
 
-    def dsum(c: Column) -> Column:
-        return F.sum(F.round(c, 9).cast(dec)).cast("double")
+    def dsum(c_sql: str) -> str:
+        return f"cast(sum(cast(round({c_sql}, 9) as decimal(38,9))) as double)"
 
+    by_q = ", ".join(f"`{c}`" for c in by)
     val = F.col(value_col).cast("double")
     clean = df.dropna(subset=[value_col, index_col]).select(
         *by, F.col(index_col).alias("_idx"), val.alias("_x")
     )
-    w_seq = Window.partitionBy(*by).orderBy("_idx")
+    over = f"over (partition by {by_q} order by _idx)"
     lag_cols = [
-        F.lag("_x", k).over(w_seq).alias(f"_l{k}")
+        F.expr(f"lag(_x, {k}) {over} as _l{k}")
         for k in range(1, max_lag + 1)
     ]
     staged = clean.select(*by, "_x", *lag_cols)
     aggs = [
-        F.count(F.lit(1)).alias("_n"),
-        dsum(F.col("_x")).alias("_sx"),
-        dsum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.expr("count(1) as _n"),
+        F.expr(f"{dsum('_x')} as _sx"),
+        F.expr(f"{dsum('_x * _x')} as _sxx"),
     ]
     for k in range(1, max_lag + 1):
-        lk = F.col(f"_l{k}")
         aggs.extend([
-            F.count(lk).alias(f"_n{k}"),
-            dsum(F.col("_x") * lk).alias(f"_sxy{k}"),
-            dsum(F.when(lk.isNotNull(), F.col("_x"))).alias(f"_sxt{k}"),
-            dsum(lk).alias(f"_sxl{k}"),
+            F.expr(f"count(_l{k}) as _n{k}"),
+            F.expr(f"{dsum(f'_x * _l{k}')} as _sxy{k}"),
+            F.expr(
+                f"{dsum(f'case when _l{k} is not null then _x end')}"
+                f" as _sxt{k}"),
+            F.expr(f"{dsum(f'_l{k}')} as _sxl{k}"),
         ])
     g = staged.groupBy(*by).agg(*aggs)
-    n_d = F.col("_n").cast("double")
-    mean = F.col("_sx") / n_d
-    denom = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n_d
-    per_lag = F.array(*[
-        F.struct(
-            F.lit(k).cast("int").alias("lag"),
-            F.col(f"_n{k}").cast("bigint").alias("n_pairs"),
-            F.when(
-                (denom > 0) & (F.col(f"_n{k}") > 0),
-                F.round(
-                    (F.col(f"_sxy{k}")
-                     - mean * (F.col(f"_sxt{k}") + F.col(f"_sxl{k}"))
-                     + F.col(f"_n{k}").cast("double") * mean * mean)
-                    / denom,
-                    round_to,
-                ),
-            ).alias("acf"),
-        )
+    mean = "(_sx / cast(_n as double))"
+    denom = "(_sxx - _sx * _sx / cast(_n as double))"
+    per_lag = F.expr("array({})".format(", ".join(
+        f"named_struct("
+        f"'lag', cast({k} as int), "
+        f"'n_pairs', cast(_n{k} as bigint), "
+        f"'acf', case when {denom} > 0 and _n{k} > 0 then round("
+        f"(_sxy{k} - {mean} * (_sxt{k} + _sxl{k})"
+        f" + cast(_n{k} as double) * {mean} * {mean})"
+        f" / {denom}, {round_to}) end)"
         for k in range(1, max_lag + 1)
-    ])
+    )))
     return (
         g.select(*by, F.explode(per_lag).alias("_e"))
         .filter(F.col("_e.n_pairs") > 0)
