@@ -132,15 +132,17 @@ def minhash_signature(
     if hash_fn == "rolling":
         hashes = F.transform(sh, lambda s: rolling_hash_raw(s))
         coeffs = _hash_coeffs31(num_hashes, seed)
-        coeff_arr = F.array(
-            *[
-                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                for a, b in coeffs
-            ]
+        # one parsed literal array instead of 3·num_hashes Column calls
+        # (driver round-trip cost — see the xxhash branch note). Fields
+        # are int like the F.lit originals (a < 2^16, b < 2^31), and
+        # the pmod arithmetic widens to bigint identically.
+        coeff_arr = F.expr(
+            "array({})".format(",".join(
+                f"named_struct('a',{a},'b',{b})" for a, b in coeffs
+            ))
         )
-        init = F.array_repeat(
-            F.lit(_MERSENNE31).cast("bigint"), num_hashes
-        )
+        init = F.expr(
+            f"array_repeat(cast({_MERSENNE31} as bigint), {num_hashes})")
         return F.aggregate(
             hashes,
             init,
@@ -157,10 +159,14 @@ def minhash_signature(
             ),
         )
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    slot_idx = F.array(*[F.lit(i) for i in range(num_hashes)])
-    init = F.array_repeat(
-        F.lit((1 << 63) - 1).cast("bigint"), num_hashes
-    )
+    # constant fragments parse as ONE SQL expression each instead of
+    # num_hashes small Column calls (a Python->JVM round trip per call;
+    # see the guide-§7.3 note in timeseries.autocorrelation) — same
+    # literal arrays, same types
+    slot_idx = F.expr(
+        "array({})".format(",".join(str(i) for i in range(num_hashes))))
+    init = F.expr(
+        f"array_repeat(cast({(1 << 63) - 1} as bigint), {num_hashes})")
     return F.aggregate(
         hashes,
         init,
@@ -170,6 +176,91 @@ def minhash_signature(
             lambda m, i: F.least(m, F.xxhash64(F.lit(seed), i, h)),
         ),
     )
+
+
+def _minhash_signature_sql(
+    text_sql: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int,
+    shingle_mode: str,
+    hash_fn: str,
+) -> str:
+    """:func:`minhash_signature` as ONE SQL string over ``text_sql`` —
+    the signature pipeline is ~400 Column calls when built node by node
+    (a Python→JVM round trip each; see stats._dsum_sql), one parse
+    here. Arithmetic is identical operation for operation: tokenize →
+    shingle (word mode; char mode keeps the Column path) → per-shingle
+    hash → slot-minimum fold; pinned by the minhash/probe oracle and
+    equivalence tests."""
+    size = shingle_size
+    toks = f"filter(split(lower({text_sql}), '[^a-z0-9]+'), t -> t != '')"
+    grams = (
+        f"array_distinct(case when size(t) < {size} "
+        f"then array(concat_ws(' ', t)) "
+        f"else transform(sequence(1, size(t) - {size - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {size}))) end)"
+    )
+    sh = f"get(transform(array({toks}), t -> {grams}), 0)"
+    if hash_fn == "rolling":
+        roll = (
+            "case when length(s) = 0 then cast(0 as bigint) else "
+            "aggregate(transform(sequence(1, length(s)), "
+            "i -> cast(ascii(substr(s, i, 1)) as bigint)), "
+            "cast(0 as bigint), "
+            f"(h, c) -> pmod(h * 31 + c, {_MERSENNE31})) end"
+        )
+        coeffs = _hash_coeffs31(num_hashes, seed)
+        coeff_arr = "array({})".format(",".join(
+            f"named_struct('a',{a},'b',{b})" for a, b in coeffs))
+        return (
+            f"aggregate(transform({sh}, s -> {roll}), "
+            f"array_repeat(cast({_MERSENNE31} as bigint), {num_hashes}), "
+            f"(acc, h) -> zip_with(acc, {coeff_arr}, "
+            f"(m, c) -> least(m, pmod(c.a * h + c.b, {_MERSENNE31}))))"
+        )
+    slot_idx = "array({})".format(",".join(
+        str(i) for i in range(num_hashes)))
+    return (
+        f"aggregate(transform({sh}, s -> xxhash64(s)), "
+        f"array_repeat(cast({(1 << 63) - 1} as bigint), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, {slot_idx}, "
+        f"(m, i) -> least(m, xxhash64({seed}, i, h))))"
+    )
+
+
+def _signature_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int,
+    shingle_mode: str,
+    hash_fn: str,
+) -> DataFrame:
+    """``(_id, _sig)`` signature table shared by the LSH operators.
+    Word mode routes through :func:`_minhash_signature_sql` (one parse
+    instead of ~400 Column round trips; the projection of the text to
+    a fixed internal name collapses in the optimizer); char mode keeps
+    the Column path."""
+    if shingle_mode == "word":
+        sig_sql = _minhash_signature_sql(
+            "_mh_t", num_hashes, shingle_size, seed, shingle_mode,
+            hash_fn)
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_mh_t"),
+        ).select(
+            "_id", F.expr(sig_sql).alias("_sig")
+        ).filter(F.size("_sig") > 0)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed,
+            shingle_mode, hash_fn,
+        ).alias("_sig"),
+    ).filter(F.size("_sig") > 0)
 
 
 def minhash_lsh(
@@ -198,13 +289,9 @@ def minhash_lsh(
     At 100 TB the bucket join dominates; AQE skew-split handles hot
     buckets (e.g. boilerplate-heavy shingles).
     """
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
-            hash_fn,
-        ).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sigs = _signature_frame(
+        df, text_col, id_col, num_hashes, shingle_size, seed,
+        shingle_mode, hash_fn)
     return _lsh_band_pairs(
         sigs, num_hashes, bands, hash_fn, jaccard_threshold, "jaccard_sim"
     )
@@ -224,30 +311,12 @@ def _lsh_band_pairs(
     (:func:`shard_minhash_dedup`) operators."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-
-    def band_key(b: Column) -> Column:
-        slot_str = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        # rolling/oracle mode keeps the raw slot string (SQL-replicable);
-        # production mode hashes it down to 8 bytes for a cheaper shuffle
-        if hash_fn == "rolling":
-            return slot_str.alias("bhash")
-        return F.xxhash64(slot_str).alias("bhash")
 
     banded = sigs.select(
         "_id",
         "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b)),
-            )
+            _band_bucket_expr(num_hashes, bands, hash_fn)
         ).alias("_bucket"),
     ).select("_id", "_sig", "_bucket.band", "_bucket.bhash")
 
@@ -269,14 +338,9 @@ def _lsh_band_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sim = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    sim = F.expr(
+        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+        f"eq -> eq)) as double) / {float(num_hashes)!r}D"
     )
     out = candidates.select(
         "id_a", "id_b", F.round(sim, 6).alias(sim_col)
@@ -286,45 +350,49 @@ def _lsh_band_pairs(
     return out
 
 
+def _band_bucket_expr(num_hashes: int, bands: int, hash_fn: str):
+    """The band-key explosion array over the internal ``_sig`` column:
+    ``transform(sequence(0, bands-1), b -> struct(band, bhash))`` with
+    the per-band slot-slice key. rolling/oracle mode keeps the raw slot
+    string (SQL-replicable); production mode hashes it down to 8 bytes
+    for a cheaper shuffle. ONE shared definition consumed by both
+    :func:`_lsh_band_pairs` and :func:`_banded_signatures` (their
+    arithmetic identity is pinned by ``tests/test_operators.py::
+    test_minhash_probe_matches_lsh_cross_pairs``), parsed as a single
+    SQL expression instead of ~10 Column calls per band (driver
+    round-trip cost — see timeseries.autocorrelation)."""
+    rpb = num_hashes // bands
+    slot_str = (
+        f"concat_ws(',', transform(slice(_sig, b * {rpb} + 1, {rpb}), "
+        "x -> cast(x as string)))"
+    )
+    key = slot_str if hash_fn == "rolling" else f"xxhash64({slot_str})"
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bhash', {key}))"
+    )
+
+
 def _banded_signatures(
     sigs: DataFrame, num_hashes: int, bands: int, hash_fn: str,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(_id, _sig)`` → ``(_id, _sig, band, bhash)``: the band-key
-    explosion, arithmetic-IDENTICAL to :func:`_lsh_band_pairs`'
-    inline ``band_key`` (deliberately duplicated rather than factored
-    out of it, so adding the index/probe pair cannot perturb
-    :func:`minhash_lsh`'s / :func:`shard_minhash_dedup`'s plans;
-    the equivalence is pinned by
+    explosion, arithmetic-identical to :func:`_lsh_band_pairs`' (both
+    consume :func:`_band_bucket_expr`; the equivalence is pinned by
     ``tests/test_operators.py::test_minhash_probe_matches_lsh_cross_pairs``).
     ``carry`` names extra ``sigs`` columns to ride along unchanged
     (the streaming probe threads its event-time column through); the
     default () path selects exactly what it always did."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-
-    def band_key(b: Column) -> Column:
-        slot_str = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        if hash_fn == "rolling":
-            return slot_str.alias("bhash")
-        return F.xxhash64(slot_str).alias("bhash")
 
     return sigs.select(
         *carry,
         "_id",
         "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b)),
-            )
+            _band_bucket_expr(num_hashes, bands, hash_fn)
         ).alias("_bucket"),
     ).select(*carry, "_id", "_sig", "_bucket.band", "_bucket.bhash")
 
@@ -358,13 +426,9 @@ def minhash_index(
     — a probe with different values produces garbage, not an error
     (``bhash``/``sig`` are pure arithmetic of them).
     """
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
-            hash_fn,
-        ).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sigs = _signature_frame(
+        df, text_col, id_col, num_hashes, shingle_size, seed,
+        shingle_mode, hash_fn)
     banded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
     return banded.select(
         F.col("_id").alias(id_col), "band", "bhash",
@@ -412,13 +476,9 @@ def minhash_probe(
     :func:`minhash_lsh` on the shard for those — same signatures,
     composable by construction).
     """
-    sigs = incoming.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, seed, shingle_mode,
-            hash_fn,
-        ).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sigs = _signature_frame(
+        incoming, text_col, id_col, num_hashes, shingle_size, seed,
+        shingle_mode, hash_fn)
     banded = _banded_signatures(sigs, num_hashes, bands, hash_fn)
     probe_side = banded.select(
         F.col("_id").alias("_p_id"),
@@ -443,14 +503,9 @@ def minhash_probe(
         )
         .dropDuplicates(["probe_id", "index_id"])
     )
-    sim = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_p", "sig_i", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    sim = F.expr(
+        "cast(size(filter(zip_with(sig_p, sig_i, (x, y) -> x = y), "
+        f"eq -> eq)) as double) / {float(num_hashes)!r}D"
     )
     out = candidates.select(
         "probe_id", "index_id", F.round(sim, 6).alias("jaccard_sim")
@@ -537,23 +592,31 @@ def shard_minhash_dedup(
                 shingles(F.col(text_col), shingle_mode, shingle_size)
             ).alias("_g"),
         )
+        # hash each shingle ONCE into a named column, then derive the
+        # per-slot re-mixes from it via one parsed expression per slot
+        # (stats._dsum_sql note on Column-call round trips): ~450 JVM
+        # calls -> ~num_hashes. The optimizer collapses the extra
+        # projection; per-slot arithmetic is unchanged.
         if hash_fn == "rolling":
-            h = rolling_hash_raw(F.col("_g"))
+            hashed = grams.select(
+                "_id", rolling_hash_raw(F.col("_g")).alias("_gh"))
             coeffs = _hash_coeffs31(num_hashes, seed)
             slot_cols = [
-                F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
-                .alias(f"_m{i}")
+                F.expr(f"pmod({a} * _gh + {b}, {_MERSENNE31}) as _m{i}")
                 for i, (a, b) in enumerate(coeffs)
             ]
         else:
-            h = F.xxhash64(F.col("_g"))
+            hashed = grams.select(
+                "_id", F.xxhash64(F.col("_g")).alias("_gh"))
             slot_cols = [
-                F.xxhash64(F.lit(seed), F.lit(i), h).alias(f"_m{i}")
+                F.expr(f"xxhash64({seed}, {i}, _gh) as _m{i}")
                 for i in range(num_hashes)
             ]
-        per_doc = grams.select("_id", *slot_cols)
+        per_doc = hashed.select("_id", *slot_cols)
     else:
         # one element per doc: a content fingerprint re-mixed per slot
+        # fingerprint once into a named column, slots via parsed
+        # expressions — same pattern as the token branch above
         if hash_fn == "rolling":
             # md5-prefix fingerprint (< 2^28, so the 16-bit-coefficient
             # universal hash stays far inside int64 — ANSI-safe and
@@ -562,26 +625,26 @@ def shard_minhash_dedup(
                 .cast("bigint")
             coeffs = _hash_coeffs31(num_hashes, seed)
             slot_cols = [
-                F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
-                .alias(f"_m{i}")
+                F.expr(f"pmod({a} * _gh + {b}, {_MERSENNE31}) as _m{i}")
                 for i, (a, b) in enumerate(coeffs)
             ]
         else:
             h = F.xxhash64(F.col(text_col))
             slot_cols = [
-                F.xxhash64(F.lit(seed), F.lit(i), h).alias(f"_m{i}")
+                F.expr(f"xxhash64({seed}, {i}, _gh) as _m{i}")
                 for i in range(num_hashes)
             ]
         per_doc = df.filter(F.col(text_col).isNotNull()).select(
-            F.col(shard_col).alias("_id"), *slot_cols
-        )
+            F.col(shard_col).alias("_id"), h.alias("_gh")
+        ).select("_id", *slot_cols)
     sigs = (
         per_doc.groupBy("_id")
-        .agg(*[F.min(f"_m{i}").alias(f"_m{i}")
+        .agg(*[F.expr(f"min(_m{i}) as _m{i}")
                for i in range(num_hashes)])
         .select(
             "_id",
-            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig"),
+            F.expr("array({}) as _sig".format(
+                ",".join(f"_m{i}" for i in range(num_hashes)))),
         )
     )
     if persist:

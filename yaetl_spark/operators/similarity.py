@@ -240,11 +240,6 @@ def kmeans_fit(
     Returns ``[(cell_id, centroid_vector), ...]`` ready to pass as
     ``build_ivf_index(..., centroids=...)``.
     """
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty input")
-    dim = first.d
-
     base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     if init_ids is not None:
         rows = base.filter(F.col("cid").isin(list(init_ids))).orderBy("cid").collect()
@@ -254,6 +249,13 @@ def kmeans_fit(
             .limit(k)
             .collect()
         )
+    if not rows:
+        raise ValueError("kmeans_fit: empty input")
+    # vector width from the init rows themselves — the separate
+    # .first() dim probe was one more sequential driver job per fit
+    # (guide §5: the driver should do almost no data work; each
+    # round-trip job is pure latency at any scale)
+    dim = len(rows[0].cvec)
     centroids = [(i, [float(x) for x in r.cvec]) for i, r in enumerate(rows)]
     if len(centroids) < k:
         raise ValueError(f"kmeans_fit: only {len(centroids)} init vectors for k={k}")
@@ -370,22 +372,6 @@ def pq_fit(
     """
     import math as _math
 
-    # probe the width on a NON-NULL row: a NULL first vector would
-    # yield size()=-1 (or NULL under ANSI) and a misleading
-    # divisibility error instead of this diagnostic
-    first = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(F.col(vec_col)).alias("d"))
-        .first()
-    )
-    if first is None:
-        raise ValueError(
-            "pq_fit: no non-null vectors in input")
-    dim = int(first.d)
-    if m < 1 or dim % m != 0:
-        raise ValueError(
-            f"pq_fit: dim={dim} not divisible into m={m} subspaces")
-    sub = dim // m
     base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     if init_ids is not None:
         rows = base.filter(F.col("cid").isin(list(init_ids))) \
@@ -396,6 +382,21 @@ def pq_fit(
             .limit(k)
             .collect()
         )
+    # vector width from the init rows themselves on a NON-NULL vector
+    # (a NULL one would previously yield a misleading size()=-1
+    # divisibility error) — the separate .first() dim probe was one
+    # more sequential driver job per fit (guide §5: the driver should
+    # do almost no data work; each round-trip job is pure latency at
+    # any scale). Same fusion as kmeans_fit.
+    probe = next((r for r in rows if r.cvec is not None), None)
+    if probe is None:
+        raise ValueError(
+            "pq_fit: no non-null vectors in input")
+    dim = len(probe.cvec)
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_fit: dim={dim} not divisible into m={m} subspaces")
+    sub = dim // m
     if len(rows) < k:
         raise ValueError(
             f"pq_fit: only {len(rows)} init vectors for k={k}")

@@ -122,6 +122,20 @@ def _exact_ceil_div(x: Column, den: Column) -> Column:
     return F.call_function("div", x + den - F.lit(1).cast("bigint"), den)
 
 
+def _ceil_div_sql(x_sql: str, den_sql: str) -> str:
+    """:func:`_exact_ceil_div` as a SQL fragment for one-shot
+    ``F.expr`` parses (the stats._dsum_sql note: a Column call is a
+    Python→JVM round trip; a parse of a large fragment is one). Same
+    ``div`` integral-division arithmetic, same operand order."""
+    return f"div({x_sql} + {den_sql} - cast(1 as bigint), {den_sql})"
+
+
+def _dlit(v: float) -> str:
+    """A double literal for SQL fragments — the ``D`` suffix keeps the
+    parser from reading ``0.5`` as DECIMAL(1,1)."""
+    return f"{float(v)!r}D"
+
+
 def approx_quantiles(
     df: DataFrame,
     keys: Sequence[str],
@@ -332,32 +346,33 @@ def equidepth_summary(
             .alias("_eq_salt"))
         part.append("_eq_salt")
     src = df.filter(v.isNotNull()).select(*cols)
-    w = Window.partitionBy(*part).orderBy(F.col("_eq_v").asc())
+    # window + bucket expressions as one-shot parses (stats._dsum_sql
+    # note) — same frames and arithmetic
+    pby = "partition by " + ", ".join(part)
     staged = src.select(
         *part,
         "_eq_v",
-        F.row_number().over(w).cast("bigint").alias("_eq_rn"),
-        F.count(F.lit(1)).over(
-            w.rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing)
-        ).alias("_eq_n"),
+        F.expr(f"cast(row_number() over ({pby} order by _eq_v asc) "
+               "as bigint) as _eq_rn"),
+        F.expr(f"count(1) over ({pby} order by _eq_v asc rows between "
+               "unbounded preceding and unbounded following) as _eq_n"),
     )
     # bucket = ceil(rn·B / n) via EXACT integer arithmetic (true
     # integral division — exact over the whole int64 range; the
     # double-division shortcut can straddle a ceil boundary by one ulp
     # and silently disagree with the SQL oracle's integer division,
     # and even the (x − x mod n)/n form only held below 2^53)
-    b = _exact_ceil_div(F.col("_eq_rn") * F.lit(buckets), F.col("_eq_n"))
+    b = F.expr(_ceil_div_sql(f"_eq_rn * {buckets}", "_eq_n"))
     out_bucket = (
         F.col("_eq_b") if salt == 1
-        else F.col("_eq_salt") * F.lit(buckets) + F.col("_eq_b")
+        else F.expr(f"_eq_salt * {buckets} + _eq_b")
     )
     return (
         staged.withColumn("_eq_b", b)
         .groupBy(*part, "_eq_b")
         .agg(
-            F.max_by(F.col("_eq_v"), F.col("_eq_rn")).alias(value_out),
-            F.count(F.lit(1)).cast("bigint").alias(weight_out),
+            F.expr("max_by(_eq_v, _eq_rn)").alias(value_out),
+            F.expr("cast(count(1) as bigint)").alias(weight_out),
         )
         .select(
             F.col("_eq_s").alias(shard_out),
@@ -439,13 +454,12 @@ def summary_quantiles(
     for lab, (num, den) in zip(labels, fracs):
         # target = ceil(N·num/den) via true integral division — exact
         # over the whole int64 range (N·num stays inside int64 for
-        # den ≤ 10^3 up to ~9.2e15 rows — far past any corpus)
-        target = _exact_ceil_div(
-            F.col("_sq_n") * F.lit(num), F.lit(den).cast("bigint"))
-        aggs.append(
-            F.min(F.when(F.col("_sq_cum") >= target, F.col("_sq_v")))
-            .alias(lab)
-        )
+        # den ≤ 10^3 up to ~9.2e15 rows — far past any corpus); one
+        # parse per probability instead of ~15 Column calls
+        target = _ceil_div_sql(f"_sq_n * {num}", f"cast({den} as bigint)")
+        aggs.append(F.expr(
+            f"min(case when _sq_cum >= {target} then _sq_v end) "
+            f"as `{lab}`"))
     return base.groupBy(*keys).agg(*aggs)
 
 
@@ -490,27 +504,28 @@ def _summary_cdf_stage(
         .agg(F.sum("_w1_wa").alias("_w1_wa"),
              F.sum("_w1_wb").alias("_w1_wb"))
     )
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.col("_w1_v").asc())
+    # window expressions as one-shot parses (stats._dsum_sql note) —
+    # same frames, same functions
+    part = ("partition by " + ", ".join(
+        "`" + k.replace("`", "``") + "`" for k in keys)) if keys else ""
+    cum_frame = (f"over ({part} order by _w1_v asc rows between "
+                 "unbounded preceding and current row)")
+    lead_over = f"over ({part} order by _w1_v asc)"
     cum = pts.select(
         *keys,
         "_w1_v",
         "_w1_wa",
         "_w1_wb",
-        F.sum("_w1_wa").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_w1_ca"),
-        F.sum("_w1_wb").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("_w1_cb"),
-        F.lead("_w1_v").over(w).alias("_w1_next"),
+        F.expr(f"sum(_w1_wa) {cum_frame} as _w1_ca"),
+        F.expr(f"sum(_w1_wb) {cum_frame} as _w1_cb"),
+        F.expr(f"lead(_w1_v) {lead_over} as _w1_next"),
     )
-    full = w.rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing)
+    full_frame = (f"over ({part} order by _w1_v asc rows between "
+                  "unbounded preceding and unbounded following)")
     return cum.select(
         "*",
-        F.max("_w1_ca").over(full).alias("_w1_na"),
-        F.max("_w1_cb").over(full).alias("_w1_nb"),
+        F.expr(f"max(_w1_ca) {full_frame} as _w1_na"),
+        F.expr(f"max(_w1_cb) {full_frame} as _w1_nb"),
     )
 
 
@@ -558,17 +573,12 @@ def summary_w1_distance(
     # guarded in-expression: the last breakpoint has no interval
     # (lead NULL -> term NULL, sum skips it) and an empty side must
     # never reach the division (Inf would throw on the ANSI cast)
-    term = F.when(
-        (F.col("_w1_na") > 0) & (F.col("_w1_nb") > 0)
-        & F.col("_w1_next").isNotNull(),
-        F.round(
-            F.abs(
-                F.col("_w1_ca").cast("double") / F.col("_w1_na")
-                - F.col("_w1_cb").cast("double") / F.col("_w1_nb")
-            ) * (F.col("_w1_next") - F.col("_w1_v")),
-            round_to,
-        ),
-    ).cast(f"decimal(38,{round_to})")
+    term = F.expr(
+        f"cast(case when _w1_na > 0 and _w1_nb > 0 "
+        f"and _w1_next is not null then "
+        f"round(abs(cast(_w1_ca as double) / _w1_na "
+        f"- cast(_w1_cb as double) / _w1_nb) * (_w1_next - _w1_v), "
+        f"{round_to}) end as decimal(38,{round_to}))")
     out = staged.groupBy(*keys).agg(
         F.max("_w1_na").alias("n_a"),
         F.max("_w1_nb").alias("n_b"),
@@ -627,16 +637,10 @@ def summary_ks_distance(
     # division unreachable when a total is 0 (ANSI-safe, like W1) —
     # every breakpoint row is a valid evaluation point (no lead/next
     # needed: the gap is constant on [v, next) and attained AT v)
-    gap = F.when(
-        (F.col("_w1_na") > 0) & (F.col("_w1_nb") > 0),
-        F.round(
-            F.abs(
-                F.col("_w1_ca").cast("double") / F.col("_w1_na")
-                - F.col("_w1_cb").cast("double") / F.col("_w1_nb")
-            ),
-            round_to,
-        ),
-    )
+    gap = F.expr(
+        f"case when _w1_na > 0 and _w1_nb > 0 then "
+        f"round(abs(cast(_w1_ca as double) / _w1_na "
+        f"- cast(_w1_cb as double) / _w1_nb), {round_to}) end")
     out = staged.groupBy(*keys).agg(
         F.max("_w1_na").alias("n_a"),
         F.max("_w1_nb").alias("n_b"),
@@ -707,19 +711,20 @@ def summary_psi(
     # one aggregate row per key group: both totals + the bins-1
     # reference cuts (the summary_quantiles arithmetic at p = i/bins
     # over side a's CDF)
+    # one parse per cut instead of ~30 Column calls (stats._dsum_sql
+    # note) — identical div-based rank-target arithmetic
     cut_aggs = [
         F.max("_w1_na").alias("_psi_na"),
         F.max("_w1_nb").alias("_psi_nb"),
     ]
     for i in range(1, bins):
-        target = _exact_ceil_div(
-            F.col("_w1_na") * F.lit(i), F.lit(bins).cast("bigint"))
-        cut_aggs.append(
-            F.min(F.when(F.col("_w1_ca") >= target, F.col("_w1_v")))
-            .alias(f"_psi_e{i}")
-        )
+        target = _ceil_div_sql(
+            f"_w1_na * {i}", f"cast({bins} as bigint)")
+        cut_aggs.append(F.expr(
+            f"min(case when _w1_ca >= {target} then _w1_v end) "
+            f"as _psi_e{i}"))
     cuts = staged.groupBy(*keys).agg(*cut_aggs)
-    edge_arr = F.array(*[F.col(f"_psi_e{i}") for i in range(1, bins)])
+    edges = ", ".join(f"_psi_e{i}" for i in range(1, bins))
     # bin(v) = 1 + #cuts strictly below v — broadcast of the
     # one-row-per-key cuts
     pts = staged.select(*keys, "_w1_v", "_w1_wa", "_w1_wb")
@@ -731,10 +736,9 @@ def summary_psi(
         *keys,
         "_w1_wa",
         "_w1_wb",
-        (F.lit(1) + F.size(F.filter(
-            edge_arr,
-            lambda e: e.isNotNull() & (F.col("_w1_v") > e),
-        ))).alias("_psi_bin"),
+        F.expr(
+            f"1 + size(filter(array({edges}), "
+            "e -> e is not null and _w1_v > e)) as _psi_bin"),
     )
     masses = binned.groupBy(*keys, "_psi_bin").agg(
         F.sum("_w1_wa").alias("_psi_ma"),
@@ -755,17 +759,17 @@ def summary_psi(
         F.coalesce(F.col("_psi_ma"), F.lit(0)).cast("bigint").alias("_psi_ma"),
         F.coalesce(F.col("_psi_mb"), F.lit(0)).cast("bigint").alias("_psi_mb"),
     )
-    lap = F.lit(float(laplace))
-    pa = (F.col("_psi_ma").cast("double") + lap) / (
-        F.col("_psi_na").cast("double") + lap * F.lit(float(bins)))
-    pb = (F.col("_psi_mb").cast("double") + lap) / (
-        F.col("_psi_nb").cast("double") + lap * F.lit(float(bins)))
+    lap = _dlit(laplace)
+    pa = (f"((cast(_psi_ma as double) + {lap}) / "
+          f"(cast(_psi_na as double) + {lap} * {_dlit(bins)}))")
+    pb = (f"((cast(_psi_mb as double) + {lap}) / "
+          f"(cast(_psi_nb as double) + {lap} * {_dlit(bins)}))")
     # guarded in-expression like the siblings: an empty side must never
     # reach the division/log (the result is NULLed anyway)
-    term = F.when(
-        (F.col("_psi_na") > 0) & (F.col("_psi_nb") > 0),
-        F.round((pa - pb) * F.log(pa / pb), round_to),
-    ).cast(f"decimal(38,{round_to})")
+    term = F.expr(
+        f"cast(case when _psi_na > 0 and _psi_nb > 0 then "
+        f"round(({pa} - {pb}) * ln({pa} / {pb}), {round_to}) end "
+        f"as decimal(38,{round_to}))")
     out = full.groupBy(*keys).agg(
         F.max("_psi_na").alias("n_a"),
         F.max("_psi_nb").alias("n_b"),

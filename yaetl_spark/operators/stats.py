@@ -38,6 +38,21 @@ def _dsum(c: Column) -> Column:
     return F.sum(F.round(c, 9).cast(_DEC)).cast("double")
 
 
+def _dsum_sql(c_sql: str) -> str:
+    """:func:`_dsum` as a SQL fragment for one-shot ``F.expr`` parses —
+    hot operators assemble their aggregate lists this way because every
+    Column call is a Python→JVM round trip (~1 ms on this driver; the
+    guide-§7.3 expression-tree-in-a-loop cost), while one parse of an
+    arbitrarily large fragment is a single round trip. Same
+    round/decimal/cast semantics, pinned by the bit-exact oracles."""
+    return f"cast(sum(cast(round({c_sql}, 9) as {_DEC})) as double)"
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for use inside an expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def correlation_matrix(
     df: DataFrame, cols: Sequence[str]
 ) -> DataFrame:
@@ -64,37 +79,42 @@ def correlation_matrix(
     if len(set(cols)) != len(cols):
         raise ValueError("duplicate column names")
     clean = df.dropna(subset=cols)
-    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    # aggregates and the recombination array are one-shot SQL parses
+    # (_dsum_sql note): ~1200 JVM round trips -> ~30 per plan build,
+    # identical expressions
+    aggs = [F.expr("cast(count(1) as double) as _n")]
     for c in cols:
-        x = F.col(c).cast("double")
-        aggs.append(_dsum(x).alias(f"_s_{c}"))
-        aggs.append(_dsum(x * x).alias(f"_ss_{c}"))
+        x = f"cast({_q(c)} as double)"
+        aggs.append(F.expr(f"{_dsum_sql(x)} as {_q(f'_s_{c}')}"))
+        aggs.append(F.expr(f"{_dsum_sql(f'{x} * {x}')} as {_q(f'_ss_{c}')}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(
-                _dsum(F.col(a).cast("double") * F.col(b).cast("double"))
-                .alias(f"_sp_{a}_{b}")
-            )
+            xa = f"cast({_q(a)} as double)"
+            xb = f"cast({_q(b)} as double)"
+            aggs.append(F.expr(
+                f"{_dsum_sql(f'{xa} * {xb}')} as {_q(f'_sp_{a}_{b}')}"))
     m = clean.agg(*aggs)
 
-    def corr_expr(a: str, b: str) -> Column:
-        n = F.col("_n")
-        cov = n * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
-        va = n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
-        vb = n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
-        return F.when(
-            (va > 0) & (vb > 0), F.round(cov / F.sqrt(va * vb), 6)
+    def corr_sql(a: str, b: str) -> str:
+        sp, sa, sb = _q(f"_sp_{a}_{b}"), _q(f"_s_{a}"), _q(f"_s_{b}")
+        ssa, ssb = _q(f"_ss_{a}"), _q(f"_ss_{b}")
+        cov = f"(_n * {sp} - {sa} * {sb})"
+        va = f"(_n * {ssa} - {sa} * {sa})"
+        vb = f"(_n * {ssb} - {sb} * {sb})"
+        return (
+            f"case when {va} > 0 and {vb} > 0 "
+            f"then round({cov} / sqrt({va} * {vb}), 6) end"
         )
 
-    pairs = F.array(*[
-        F.struct(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            corr_expr(a, b).alias("corr"),
-        )
+    def slit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    pairs = F.expr("array({})".format(", ".join(
+        f"named_struct('col_a', {slit(a)}, 'col_b', {slit(b)}, "
+        f"'corr', {corr_sql(a, b)})"
         for i, a in enumerate(cols)
         for b in cols[i + 1:]
-    ])
+    )))
     return m.select(
         F.explode(pairs).alias("_p"), F.col("_n").cast("bigint").alias("n")
     ).select("_p.col_a", "_p.col_b", "_p.corr", "n")
@@ -125,31 +145,32 @@ def grouped_ols(
     """
     by = list(by)
     clean = df.dropna(subset=[x, y])
-    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    xc = f"cast({_q(x)} as double)"
+    yc = f"cast({_q(y)} as double)"
     g = clean.groupBy(*by) if by else clean.groupBy()
+    # one-shot SQL parses (_dsum_sql note) — identical expressions
     m = g.agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        _dsum(xc).alias("_sx"),
-        _dsum(yc).alias("_sy"),
-        _dsum(xc * xc).alias("_sxx"),
-        _dsum(yc * yc).alias("_syy"),
-        _dsum(xc * yc).alias("_sxy"),
+        F.expr("cast(count(1) as double) as _n"),
+        F.expr(f"{_dsum_sql(xc)} as _sx"),
+        F.expr(f"{_dsum_sql(yc)} as _sy"),
+        F.expr(f"{_dsum_sql(f'{xc} * {xc}')} as _sxx"),
+        F.expr(f"{_dsum_sql(f'{yc} * {yc}')} as _syy"),
+        F.expr(f"{_dsum_sql(f'{xc} * {yc}')} as _sxy"),
     )
-    n = F.col("_n")
-    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    slope = F.when(vx > 0, cov / vx)
-    intercept = F.when(vx > 0, (F.col("_sy") - slope * F.col("_sx")) / n)
+    vx = "(_n * _sxx - _sx * _sx)"
+    vy = "(_n * _syy - _sy * _sy)"
+    cov = "(_n * _sxy - _sx * _sy)"
+    slope = f"case when {vx} > 0 then {cov} / {vx} end"
+    intercept = f"case when {vx} > 0 then (_sy - ({slope}) * _sx) / _n end"
     # (cov·cov)/(vx·vy), not pow(corr, 2): POWER's libm rounding is not
     # guaranteed identical across engines; plain multiply/divide is
-    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    r2 = f"case when {vx} > 0 and {vy} > 0 then {cov} * {cov} / ({vx} * {vy}) end"
     return m.select(
         *by,
-        n.cast("bigint").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
-        F.round(r2, 6).alias("r2"),
+        F.expr("cast(_n as bigint) as n"),
+        F.expr(f"round({slope}, 6) as slope"),
+        F.expr(f"round({intercept}, 6) as intercept"),
+        F.expr(f"round({r2}, 6) as r2"),
     )
 
 
