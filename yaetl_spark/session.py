@@ -13,6 +13,7 @@ expressed per-partition, never per-core.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -67,7 +68,20 @@ DEFAULT_CONF = {
 }
 
 
-def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+# Memo for ensure_parallelism's need-repartition probe: the probe calls
+# df.rdd.getNumPartitions(), which forces a full analyze+plan+to-RDD
+# conversion on the driver (~100-300 ms) — but for a scan of an on-disk
+# input its answer is a pure function of (files, maxPartitionBytes,
+# target), stable within a session. Sources that can fingerprint their
+# input pass a cache_key so repeated builds skip the probe.
+_NEED_REPARTITION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ensure_parallelism(
+    df: DataFrame, target: int | None = None, cache_key=None
+) -> DataFrame:
     """Repartition ``df`` only when the scan produced fewer partitions than
     the cluster's parallelism.
 
@@ -77,12 +91,24 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     already exceeds ``defaultParallelism``, and this is a no-op; locally it
     unlocks the full core count for expression-heavy per-row work at the
     cost of one cheap round-robin shuffle of a small input.
+
+    ``cache_key``: a stable fingerprint of the underlying input (see
+    :meth:`yaetl_spark.sources.base.Source._parallelism_cache_key`);
+    when given, the partition-count probe is memoized per session.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if cache_key is not None:
+        memo = _NEED_REPARTITION_MEMO.setdefault(spark, {})
+        k = (cache_key, target)
+        need = memo.get(k)
+        if need is None:
+            need = df.rdd.getNumPartitions() < target
+            memo[k] = need
+    else:
+        need = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if need else df
 
 
 # The NTZ zero point every event-time conversion pivots on. Pure

@@ -61,6 +61,14 @@ class Source:
     def load(self, spark: SparkSession) -> DataFrame:
         raise NotImplementedError
 
+    def _parallelism_cache_key(self):
+        """Stable fingerprint of the source's input for memoizing the
+        (driver-expensive) scan-partition-count probe in
+        :func:`yaetl_spark.session.ensure_parallelism`; ``None`` (the
+        default) disables memoization for sources whose partitioning
+        is not a pure function of an on-disk input."""
+        return None
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Load + apply aliasing, limit/offset, and parallelism floor.
 
@@ -75,7 +83,8 @@ class Source:
 
             target = (None if self._min_parallelism == "auto"
                       else int(self._min_parallelism))
-            df = ensure_parallelism(df, target)
+            df = ensure_parallelism(
+                df, target, cache_key=self._parallelism_cache_key())
         if isinstance(self._key, Mapping):
             for old, new in self._key.items():
                 # 'table.col' aliases refer to the bare column client-side.

@@ -18,11 +18,72 @@ import itertools as _it
 import os
 import re as _re
 import warnings
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import Source
+
+# Session-scoped parquet relation cache. ``spark.read.parquet(path)``
+# re-lists the path and re-infers the schema from footers on EVERY call
+# (~300 ms driver-side per call locally; at 100 TB the inference step is
+# a distributed many-footer job) — pure metadata work with an identical
+# outcome within a session. Catalog tables get this for free from the
+# metastore's relation cache; path-based reads do not, so we memoize the
+# *unexecuted* scan DataFrame per (session, path, stat-key). This caches
+# no data and no results: every execution still scans the parquet files.
+# Staleness: the key embeds mtime_ns/size of the file (for directories,
+# of the dir and its immediate children), so a rewrite through any
+# writer invalidates naturally; anything we cannot cheaply fingerprint
+# (remote URIs, globs, nested partition trees) is simply not cached.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _scan_cache_key(path: str):
+    """Stat-based fingerprint of a local parquet path, or None when the
+    path cannot be fingerprinted cheaply and exactly (remote scheme,
+    glob, missing, or a partition-nested directory)."""
+    if not _is_local_path(path):
+        return None
+    p = _strip_file_scheme(path)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    if not os.path.isdir(p):
+        return (path, st.st_mtime_ns, st.st_size)
+    entries = []
+    try:
+        with os.scandir(p) as it:
+            for e in it:
+                if e.is_dir(follow_symlinks=False):
+                    # nested partition dirs: a leaf rewrite may not touch
+                    # any depth-1 mtime — decline to cache
+                    return None
+                es = e.stat(follow_symlinks=False)
+                entries.append((e.name, es.st_mtime_ns, es.st_size))
+    except OSError:
+        return None
+    entries.sort()
+    return (path, st.st_mtime_ns, tuple(entries))
+
+
+def _cached_parquet_scan(spark: SparkSession, path: str) -> DataFrame:
+    key = _scan_cache_key(path)
+    if key is None:
+        return spark.read.parquet(path)
+    cache = _SCAN_CACHE.setdefault(spark, {})
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        # drop stale fingerprints of the same path before inserting
+        for k in [k for k in cache if k[0] == path]:
+            del cache[k]
+        cache[key] = df
+    return df
 
 
 class ParquetSource(Source):
@@ -32,10 +93,13 @@ class ParquetSource(Source):
         self.columns = columns
 
     def load(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(self.path)
+        df = _cached_parquet_scan(spark, self.path)
         if self.columns:
             df = df.select(*self.columns)  # column pruning reaches the scan
         return df
+
+    def _parallelism_cache_key(self):
+        return _scan_cache_key(self.path)
 
 
 class OrcSource(Source):
