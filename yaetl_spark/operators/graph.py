@@ -15,10 +15,11 @@ Pointer doubling halves label-tree depth each round, so convergence is
 O(log(diameter)) iterations, not O(diameter) — a 1M-node dup chain
 resolves in ~20 rounds. Lineage is truncated every iteration (without
 truncation the loop's plan doubles per round and Catalyst analysis time
-explodes) — by default with an eager ``localCheckpoint`` (fast, but the
-blocks live on executors and are lost on executor death), or, when
-``checkpoint_dir=`` is given, with a reliable ``checkpoint()`` to that
-directory so the loop survives executor loss on a real cluster. Edges
+explodes) — by default with a lazy ``localCheckpoint`` (plan truncation
+is immediate, materialization rides the next action, and the blocks
+live on executors — lost on executor death), or, when
+``checkpoint_dir=`` is given, with a reliable eager ``checkpoint()`` to
+that directory so the loop survives executor loss on a real cluster. Edges
 for near-dup graphs are
 tiny relative to the corpus (only dup candidates appear), so the label
 frame — two longs per node — is the largest shuffled artifact; raw
@@ -80,8 +81,15 @@ def connected_components(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
     else:
+        # Lazy: the logical plan is truncated to an RDD node immediately
+        # (that is what bounds Catalyst analysis of the loop), but the
+        # materializing job is deferred to the next action that needs
+        # the data — the per-iteration convergence count below, or the
+        # caller's own action — instead of a dedicated count() job per
+        # truncation. Guide §5: each synchronous driver job is pure
+        # round-trip latency at any scale.
         def _truncate(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     e = (
         edges.select(
@@ -92,10 +100,19 @@ def connected_components(
     )
     # Symmetrize once; dedup so a hot pair does not multiply join output.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = _truncate(e)
 
-    if local_threshold and e.count() <= local_threshold:
-        return _local_union_find(e)
+    if local_threshold:
+        # ONE bounded probe job decides the small-graph localization AND
+        # fetches the edges when it applies: limit(N+1) caps the collect
+        # at the same bound the old count() check enforced. This replaces
+        # the previous eager-checkpoint + count + toLocalIterator
+        # sequence — 3+ sequential driver round trips, the iterator
+        # additionally fetching partitions one job at a time.
+        probe = e.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_union_find(probe, e.sparkSession)
+
+    e = _truncate(e)
 
     labels = _truncate(
         e.select(F.col("a").alias("node"))
@@ -131,6 +148,9 @@ def connected_components(
                 F.coalesce("p_comp", "comp").alias("comp"),
             )
         )
+        # This count is the iteration's ONLY synchronous job: it
+        # materializes the (lazily checkpointed) doubled labels as a
+        # side effect of deciding convergence.
         changed = (
             doubled.alias("n")
             .join(labels.alias("o"), "node")
@@ -146,11 +166,13 @@ def connected_components(
     )
 
 
-def _local_union_find(e: DataFrame) -> DataFrame:
-    """Driver-side union-find over a small (already symmetrized,
-    checkpointed) edge frame: path-halving + union-by-min so every root
-    is its component's minimum id. One bounded collect in, one
-    createDataFrame out — the classic small-side localization."""
+def _local_union_find(rows, spark) -> DataFrame:
+    """Driver-side union-find over a small collected (already
+    symmetrized) edge list: path-halving + union-by-min so every root
+    is its component's minimum id. The rows arrive from the caller's
+    single bounded probe collect; one createDataFrame out — the classic
+    small-side localization. The fixpoint is order-independent, so the
+    collect's partition order never matters."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -159,7 +181,7 @@ def _local_union_find(e: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in e.toLocalIterator():
+    for r in rows:
         a, b = r.a, r.b
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -167,8 +189,8 @@ def _local_union_find(e: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
-    return e.sparkSession.createDataFrame(rows, "node long, comp long")
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "node long, comp long")
 
 
 def dedup_clusters(
@@ -260,8 +282,15 @@ def pagerank(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
     else:
+        # Lazy local checkpoint: lineage/plan truncation is immediate
+        # (the loop's Catalyst plans stay iteration-sized), but no
+        # per-iteration materializing job is submitted — the single
+        # nodes.count() below and the caller's own action compute the
+        # whole chain, each truncated frame caching as it materializes.
+        # iters eager checkpoints = iters synchronous driver round
+        # trips saved (guide §5), locally and on a cluster alike.
         def _truncate(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=False)
 
     e = _truncate(
         edges.select(
