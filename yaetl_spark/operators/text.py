@@ -397,9 +397,11 @@ def bpe_train(
     every iteration then works on the Zipf-bounded word-frequency
     table — a pair explode + sum aggregate + a ONE-row driver argmax
     (count desc, then (left, right) lexicographic — fully
-    deterministic) + a scan-level fold applying the rule, with an
-    eager localCheckpoint per iteration so the loop's lineage stays
-    flat (the pagerank discipline). Driver traffic is one row per
+    deterministic) + a scan-level fold applying the rule, with a lazy
+    localCheckpoint per iteration so the loop's lineage stays flat
+    (plan truncation is immediate; the materializing work rides the
+    next sweep's argmax job instead of a dedicated job per sweep — one
+    Spark job per merge, not two). Driver traffic is one row per
     merge; nothing unbounded ever collects. Determinism: exact
     integer counts, total-order tiebreak, and the fold's fixed scan
     order make the merge table reproducible across partitionings and
@@ -426,7 +428,7 @@ def bpe_train(
     symbol trios ``{left, right, left+right}`` are pairwise disjoint —
     disjoint consumption means each kept pair's count is exact at
     selection time and the kept rules commute, so fusing them in kept
-    order in ONE fold pass (plus one checkpoint) is N merges for one
+    order in ONE fold pass (checkpointed lazily) is N merges for one
     job. The trade: merge RANKS may deviate from exact Sennrich order
     when a sweep's later picks outrank a pair the earlier picks would
     have created (the standard batched-BPE trade-off); counts stay
@@ -462,7 +464,7 @@ def bpe_train(
             F.array(F.concat(F.element_at(chars, F.lit(-1)),
                              F.lit(end_of_word))),
         ).alias("_syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     trainable = vocab if min_count == 1 else vocab.filter(
         F.col("_n") >= min_count)
     merges: list[tuple[int, str, str, int]] = []
@@ -512,7 +514,7 @@ def bpe_train(
             folded = _bpe_fold_rules(F.col("_syms"), _bpe_rules_lit(rules))
         vocab = vocab.withColumn(
             "_syms", folded
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         trainable = vocab if min_count == 1 else vocab.filter(
             F.col("_n") >= min_count)
     merges_df = spark.createDataFrame(
