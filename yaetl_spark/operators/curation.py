@@ -206,7 +206,9 @@ def duplicate_spans(
     Scale shape (100 TB):
     - shingle fingerprints are fixed-width ``md5`` hex — the corpus-wide
       frequency count shuffles 32-char keys with map-side combine, never
-      raw text;
+      raw text; the expansion itself is pinned with
+      :func:`~yaetl_spark.session.compute_once` so the md5 pass runs
+      once per execution, not once per consumer (hot count + tag join);
     - only over-threshold fingerprints survive (Zipf-small boilerplate
       set), so tagging positions is a planner-broadcastable inner join;
     - span merging is a per-document window (partitioned by ``id_col``,
@@ -244,6 +246,14 @@ def duplicate_spans(
             )
         ).alias("s"),
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s._h").alias("_h"))
+    # the shingle expansion (a split + per-position k-token concat + md5 —
+    # the operator's dominant CPU) feeds BOTH the corpus-wide hot count
+    # and the position-tagging join; without pinning it computes twice
+    # per execution (the broadcast leg and the stream leg share no
+    # exchange, so AQE stage reuse cannot recover it)
+    from ..session import compute_once
+
+    shingled = compute_once(shingled)
     hot = (
         shingled.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_n"))

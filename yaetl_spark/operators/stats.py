@@ -222,8 +222,15 @@ def frequent_itemsets(
       the pair counts, every downstream shuffle is over the bounded
       pair/item vocabulary, and the basket count rides in via a 1-row
       broadcast hash join
-      (:func:`~yaetl_spark.operators.curation.attach_scalars`).
+      (:func:`~yaetl_spark.operators.curation.attach_scalars`);
+    - the grouped frame is pinned with
+      :func:`~yaetl_spark.session.compute_once`: its four consumers
+      (basket count, two item-total legs, pair expansion) previously
+      re-derived it — four corpus scans and four basket shuffles per
+      execution, of which AQE stage reuse recovered only two — and now
+      read one materialized copy (one scan, one shuffle).
     """
+    from ..session import compute_once
     from .curation import attach_scalars
 
     if min_pair_count < 1:
@@ -238,6 +245,7 @@ def frequent_itemsets(
         .groupBy("_bk")
         .agg(F.array_sort(F.collect_set("_it")).alias("_items"))
     )
+    grouped = compute_once(grouped)
     if max_basket_items is not None:
         if max_basket_items < 1:
             raise ValueError("max_basket_items must be >= 1")
@@ -258,7 +266,9 @@ def frequent_itemsets(
             ))),
         )
     nb_row = grouped.agg(F.count(F.lit(1)).cast("double").alias("_nb"))
-    item_n = (
+    # pinned too: the item-total table joins back TWICE (once per pair
+    # side); unpinned, each leg re-runs the explode + vocabulary shuffle
+    item_n = compute_once(
         grouped.select(F.explode("_items").alias("_it"))
         .groupBy("_it")
         .agg(F.count(F.lit(1)).alias("_in"))

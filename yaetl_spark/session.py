@@ -111,6 +111,34 @@ def ensure_parallelism(
     return df.repartition(target) if need else df
 
 
+def compute_once(df: DataFrame) -> DataFrame:
+    """Make a fanned-out intermediate compute ONCE per execution instead
+    of once per consumer.
+
+    A DataFrame referenced by several downstream branches of one plan is
+    re-evaluated in each branch (Catalyst inlines it; exchange reuse only
+    fires when whole exchange subtrees canonicalize equal, which column
+    pruning usually breaks). For an intermediate that is expensive to
+    produce — a corpus-grain shuffle, a per-token hash expansion — that
+    multiplies the dominant cost by the fan-out. A lazy ``localCheckpoint``
+    pins the intermediate to one physical RDD: the first action
+    materializes it (to executor memory/disk, spilling like any cached
+    block) and every branch reads the same blocks; plan lineage truncates
+    at the same time, which also keeps Catalyst from re-optimizing the
+    shared subtree per branch.
+
+    NOT cross-run caching: every fresh build of the query constructs a
+    fresh RDD, so each bench/oracle invocation recomputes from the
+    inputs; the sharing is strictly within one execution of one built
+    plan (the guide-§8 "write the fingerprint pass once, reuse it"
+    discipline, minus the external storage). Batch-only — local
+    checkpoints are illegal on streaming frames, and the blocks don't
+    survive executor loss (acceptable for intra-query intermediates,
+    which a retry simply rebuilds).
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # The NTZ zero point every event-time conversion pivots on. Pure
 # timestamp arithmetic against it (timestampadd/timestampdiff) never
 # consults spark.sql.session.timeZone, unlike NTZ<->LTZ casts.
