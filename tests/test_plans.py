@@ -596,7 +596,13 @@ def test_dsir_plan_shape(spark):
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
     assert plan.count("BroadcastHashJoin") >= 1  # ratio table onto stream
-    assert plan.count("FileScan") == 3
+    # r16: the raw feature stream is pinned (compute_once), so its ONE
+    # materialized copy serves both the raw-count leg and the scoring
+    # probe — the final plan keeps a single FileScan (the target side)
+    # plus the pinned RDD scan (previously 3 FileScans, the raw corpus
+    # tokenized + md5-hashed twice)
+    assert plan.count("FileScan") == 1, plan
+    assert "ExistingRDD" in plan
 
 
 def test_fuzzy_match_plan_shape(spark):

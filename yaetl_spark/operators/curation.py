@@ -561,6 +561,12 @@ def ngram_perplexity(
             F.pmod(F.col("_vc").cast("int"), F.lit(1)).alias("_one"),
         )
     )
+    # NOT pinned with compute_once: the model's count shuffle sits below
+    # any pin point, and localCheckpoint on a shuffle-bearing plan
+    # materializes its stages at call time under AQE — breaking this
+    # operator's no-job-at-call contract (test_ngram_perplexity_is_lazy_
+    # single_plan). AQE exchange reuse already collapses the two
+    # identical count shuffles at runtime.
     cbg = bigrams.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).alias("_c"))
     cpv = (
@@ -1085,7 +1091,13 @@ def dsir_score(
             F.col(id_col), hash_bucket_str(F.col("_g"), buckets).alias("_b")
         )
 
-    raw_feats = feats(df)
+    # pinned (compute_once): the raw feature stream feeds BOTH its model
+    # count and the final scoring join — unpinned, the raw corpus pays
+    # tokenize + gram explode + per-gram md5 twice. The pinned rows are
+    # narrow (id, bucket int) — far below the text they derive from.
+    from ..session import compute_once
+
+    raw_feats = compute_once(feats(df))
     t_counts = feats(target).groupBy("_b").agg(
         F.count(F.lit(1)).alias("_ct"))
     r_counts = raw_feats.groupBy("_b").agg(

@@ -832,7 +832,16 @@ def bm25_topk(
         (F.sum(F.size("_t")).cast("double")
          / F.count(F.lit(1)).cast("double")).alias("_avgdl"),
     )
-    matches = (
+    # pinned (compute_once): the match table feeds BOTH the df-count leg
+    # and the scoring join; unpinned, each leg re-runs the tokenize +
+    # explode + match shuffle over the corpus. It is bounded by
+    # |matched (doc, term)| pairs — the match stream, never the corpus.
+    # (The totals leg keeps its own tokenize pass: pinning the full
+    # token arrays would trade one scan for corpus-scale executor
+    # storage.)
+    from ..session import compute_once
+
+    matches = compute_once(
         toks.select(
             F.col(id_col),
             F.size("_t").cast("double").alias("_dl"),

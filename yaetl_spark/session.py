@@ -135,6 +135,13 @@ def compute_once(df: DataFrame) -> DataFrame:
     checkpoints are illegal on streaming frames, and the blocks don't
     survive executor loss (acceptable for intra-query intermediates,
     which a retry simply rebuilds).
+
+    Call-time caveat: when the pinned plan contains an Exchange, AQE
+    materializes the shuffle stages during the checkpoint's ``toRdd``
+    conversion — i.e. jobs run at CALL time, not first-action time. Do
+    not pin shuffle-bearing subtrees inside operators that promise
+    no-job-at-call laziness (e.g. ``ngram_perplexity``); pins below any
+    exchange (scan→project→explode chains) stay fully lazy.
     """
     return df.localCheckpoint(eager=False)
 
