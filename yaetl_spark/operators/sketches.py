@@ -833,7 +833,12 @@ def heavy_hitters(
     cand_df = spark.createDataFrame(
         [(v,) for v in cands], schema=src.schema
     ).withColumn("_hit", F.lit(True))
-    counts = (
+    # pinned (compute_once): the candidate-bounded count table feeds
+    # BOTH the total (broadcast leg) and the threshold filter — unpinned,
+    # the exact verify scan over the corpus ran once per leg
+    from ..session import compute_once
+
+    counts = compute_once(
         src.join(F.broadcast(cand_df), col, "left")
         .select(F.when(F.col("_hit"), c).alias("_k"))
         .groupBy("_k")
