@@ -1067,13 +1067,15 @@ def token_pmi(
       vocab², further cut by ``min_pair_docs``;
     - N (corpus doc count) and per-token doc frequencies attach via
       broadcast joins (the vocab head is driver-bounded by max_vocab);
-    - the pair self-join re-derives the pruned token stream on each
-      side (Catalyst plans no subplan reuse across the differing join
-      sides) — at corpus scale pass ``persist=True`` to cache it once
-      (MEMORY_AND_DISK; the handle is exposed as
-      ``result.persisted_tokens`` for the caller to unpersist, the
-      same contract as :func:`~yaetl_spark.operators.curation.
-      ngram_perplexity`).
+    - the pair self-join consumes the pruned token stream on BOTH
+      sides; by default it is pinned with
+      :func:`~yaetl_spark.session.compute_once` so tokenize + explode +
+      the vocab prune run once per execution (Catalyst plans no subplan
+      reuse across the renamed sides). Pass ``persist=True`` for the
+      classic session cache instead (MEMORY_AND_DISK; the handle is
+      exposed as ``result.persisted_tokens`` for the caller to
+      unpersist, the same contract as
+      :func:`~yaetl_spark.operators.curation.ngram_perplexity`).
     """
     if max_vocab < 2:
         raise ValueError("max_vocab must be >= 2")
@@ -1099,6 +1101,16 @@ def token_pmi(
         from pyspark import StorageLevel
 
         pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # pinned (compute_once): the pair step self-joins this stream —
+        # unpinned, each join side re-runs tokenize + explode + the
+        # vocab prune (Catalyst plans no subplan reuse across the
+        # renamed sides). The pinned rows are the vocab-PRUNED stream
+        # (≤ max_vocab tokens per doc). persist=True callers get the
+        # classic cache with the exposed unpersist handle instead.
+        from ..session import compute_once
+
+        pruned = compute_once(pruned)
     a = pruned.select(
         "_doc", F.col("token").alias("token_a"), F.col("n_t").alias("n_a")
     )
