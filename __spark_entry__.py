@@ -1292,9 +1292,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr-style after Lee et al. 2022): every maximal token run
     whose 8-gram shingles all repeat corpus-wide, merged
     gaps-and-islands into (start, end) spans per document. Scale shape:
-    fixed-width md5 shingle keys with map-side combine, Zipf-small hot
-    set drives a broadcastable tag join, span merge is a per-document
-    window — no global sort."""
+    fixed 16-byte xxhash64-pair shingle keys with map-side combine,
+    Zipf-small hot set drives a broadcastable tag join, span merge is a
+    per-document window — no global sort."""
     from yaetl_spark.operators import duplicate_spans
 
     docs = _t(spark, sf_dir, "documents", heavy=False).select("doc_id", "text")

@@ -248,6 +248,53 @@ def test_hash_formulas_match_reference_arithmetic(spark):
     run()
 
 
+def test_fingerprint128_key_properties(spark):
+    """The r16 internal-key fingerprint (two independently-seeded
+    xxhash64 longs over the raw value — string or token slice) must
+    behave as a 128-bit equality key:
+
+    - deterministic: equal values collide, unequal values don't (on
+      this corpus);
+    - no cross-boundary array collisions: ["ab","c"] vs ["a","bc"]
+      must differ (XXH64 folds each element's LENGTH, so element
+      boundaries are part of the hash — the reason the shingle key
+      can skip md5's concat_ws materialization);
+    - independent halves: the salt literal LEADS in the second half,
+      so h2 is a differently-seeded hash of the value, not a pure
+      function of h1 (a trailing salt would make any h1 collision an
+      automatic h2 collision, silently degrading the key to 64 bits).
+      Pinned by asserting h2 != the trailing-salt form for every row.
+    """
+    from yaetl_spark.operators.text import fingerprint128
+
+    df = spark.createDataFrame(
+        [("ab c",), ("a bc",), ("ab c",), ("",), ("x",)], "s string"
+    )
+    rows = df.select(
+        "s",
+        fingerprint128(F.split("s", " ")).alias("arr_fp"),
+        fingerprint128(F.col("s")).alias("str_fp"),
+        F.xxhash64(F.split("s", " "), F.lit(1)).alias("trailing"),
+    ).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.s, []).append(r)
+    # determinism: the duplicate "ab c" rows agree on both fingerprints
+    assert by_s["ab c"][0].arr_fp == by_s["ab c"][1].arr_fp
+    assert by_s["ab c"][0].str_fp == by_s["ab c"][1].str_fp
+    # boundary: ["ab","c"] vs ["a","bc"] differ as arrays (and the
+    # flat strings "ab c" vs "a bc" differ too)
+    assert by_s["ab c"][0].arr_fp != by_s["a bc"][0].arr_fp
+    assert by_s["ab c"][0].str_fp != by_s["a bc"][0].str_fp
+    # distinct values -> distinct pairs across the whole corpus
+    fps = {(r.arr_fp.h1, r.arr_fp.h2) for r in rows}
+    assert len(fps) == 4  # 5 rows, one duplicate value
+    # independent halves: h2 (leading salt) is not the trailing-salt
+    # hash, which WOULD be a pure function of h1
+    for r in rows:
+        assert r.arr_fp.h2 != r.trailing
+
+
 # --- duplicate_spans / strip_duplicate_spans --------------------------------
 
 

@@ -444,11 +444,13 @@ def test_line_dedup_hot_set_anti_join_no_cartesian(spark):
     """Corpus line dedup must remove hot lines via a keyed anti join
     against the over-threshold fingerprint set (broadcastable at scale),
     never a cartesian; the frequency shuffle groups on the fixed-width
-    md5 fingerprint, not raw line text."""
+    fingerprint128 xxhash64 pair (r16; was md5 hex), not raw line
+    text."""
     plan = plan_of(spark, "line_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+    assert "xxhash64" in plan and "md5" not in plan  # r16 narrow key
     # line-freq count + reassembly + id join back: bounded exchange count
     assert plan.count("Exchange hashpartitioning") <= 4
 
@@ -753,12 +755,13 @@ def test_token_pmi_vocab_prune_broadcasts(spark):
 
 
 def test_normalized_dedup_fingerprint_shuffle_and_semi_broadcast(spark):
-    """The dedup shuffle key is the md5 fingerprint (fixed width, never
-    document text) and the survivor set comes back as a broadcast
-    left-semi join."""
+    """The dedup shuffle key is the fixed 16-byte fingerprint128
+    xxhash64 pair (r16; was md5 hex — never document text) and the
+    survivor set comes back as a broadcast left-semi join."""
     plan = plan_of(spark, "normalized_dedup")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "xxhash64" in plan and "md5" not in plan  # r16 narrow key
 
 
 def test_fk_integrity_single_fact_pass(spark):

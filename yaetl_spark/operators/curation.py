@@ -65,10 +65,15 @@ def frequent_lines(
     the inspectable counterpart of :func:`line_dedup`'s removal set
     (audit WHAT is being cut before cutting it).
 
-    Scale shape: one md5-keyed count shuffle with map-side combine; the
-    raw line string rides only inside the aggregation state of its own
-    group (``any_value``), never as the shuffle key.
+    Scale shape: one fingerprint-keyed count shuffle with map-side
+    combine — the key is the 16-byte :func:`~yaetl_spark.operators.text.
+    fingerprint128` pair (two xxhash64 longs; r16 optimization, was md5
+    hex at twice the key width and ~10x the hash CPU); the raw line
+    string rides only inside the aggregation state of its own group
+    (``any_value``), never as the shuffle key.
     """
+    from .text import fingerprint128
+
     line = F.col("line")
     return (
         df.select(
@@ -76,7 +81,7 @@ def frequent_lines(
                 "line"
             )
         )
-        .groupBy(F.md5(line).alias("_h"))
+        .groupBy(fingerprint128(line).alias("_h"))
         .agg(
             F.any_value(line).alias("line"),
             F.count(F.lit(1)).alias("n"),
@@ -108,10 +113,11 @@ def line_dedup(
     (surviving line count per document).
 
     Scale shape (100 TB):
-    - the frequency table groups on ``md5(line)`` — a fixed-width 32-char
-      key, so the count shuffle never carries full line text and
-      map-side partial aggregation collapses within-partition repeats
-      first;
+    - the frequency table groups on the line's 128-bit
+      :func:`~yaetl_spark.operators.text.fingerprint128` — a fixed
+      16-byte key (two xxhash64 longs; r16, was 32-char md5 hex), so
+      the count shuffle never carries full line text and map-side
+      partial aggregation collapses within-partition repeats first;
     - only the OVER-threshold fingerprints (the boilerplate set — tiny by
       Zipf) survive the ``HAVING``, so the removal join is a
       planner-broadcastable left-anti against a small hot set, not a join
@@ -124,6 +130,8 @@ def line_dedup(
       AQE may replace the shuffle join with broadcast when one side is
       small.
     """
+    from .text import fingerprint128
+
     if max_occurrences < 1:
         raise ValueError("max_occurrences must be >= 1")
     line = F.col("line")
@@ -134,12 +142,12 @@ def line_dedup(
         ).alias("pos", "line"),
     )
     hot = (
-        lines.groupBy(F.md5(line).alias("_h"))
+        lines.groupBy(fingerprint128(line).alias("_h"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > max_occurrences)
         .select("_h")
     )
-    tagged = lines.withColumn("_h", F.md5(line))
+    tagged = lines.withColumn("_h", fingerprint128(line))
     if min_line_chars > 0:
         # one pass over the exploded lines: left-join the hot set and keep
         # exempt-short lines regardless (a filtered-branch union would
@@ -204,10 +212,14 @@ def duplicate_spans(
     position sequence).
 
     Scale shape (100 TB):
-    - shingle fingerprints are fixed-width ``md5`` hex — the corpus-wide
-      frequency count shuffles 32-char keys with map-side combine, never
-      raw text; the expansion itself is pinned with
-      :func:`~yaetl_spark.session.compute_once` so the md5 pass runs
+    - shingle fingerprints are the fixed 16-byte
+      :func:`~yaetl_spark.operators.text.fingerprint128` pair (two
+      xxhash64 longs folded straight over the token slice — r16, was
+      ``md5(concat_ws(...))`` hex at twice the key width plus a per-
+      position string allocation and a cryptographic digest) — the
+      corpus-wide frequency count shuffles 16-byte keys with map-side
+      combine, never raw text; the expansion itself is pinned with
+      :func:`~yaetl_spark.session.compute_once` so the hash pass runs
       once per execution, not once per consumer (hot count + tag join);
     - only over-threshold fingerprints survive (Zipf-small boilerplate
       set), so tagging positions is a planner-broadcastable inner join;
@@ -215,10 +227,14 @@ def duplicate_spans(
       ordered by position) — state bounded by document length, no global
       sort.
 
-    Built from DuckDB-identical primitives (md5 / split / slice /
-    windowed running max-sum), so the whole operator is oracle-checkable.
+    Built from DuckDB-replicable span semantics (split / slice /
+    windowed running max-sum; the shingle fingerprint is a purely
+    internal equality key, so the oracle may key on the shingle text
+    itself), so the whole operator is oracle-checkable.
     """
     from pyspark.sql.window import Window
+
+    from .text import fingerprint128, let_once
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -226,7 +242,9 @@ def duplicate_spans(
         raise ValueError("min_occurrences must be >= 2 (1 matches every span)")
     # project the token array ONCE before the per-position lambda:
     # referencing split() inline inside transform() re-evaluates the split
-    # for every shingle position (measured ~2.6x slower at sf0.1)
+    # for every shingle position (measured ~2.6x slower at sf0.1); same
+    # for the per-position slice — let_once binds it so the two hash
+    # halves fold one slice, not two
     toks = F.col("_toks")
     n = F.size(toks)
     positions = F.when(
@@ -239,14 +257,17 @@ def duplicate_spans(
         F.explode(
             F.transform(
                 positions,
-                lambda p: F.struct(
-                    p.alias("pos"),
-                    F.md5(F.concat_ws(" ", F.slice(toks, p, k))).alias("_h"),
+                lambda p: let_once(
+                    F.slice(toks, p, k),
+                    lambda sl: F.struct(
+                        p.alias("pos"),
+                        fingerprint128(sl).alias("_h"),
+                    ),
                 ),
             )
         ).alias("s"),
     ).select(id_col, F.col("s.pos").alias("pos"), F.col("s._h").alias("_h"))
-    # the shingle expansion (a split + per-position k-token concat + md5 —
+    # the shingle expansion (a split + per-position slice + hash pair —
     # the operator's dominant CPU) feeds BOTH the corpus-wide hot count
     # and the position-tagging join; without pinning it computes twice
     # per execution (the broadcast leg and the stream leg share no

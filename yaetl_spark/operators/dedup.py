@@ -24,17 +24,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_ngrams, fingerprint
+from .text import char_ngrams
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
 
-    One shuffle on the md5 fingerprint; group sizes are duplicate-cluster
-    sizes, naturally small — safe at any scale.
+    One shuffle on the fingerprint — the 16-byte
+    :func:`~yaetl_spark.operators.text.fingerprint128` xxhash64 pair
+    over the same whitespace/case normalization (r16, was 32-char md5
+    hex: half the key bytes, a fraction of the hash CPU; the key never
+    reaches the output so the swap is result-identical); group sizes
+    are duplicate-cluster sizes, naturally small — safe at any scale.
     """
-    fp = fingerprint(F.col(text_col)).alias("_fp")
+    from .text import fingerprint128
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp = fingerprint128(norm).alias("_fp")
     return (
         df.select(F.col(id_col), fp)
         .groupBy("_fp")

@@ -42,6 +42,40 @@ def let_once(bound: Column, body) -> Column:
     return F.get(F.transform(F.array(bound), body), 0)
 
 
+def fingerprint128(value: Column) -> Column:
+    """128-bit non-cryptographic fingerprint of ``value`` (string, array,
+    struct — anything ``xxhash64`` accepts) as a struct of two
+    independently-seeded 64-bit halves.
+
+    The internal-equality-key replacement for ``md5(...)`` hex: the same
+    collision class (~2^-128 per pair, safe for trillion-key corpora
+    where a single 64-bit key WOULD collide by birthday bound) at a
+    fraction of the per-byte CPU (XXH64 vs a cryptographic digest +
+    hex encode) and half the key width on the wire — two longs = 16
+    bytes vs 32 hex chars (guide §2.3: narrower shuffle keys). For
+    token-array inputs it also skips the per-position ``concat_ws``
+    string allocation md5 needed: XXH64 folds the elements directly,
+    and incorporates each element's length, so no cross-boundary
+    collisions ("ab","c" vs "a","bc") exist.
+
+    Seeding: the salt literal LEADS in the second half —
+    ``xxhash64(lit(1), value)`` re-seeds the running hash before the
+    value is folded, giving an independent second 64 bits, whereas a
+    trailing salt (``xxhash64(value, lit(1))``) would be a pure
+    function of the first half and add zero entropy.
+
+    ONLY for keys that never reach the output (grouping/join equality
+    keys, where a collision is the only way results could change).
+    Output-visible hashes — doc_fingerprint, dsir feature buckets,
+    md5-prefix split/sample arithmetic — keep their declared md5
+    formulas, which the DuckDB oracles replicate bit-for-bit.
+    """
+    return F.struct(
+        F.xxhash64(value).alias("h1"),
+        F.xxhash64(F.lit(1), value).alias("h2"),
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace-token count via exact string arithmetic.
 
@@ -1179,13 +1213,14 @@ def normalized_dedup(
     smallest id per key (deterministic, engine-reproducible).
 
     Scale shape (100 TB): ONE fingerprint-keyed shuffle — the groupBy
-    key is ``md5(normalized)`` (fixed 32 chars, never the document
-    text), min-id per group, then a planner-broadcastable survivor
-    semi join on the id. Same shape as the byte-exact ``dedup_exact``.
+    key is :func:`fingerprint128` of the normalized text (fixed 16
+    bytes, never the document text; r16, was 32-char md5 hex), min-id
+    per group, then a planner-broadcastable survivor semi join on the
+    id. Same shape as the byte-exact ``dedup_exact``.
     """
     if keep != "min_id":
         raise ValueError("keep must be 'min_id'")
-    key = F.md5(normalize_for_dedup(F.col(text_col)))
+    key = fingerprint128(normalize_for_dedup(F.col(text_col)))
     survivors = (
         df.select(F.col(id_col), key.alias("_k"))
         .groupBy("_k")
@@ -1221,9 +1256,10 @@ def ngram_novelty(
     Scale shape (100 TB): the reference reduces to its DISTINCT gram
     fingerprints once (bounded by reference vocabulary, broadcastable
     when small — the planner decides); documents explode to distinct
-    (doc, gram-md5) rows — fixed-width keys, never gram text — for ONE
-    left join + per-doc conditional-count regroup. No window, no
-    quadratic, no Python.
+    (doc, gram-fingerprint) rows — fixed 16-byte :func:`fingerprint128`
+    keys (r16, was md5 hex), never gram text — for ONE left join +
+    per-doc conditional-count regroup. No window, no quadratic, no
+    Python.
     """
     from .dedup import shingles
 
@@ -1234,7 +1270,7 @@ def ngram_novelty(
         return (
             frame.select(*keep, g)
             .filter(F.col("_g") != "")
-            .select(*keep, F.md5(F.col("_g")).alias("_gh"))
+            .select(*keep, fingerprint128(F.col("_g")).alias("_gh"))
         )
 
     ref_grams = _grams(ref, rtc).distinct()
