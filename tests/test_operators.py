@@ -462,6 +462,31 @@ def test_tfidf_scores_and_topk(spark):
         (1, "apple"), (2, "cherry"), (3, "durian")}
 
 
+def test_tfidf_is_lazy_no_count_job(spark):
+    """r16: N rides in the plan via a 1-row broadcast equi join onto the
+    vocabulary-sized df table — calling the operator must launch NO job
+    (was an eager df.count() per execution, a blocking sequential
+    corpus pass before the main DAG), and the constant-key join must
+    stay a hash join (no BNLJ/cartesian)."""
+    from yaetl_spark.operators import tfidf
+    from yaetl_spark.plans import assert_scales, executed_plan
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "durian")],
+        "doc_id bigint, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = tfidf(df)  # must not run anything
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert_scales(out)
+    assert out.count() == 5  # distinct (doc, token) pairs — still computes
+
+
 # --- fuzzy_join -------------------------------------------------------------
 
 

