@@ -69,6 +69,18 @@ BENCH_CONTRAST = frozenset({"fuzzy_match"})
 # embeddings default to spreading, relational tables default to plain,
 # and individual queries opt in via heavy=True (Q1's per-row decimal
 # chain, from_json parsing).
+#
+# r17 re-audit (interleaved A/B at 32 cpus, n=6 warm medians, heavy vs
+# plain per query): 15 opt-ins contradicted the policy above — their
+# scans feed a shuffle with LIGHT per-row work, and the spread exchange
+# cost 1.3-3x (key_skew 1.09→0.37 s, ks_drift 0.89→0.41, changepoint
+# 0.85→0.52, chi_square 1.44→1.00, event_transitions 0.76→0.38, ...).
+# Those were flipped to heavy=False; the survivors re-measured and KEPT
+# because the per-row chain dominates: groupby_agg 1.04 vs 1.44 plain,
+# ab_test 0.34 vs 0.62, trend_fit 0.97 vs 3.50, corr_matrix 1.09 vs
+# 7.29, feature_scale 1.09 vs 3.64, json_extract 0.30 vs 0.33,
+# retrieval_metrics 1.06 vs 1.87. Guide §2.4: an Exchange added "for
+# parallelism" must pay for itself, per query, measured.
 _HEAVY_TABLES = {"documents", "embeddings"}
 
 
@@ -763,7 +775,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal per-cell term sums for engine determinism."""
     from yaetl_spark.operators import chi_square
 
-    li = _t(spark, sf_dir, "lineitem", heavy=True)
+    li = _t(spark, sf_dir, "lineitem", heavy=False)
     return chi_square(li, "l_returnflag", "l_linestatus")
 
 
@@ -778,7 +790,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — all integer counts, exactly reproducible."""
     from yaetl_spark.operators import frequent_itemsets
 
-    li = _t(spark, sf_dir, "lineitem", heavy=True).select(
+    li = _t(spark, sf_dir, "lineitem", heavy=False).select(
         "l_orderkey", "l_partkey")
     return frequent_itemsets(
         li, basket_col="l_orderkey", item_col="l_partkey",
@@ -795,7 +807,7 @@ def q_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining shuffle the <= 8-row bin count. Never a global sort."""
     from yaetl_spark.operators import equi_depth_histogram
 
-    orders = _t(spark, sf_dir, "orders", heavy=True)
+    orders = _t(spark, sf_dir, "orders", heavy=False)
     return equi_depth_histogram(orders, "o_totalprice", 8, exact=True)
 
 
@@ -839,7 +851,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from yaetl_spark.operators import pagerank
 
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     k = F.from_json(F.col("props"), "k bigint").getField("k")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
@@ -916,7 +928,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, then arithmetic over the 3-row count table."""
     from yaetl_spark.operators import funnel_steps
 
-    ev = _events(spark, sf_dir, heavy=True).filter(
+    ev = _events(spark, sf_dir, heavy=False).filter(
         F.col("event_id") % 20 < 3
     )
     return funnel_steps(ev, ["view", "click", "purchase"])
@@ -930,7 +942,7 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, deterministic TakeOrderedAndProject cut."""
     from yaetl_spark.operators import event_paths
 
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     return event_paths(ev, n=3, top=20)
 
 
@@ -1005,7 +1017,7 @@ def q_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds rounded to 6 before the width divide for engine parity."""
     from yaetl_spark.operators import equi_width_histogram
 
-    orders = _t(spark, sf_dir, "orders", heavy=True)
+    orders = _t(spark, sf_dir, "orders", heavy=False)
     return equi_width_histogram(orders, "o_totalprice", 8)
 
 
@@ -1018,7 +1030,7 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     two |groups|-row stat tables broadcast back."""
     from yaetl_spark.operators import robust_outliers
 
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     return robust_outliers(ev, "value", by=["event_type"], exact=True)
 
 
@@ -1031,7 +1043,7 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. exact=True for the oracle run."""
     from yaetl_spark.operators import key_skew_profile
 
-    li = _t(spark, sf_dir, "lineitem", heavy=True)
+    li = _t(spark, sf_dir, "lineitem", heavy=False)
     return key_skew_profile(li, ["l_orderkey"], exact=True)
 
 
@@ -1118,7 +1130,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type daily event counts with an integer day index — the
     regular series the decomposition/changepoint queries run on."""
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     return (
         ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
         .groupBy("event_type", F.to_date("ts").alias("_day"))
@@ -1160,7 +1172,7 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_change applies the 1.5·sd rule — all engine-reproducible."""
     from yaetl_spark.operators import changepoints
 
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     daily = (
         ev.filter(
             F.col("event_type").isNotNull() & F.col("ts").isNotNull()
@@ -1252,7 +1264,7 @@ def q_continue_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep a scan-level compare — no joins, no driver action."""
     from yaetl_spark.operators import ContinueAt
 
-    orders = _t(spark, sf_dir, "orders", heavy=True).select(
+    orders = _t(spark, sf_dir, "orders", heavy=False).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     return ContinueAt(
@@ -1274,7 +1286,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering the final max reuses."""
     from yaetl_spark.operators import ks_test
 
-    ev = _events(spark, sf_dir, heavy=True).filter(
+    ev = _events(spark, sf_dir, heavy=False).filter(
         F.col("event_type").isNotNull() & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
@@ -1896,7 +1908,7 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant, typed ``try_variant_get`` extraction — the
     schema-on-read route for heterogeneous JSON where declaring a struct
     schema up front isn't possible. Decade-bucketed event histogram."""
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.select(k.alias("_k"), "user_id")
@@ -3149,7 +3161,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast row-total join."""
     from yaetl_spark.operators import event_transitions
 
-    ev = _events(spark, sf_dir, heavy=True)
+    ev = _events(spark, sf_dir, heavy=False)
     return event_transitions(ev)
 
 
