@@ -101,18 +101,25 @@ def connected_components(
     # Symmetrize once; dedup so a hot pair does not multiply join output.
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
 
-    if local_threshold:
-        # ONE bounded probe job decides the small-graph localization AND
-        # fetches the edges when it applies: limit(N+1) caps the collect
-        # at the same bound the old count() check enforced. This replaces
-        # the previous eager-checkpoint + count + toLocalIterator
-        # sequence — 3+ sequential driver round trips, the iterator
-        # additionally fetching partitions one job at a time.
-        probe = e.limit(local_threshold + 1).collect()
-        if len(probe) <= local_threshold:
-            return _local_union_find(probe, e.sparkSession)
-
+    # Truncate BEFORE the localization probe: the lazy checkpoint makes
+    # the probe's count() materialize the deduped edge blocks, so the
+    # collect() below (small-graph path) and the iteration joins
+    # (distributed path) both read those blocks instead of re-running
+    # the scan + distinct.
     e = _truncate(e)
+
+    if local_threshold:
+        # Localization probe: ONE fully-parallel count() job. (r16 used
+        # limit(threshold+1).collect() to fuse decide+fetch into one
+        # call, but an under-limit take cannot short-circuit — Spark's
+        # executeTake ramp then scans the reduce partitions in up to
+        # log4(P) SEQUENTIAL waves (1, 4, 16, ... of 32), each a driver
+        # round trip. For the common small-graph case count+collect is
+        # two all-parallel jobs, the second a cheap read of the blocks
+        # the count just pinned — measured 1.4x faster end-to-end on
+        # the consuming queries.)
+        if e.count() <= local_threshold:
+            return _local_union_find(e.collect(), e.sparkSession)
 
     labels = _truncate(
         e.select(F.col("a").alias("node"))
