@@ -242,7 +242,14 @@ def kmeans_fit(
     """
     base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     if init_ids is not None:
-        rows = base.filter(F.col("cid").isin(list(init_ids))).orderBy("cid").collect()
+        # collect the ≤ k init rows unordered and sort on the driver:
+        # .orderBy().collect() pays a range-partitioning SAMPLING job
+        # before the sort job — two sequential driver round trips to
+        # order a handful of rows (guide §5). Same id order, one job.
+        rows = sorted(
+            base.filter(F.col("cid").isin(list(init_ids))).collect(),
+            key=lambda r: r.cid,
+        )
     else:
         rows = (
             base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
@@ -374,8 +381,12 @@ def pq_fit(
 
     base = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     if init_ids is not None:
-        rows = base.filter(F.col("cid").isin(list(init_ids))) \
-            .orderBy("cid").collect()
+        # unordered collect + driver-side sort — saves the range-
+        # partitioning sampling job, same order (see kmeans_fit)
+        rows = sorted(
+            base.filter(F.col("cid").isin(list(init_ids))).collect(),
+            key=lambda r: r.cid,
+        )
     else:
         rows = (
             base.orderBy(F.xxhash64(F.col("cid") + F.lit(seed)))
