@@ -47,16 +47,30 @@ def fingerprint128(value: Column) -> Column:
     struct — anything ``xxhash64`` accepts) as a struct of two
     independently-seeded 64-bit halves.
 
-    The internal-equality-key replacement for ``md5(...)`` hex: the same
-    collision class (~2^-128 per pair, safe for trillion-key corpora
-    where a single 64-bit key WOULD collide by birthday bound) at a
-    fraction of the per-byte CPU (XXH64 vs a cryptographic digest +
-    hex encode) and half the key width on the wire — two longs = 16
-    bytes vs 32 hex chars (guide §2.3: narrower shuffle keys). For
-    token-array inputs it also skips the per-position ``concat_ws``
-    string allocation md5 needed: XXH64 folds the elements directly,
-    and incorporates each element's length, so no cross-boundary
-    collisions ("ab","c" vs "a","bc") exist.
+    The internal-equality-key replacement for ``md5(...)`` hex:
+    effectively collision-free for NON-adversarial data (a 64-bit key
+    alone WOULD collide by birthday bound at trillion-key corpora; the
+    paired halves push natural collisions far out of reach — but two
+    differently-seeded XXH64 runs are not independent 64-bit hashes
+    and XXH64 is not collision-resistant against crafted inputs, so
+    this gives well under 128-bit ADVERSARIAL resistance; a corpus
+    that may contain engineered collisions should keep a cryptographic
+    key) at a fraction of the per-byte CPU (XXH64 vs a cryptographic
+    digest + hex encode) and half the key width on the wire — two
+    longs = 16 bytes vs 32 hex chars (guide §2.3: narrower shuffle
+    keys). For token-array inputs it also skips the per-position
+    ``concat_ws`` string allocation md5 needed: XXH64 folds the
+    elements directly, and incorporates each element's length, so no
+    cross-boundary collisions ("ab","c" vs "a","bc") exist.
+
+    NULL semantics differ from md5: Spark's ``xxhash64`` SKIPS null
+    inputs (the seed hashes alone), so ``fingerprint128(NULL)`` is a
+    real seed-derived key rather than NULL, and inside an ARRAY a null
+    element is indistinguishable from an absent one (``['a', NULL]``
+    collides with ``['a']``). Current call sites never feed nullable
+    elements (tokenizers yield no NULLs; all-NULL texts group together
+    either way) — callers hashing nullable array columns must null-fill
+    or guard first.
 
     Seeding: the salt literal LEADS in the second half —
     ``xxhash64(lit(1), value)`` re-seeds the running hash before the
@@ -762,7 +776,12 @@ def tfidf(
     # rejects BNLJ); a non-foldable pmod keeps it an equi BHJ.
     ndocs = df.agg(F.count(F.lit(1)).alias("_n")).select(
         F.col("_n").cast("double").alias("_n"),
-        F.pmod(F.col("_n").cast("int"), F.lit(1)).alias("_one"),
+        # pmod on the BIGINT count, cast the 0-valued result — casting
+        # the count itself to int first would CAST_OVERFLOW under an
+        # ANSI session once N exceeds 2^31-1 documents (inside the
+        # operator's declared envelope); pmod of a bigint is safe at
+        # any count and the result is always 0.
+        F.pmod(F.col("_n"), F.lit(1)).cast("int").alias("_one"),
     )
     dfreq = (
         tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
