@@ -38,10 +38,9 @@ def exact_dedup(
     reaches the output so the swap is result-identical); group sizes
     are duplicate-cluster sizes, naturally small — safe at any scale.
     """
-    from .text import fingerprint128
+    from .text import fingerprint128, normalize_ws_case
 
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    fp = fingerprint128(norm).alias("_fp")
+    fp = fingerprint128(normalize_ws_case(F.col(text_col))).alias("_fp")
     return (
         df.select(F.col(id_col), fp)
         .groupBy("_fp")

@@ -227,11 +227,19 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     return best_lang
 
 
+def normalize_ws_case(text: Column) -> Column:
+    """Whitespace/case normalization shared by the output-visible
+    :func:`fingerprint` and the internal dedup keys (``exact_dedup``):
+    lowercase, whitespace runs collapsed to one space, ends trimmed.
+    ONE definition so the internal equality key can never drift from
+    the fingerprint the outputs document."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace- and
     case-normalized text (identical in DuckDB: ``md5(...)``)."""
-    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
-    return F.md5(norm)
+    return F.md5(normalize_ws_case(text))
 
 
 def rolling_fingerprint(
